@@ -1,0 +1,113 @@
+package graft.functions
+
+/** Pure-JVM vector kernels — the Spark-side ground truth for the engine's
+  * quantize / cosine semantics.
+  *
+  * Semantics mirror the reference engine's four Numba kernels
+  * (reference: pythonvectordb.py:25-151):
+  *   - L2 normalize with a `< 1e-10` zero-norm guard (pythonvectordb.py:70-99)
+  *   - int8 quantization `trunc(x * 127)` clamped to [-128, 127], truncation
+  *     toward zero, NOT rounding (pythonvectordb.py:102-127)
+  *   - cosine over quantized vectors; since both sides are renormalized the
+  *     1/127 dequantization scale cancels (pythonvectordb.py:25-67)
+  *
+  * All accumulations are strict left-to-right folds in Double so that the
+  * DuckDB oracle (`list_reduce(list_prepend(0.0, ...), (a,b) -> a+b)`) is
+  * bit-for-bit reproducible. Int8 dot products accumulate in Long (exact),
+  * making the quantized cosine score deterministic across engines.
+  */
+object VectorKernels {
+
+  final val ZeroNormEps = 1e-10
+
+  /** Left-to-right fold of sum(x_i^2) in Double. */
+  def l2normSq(v: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { val x = v(i).toDouble; s += x * x; i += 1 }
+    s
+  }
+
+  def l2norm(v: Array[Float]): Double = math.sqrt(l2normSq(v))
+
+  /** Normalize then quantize to int8 with truncation toward zero.
+    * Mirrors SQL: CAST(LEAST(127.0, GREATEST(-128.0, trunc(x/nrm*127.0))) AS INT).
+    * Zero-norm (< 1e-10) input quantizes to the all-zero vector. */
+  def quantize(v: Array[Float]): Array[Byte] = {
+    val out = new Array[Byte](v.length)
+    val nrm = l2norm(v)
+    if (nrm < ZeroNormEps) return out
+    var i = 0
+    while (i < v.length) {
+      val t = trunc(v(i).toDouble / nrm * 127.0)
+      val c = math.min(127.0, math.max(-128.0, t))
+      out(i) = c.toInt.toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Truncation toward zero (matches numpy int8 cast and SQL TRUNC). */
+  @inline private def trunc(d: Double): Double =
+    if (d < 0) math.ceil(d) else math.floor(d)
+
+  /** Cosine similarity between two int8-quantized vectors. Integer (Long)
+    * accumulation => exact; score is deterministic double arithmetic.
+    * Either side with zero norm scores 0.0 (pythonvectordb.py:46-48, 64-65). */
+  def cosineInt8(a: Array[Byte], b: Array[Byte]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0L
+    var na = 0L
+    var nb = 0L
+    var i = 0
+    while (i < n) {
+      dot += a(i).toLong * b(i).toLong
+      na += a(i).toLong * a(i).toLong
+      nb += b(i).toLong * b(i).toLong
+      i += 1
+    }
+    if (na == 0L || nb == 0L) 0.0
+    else dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+  }
+
+  /** Cosine over raw float vectors; Double left-fold accumulation mirrors
+    * the DuckDB list_reduce oracle exactly. */
+  def cosineFloat(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble
+      val y = b(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Dequantize an int8 vector back to doubles (q / 127.0), the `get_vector`
+    * read path (pythonvectordb.py:404-423). */
+  def dequantize(q: Array[Byte]): Array[Double] = {
+    val out = new Array[Double](q.length)
+    var i = 0
+    while (i < q.length) { out(i) = q(i).toDouble / 127.0; i += 1 }
+    out
+  }
+
+  /** True if any component is NaN or +/-Inf (insert validation,
+    * pythonvectordb.py:284-285). */
+  def hasNonFinite(v: Array[Float]): Boolean = {
+    var i = 0
+    while (i < v.length) {
+      val x = v(i)
+      if (x.isNaN || x.isInfinite) return true
+      i += 1
+    }
+    false
+  }
+}

@@ -1,0 +1,51 @@
+package graft.ops
+
+import graft.{OracleSql, Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media payloads are opaque `binary` columns
+  * with typed metadata; decode/feature-extract runs as a distributed
+  * projection over the binary column.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic STUB (md5-derived features standing in for
+  * a real `decode -> embed` UDF); the Spark-side plumbing — binary column,
+  * schema, partition-parallel featurization, oracle check — is real. A
+  * production decode would replace `fakeFeature` with a codec call inside
+  * the same projection (or mapInPandas/mapPartitions for batched C++ codecs).
+  */
+object MultimodalQueries {
+
+  /** STUB decode: deterministic pseudo-feature j from the payload digest
+    * (hex nibble window scaled to [0, 1]). Real systems: image decode +
+    * model forward pass here. */
+  private def fakeFeature(payloadText: org.apache.spark.sql.Column, j: Int) =
+    (conv(substring(md5(payloadText), 1 + 4 * j, 4), 16, 10).cast("long")
+      .cast("double") / lit(65535.0)).as(s"f$j")
+
+  val all: Seq[Q] = Seq(
+    Q("q_multimodal_feat",
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
+          // binary payload column: the "media blob" (here: utf8 bytes).
+          .withColumn("payload", encode(col("text"), "UTF-8"))
+        docs.select(
+          col("doc_id"),
+          octet_length(col("text")).cast("long").as("payload_len"),
+          fakeFeature(col("text"), 0), fakeFeature(col("text"), 1),
+          fakeFeature(col("text"), 2), fakeFeature(col("text"), 3))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val feats = (0 until 4).map { j =>
+          s"CAST(${OracleSql.hexToLong("h", 1 + 4 * j, 4)} AS DOUBLE)/65535.0 AS f$j"
+        }.mkString(",\n  ")
+        s"""WITH hh AS (
+           |  SELECT doc_id, strlen(text) AS plen, md5(text) AS h
+           |  FROM documents WHERE doc_id < 100)
+           |SELECT doc_id, CAST(plen AS BIGINT) AS payload_len,
+           |  $feats
+           |FROM hh ORDER BY doc_id""".stripMargin
+      })
+  )
+}

@@ -1,0 +1,200 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational surface over the TPC-H-ish star schema: scan/filter/project,
+  * shuffle aggregations, multi-way joins (broadcast for dims, shuffle for
+  * facts), window functions, running totals.
+  *
+  * Scale design notes (100 TB):
+  *  - dimension tables (region/nation/supplier/customer at typical ratios)
+  *    are broadcast; lineitem<->orders is a co-partitioned shuffle join on
+  *    the order key, the dominant join of the schema — AQE handles skew.
+  *  - aggregations are partial (map-side combine) by construction since all
+  *    aggs used are algebraic (sum/count/min/max over decimals).
+  */
+object RelationalQueries {
+
+  private val dec = DecimalType(25, 6)
+
+  val all: Seq[Q] = Seq(
+    // TPC-H Q1 shape: the pricing summary scan-agg (SURVEY.md §2.4 aggregations).
+    Q("q1_agg",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val discPrice = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        val charge = (col("l_extendedprice") * (lit(1.0) - col("l_discount"))) * (lit(1.0) + col("l_tax"))
+        li.filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            H.dsum(col("l_quantity")).as("sum_qty"),
+            H.dsum(col("l_extendedprice")).as("sum_base"),
+            H.dsum(discPrice).as("sum_disc_price"),
+            H.dsum(charge).as("sum_charge"),
+            (H.dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_base,
+         |  CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS sum_disc_price,
+         |  CAST(sum(CAST((l_extendedprice*(1.0-l_discount))*(1.0+l_tax) AS DECIMAL(25,6))) AS DOUBLE) AS sum_charge,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)/count(*) AS avg_qty,
+         |  CAST(count(*) AS BIGINT) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      headline = true),
+
+    // TPC-H Q3 shape: segment revenue top-10 (customer [broadcast] ⋈ orders ⋈ lineitem).
+    Q("q3_join",
+      (s, d) => {
+        val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        val ord = Tables.orders(s, d)
+          .filter(col("o_orderdate") < to_timestamp(lit("1998-03-15 00:00:00")))
+        val li = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") > to_timestamp(lit("1998-03-15 00:00:00")))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+          .agg(H.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey").asc)
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+         |  CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+         |GROUP BY o_orderkey, o_date
+         |ORDER BY revenue DESC, o_orderkey
+         |LIMIT 10""".stripMargin),
+      headline = true),
+
+    // TPC-H Q5 shape: full star join, revenue by nation (dims broadcast).
+    Q("q5_star",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val ord = Tables.orders(s, d)
+        val cust = Tables.customer(s, d)
+        val nat = Tables.nation(s, d)
+        val reg = Tables.region(s, d)
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(reg.filter(col("r_name").isin("ASIA", "EUROPE"))),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(
+            H.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("r_name"), col("revenue").desc, col("n_name"))
+      },
+      Some("""SELECT r_name, n_name,
+         |  CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+         |  CAST(count(*) AS BIGINT) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name IN ('ASIA', 'EUROPE')
+         |GROUP BY r_name, n_name
+         |ORDER BY r_name, revenue DESC, n_name""".stripMargin),
+      headline = true),
+
+    // Window top-k per group: 3 priciest parts per brand (SURVEY.md §2.4).
+    Q("q_top_per_group",
+      (s, d) => {
+        val w = Window.partitionBy(col("p_brand"))
+          .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+        Tables.part(s, d)
+          .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+            row_number().over(w).cast("long").as("rn"))
+          .filter(col("rn") <= 3)
+          .orderBy(col("p_brand"), col("rn"))
+      },
+      Some("""SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+         |  SELECT p_brand, p_partkey, p_retailprice,
+         |    row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
+         |  FROM part) t
+         |WHERE rn <= 3
+         |ORDER BY p_brand, rn""".stripMargin)),
+
+    // Running total per customer (window aggregation; decimal-exact).
+    Q("q_orders_running",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.orders(s, d).filter(col("o_custkey") < 150)
+          .select(col("o_custkey"), col("o_orderkey"),
+            sum(col("o_totalprice").cast(dec)).over(w).cast("double").as("running"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) OVER (
+         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+         |FROM orders
+         |WHERE o_custkey < 150
+         |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // JSON-typed event properties: from_json + grouped rollup.
+    Q("q_events_json",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_type"), col("value"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          H.dsum(col("value")).as("sum_value"),
+          (sum(col("k")).cast("double") / count(lit(1))).as("avg_k"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value,
+         |  CAST(CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE)/count(*) AS DOUBLE) AS avg_k
+         |FROM events
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin)),
+
+    // Sessionization: 30-minute-gap sessions per user via lag() + running flags.
+    Q("q_events_sessions",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            lag(col("ts"), 1).over(w).as("pts"))
+          .select(col("user_id"),
+            when(col("pts").isNull ||
+              (unix_timestamp(col("ts")) - unix_timestamp(col("pts"))) > 1800, 1)
+              .otherwise(0).as("new_s"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("new_s")).cast("long").as("n_sessions"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH e AS (
+         |  SELECT user_id, ts, event_id,
+         |    lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+         |  FROM events),
+         |m AS (
+         |  SELECT user_id,
+         |    CASE WHEN pts IS NULL OR date_diff('second', pts, ts) > 1800 THEN 1 ELSE 0 END AS new_s
+         |  FROM e)
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(sum(new_s) AS BIGINT) AS n_sessions
+         |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin),
+      headline = true)
+  )
+}

@@ -1,0 +1,282 @@
+package graft.ops
+
+import graft.{OracleSql, Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-training-pipeline text operators over the `documents` table:
+  * exact dedup, canonical token-set dedup, MinHash+LSH near-dup, n-gram
+  * Jaccard, SimHash fingerprinting, language-ID heuristic, quality scoring,
+  * corpus token stats.
+  *
+  * Scale design: every operator is expressed as tokenize (narrow explode) ->
+  * shuffle on a *hash key* (shingle, minhash band, fingerprint), never an
+  * all-pairs product. The only candidate generation mechanism is a
+  * bucket-equality shuffle join (LSH banding), which is the 100 TB path:
+  * candidates per band ~ collisions, not n^2. Hashes are md5 (identical in
+  * Spark and DuckDB), making every stage oracle-checkable bit-for-bit.
+  */
+object TextQueries {
+
+  /** Per-doc token stream with positions. Spark `split` keeps empty tokens —
+    * so does DuckDB string_split; downstream stages filter '' identically. */
+  private def toks(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      posexplode(split(col("text"), " ")).as(Seq("i", "tok")))
+
+  /** Distinct word-trigram shingles per doc. */
+  private def shingles(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    toks(s, d)
+      .withColumn("t2", lead(col("tok"), 1).over(w))
+      .withColumn("t3", lead(col("tok"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok"), col("t2"), col("t3")).as("sh"))
+      .distinct()
+  }
+
+  /** Oracle twin of `shingles`. */
+  private val shinglesCte: String =
+    """toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |         generate_subscripts(string_split(text, ' '), 1) AS i
+      |  FROM documents),
+      |sh0 AS (
+      |  SELECT doc_id, tok,
+      |    lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY i) AS t2,
+      |    lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY i) AS t3
+      |  FROM toks),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, tok || ' ' || t2 || ' ' || t3 AS sh
+      |  FROM sh0 WHERE t3 IS NOT NULL)""".stripMargin
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("table", "row", "data"),
+    "en" -> Seq("the", "a", "value"),
+    "es" -> Seq("query", "join", "scan"),
+    "fr" -> Seq("merge", "sort", "group"),
+    "zh" -> Seq("spark", "stream", "batch"))
+
+  val all: Seq[Q] = Seq(
+
+    // Exact dedup: corpus-level duplicate-text accounting by content hash.
+    Q("q_dedup_exact",
+      (s, d) => Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("th")).agg(count(lit(1)).as("cnt"))
+        .agg(
+          sum(col("cnt")).cast("long").as("n_docs"),
+          count(lit(1)).as("n_texts"),
+          sum(when(col("cnt") > 1, 1).otherwise(0)).cast("long").as("n_dup_groups"),
+          sum(when(col("cnt") > 1, col("cnt")).otherwise(0)).cast("long").as("n_dup_docs")),
+      Some("""WITH g AS (SELECT md5(text) AS th, count(*) AS cnt FROM documents GROUP BY 1)
+         |SELECT CAST(sum(cnt) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_texts,
+         |  CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+         |  CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS n_dup_docs
+         |FROM g""".stripMargin)),
+
+    // Canonical token-SET dedup: md5 over the sorted distinct token bag.
+    Q("q_dedup_set",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))).as("fp"))
+        .groupBy(col("fp"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep_id"))
+        .filter(col("n") > 1)
+        .orderBy(col("fp")),
+      Some("""WITH f AS (
+         |  SELECT doc_id,
+         |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+         |  FROM documents)
+         |SELECT fp, CAST(count(*) AS BIGINT) AS n, CAST(min(doc_id) AS BIGINT) AS keep_id
+         |FROM f GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin)),
+
+    // MinHash (8 perms via seeded md5) + LSH banding (4 bands x 2 rows):
+    // candidate near-dup pairs via band-equality join — the 100 TB dedup path.
+    Q("q_minhash_lsh",
+      (s, d) => {
+        val sh = shingles(s, d)
+        val minCols = (0 until 8).map(j =>
+          min(md5(concat(lit(s"$j|"), col("sh")))).as(s"m$j"))
+        val sig = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+        val bands = sig.select(col("doc_id"),
+          md5(concat(col("m0"), col("m1"))).as("b0"),
+          md5(concat(col("m2"), col("m3"))).as("b1"),
+          md5(concat(col("m4"), col("m5"))).as("b2"),
+          md5(concat(col("m6"), col("m7"))).as("b3"))
+        (0 until 4).map { k =>
+          bands.select(col("doc_id").as("doc_a"), col(s"b$k").as("bk"))
+            .join(bands.select(col("doc_id").as("doc_b"), col(s"b$k").as("bk")), "bk")
+            .filter(col("doc_a") < col("doc_b"))
+            .select(col("doc_a"), col("doc_b"))
+        }.reduce(_ union _).distinct().orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""WITH $shinglesCte,
+         |sig AS (
+         |  SELECT doc_id,
+         |    min(md5('0|' || sh)) AS m0, min(md5('1|' || sh)) AS m1,
+         |    min(md5('2|' || sh)) AS m2, min(md5('3|' || sh)) AS m3,
+         |    min(md5('4|' || sh)) AS m4, min(md5('5|' || sh)) AS m5,
+         |    min(md5('6|' || sh)) AS m6, min(md5('7|' || sh)) AS m7
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, md5(m0||m1) AS b0, md5(m2||m3) AS b1,
+         |         md5(m4||m5) AS b2, md5(m6||m7) AS b3 FROM sig),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.b0 = b.b0 AND a.doc_id < b.doc_id
+         |  UNION SELECT a.doc_id, b.doc_id FROM bands a JOIN bands b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+         |  UNION SELECT a.doc_id, b.doc_id FROM bands a JOIN bands b ON a.b2 = b.b2 AND a.doc_id < b.doc_id
+         |  UNION SELECT a.doc_id, b.doc_id FROM bands a JOIN bands b ON a.b3 = b.b3 AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin),
+      headline = true),
+
+    // Exact n-gram Jaccard >= 0.8 via shingle-equality join (no all-pairs).
+    Q("q_ngram_jaccard",
+      (s, d) => {
+        val sh = shingles(s, d)
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val inter = sh.select(col("doc_id").as("doc_a"), col("sh"))
+          .join(sh.select(col("doc_id").as("doc_b"), col("sh")), "sh")
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+        inter
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+          .filter(col("jaccard") >= 0.8)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""WITH $shinglesCte,
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+         |j AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) AS jaccard
+         |  FROM pairs
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id)
+         |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // SimHash: 32-bit fingerprint from per-token md5 bit votes.
+    Q("q_simhash",
+      (s, d) => {
+        val tokset = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(array_distinct(split(col("text"), " "))).as("tok"))
+          .filter(col("tok") =!= "")
+        val h = tokset.select(col("doc_id"),
+          conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("hv"))
+        val bits = h
+          .select(col("doc_id"), col("hv"),
+            explode(sequence(lit(0), lit(31))).as("j"))
+          .select(col("doc_id"), col("j"),
+            when(expr("(hv div cast(pow(2, j) as bigint)) % 2") === 1, 1)
+              .otherwise(-1).as("w"))
+        bits.groupBy(col("doc_id"), col("j")).agg(sum(col("w")).as("v"))
+          .select(col("doc_id"),
+            (when(col("v") > 0, 1L).otherwise(0L) *
+              expr("cast(pow(2, j) as bigint)")).as("term"))
+          .groupBy(col("doc_id")).agg(sum(col("term")).cast("long").as("simhash"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH tokset AS (
+         |  SELECT DISTINCT doc_id, tok FROM
+         |    (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+         |  WHERE tok <> ''),
+         |h AS (SELECT doc_id, ${OracleSql.hexToLong("md5(tok)", 1, 8)} AS hv FROM tokset),
+         |bits AS (
+         |  SELECT doc_id, j,
+         |    CASE WHEN (hv // CAST(power(2, j) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END AS w
+         |  FROM h, (SELECT unnest(range(0, 32)) AS j) r),
+         |sig AS (
+         |  SELECT doc_id, j, CASE WHEN sum(w) > 0 THEN 1 ELSE 0 END AS bit
+         |  FROM bits GROUP BY doc_id, j)
+         |SELECT doc_id, CAST(sum(bit * CAST(power(2, j) AS BIGINT)) AS BIGINT) AS simhash
+         |FROM sig GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Language-ID heuristic: marker-token votes, argmax with asc tie-break.
+    Q("q_lang_id",
+      (s, d) => {
+        val sumCols = langMarkers.map { case (l, ms) =>
+          sum(when(col("tok").isin(ms: _*), 1).otherwise(0)).as(s"s_$l")
+        }
+        val scored = toks(s, d).groupBy(col("doc_id"), col("lang"))
+          .agg(sumCols.head, sumCols.tail: _*)
+        val m = greatest(langMarkers.map { case (l, _) => col(s"s_$l") }: _*)
+        // first lang (asc order) reaching the max:
+        val predCol = langMarkers.map(_._1).foldRight(lit("?")) { (l, els) =>
+          when(col(s"s_$l") === m, lit(l)).otherwise(els)
+        }
+        scored.filter(col("doc_id") < 100)
+          .select(col("doc_id"), col("lang"), predCol.as("pred_lang"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val sums = langMarkers.map { case (l, ms) =>
+          val in = ms.map(m => s"'$m'").mkString(", ")
+          s"sum(CASE WHEN tok IN ($in) THEN 1 ELSE 0 END) AS s_$l"
+        }.mkString(",\n    ")
+        val m = langMarkers.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+        val pred = langMarkers.map(_._1).foldRight("'?'") { (l, els) =>
+          s"CASE WHEN s_$l = m THEN '$l' ELSE $els END"
+        }
+        s"""WITH toks AS (
+           |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+           |sc AS (
+           |  SELECT doc_id, lang,
+           |    $sums
+           |  FROM toks GROUP BY doc_id, lang),
+           |p AS (SELECT doc_id, lang, $m AS m,
+           |      s_de, s_en, s_es, s_fr, s_zh FROM sc)
+           |SELECT doc_id, lang, $pred AS pred_lang
+           |FROM p WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
+      }),
+
+    // Quality scoring: token counts, uniqueness ratio, composite score.
+    Q("q_quality",
+      (s, d) => toks(s, d).filter(col("tok") =!= "")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("tok")).as("n_uniq"),
+          sum(length(col("tok"))).cast("long").as("sum_len"))
+        .select(col("doc_id"), col("n_tokens"), col("n_uniq"),
+          (col("n_uniq").cast("double") / col("n_tokens")).as("uniq_ratio"),
+          (col("sum_len").cast("double") / col("n_tokens")).as("avg_tok_len"),
+          (lit(0.5) * (col("n_uniq").cast("double") / col("n_tokens")) +
+            lit(0.5) * least(lit(1.0), col("n_tokens").cast("double") / lit(100.0))).as("quality"))
+        .filter(col("doc_id") < 100)
+        .orderBy(col("doc_id")),
+      Some("""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |g AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(count(DISTINCT tok) AS BIGINT) AS n_uniq,
+         |    CAST(sum(strlen(tok)) AS BIGINT) AS sum_len
+         |  FROM toks WHERE tok <> '' GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, n_uniq,
+         |  CAST(n_uniq AS DOUBLE)/n_tokens AS uniq_ratio,
+         |  CAST(sum_len AS DOUBLE)/n_tokens AS avg_tok_len,
+         |  0.5 * (CAST(n_uniq AS DOUBLE)/n_tokens) +
+         |    0.5 * least(1.0, CAST(n_tokens AS DOUBLE)/100.0) AS quality
+         |FROM g WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)),
+
+    // Corpus token frequencies (top 20).
+    Q("q_token_stats",
+      (s, d) => toks(s, d).filter(col("tok") =!= "")
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok").asc)
+        .limit(20),
+      Some("""SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM
+         |  (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+         |WHERE tok <> ''
+         |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20""".stripMargin),
+      headline = true)
+  )
+}

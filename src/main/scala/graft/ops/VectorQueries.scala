@@ -1,0 +1,170 @@
+package graft.ops
+
+import graft.{OracleSql, Q, Tables}
+import graft.functions.VectorOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The vector-engine parity surface: kNN search (unfiltered / metadata-
+  * filtered / post-delete), point lookup, validation, stats — the Spark
+  * re-expression of the reference's `search` / `get_vector` /
+  * `delete_vector` / `get_stats` operators (pythonvectordb.py:327-555).
+  *
+  * Scale design: the corpus side stays fully distributed (scan -> narrow
+  * quantize/score projection); the single query vector is a broadcast
+  * cross-join (one row), and top-k plans as TakeOrderedAndProject
+  * (per-partition heap + driver merge), the distributed analog of the
+  * reference's argpartition kernel (pythonvectordb.py:130-151).
+  */
+object VectorQueries {
+
+  /** Quantized corpus: (vec_id, label, q: binary). */
+  private def quantized(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(
+      col("vec_id"), col("label"),
+      VectorOps.quantizeInt8(col("embedding")).as("q"))
+
+  /** int8-cosine kNN of query `qid` over a (possibly pre-filtered) corpus. */
+  def knnInt8(s: SparkSession, d: String, qid: Long, k: Int,
+              corpus: DataFrame => DataFrame = identity): DataFrame = {
+    val qv = quantized(s, d)
+    val query = qv.filter(col("vec_id") === qid).select(col("q").as("q0"))
+    corpus(qv).crossJoin(broadcast(query))
+      .select(col("vec_id"), col("label"),
+        VectorOps.cosineInt8(col("q"), col("q0")).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("q_knn",
+      (s, d) => knnInt8(s, d, qid = 0L, k = 10),
+      Some(s"""WITH ${OracleSql.quantizeCte},
+         |qq AS (SELECT q AS q0 FROM qv WHERE vec_id = 0)
+         |SELECT v.vec_id, v.label, ${OracleSql.int8Cos("v.q", "qq.q0")} AS score
+         |FROM qv v, qq
+         |ORDER BY score DESC, vec_id
+         |LIMIT 10""".stripMargin),
+      headline = true),
+
+    Q("q_knn_filtered",
+      (s, d) => knnInt8(s, d, qid = 0L, k = 10,
+        corpus = _.filter(col("label") === 2)),
+      Some(s"""WITH ${OracleSql.quantizeCte},
+         |qq AS (SELECT q AS q0 FROM qv WHERE vec_id = 0)
+         |SELECT v.vec_id, v.label, ${OracleSql.int8Cos("v.q", "qq.q0")} AS score
+         |FROM qv v, qq
+         |WHERE v.label = 2
+         |ORDER BY score DESC, vec_id
+         |LIMIT 10""".stripMargin)),
+
+    Q("q_knn_float",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val query = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qe"))
+        emb.crossJoin(broadcast(query))
+          .select(col("vec_id"), col("label"),
+            VectorOps.cosineFloat(col("embedding"), col("qe")).as("score"))
+          .orderBy(col("score").desc, col("vec_id").asc)
+          .limit(10)
+      },
+      Some(s"""SELECT v.vec_id, v.label, ${OracleSql.floatCos("v.embedding", "qq.qe")} AS score
+         |FROM embeddings v, (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) qq
+         |ORDER BY score DESC, vec_id
+         |LIMIT 10""".stripMargin)),
+
+    Q("q_delete_search",
+      (s, d) => {
+        // Intended delete semantics (the reference's lazy delete mis-aligns
+        // ids, SURVEY.md §2.2 T6): deleted rows are excluded via anti-join.
+        val deleted = { import s.implicits._; Seq(1L, 3L, 5L, 9L).toDF("vec_id") }
+        knnInt8(s, d, qid = 0L, k = 10,
+          corpus = _.join(broadcast(deleted), Seq("vec_id"), "left_anti"))
+          .select(col("vec_id"), col("score"))
+      },
+      Some(s"""WITH ${OracleSql.quantizeCte},
+         |qq AS (SELECT q AS q0 FROM qv WHERE vec_id = 0)
+         |SELECT v.vec_id, ${OracleSql.int8Cos("v.q", "qq.q0")} AS score
+         |FROM qv v, qq
+         |WHERE v.vec_id NOT IN (1, 3, 5, 9)
+         |ORDER BY score DESC, vec_id
+         |LIMIT 10""".stripMargin)),
+
+    Q("q_get_vector",
+      (s, d) => quantized(s, d).filter(col("vec_id") === 7)
+        .select(posexplode(VectorOps.dequantize(col("q"))).as(Seq("pos", "val")))
+        .select(col("pos").cast("long").as("pos"), col("val"))
+        .orderBy("pos"),
+      Some(s"""WITH ${OracleSql.quantizeCte},
+         |e AS (SELECT unnest(q) AS qe, generate_subscripts(q, 1) AS i
+         |      FROM qv WHERE vec_id = 7)
+         |SELECT CAST(i - 1 AS BIGINT) AS pos, CAST(qe AS DOUBLE)/127.0 AS val
+         |FROM e ORDER BY pos""".stripMargin)),
+
+    Q("q_validate",
+      (s, d) => Tables.embeddings(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(size(col("embedding")) =!= 64, 1).otherwise(0)).cast("long").as("n_bad_dim"),
+        sum(when(VectorOps.hasNonFinite(col("embedding")), 1).otherwise(0)).cast("long").as("n_nonfinite"),
+        (count(lit(1)) - countDistinct(col("vec_id"))).as("n_dup_ids")),
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CASE WHEN len(embedding) <> 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_dim,
+         |  CAST(sum(CASE WHEN len(list_filter(embedding, x -> isnan(x) OR isinf(x))) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+         |  CAST(count(*) - count(DISTINCT vec_id) AS BIGINT) AS n_dup_ids
+         |FROM embeddings""".stripMargin)),
+
+    Q("q_stats",
+      (s, d) => Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          VectorOps.l2norm(col("embedding")).as("nrm"))
+        .agg(
+          count(lit(1)).as("n_vectors"),
+          countDistinct(col("label")).as("n_labels"),
+          H.dmean(col("nrm")).as("avg_norm"),
+          min(col("nrm")).as("min_norm"),
+          max(col("nrm")).as("max_norm")),
+      Some("""WITH base AS (
+         |  SELECT vec_id, label,
+         |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))), (a,b) -> a+b)) AS nrm
+         |  FROM embeddings)
+         |SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+         |  CAST(count(DISTINCT label) AS BIGINT) AS n_labels,
+         |  CAST(sum(CAST(nrm AS DECIMAL(25,12))) AS DOUBLE)/count(*) AS avg_norm,
+         |  min(nrm) AS min_norm,
+         |  max(nrm) AS max_norm
+         |FROM base""".stripMargin)),
+
+    Q("q_quant_error",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val withErr = emb
+          .select(col("vec_id"), col("embedding"),
+            VectorOps.l2norm(col("embedding")).as("nrm"),
+            VectorOps.quantizeInt8(col("embedding")).as("q"))
+          .select(col("vec_id"),
+            when(col("nrm") < lit(1e-10), lit(0.0)).otherwise(
+              aggregate(
+                zip_with(col("embedding"), VectorOps.dequantize(col("q")),
+                  (x, qd) => abs(x.cast("double") / col("nrm") - qd)),
+                lit(0.0), (acc, e) => greatest(acc, e))).as("row_err"))
+        withErr.agg(
+          max(col("row_err")).as("max_err"),
+          H.dmean(col("row_err")).as("avg_err"))
+      },
+      Some(s"""WITH ${OracleSql.quantizeCte},
+         |err AS (
+         |  SELECT v.vec_id,
+         |    CASE WHEN b.nrm < 1e-10 THEN 0.0 ELSE
+         |      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |        list_transform(list_zip(b.embedding, v.q),
+         |          p -> abs(CAST(p[1] AS DOUBLE)/b.nrm - CAST(p[2] AS DOUBLE)/127.0))),
+         |        (a, x) -> CASE WHEN x > a THEN x ELSE a END)
+         |    END AS row_err
+         |  FROM qv v JOIN base b ON v.vec_id = b.vec_id)
+         |SELECT max(row_err) AS max_err,
+         |  CAST(sum(CAST(row_err AS DECIMAL(25,12))) AS DOUBLE)/count(*) AS avg_err
+         |FROM err""".stripMargin))
+  )
+}
