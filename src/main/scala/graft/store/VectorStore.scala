@@ -1,0 +1,199 @@
+package graft.store
+
+import graft.functions.{VectorKernels, VectorOps}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Spark-native vector collection — the re-expression of the reference's
+  * `PythonVectorDB` class (reference: pythonvectordb.py:176-659) over
+  * immutable DataFrames + parquet.
+  *
+  * Semantics map (SURVEY.md §2.2):
+  *  - T1 constructor/DDL  -> `VectorStore.create(spark, dim)` (empty frame;
+  *    preallocation/growth T2 is N/A under Spark's append model)
+  *  - T3 add_vectors      -> `addVectors` (same five validations:
+  *    pythonvectordb.py:279-303; id autogen `vec_{i}`)
+  *  - T4 search           -> `search(query, k, filter)` — filter-before-score
+  *    comes free from Catalyst predicate pushdown; top-k plans as
+  *    TakeOrderedAndProject
+  *  - T5 get_vector       -> `getVector` (dequantized read)
+  *  - T6/T7 delete+compact-> `delete` records tombstones (anti-join view);
+  *    `compact()` folds them into the base frame — the *intended* semantics
+  *    (ids stay aligned), not the reference's positional-shift bug
+  *  - T8 stats            -> `stats`
+  *  - T9/T10 save/load    -> parquet + sidecar schema/invariant assertions
+  *  - T11 count           -> `count`
+  *
+  * Scale: rows live in a DataFrame partitioned by storage; all operators are
+  * narrow projections or key joins (anti-join for tombstones, broadcast for
+  * query rows), so the store inherits Spark's horizontal scaling; `compact`
+  * is the periodic rewrite job (Delta-style) that keeps the anti-join small.
+  */
+final class VectorStore private (
+    val spark: SparkSession,
+    val dim: Int,
+    private var base: DataFrame,
+    private var tombstones: DataFrame,
+    private var deletedCount: Long) {
+
+  import VectorStore._
+
+  /** Active (non-deleted) rows: (id string, embedding array<float>,
+    * qvec binary, meta map<string,string>). */
+  def active: DataFrame =
+    if (deletedCount == 0) base
+    else base.join(broadcast(tombstones), Seq("id"), "left_anti")
+
+  def count: Long = active.count()
+
+  /** Bulk insert with the reference's five validations
+    * (pythonvectordb.py:279-303). `rows` needs columns
+    * (id: string | null, embedding: array<float>, meta: map<string,string>);
+    * null ids are auto-generated as `vec_{offset+row_number}`. */
+  def addVectors(rows: DataFrame): Unit = {
+    val cols = rows.columns.toSet
+    require(cols.contains("embedding"), "embedding column required")
+    val withId =
+      if (!cols.contains("id"))
+        rows.withColumn("id",
+          concat(lit("vec_"),
+            (row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy(monotonically_increasing_id())) - 1 + count).cast("string")))
+      else rows
+    val withMeta =
+      if (!cols.contains("meta"))
+        withId.withColumn("meta",
+          map().cast(MapType(StringType, StringType)))
+      else withId
+
+    // dim check (pythonvectordb.py:279-282)
+    val badDim = withMeta.filter(size(col("embedding")) =!= dim).count()
+    if (badDim > 0)
+      throw new IllegalArgumentException(s"dimension mismatch: $badDim rows != dim $dim")
+    // finiteness (pythonvectordb.py:284-285)
+    val nonFinite = withMeta.filter(VectorOps.hasNonFinite(col("embedding"))).count()
+    if (nonFinite > 0)
+      throw new IllegalArgumentException(s"non-finite values in $nonFinite rows")
+    // in-batch id uniqueness (pythonvectordb.py:296-297)
+    val dupInBatch = withMeta.groupBy(col("id")).count().filter(col("count") > 1).count()
+    if (dupInBatch > 0)
+      throw new IllegalArgumentException(s"$dupInBatch duplicate ids in batch")
+    // disjoint from existing (pythonvectordb.py:300-303)
+    val dupExisting = withMeta.join(active.select("id"), Seq("id"), "left_semi").count()
+    if (dupExisting > 0)
+      throw new IllegalArgumentException(s"$dupExisting ids already exist")
+
+    val prepared = withMeta.select(
+      col("id").cast(StringType).as("id"),
+      col("embedding").cast(ArrayType(FloatType)).as("embedding"),
+      VectorOps.quantizeInt8(col("embedding")).as("qvec"),
+      col("meta").cast(MapType(StringType, StringType)).as("meta"))
+    base = base.unionByName(prepared)
+  }
+
+  /** k-NN search (pythonvectordb.py:327-402): int8-quantized cosine against
+    * the stored qvec column; optional Column predicate = the reference's
+    * `filter_fn`, expressed pushdown-friendly. Returns (id, score, meta)
+    * desc by score, id tiebreak. */
+  def search(query: Array[Float], k: Int, filter: Option[Column] = None): DataFrame = {
+    require(k > 0, s"k must be positive, got $k") // pythonvectordb.py:347-348
+    require(query.length == dim,
+      s"query dimension ${query.length} != $dim") // pythonvectordb.py:354-357
+    require(!VectorKernels.hasNonFinite(query),
+      "query contains non-finite values") // pythonvectordb.py:359-360
+    val q = VectorKernels.quantize(query)
+    val corpus = filter.map(active.filter).getOrElse(active)
+    corpus
+      .select(col("id"), VectorOps.cosineInt8(col("qvec"), lit(q)).as("score"), col("meta"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** Point lookup, dequantized (pythonvectordb.py:404-423). */
+  def getVector(id: String): Option[Array[Double]] =
+    active.filter(col("id") === id).select(col("qvec"))
+      .collect().headOption.map(r => VectorKernels.dequantize(r.getAs[Array[Byte]](0)))
+
+  /** Lazy delete via tombstone set (pythonvectordb.py:425-463, with the
+    * intended exclusion semantics — SURVEY.md §2.2 T6 documents the
+    * reference's misalignment bug which we do NOT replicate). Auto-compacts
+    * past `DeletedThreshold` like the reference (pythonvectordb.py:460-461). */
+  def delete(ids: Seq[String]): Long = {
+    import spark.implicits._
+    val del = ids.toDF("id")
+    val hit = active.join(broadcast(del), Seq("id"), "left_semi").count()
+    if (hit > 0) {
+      tombstones = tombstones.unionByName(del).distinct()
+      deletedCount += hit
+      if (deletedCount >= DeletedThreshold) compact()
+    }
+    hit
+  }
+
+  /** Fold tombstones into the base frame (pythonvectordb.py:465-510's
+    * threshold compaction; here: the rewrite that keeps the anti-join small). */
+  def compact(): Unit = {
+    base = active.localCheckpoint(eager = true)
+    tombstones = emptyTombstones(spark)
+    deletedCount = 0
+  }
+
+  /** Engine stats (pythonvectordb.py:512-555). */
+  def stats: Map[String, Any] = Map(
+    "count" -> count,
+    "dimension" -> dim,
+    "deleted_pending" -> deletedCount,
+    "bytes_per_vector" -> dim // int8 payload, pythonvectordb.py:520
+  )
+
+  /** Persist (pythonvectordb.py:557-582): compacts first, parquet + sidecar. */
+  def save(path: String): Unit = {
+    if (deletedCount > 0) compact() // pythonvectordb.py:568-569
+    base.write.mode(SaveMode.Overwrite).parquet(s"$path/data")
+    val meta = s"""{"version":1,"dimension":$dim}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      { java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path)); s"$path/store.json" }), meta)
+  }
+}
+
+object VectorStore {
+
+  /** Reference DELETED_THRESHOLD (pythonvectordb.py:22). */
+  val DeletedThreshold = 1000
+
+  val schema: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("embedding", ArrayType(FloatType), nullable = false),
+    StructField("qvec", BinaryType, nullable = false),
+    StructField("meta", MapType(StringType, StringType), nullable = true)))
+
+  private def emptyTombstones(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(StructField("id", StringType, nullable = false))))
+
+  /** T1: declare schema, start empty. */
+  def create(spark: SparkSession, dim: Int): VectorStore = {
+    require(dim > 0, s"dimension must be positive, got $dim") // pythonvectordb.py:158-162
+    new VectorStore(spark, dim,
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema),
+      emptyTombstones(spark), 0L)
+  }
+
+  /** T10: load with invariant assertions (pythonvectordb.py:599-630). */
+  def load(spark: SparkSession, path: String): VectorStore = {
+    val metaPath = java.nio.file.Paths.get(s"$path/store.json")
+    require(java.nio.file.Files.exists(metaPath), s"missing $path/store.json")
+    val metaJson = java.nio.file.Files.readString(metaPath)
+    val dim = """"dimension":(\d+)""".r.findFirstMatchIn(metaJson)
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalArgumentException("no dimension in sidecar"))
+    require(dim > 0, "dimension must be positive")
+    val df = spark.read.parquet(s"$path/data")
+    require(df.schema.fieldNames.sorted.sameElements(schema.fieldNames.sorted),
+      s"schema mismatch: ${df.schema.fieldNames.mkString(",")}")
+    val badDim = df.filter(size(col("embedding")) =!= dim).count()
+    require(badDim == 0, s"$badDim rows violate dimension $dim")
+    new VectorStore(spark, dim, df, emptyTombstones(spark), 0L)
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+/** Smoke-level checks for every registered query at sf0.001: runs, has the
+  * declared deterministic shape, and key invariants hold. (Bit-exact value
+  * checking is the driver's DuckDB oracle gate; locally replicated by
+  * tools/compare_oracle.py.) */
+class QueriesSpec extends SparkSpec {
+
+  test("every query runs at sf0.001 and yields a schema") {
+    SparkEntry.registry.foreach { q =>
+      val df = q.fn(spark, sf001)
+      assert(df.columns.nonEmpty, q.name)
+      assert(df.count() >= 0, q.name)
+    }
+  }
+
+  test("flagship entry returns >0 rows with self-match score 1.0 first") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.length == 10)
+    assert(rows.head.getAs[Long]("vec_id") == 0L)
+    assert(rows.head.getAs[Double]("score") == 1.0)
+    val scores = rows.map(_.getAs[Double]("score")).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("filtered knn only returns rows matching the predicate") {
+    val rows = SparkEntry.queries("q_knn_filtered")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Int]("label") == 2))
+  }
+
+  test("delete search excludes the deleted ids") {
+    val rows = SparkEntry.queries("q_delete_search")(spark, sf001).collect()
+    val ids = rows.map(_.getAs[Long]("vec_id")).toSet
+    assert(ids.intersect(Set(1L, 3L, 5L, 9L)).isEmpty)
+  }
+
+  test("every oracle name corresponds to a registered query") {
+    val qnames = SparkEntry.queries.keySet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qnames))
+  }
+
+  test("jaccard scores are within (0, 1]") {
+    val rows = SparkEntry.queries("q_ngram_jaccard")(spark, sf001).collect()
+    assert(rows.forall { r =>
+      val j = r.getAs[Double]("jaccard"); j > 0.0 && j <= 1.0
+    })
+  }
+
+  test("minhash candidates contain the high-jaccard pairs (LSH recall)") {
+    val jac = SparkEntry.queries("q_ngram_jaccard")(spark, sf001).collect()
+      .filter(_.getAs[Double]("jaccard") >= 0.9)
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val cand = SparkEntry.queries("q_minhash_lsh")(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // 4 bands x 2 rows at J>=0.9: P(miss) = (1-J^2)^4 < 4e-3 per pair;
+    // deterministic md5 hashes make this a fixed (not flaky) assertion.
+    assert(jac.subsetOf(cand), s"missing: ${jac.diff(cand)}")
+  }
+}

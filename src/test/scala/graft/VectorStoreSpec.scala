@@ -1,0 +1,126 @@
+package graft
+
+import graft.store.VectorStore
+import org.apache.spark.sql.functions._
+
+/** Contract tests for the VectorStore façade, mirroring the reference's
+  * validation raises (pythonvectordb.py:279-303, 347-360, 599-630) and the
+  * *intended* delete semantics (SURVEY.md §2.2 T6). */
+class VectorStoreSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def mkRows(rows: Seq[(String, Seq[Float], Map[String, String])]) =
+    rows.toDF("id", "embedding", "meta")
+
+  private def freshStore(dim: Int = 4): VectorStore = {
+    val st = VectorStore.create(spark, dim)
+    st.addVectors(mkRows(Seq(
+      ("a", Seq(1f, 0f, 0f, 0f), Map("g" -> "x")),
+      ("b", Seq(0f, 1f, 0f, 0f), Map("g" -> "y")),
+      ("c", Seq(0.9f, 0.1f, 0f, 0f), Map("g" -> "x")),
+      ("d", Seq(-1f, 0f, 0f, 0f), Map("g" -> "y")))))
+    st
+  }
+
+  test("create + add + count") {
+    val st = freshStore()
+    assert(st.count == 4)
+  }
+
+  test("create rejects non-positive dimension") {
+    intercept[IllegalArgumentException](VectorStore.create(spark, 0))
+    intercept[IllegalArgumentException](VectorStore.create(spark, -3))
+  }
+
+  test("addVectors validations: dim, finiteness, dup-in-batch, dup-existing") {
+    val st = freshStore()
+    intercept[IllegalArgumentException] {
+      st.addVectors(mkRows(Seq(("e", Seq(1f, 2f), Map.empty[String, String]))))
+    }
+    intercept[IllegalArgumentException] {
+      st.addVectors(mkRows(Seq(("e", Seq(Float.NaN, 0f, 0f, 0f), Map.empty[String, String]))))
+    }
+    intercept[IllegalArgumentException] {
+      st.addVectors(mkRows(Seq(
+        ("e", Seq(1f, 0f, 0f, 0f), Map.empty[String, String]),
+        ("e", Seq(0f, 1f, 0f, 0f), Map.empty[String, String]))))
+    }
+    intercept[IllegalArgumentException] {
+      st.addVectors(mkRows(Seq(("a", Seq(1f, 0f, 0f, 0f), Map.empty[String, String]))))
+    }
+    assert(st.count == 4) // failed batches insert nothing
+  }
+
+  test("search returns descending scores with nearest first") {
+    val st = freshStore()
+    val res = st.search(Array(1f, 0f, 0f, 0f), k = 3).collect()
+    assert(res.length == 3)
+    assert(res.head.getAs[String]("id") == "a")
+    assert(res.head.getAs[Double]("score") == 1.0)
+    val scores = res.map(_.getAs[Double]("score")).toSeq
+    assert(scores == scores.sorted.reverse)
+    assert(res.last.getAs[String]("id") != "d") // opposite vector is last overall
+  }
+
+  test("search validations: k, dim, finiteness") {
+    val st = freshStore()
+    intercept[IllegalArgumentException](st.search(Array(1f, 0f, 0f, 0f), k = 0))
+    intercept[IllegalArgumentException](st.search(Array(1f, 0f), k = 1))
+    intercept[IllegalArgumentException](st.search(Array(Float.NaN, 0f, 0f, 0f), k = 1))
+  }
+
+  test("filtered search scores only matching rows (filter-before-score)") {
+    val st = freshStore()
+    val res = st.search(Array(1f, 0f, 0f, 0f), k = 10,
+      filter = Some(element_at(col("meta"), "g") === "y")).collect()
+    assert(res.map(_.getAs[String]("id")).toSet == Set("b", "d"))
+  }
+
+  test("delete excludes rows from search and lookup (intended semantics)") {
+    val st = freshStore()
+    assert(st.delete(Seq("a", "zzz")) == 1) // only existing ids count
+    assert(st.count == 3)
+    val res = st.search(Array(1f, 0f, 0f, 0f), k = 10).collect()
+    assert(!res.map(_.getAs[String]("id")).contains("a"))
+    assert(res.head.getAs[String]("id") == "c") // next-nearest takes over, id aligned
+    assert(st.getVector("a").isEmpty)
+    assert(st.getVector("b").isDefined)
+  }
+
+  test("compact folds tombstones and preserves results") {
+    val st = freshStore()
+    st.delete(Seq("b"))
+    val before = st.search(Array(1f, 0f, 0f, 0f), k = 10).collect().map(_.getAs[String]("id")).toSeq
+    st.compact()
+    val after = st.search(Array(1f, 0f, 0f, 0f), k = 10).collect().map(_.getAs[String]("id")).toSeq
+    assert(before == after)
+    assert(st.stats("deleted_pending") == 0L)
+  }
+
+  // strengthens the reference's count-only integrity check
+  // (benchmark_suite.py:313-319) to full result equality
+  test("save/load roundtrip preserves full search results") {
+    val st = freshStore()
+    val dir = java.nio.file.Files.createTempDirectory("vstore").toString
+    val before = st.search(Array(0.5f, 0.5f, 0f, 0f), k = 4).collect().toSeq
+    st.save(dir)
+    val re = VectorStore.load(spark, dir)
+    assert(re.dim == 4)
+    val after = re.search(Array(0.5f, 0.5f, 0f, 0f), k = 4).collect().toSeq
+    assert(before.map(r => (r.getString(0), r.getDouble(1))) ==
+      after.map(r => (r.getString(0), r.getDouble(1))))
+  }
+
+  test("load rejects missing sidecar") {
+    intercept[IllegalArgumentException](
+      VectorStore.load(spark, "/tmp/definitely-not-a-store-xyz"))
+  }
+
+  test("getVector returns dequantized components") {
+    val st = freshStore()
+    val v = st.getVector("a").get
+    assert(v.length == 4)
+    assert(math.abs(v(0) - 1.0) <= 1.0 / 127 + 1e-9)
+  }
+}
