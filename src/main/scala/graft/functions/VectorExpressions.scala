@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Codegen'd Catalyst expressions for the vector kernels (SURVEY.md §4 /
+  * §7 M3): unlike Scala UDFs these stay inside WholeStageCodegen — no
+  * catalyst<->Scala converters, no encoder round-trip per row; the generated
+  * java calls the static VectorKernels methods directly on catalyst-native
+  * values (byte[] for BinaryType, ArrayData for arrays).
+  *
+  * This is the Spark analog of the reference's Numba-JIT'd kernels
+  * (pythonvectordb.py:25-151): JIT'd inner loop + columnar access.
+  */
+
+/** array<float> -> binary: unit-normalize then int8-quantize (trunc). */
+case class QuantizeInt8Expr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "quantize_int8"
+
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.quantize(v.asInstanceOf[ArrayData].toFloatArray())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorKernels.quantize($c.toFloatArray())")
+
+  override protected def withNewChildInternal(c: Expression): QuantizeInt8Expr =
+    copy(child = c)
+}
+
+/** binary x binary -> double: cosine over int8-quantized vectors. */
+case class CosineInt8Expr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cosine_int8"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.cosineInt8(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorKernels.cosineInt8($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineInt8Expr =
+    copy(left = l, right = r)
+}
+
+/** array<float> x array<float> -> double: cosine over raw float vectors. */
+case class CosineFloatExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cosine_float"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.cosineFloat(
+      a.asInstanceOf[ArrayData].toFloatArray(),
+      b.asInstanceOf[ArrayData].toFloatArray())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorKernels.cosineFloat($a.toFloatArray(), $b.toFloatArray())")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineFloatExpr =
+    copy(left = l, right = r)
+}
+
+/** binary -> array<double>: dequantize (q / 127.0). */
+case class DequantizeExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "dequantize_int8"
+
+  override def nullSafeEval(q: Any): Any =
+    new GenericArrayData(VectorKernels.dequantize(q.asInstanceOf[Array[Byte]]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.functions.VectorKernels.dequantize($c))")
+
+  override protected def withNewChildInternal(c: Expression): DequantizeExpr =
+    copy(child = c)
+}
+
+/** array<float> -> double: L2 norm (double left-fold). */
+case class L2NormExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "l2_norm"
+
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.l2norm(v.asInstanceOf[ArrayData].toFloatArray())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorKernels.l2norm($c.toFloatArray())")
+
+  override protected def withNewChildInternal(c: Expression): L2NormExpr =
+    copy(child = c)
+}

