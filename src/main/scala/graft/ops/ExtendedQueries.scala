@@ -1,0 +1,140 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Coverage beyond the kNN core (SURVEY.md §2.4): set operations, grouping
+  * sets/rollup, as-of join (via window, the shuffle-once formulation),
+  * sketch aggregation (HLL approx distinct), and per-label embedding
+  * centroids (the batch "index build" step of an IVF-style ANN index).
+  */
+object ExtendedQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // Set operations: customers active in 1995 vs 1996 (INTERSECT/EXCEPT/UNION).
+    Q("q_set_ops",
+      (s, d) => {
+        val ord = Tables.orders(s, d)
+        def custsIn(yr: Int) = ord
+          .filter(year(col("o_orderdate")) === yr)
+          .select(col("o_custkey"))
+        val a = custsIn(1995)
+        val b = custsIn(1996)
+        val r = a.intersect(b).agg(count(lit(1)).as("n_both"))
+          .crossJoin(a.except(b).agg(count(lit(1)).as("n_only_1995")))
+          .crossJoin(a.union(b).distinct().agg(count(lit(1)).as("n_either")))
+        r
+      },
+      Some("""WITH a AS (SELECT o_custkey FROM orders WHERE date_part('year', o_orderdate) = 1995),
+         |b AS (SELECT o_custkey FROM orders WHERE date_part('year', o_orderdate) = 1996)
+         |SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM (SELECT * FROM a INTERSECT SELECT * FROM b) t) AS n_both,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM (SELECT * FROM a EXCEPT SELECT * FROM b) t) AS n_only_1995,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM (SELECT DISTINCT * FROM (SELECT * FROM a UNION SELECT * FROM b) u) t) AS n_either""".stripMargin)),
+
+    // Rollup: revenue at (region, nation), (region), and grand-total levels.
+    Q("q_rollup",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val ord = Tables.orders(s, d)
+        val cust = Tables.customer(s, d)
+        val nat = Tables.nation(s, d)
+        val reg = Tables.region(s, d)
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+          .rollup(col("r_name"), col("n_name"))
+          .agg(H.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+            coalesce(col("n_name"), lit("ALL")).as("nation"),
+            col("revenue"), col("n_items"))
+          .orderBy(col("region"), col("nation"))
+      },
+      Some("""SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+         |  CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+         |  CAST(count(*) AS BIGINT) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP(r_name, n_name)
+         |ORDER BY region, nation""".stripMargin)),
+
+    // As-of join: each purchase matched to the same user's most recent prior
+    // click — expressed as ONE shuffle (union + window last_value), the
+    // scalable formulation (no range self-join explosion).
+    Q("q_asof_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+            when(col("event_type") === "click", col("ts")).as("click_ts"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.withColumn("last_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            unix_micros(col("last_click_ts")).as("click_ts_us"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH ev AS (
+         |  SELECT event_id, user_id, event_type, ts,
+         |    CASE WHEN event_type = 'click' THEN ts END AS click_ts
+         |  FROM events WHERE event_type IN ('click', 'purchase')),
+         |m AS (
+         |  SELECT event_id, user_id, event_type, ts,
+         |    last_value(click_ts IGNORE NULLS) OVER (
+         |      PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+         |  FROM ev)
+         |SELECT event_id, user_id,
+         |  CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+         |  CAST(epoch_us(last_click_ts) AS BIGINT) AS click_ts_us
+         |FROM m WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin)),
+
+    // Sketch aggregation: HLL approx distinct counts (no oracle — sketch
+    // values are engine-specific; accuracy asserted vs exact in ScalaTest).
+    Q("q_approx_distinct",
+      (s, d) => Tables.lineitem(s, d).agg(
+        approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey"), rsd = 0.01).as("approx_supps")),
+      None),
+
+    // Per-label embedding centroids — the batch index-build step of an
+    // IVF-style ANN index (coarse quantizer), as a distributed aggregation.
+    // Exactness note: float components are dyadic with <= 43 fractional
+    // bits, so x*2^43 is an exactly-representable integer double; summing
+    // those as DECIMAL(38,0) is exact and order-independent, and dividing
+    // back by 2^43 is an exact power-of-two scaling — the mean is then
+    // bitwise identical in Spark and DuckDB (a fixed-scale DECIMAL cast
+    // would hit half-up vs half-even ties on dyadic values).
+    Q("q_centroids",
+      (s, d) => {
+        val P43 = 8796093022208.0 // 2^43
+        Tables.embeddings(s, d)
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy(col("label"), col("pos"))
+          .agg(((sum(floor(col("x").cast("double") * lit(P43))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .cast("double") / lit(P43)) / count(lit(1))).as("c"))
+          .select(col("label"), col("pos").cast("long").as("pos"), col("c"))
+          .orderBy(col("label"), col("pos"))
+      },
+      Some("""WITH e AS (
+         |  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+         |         unnest(embedding) AS x
+         |  FROM embeddings)
+         |SELECT label, CAST(pos AS BIGINT) AS pos,
+         |  (CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 8796093022208.0) AS DECIMAL(38,0))) AS DOUBLE)
+         |   / 8796093022208.0) / count(*) AS c
+         |FROM e GROUP BY label, pos ORDER BY label, pos""".stripMargin))
+  )
+}
