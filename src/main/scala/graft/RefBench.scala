@@ -1,0 +1,95 @@
+package graft
+
+import graft.functions.{VectorKernels, VectorOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Reference-protocol benchmark (SURVEY.md §2.3 B1-B6, BASELINE.md):
+  * dim-128 float32 vectors, corpus sizes 1k/5k/10k/50k/100k, k=10,
+  * 10 warm-ups + 100 timed searches — the workload behind the reference's
+  * published ~1,100 QPS at 50k vectors (README.md:24).
+  *
+  * Two search modes are reported:
+  *  - `seq`: 100 sequential one-query jobs (the reference's loop shape;
+  *    Spark pays per-job scheduling, so this measures latency)
+  *  - `batch`: the same 100 queries in ONE pass (q_knn_batch shape) —
+  *    the Spark-native serving pattern; QPS = 100 / wall.
+  * Corpus is quantized once and cached (analog of the reference holding
+  * its int8 matrix in memory).
+  */
+object RefBench {
+
+  def mkCorpus(spark: SparkSession, n: Int, dim: Int): DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until n).map { i =>
+      (i.toLong, Array.fill(dim)((rnd.nextGaussian()).toFloat))
+    }
+    rows.toDF("vec_id", "embedding")
+      .repartition(32)
+      .select(col("vec_id"), VectorOps.quantizeInt8(col("embedding")).as("q"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dim = 128
+    val k = 10
+    val sizes = Seq(1000, 5000, 10000, 50000, 100000)
+    val results = sizes.map { n =>
+      val corpus = mkCorpus(spark, n, dim).persist(StorageLevel.MEMORY_ONLY)
+      corpus.count() // materialize (B1 analog: insert+quantize)
+      import spark.implicits._
+      val embDf = {
+        val rnd2 = new scala.util.Random(42)
+        (0 until n).map(i => (i.toLong, Array.fill(dim)(rnd2.nextGaussian().toFloat)))
+          .toDF("vec_id", "embedding")
+      }
+      val index = graft.store.QuantizedIndex
+        .build(embDf, dim, numBlocks = 32).persist()
+      index.count // materialize the packed blocks
+      val rnd = new scala.util.Random(7)
+      val queries = (0 until 100).map(i =>
+        (i.toLong, VectorKernels.quantize(Array.fill(dim)(rnd.nextGaussian().toFloat)))).toArray
+
+      // warm-up x10 (matches benchmark_suite.py:109-117)
+      (0 until 10).foreach { _ =>
+        corpus.select(col("vec_id"), VectorOps.cosineInt8(col("q"), lit(queries.head._2)).as("score"))
+          .orderBy(col("score").desc, col("vec_id")).limit(k).collect()
+        index.search(Array(queries.head), k)
+      }
+      // sequential: 100 single-query jobs (declarative DataFrame path)
+      val t0 = System.nanoTime()
+      queries.foreach { case (_, qv) =>
+        corpus.select(col("vec_id"), VectorOps.cosineInt8(col("q"), lit(qv)).as("score"))
+          .orderBy(col("score").desc, col("vec_id")).limit(k).collect()
+      }
+      val seqSec = (System.nanoTime() - t0) / 1e9
+
+      // sequential on the packed index: 100 single-query jobs
+      val t2 = System.nanoTime()
+      queries.foreach(q => index.search(Array(q), k))
+      val idxSeqSec = (System.nanoTime() - t2) / 1e9
+
+      // batched: all 100 queries in ONE job over the packed index
+      val t1 = System.nanoTime()
+      index.search(queries, k)
+      val batchSec = (System.nanoTime() - t1) / 1e9
+      corpus.unpersist()
+      index.unpersist()
+      (n, seqSec, idxSeqSec, batchSec)
+    }
+    val json = results.map { case (n, s, is, b) =>
+      f"""{"corpus":$n,"df_seq_qps":${100.0 / s}%.1f,"idx_seq_qps":${100.0 / is}%.1f,"idx_seq_ms":${is * 10}%.2f,"batch_qps":${100.0 / b}%.1f,"batch_ms":${b * 10}%.2f}"""
+    }.mkString("[", ",", "]")
+    println(s"""{"metric":"ref_search_protocol","dim":$dim,"k":$k,"queries":100,"baseline_qps_50k":1100,"results":$json}""")
+    spark.stop()
+  }
+}

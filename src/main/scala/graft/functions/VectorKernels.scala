@@ -70,6 +70,29 @@ object VectorKernels {
     else dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
   }
 
+  /** Exact integer dot product of two int8 vectors. */
+  def dotInt8(a: Array[Byte], b: Array[Byte]): Long = {
+    val n = math.min(a.length, b.length)
+    var dot = 0L
+    var i = 0
+    while (i < n) { dot += a(i).toLong * b(i).toLong; i += 1 }
+    dot
+  }
+
+  /** Exact integer squared norm of an int8 vector. */
+  def normSqInt8(a: Array[Byte]): Long = {
+    var s = 0L
+    var i = 0
+    while (i < a.length) { s += a(i).toLong * a(i).toLong; i += 1 }
+    s
+  }
+
+  /** Cosine from precomputed integer norms — bitwise identical to
+    * cosineInt8 (same Double expression tree on the same exact integers). */
+  @inline def cosineFromParts(dot: Long, na: Long, nb: Long): Double =
+    if (na == 0L || nb == 0L) 0.0
+    else dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+
   /** Cosine over raw float vectors; Double left-fold accumulation mirrors
     * the DuckDB list_reduce oracle exactly. */
   def cosineFloat(a: Array[Float], b: Array[Float]): Double = {

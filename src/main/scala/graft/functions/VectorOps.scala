@@ -34,6 +34,12 @@ object VectorOps {
   /** array<float> -> double L2 norm. */
   def l2norm(v: Column): Column = c(L2NormExpr(e(v)))
 
+  /** Bounded top-k aggregate: array<struct<vec_id,score>> of the k best
+    * (score DESC, id ASC) pairs per group; partial-aggregates map-side so a
+    * batched kNN shuffles only k rows per (group x partition). */
+  def topK(score: Column, id: Column, k: Int): Column =
+    c(TopKAgg(e(score), e(id), k).toAggregateExpression())
+
   /** Non-finite component check as a pure Catalyst predicate (codegen'd, no
     * UDF): true if any element is NaN or +/-Inf. */
   def hasNonFinite(v: Column): Column =

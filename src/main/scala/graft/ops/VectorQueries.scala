@@ -47,6 +47,35 @@ object VectorQueries {
          |LIMIT 10""".stripMargin),
       headline = true),
 
+    // Batched multi-query kNN: the Spark-native serving pattern (the
+    // reference searches one query at a time; here m queries share one
+    // corpus pass). Custom TypedImperativeAggregate keeps a k-heap per
+    // (query x partition) so the shuffle is m x k rows, not m x n.
+    Q("q_knn_batch",
+      (s, d) => {
+        val qv = quantized(s, d)
+        val queries = qv.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("q").as("qq"))
+        qv.crossJoin(broadcast(queries))
+          .select(col("qid"), col("vec_id"),
+            VectorOps.cosineInt8(col("q"), col("qq")).as("score"))
+          .groupBy(col("qid"))
+          .agg(VectorOps.topK(col("score"), col("vec_id"), 5).as("top"))
+          .select(col("qid"), posexplode(col("top")).as(Seq("i", "t")))
+          .select(col("qid"), col("t.vec_id").as("vec_id"),
+            col("t.score").as("score"), (col("i") + 1).cast("long").as("rn"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some(s"""WITH ${OracleSql.quantizeCte},
+         |qq AS (SELECT vec_id AS qid, q AS qq FROM qv WHERE vec_id < 10),
+         |sc AS (SELECT qq.qid, v.vec_id, ${OracleSql.int8Cos("v.q", "qq.qq")} AS score
+         |       FROM qv v, qq),
+         |r AS (SELECT qid, vec_id, score,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rn
+         |      FROM sc)
+         |SELECT qid, vec_id, score, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin),
+      headline = true),
+
     Q("q_knn_filtered",
       (s, d) => knnInt8(s, d, qid = 0L, k = 10,
         corpus = _.filter(col("label") === 2)),
