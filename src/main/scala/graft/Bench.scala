@@ -36,7 +36,32 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Reference search protocol at its published operating point (BASELINE.md:
+    // ~1,100 QPS at 50k vectors, dim 128, k=10, 100 queries): batched batch-
+    // of-100 search on the packed int8 index; best of 3 runs.
+    val refQps = {
+      import spark.implicits._
+      val dim = 128
+      val rnd = new scala.util.Random(42)
+      val embDf = (0 until 50000).map(i =>
+        (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+      val index = graft.store.QuantizedIndex.build(embDf, dim, numBlocks = 32).persist()
+      index.count
+      val qrnd = new scala.util.Random(7)
+      val queries = (0 until 100).map(i => (i.toLong,
+        graft.functions.VectorKernels.quantize(Array.fill(dim)(qrnd.nextGaussian().toFloat)))).toArray
+      index.search(queries, 10) // warm-up
+      val best = (0 until 3).map { _ =>
+        val t = System.nanoTime()
+        index.search(queries, 10)
+        (System.nanoTime() - t) / 1e9
+      }.min
+      index.unpersist()
+      100.0 / best
+    }
+
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"ref_search_qps_50k":$refQps%.0f,"baseline_ref_qps_50k":1100,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -46,6 +46,98 @@ object SimilarityQueries {
          |LIMIT 20""".stripMargin),
       headline = true),
 
+    // IVF search: per-label centroids act as the coarse quantizer; every
+    // vector is assigned to its nearest centroid (cell), and each query
+    // searches ONLY its own cell — the inverted-file ANN layout. At scale
+    // the cell id is the partition/bucket key, so a query touches
+    // 1/num_cells of the corpus.
+    Q("q_ivf_search",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        // coarse centroids: per-label means (the q_centroids build step),
+        // computed with the same 2^43 exact-integer trick.
+        val P43 = 8796093022208.0
+        val cent = emb
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy(col("label"), col("pos"))
+          .agg(((sum(floor(col("x").cast("double") * lit(P43))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .cast("double") / lit(P43)) / count(lit(1))).as("c"))
+          .groupBy(col("label"))
+          .agg(map_from_entries(collect_list(struct(col("pos"), col("c")))).as("cm"))
+          .select(col("label").as("cell"),
+            transform(sequence(lit(0), lit(63)), i => element_at(col("cm"), i)).as("centroid"))
+        // assign: nearest centroid by float-double cosine (deterministic
+        // tie-break on cell id)
+        val cosQC = {
+          val dot = aggregate(zip_with(col("embedding"), col("centroid"),
+            (x, c) => x.cast("double") * c), lit(0.0), (a, x) => a + x)
+          val na = aggregate(transform(col("embedding"),
+            x => x.cast("double") * x.cast("double")), lit(0.0), (a, x) => a + x)
+          val nb = aggregate(transform(col("centroid"), c => c * c),
+            lit(0.0), (a, x) => a + x)
+          when(na === 0.0 || nb === 0.0, 0.0)
+            .otherwise(dot / (sqrt(na) * sqrt(nb)))
+        }
+        val wAssign = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cs").desc, col("cell").asc)
+        val assigned = emb.crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("embedding"), col("cell"), cosQC.as("cs"))
+          .withColumn("rn", row_number().over(wAssign))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("embedding"), col("cell"))
+        // search: queries vec_id < 5 probe only their own cell
+        val queries = assigned.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell"))
+        val wTop = Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("vec_id"))
+        queries.join(assigned, "cell")
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            VectorOps.cosineFloat(col("qe"), col("embedding")).as("score"))
+          .withColumn("rn", row_number().over(wTop).cast("long"))
+          .filter(col("rn") <= 3)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some {
+        val centDotQ = OracleSql.foldSum(
+          "list_transform(list_zip(e.embedding, ct.centroid), p -> CAST(p[1] AS DOUBLE)*p[2])")
+        val centNormE = OracleSql.foldSum(
+          "list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))")
+        val centNormC = OracleSql.foldSum(
+          "list_transform(ct.centroid, c -> c*c)")
+        s"""WITH cm AS (
+           |  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS x
+           |  FROM embeddings),
+           |cagg AS (
+           |  SELECT label, pos,
+           |    (CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 8796093022208.0) AS DECIMAL(38,0))) AS DOUBLE)
+           |     / 8796093022208.0) / count(*) AS c
+           |  FROM cm GROUP BY label, pos),
+           |cent AS (
+           |  SELECT label AS cell, list(c ORDER BY pos) AS centroid
+           |  FROM cagg GROUP BY label),
+           |asg0 AS (
+           |  SELECT e.vec_id, e.embedding, ct.cell,
+           |    CASE WHEN $centNormE = 0 OR $centNormC = 0 THEN 0.0
+           |         ELSE $centDotQ/(sqrt($centNormE)*sqrt($centNormC)) END AS cs
+           |  FROM embeddings e, cent ct),
+           |asg AS (
+           |  SELECT vec_id, embedding, cell FROM (
+           |    SELECT vec_id, embedding, cell,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+           |    FROM asg0) t WHERE rn = 1),
+           |qq AS (SELECT vec_id AS qid, embedding AS qe, cell FROM asg WHERE vec_id < 5),
+           |cand AS (
+           |  SELECT qq.qid, a.vec_id, ${OracleSql.floatCos("qq.qe", "a.embedding")} AS score
+           |  FROM qq JOIN asg a USING (cell) WHERE a.vec_id <> qq.qid),
+           |r AS (
+           |  SELECT qid, vec_id, score,
+           |    CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rn
+           |  FROM cand)
+           |SELECT qid, vec_id, score, rn FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+      }),
+
     // ANN via sign-bucket LSH: per-query top-3 within the query's bucket.
     Q("q_ann_bucket",
       (s, d) => {

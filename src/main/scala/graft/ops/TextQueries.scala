@@ -287,6 +287,43 @@ object TextQueries {
          |    0.5 * least(1.0, CAST(n_tokens AS DOUBLE)/100.0) AS quality
          |FROM g WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)),
 
+    // Order-sensitive rolling-hash document fingerprint: left fold
+    // h = (h*31 + md5_32(tok)) mod p over the token stream — a narrow
+    // higher-order-function fold, no shuffle until the final ORDER BY.
+    Q("q_rolling_hash",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          aggregate(
+            transform(split(col("text"), " "),
+              t => conv(substring(md5(t), 1, 8), 16, 10).cast("long")),
+            lit(0L),
+            (acc, x) => (acc * 31 + x) % 2147483647L).as("rh"))
+        .filter(col("doc_id") < 200)
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(string_split(text, ' '),
+         |      t -> ${OracleSql.hexToLong("md5(t)", 1, 8)})),
+         |    (acc, x) -> (acc*31 + x) % 2147483647) AS rh
+         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin)),
+
+    // BPE-ish token counting: regex pre-tokenizer (word pieces + non-space
+    // punctuation) vs whitespace counting, per doc.
+    Q("q_token_count",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(filter(split(col("text"), " "), t => t =!= "")).cast("long").as("ws_tokens"),
+          size(regexp_extract_all(col("text"), lit("[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+            .cast("long").as("bpe_tokens"),
+          octet_length(col("text")).cast("long").as("n_bytes"))
+        .filter(col("doc_id") < 200)
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+         |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]', 0)) AS BIGINT) AS bpe_tokens,
+         |  CAST(strlen(text) AS BIGINT) AS n_bytes
+         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin)),
+
     // Corpus token frequencies (top 20).
     Q("q_token_stats",
       (s, d) => toks(s, d).filter(col("tok") =!= "")
