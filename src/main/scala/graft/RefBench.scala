@@ -90,6 +90,72 @@ object RefBench {
       f"""{"corpus":$n,"df_seq_qps":${100.0 / s}%.1f,"idx_seq_qps":${100.0 / is}%.1f,"idx_seq_ms":${is * 10}%.2f,"batch_qps":${100.0 / b}%.1f,"batch_ms":${b * 10}%.2f}"""
     }.mkString("[", ",", "]")
     println(s"""{"metric":"ref_search_protocol","dim":$dim,"k":$k,"queries":100,"baseline_qps_50k":1100,"results":$json}""")
+
+    // B1 insert throughput: batch sizes 1/10/100/1k/10k (benchmark_suite.py:56)
+    // = validate + normalize + quantize + materialize.
+    import spark.implicits._
+    val insertJson = Seq(1, 10, 100, 1000, 10000).map { bs =>
+      val rnd = new scala.util.Random(1)
+      val df = (0 until bs).map(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+        .toDF("vec_id", "embedding")
+      val t0 = System.nanoTime()
+      df.select(col("vec_id"), VectorOps.quantizeInt8(col("embedding")).as("q"))
+        .write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      f"""{"batch":$bs,"vec_per_s":${bs / sec}%.0f}"""
+    }.mkString("[", ",", "]")
+    println(s"""{"metric":"ref_insert_protocol","results":$insertJson}""")
+
+    // B4 concurrency: 10 threads x 50 queries on 10k vectors
+    // (benchmark_suite.py:197-224) against the shared packed index.
+    {
+      val embDf = {
+        val rnd = new scala.util.Random(42)
+        (0 until 10000).map(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+          .toDF("vec_id", "embedding")
+      }
+      val index = graft.store.QuantizedIndex.build(embDf, dim, 32).persist()
+      index.count
+      val rnd = new scala.util.Random(7)
+      val qs = (0 until 10).map(t => (0 until 50).map(i =>
+        (i.toLong, VectorKernels.quantize(Array.fill(dim)(rnd.nextGaussian().toFloat)))).toArray)
+      index.search(qs.head, k) // warm
+      val t0 = System.nanoTime()
+      val threads = qs.map { tq =>
+        val th = new Thread(() => tq.grouped(10).foreach(g => index.search(g, k)))
+        th.start(); th
+      }
+      threads.foreach(_.join())
+      val sec = (System.nanoTime() - t0) / 1e9
+      index.unpersist()
+      println(f"""{"metric":"ref_concurrent_protocol","threads":10,"queries":500,"agg_qps":${500 / sec}%.0f}""")
+    }
+
+    // B5 lazy deletion + B6 save/load on a 10k-vector store
+    // (benchmark_suite.py:244-272, 290-329).
+    {
+      val st = graft.store.VectorStore.create(spark, dim)
+      val rnd = new scala.util.Random(3)
+      val rows = (0 until 10000).map(i =>
+        (s"vec_$i", Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq, Map("index" -> i.toString)))
+        .toDF("id", "embedding", "meta")
+      val tIns = System.nanoTime()
+      st.addVectors(rows)
+      st.count
+      val insSec = (System.nanoTime() - tIns) / 1e9
+      val tDel = System.nanoTime()
+      st.delete((0 until 500).map(i => s"vec_$i"))
+      val delSec = (System.nanoTime() - tDel) / 1e9
+      val dir = java.nio.file.Files.createTempDirectory("refbench_store").toString
+      val tSave = System.nanoTime()
+      st.save(dir)
+      val saveSec = (System.nanoTime() - tSave) / 1e9
+      val tLoad = System.nanoTime()
+      val re = graft.store.VectorStore.load(spark, dir)
+      val n = re.count
+      val loadSec = (System.nanoTime() - tLoad) / 1e9
+      println(f"""{"metric":"ref_store_protocol","insert_10k_s":$insSec%.2f,"delete_500_s":$delSec%.2f,"save_s":$saveSec%.2f,"load_s":$loadSec%.2f,"reloaded":$n}""")
+    }
     spark.stop()
   }
 }
