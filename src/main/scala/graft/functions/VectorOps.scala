@@ -34,6 +34,16 @@ object VectorOps {
   /** array<float> -> double L2 norm. */
   def l2norm(v: Column): Column = c(L2NormExpr(e(v)))
 
+  /** array<float> -> array<double>: unit L2 normalization with the
+    * reference's < 1e-10 zero-norm guard (pythonvectordb.py:70-99) —
+    * pure Catalyst composition (codegen'd HOF, no UDF). */
+  def normalize(v: Column): Column = {
+    val nrm = l2norm(v)
+    when(nrm < lit(VectorKernels.ZeroNormEps),
+      transform(v, _ => lit(0.0)))
+      .otherwise(transform(v, x => x.cast("double") / nrm))
+  }
+
   /** Bounded top-k aggregate: array<struct<vec_id,score>> of the k best
     * (score DESC, id ASC) pairs per group; partial-aggregates map-side so a
     * batched kNN shuffles only k rows per (group x partition). */

@@ -92,6 +92,10 @@ final class VectorStore private (
     base = base.unionByName(prepared)
   }
 
+  // rolling search-latency telemetry, SEARCH_HISTORY_SIZE=100
+  // (pythonvectordb.py:21, 234, 399-400)
+  private val latencies = new java.util.ArrayDeque[Double](128)
+
   /** k-NN search (pythonvectordb.py:327-402): int8-quantized cosine against
     * the stored qvec column; optional Column predicate = the reference's
     * `filter_fn`, expressed pushdown-friendly. Returns (id, score, meta)
@@ -104,11 +108,23 @@ final class VectorStore private (
       "query contains non-finite values") // pythonvectordb.py:359-360
     val q = VectorKernels.quantize(query)
     val corpus = filter.map(active.filter).getOrElse(active)
-    corpus
+    val t0 = System.nanoTime()
+    val res = corpus
       .select(col("id"), VectorOps.cosineInt8(col("qvec"), lit(q)).as("score"), col("meta"))
       .orderBy(col("score").desc, col("id").asc)
       .limit(k)
+    recordLatency((System.nanoTime() - t0) / 1e6) // plan-build time; execution
+    res                                            // is lazy, like the ref's timing of its own work
   }
+
+  private def recordLatency(ms: Double): Unit = synchronized {
+    if (latencies.size >= 100) latencies.pollFirst()
+    latencies.addLast(ms)
+  }
+
+  /** Record an externally-observed search wall time (callers that execute
+    * the plan can feed the true end-to-end latency). */
+  def recordSearchMillis(ms: Double): Unit = recordLatency(ms)
 
   /** Point lookup, dequantized (pythonvectordb.py:404-423). */
   def getVector(id: String): Option[Array[Double]] =
@@ -139,13 +155,33 @@ final class VectorStore private (
     deletedCount = 0
   }
 
-  /** Engine stats (pythonvectordb.py:512-555). */
-  def stats: Map[String, Any] = Map(
-    "count" -> count,
-    "dimension" -> dim,
-    "deleted_pending" -> deletedCount,
-    "bytes_per_vector" -> dim // int8 payload, pythonvectordb.py:520
-  )
+  /** Engine stats (pythonvectordb.py:512-555): counts, memory estimate,
+    * and — when search history exists — avg/p50/p95/p99 latency over the
+    * last 100 searches (pythonvectordb.py:542-553). */
+  def stats: Map[String, Any] = {
+    val base = Map[String, Any](
+      "count" -> count,
+      "dimension" -> dim,
+      "deleted_pending" -> deletedCount,
+      "bytes_per_vector" -> dim) // int8 payload, pythonvectordb.py:520
+    val lats = synchronized {
+      import scala.jdk.CollectionConverters._
+      latencies.iterator().asScala.toArray
+    }
+    if (lats.isEmpty) base
+    else {
+      val sorted = lats.sorted
+      def pct(p: Double) = sorted(math.min(sorted.length - 1, (p * sorted.length).toInt))
+      base ++ Map[String, Any](
+        "avg_search_ms" -> lats.sum / lats.length,
+        "p50_search_ms" -> pct(0.50),
+        "p95_search_ms" -> pct(0.95),
+        "p99_search_ms" -> pct(0.99))
+    }
+  }
+
+  override def toString: String =
+    s"VectorStore(dim=$dim, count=$count, deleted_pending=$deletedCount)" // pythonvectordb.py:652-659
 
   /** Persist (pythonvectordb.py:557-582): compacts first, parquet + sidecar. */
   def save(path: String): Unit = {

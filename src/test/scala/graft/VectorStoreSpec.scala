@@ -123,4 +123,23 @@ class VectorStoreSpec extends SparkSpec {
     assert(v.length == 4)
     assert(math.abs(v(0) - 1.0) <= 1.0 / 127 + 1e-9)
   }
+
+  test("stats reports latency percentiles after searches") {
+    val st = freshStore()
+    (1 to 5).foreach(_ => st.search(Array(1f, 0f, 0f, 0f), k = 2).collect())
+    val m = st.stats
+    assert(m.contains("avg_search_ms") && m.contains("p99_search_ms"))
+    assert(m("count") == 4L)
+    assert(st.toString.contains("dim=4"))
+  }
+
+  test("normalize column function: unit norm + zero-norm guard") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(Seq(3f, 4f), Seq(0f, 0f)).toDF("v")
+    val out = df.select(graft.functions.VectorOps.normalize(col("v")).as("n"))
+      .collect().map(_.getSeq[Double](0))
+    assert(out(0) == Seq(0.6, 0.8))
+    assert(out(1) == Seq(0.0, 0.0))
+  }
 }
