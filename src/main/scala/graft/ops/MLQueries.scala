@@ -1,0 +1,130 @@
+package graft.ops
+
+import graft.{OracleSql, Q, Tables}
+import graft.functions.VectorOps
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.feature.{CountVectorizer, MinHashLSH}
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** MLlib-backed batch indexing (BASELINE.json "spark_approach": MLlib for
+  * batch indexing, DataFrame for metadata):
+  *
+  *  - q_ivf_kmeans: a real IVF index — KMeans (seeded) learns the coarse
+  *    quantizer, vectors are assigned to cells, queries probe only their
+  *    cell. Cluster ids are engine-specific => no SQL oracle (driver
+  *    records the rows-only check); structure + recall are asserted in
+  *    ScalaTest.
+  *  - q_mllib_minhash: MLlib MinHashLSH near-dup join over token sets —
+  *    the library twin of the hand-rolled q_minhash_lsh.
+  *  - q_ann_recall: recall@3 of the sign-bucket LSH against the exact
+  *    brute-force top-3 — fully deterministic, oracle-checked; the metric
+  *    one would monitor when tuning bucket bits at scale.
+  */
+object MLQueries {
+
+  val all: Seq[Q] = Seq(
+
+    Q("q_ivf_kmeans",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+          .withColumn("fv", array_to_vector(col("embedding")))
+        val km = new KMeans().setK(8).setSeed(42L).setMaxIter(5)
+          .setFeaturesCol("fv").setPredictionCol("cell")
+        val model = km.fit(emb)
+        val assigned = model.transform(emb)
+          .select(col("vec_id"), col("embedding"), col("cell"))
+        val queries = assigned.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+        queries.join(assigned, "cell")
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            VectorOps.cosineFloat(col("qe"), col("embedding")).as("score"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .orderBy(col("qid"), col("rn"))
+      },
+      None),
+
+    Q("q_mllib_minhash",
+      (s, d) => {
+        // Shingle (word trigram) sets, not unigram sets: the fixture vocab
+        // is 31 words, so unigram sets collide across most pairs (an
+        // all-pairs blowup); trigram space is ~vocab^3 and behaves like a
+        // real corpus.
+        val t = split(col("text"), " ")
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), t.as("t"))
+          .filter(size(col("t")) >= 3)
+          .select(col("doc_id"),
+            array_distinct(transform(sequence(lit(0), size(col("t")) - 3),
+              i => concat_ws(" ",
+                element_at(col("t"), i + 1),
+                element_at(col("t"), i + 2),
+                element_at(col("t"), i + 3)))).as("toks"))
+        val cv = new CountVectorizer().setInputCol("toks").setOutputCol("tf")
+          .setBinary(true)
+        val tf = cv.fit(docs).transform(docs).select(col("doc_id"), col("tf"))
+        val mh = new MinHashLSH().setInputCol("tf").setOutputCol("sig")
+          .setNumHashTables(4).setSeed(42L)
+        val model = mh.fit(tf)
+        // jaccard DISTANCE threshold 0.2 => shingle-set similarity >= 0.8
+        model.approxSimilarityJoin(tf, tf, 0.2, "dist")
+          .select(col("datasetA.doc_id").as("doc_a"),
+            col("datasetB.doc_id").as("doc_b"), col("dist"))
+          .filter(col("doc_a") < col("doc_b"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      None),
+
+    Q("q_ann_recall",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val scored = queries.join(emb.select(col("vec_id"), col("embedding")),
+            col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            VectorOps.cosineFloat(col("qe"), col("embedding")).as("score"),
+            concat(Seq(1, 17, 33, 49).map(i =>
+              when(element_at(col("qe"), i) >= 0, lit("1")).otherwise(lit("0"))): _*).as("qb"),
+            concat(Seq(1, 17, 33, 49).map(i =>
+              when(element_at(col("embedding"), i) >= 0, lit("1")).otherwise(lit("0"))): _*).as("vb"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+        val exact = scored
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+          .select(col("qid"), col("vec_id"))
+        val wb = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+        val approx = scored.filter(col("qb") === col("vb"))
+          .withColumn("rn", row_number().over(wb)).filter(col("rn") <= 3)
+          .select(col("qid"), col("vec_id"))
+        exact.join(approx, Seq("qid", "vec_id"), "left_semi")
+          .agg((count(lit(1)).cast("double") /
+            lit(10 * 3).cast("double")).as("recall_at_3"))
+      },
+      Some {
+        val qb = Seq(1, 17, 33, 49)
+          .map(i => s"(CASE WHEN qe[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+        val vb = Seq(1, 17, 33, 49)
+          .map(i => s"(CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+        s"""WITH qq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+           |sc AS (
+           |  SELECT qq.qid, e.vec_id, ${OracleSql.floatCos("qq.qe", "e.embedding")} AS score,
+           |    $qb AS qb, $vb AS vb
+           |  FROM qq JOIN embeddings e ON e.vec_id <> qq.qid),
+           |exact AS (
+           |  SELECT qid, vec_id FROM (
+           |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+           |    FROM sc) t WHERE rn <= 3),
+           |approx AS (
+           |  SELECT qid, vec_id FROM (
+           |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+           |    FROM sc WHERE qb = vb) t WHERE rn <= 3)
+           |SELECT CAST(count(*) AS DOUBLE) / CAST(30 AS DOUBLE) AS recall_at_3
+           |FROM exact WHERE EXISTS (
+           |  SELECT 1 FROM approx a WHERE a.qid = exact.qid AND a.vec_id = exact.vec_id)""".stripMargin
+      })
+  )
+}
