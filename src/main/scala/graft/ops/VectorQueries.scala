@@ -87,6 +87,29 @@ object VectorQueries {
          |ORDER BY score DESC, vec_id
          |LIMIT 10""".stripMargin)),
 
+    // The same flagship search expressed as PURE SQL over the registered
+    // engine functions — the SQL layer the reference never had
+    // (SURVEY.md §0: "no SQL layer" in the reference).
+    Q("q_sql_knn",
+      (s, d) => {
+        org.apache.spark.sql.graft.bridge.registerVectorFunctions(s)
+        Tables.embeddings(s, d).createOrReplaceTempView("embeddings_v")
+        s.sql("""
+          |WITH qv AS (SELECT vec_id, label, quantize_int8(embedding) AS q
+          |            FROM embeddings_v),
+          |qq AS (SELECT q AS q0 FROM qv WHERE vec_id = 0)
+          |SELECT v.vec_id, v.label, cosine_int8(v.q, qq.q0) AS score
+          |FROM qv v CROSS JOIN qq
+          |ORDER BY score DESC, vec_id
+          |LIMIT 10""".stripMargin)
+      },
+      Some(s"""WITH ${OracleSql.quantizeCte},
+         |qq AS (SELECT q AS q0 FROM qv WHERE vec_id = 0)
+         |SELECT v.vec_id, v.label, ${OracleSql.int8Cos("v.q", "qq.q0")} AS score
+         |FROM qv v, qq
+         |ORDER BY score DESC, vec_id
+         |LIMIT 10""".stripMargin)),
+
     Q("q_knn_float",
       (s, d) => {
         val emb = Tables.embeddings(s, d)

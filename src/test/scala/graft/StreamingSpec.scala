@@ -16,4 +16,16 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
     assert(streamed == batch)
   }
+
+  test("streaming ingestion feeds the validated VectorStore insert path") {
+    val st = graft.store.VectorStore.create(spark, 64)
+    val n = graft.streaming.StreamIngest.ingestOnce(spark, sf001, st)
+    assert(n == 500)
+    val q = Tables.embeddings(spark, sf001)
+      .filter(org.apache.spark.sql.functions.col("vec_id") === 0)
+      .select("embedding").collect().head.getSeq[Float](0).toArray
+    val top = st.search(q, 1).collect().head
+    assert(top.getAs[String]("id") == "vec_0")
+    assert(top.getAs[Double]("score") == 1.0)
+  }
 }
