@@ -62,6 +62,17 @@ object Multimodal {
     spark.createDataFrame(out, featureSchema)
   }
 
+  /** STUB resize: decimate the payload by `factor` (every factor-th byte)
+    * — stands in for image resize; deterministic, shape-preserving
+    * plumbing (binary -> binary projection). A real build swaps the byte
+    * loop for a codec resize. */
+  def resizeStub(payload: Array[Byte], factor: Int): Array[Byte] = {
+    val out = new Array[Byte]((payload.length + factor - 1) / factor)
+    var i = 0
+    while (i < out.length) { out(i) = payload(i * factor); i += 1 }
+    out
+  }
+
   /** Frame sampling over a multimodal payload: split the binary into
     * fixed-size "frames" and keep every `stride`-th — pure Catalyst
     * (narrow), showing binary-column slicing without a UDF. */

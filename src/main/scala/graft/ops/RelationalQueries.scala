@@ -149,6 +149,49 @@ object RelationalQueries {
          |WHERE o_custkey < 150
          |ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
+    // Skew-mitigated join: the salting pattern, verified oracle-exact.
+    // The big (probe) side adds a deterministic salt; the small (build)
+    // side is replicated across all salt values; the join key becomes
+    // (key, salt) so one hot key spreads over SALT partitions. The result
+    // is identical to the plain join — which is exactly what the DuckDB
+    // oracle states.
+    Q("q_skew_salted_join",
+      (s, d) => {
+        val SALT = 4
+        val li = Tables.lineitem(s, d)
+          .withColumn("salt", (col("l_linenumber") % SALT).cast("int"))
+        val ord = Tables.orders(s, d)
+          .withColumn("salt", explode(sequence(lit(0), lit(SALT - 1))))
+          .withColumn("salt", col("salt").cast("int"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey") && li("salt") === ord("salt"))
+          .groupBy(col("o_orderpriority"))
+          .agg(H.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority,
+         |  CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+         |  CAST(count(*) AS BIGINT) AS n_items
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin)),
+
+    // Tumbling 1-hour event-time windows (the batch twin of
+    // streaming.EventsStream.windowedAgg).
+    Q("q_events_hourly",
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), H.dsum(col("value")).as("sum_value"))
+        .select(unix_micros(col("w.start")).as("w_start_us"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("w_start_us"), col("event_type")),
+      Some("""SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS w_start_us,
+         |  event_type, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+         |FROM events
+         |GROUP BY w_start_us, event_type
+         |ORDER BY w_start_us, event_type""".stripMargin)),
+
     // JSON-typed event properties: from_json + grouped rollup.
     Q("q_events_json",
       (s, d) => Tables.events(s, d)

@@ -35,4 +35,11 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.nonEmpty)
     assert(frames.head.length == 10)
   }
+
+  test("resizeStub decimates deterministically") {
+    val in = (0 until 100).map(_.toByte).toArray
+    val out = Multimodal.resizeStub(in, 4)
+    assert(out.length == 25)
+    assert(out(1) == 4.toByte && out(24) == 96.toByte)
+  }
 }
