@@ -10,6 +10,7 @@ import org.apache.spark.sql.types._
 
 /** Bounded top-k buffer: keeps the k best (score DESC, id ASC) pairs. */
 final class TopKBuffer(val k: Int) extends Serializable {
+  require(k > 0, s"k must be positive, got $k")
   // simple insertion into a sorted array — k is small (<= ~100)
   var size = 0
   val scores = new Array[Double](k)

@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -15,9 +16,30 @@ import org.apache.spark.sql.types._
   * (pythonvectordb.py:25-151): JIT'd inner loop + columnar access.
   */
 
+
+/** Type-check helpers: the expressions are SQL-registered, so arbitrary
+  * input types reach them — without checks, codegen's toFloatArray() would
+  * silently reinterpret e.g. array<double> bytes as floats. */
+private[functions] object VecTypeCheck {
+  def floatArray(e: Expression, fn: String): TypeCheckResult = e.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$fn requires array<float>, got ${other.catalogString}")
+  }
+  def binary(e: Expression, fn: String): TypeCheckResult = e.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$fn requires binary (int8 vector), got ${other.catalogString}")
+  }
+  def both(a: TypeCheckResult, b: => TypeCheckResult): TypeCheckResult =
+    if (a.isSuccess) b else a
+}
+
 /** array<float> -> binary: unit-normalize then int8-quantize (trunc). */
 case class QuantizeInt8Expr(child: Expression)
     extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeCheck.floatArray(child, prettyName)
   override def dataType: DataType = BinaryType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "quantize_int8"
@@ -36,6 +58,9 @@ case class QuantizeInt8Expr(child: Expression)
 /** binary x binary -> double: cosine over int8-quantized vectors. */
 case class CosineInt8Expr(left: Expression, right: Expression)
     extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeCheck.both(VecTypeCheck.binary(left, prettyName),
+      VecTypeCheck.binary(right, prettyName))
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "cosine_int8"
@@ -54,6 +79,9 @@ case class CosineInt8Expr(left: Expression, right: Expression)
 /** array<float> x array<float> -> double: cosine over raw float vectors. */
 case class CosineFloatExpr(left: Expression, right: Expression)
     extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeCheck.both(VecTypeCheck.floatArray(left, prettyName),
+      VecTypeCheck.floatArray(right, prettyName))
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "cosine_float"
@@ -74,6 +102,8 @@ case class CosineFloatExpr(left: Expression, right: Expression)
 /** binary -> array<double>: dequantize (q / 127.0). */
 case class DequantizeExpr(child: Expression)
     extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeCheck.binary(child, prettyName)
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "dequantize_int8"
@@ -92,6 +122,8 @@ case class DequantizeExpr(child: Expression)
 /** array<float> -> double: L2 norm (double left-fold). */
 case class L2NormExpr(child: Expression)
     extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeCheck.floatArray(child, prettyName)
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "l2_norm"

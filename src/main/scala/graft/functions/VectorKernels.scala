@@ -55,7 +55,9 @@ object VectorKernels {
     * accumulation => exact; score is deterministic double arithmetic.
     * Either side with zero norm scores 0.0 (pythonvectordb.py:46-48, 64-65). */
   def cosineInt8(a: Array[Byte], b: Array[Byte]): Double = {
-    val n = math.min(a.length, b.length)
+    require(a.length == b.length,
+      s"dimension mismatch: ${a.length} vs ${b.length}") // pythonvectordb.py:354-357
+    val n = a.length
     var dot = 0L
     var na = 0L
     var nb = 0L
@@ -72,7 +74,9 @@ object VectorKernels {
 
   /** Exact integer dot product of two int8 vectors. */
   def dotInt8(a: Array[Byte], b: Array[Byte]): Long = {
-    val n = math.min(a.length, b.length)
+    require(a.length == b.length,
+      s"dimension mismatch: ${a.length} vs ${b.length}")
+    val n = a.length
     var dot = 0L
     var i = 0
     while (i < n) { dot += a(i).toLong * b(i).toLong; i += 1 }
@@ -96,7 +100,9 @@ object VectorKernels {
   /** Cosine over raw float vectors; Double left-fold accumulation mirrors
     * the DuckDB list_reduce oracle exactly. */
   def cosineFloat(a: Array[Float], b: Array[Float]): Double = {
-    val n = math.min(a.length, b.length)
+    require(a.length == b.length,
+      s"dimension mismatch: ${a.length} vs ${b.length}")
+    val n = a.length
     var dot = 0.0
     var na = 0.0
     var nb = 0.0

@@ -54,16 +54,9 @@ object MLQueries {
         // is 31 words, so unigram sets collide across most pairs (an
         // all-pairs blowup); trigram space is ~vocab^3 and behaves like a
         // real corpus.
-        val t = split(col("text"), " ")
         val docs = Tables.documents(s, d)
-          .select(col("doc_id"), t.as("t"))
-          .filter(size(col("t")) >= 3)
-          .select(col("doc_id"),
-            array_distinct(transform(sequence(lit(0), size(col("t")) - 3),
-              i => concat_ws(" ",
-                element_at(col("t"), i + 1),
-                element_at(col("t"), i + 2),
-                element_at(col("t"), i + 3)))).as("toks"))
+          .select(col("doc_id"), TextQueries.shingleArray(col("text")).as("toks"))
+          .filter(size(col("toks")) > 0)
         val cv = new CountVectorizer().setInputCol("toks").setOutputCol("tf")
           .setBinary(true)
         val tf = cv.fit(docs).transform(docs).select(col("doc_id"), col("tf"))
@@ -90,10 +83,8 @@ object MLQueries {
             col("vec_id") =!= col("qid"))
           .select(col("qid"), col("vec_id"),
             VectorOps.cosineFloat(col("qe"), col("embedding")).as("score"),
-            concat(Seq(1, 17, 33, 49).map(i =>
-              when(element_at(col("qe"), i) >= 0, lit("1")).otherwise(lit("0"))): _*).as("qb"),
-            concat(Seq(1, 17, 33, 49).map(i =>
-              when(element_at(col("embedding"), i) >= 0, lit("1")).otherwise(lit("0"))): _*).as("vb"))
+            SimilarityQueries.bucket(col("qe")).as("qb"),
+            SimilarityQueries.bucket(col("embedding")).as("vb"))
         val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
         val exact = scored
           .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)

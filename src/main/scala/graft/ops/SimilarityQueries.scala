@@ -16,7 +16,7 @@ import graft.functions.VectorOps
 object SimilarityQueries {
 
   /** 4-bit sign bucket over fixed dimensions — a deterministic cosine-LSH. */
-  private def bucket(e: Column): Column =
+  def bucket(e: Column): Column =
     concat(Seq(1, 17, 33, 49).map(i =>
       when(element_at(e, i) >= 0, lit("1")).otherwise(lit("0"))): _*)
 

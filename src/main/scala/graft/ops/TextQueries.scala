@@ -29,17 +29,24 @@ object TextQueries {
     * higher-order-function projection over the token array (no explode +
     * window shuffle): at 100 TB this is a pure map stage; the only shuffle
     * in the dedup pipeline is the downstream join on the shingle/band key. */
-  private def shingles(s: SparkSession, d: String): DataFrame = {
-    val t = split(col("text"), " ")
+  private def shingles(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), t.as("t"))
-      .filter(size(col("t")) >= 3)
-      .select(col("doc_id"),
-        explode(array_distinct(transform(sequence(lit(0), size(col("t")) - 3),
-          i => concat_ws(" ",
-            element_at(col("t"), i + 1),
-            element_at(col("t"), i + 2),
-            element_at(col("t"), i + 3))))).as("sh"))
+      .select(col("doc_id"), shingleArray(col("text")).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
+
+  /** Distinct word-trigram shingle array of a text column (empty array for
+    * texts under 3 tokens) — shared by the hand-rolled MinHash pipeline and
+    * the MLlib LSH twin (MLQueries). */
+  def shingleArray(text: Column): Column = {
+    val t = split(text, " ")
+    when(size(t) >= 3,
+      array_distinct(transform(sequence(lit(0), size(t) - 3),
+        i => concat_ws(" ",
+          element_at(t, i + 1),
+          element_at(t, i + 2),
+          element_at(t, i + 3)))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Oracle twin of `shingles`. */

@@ -61,6 +61,7 @@ final class QuantizedIndex private (
         (qi, buf)
       }
     }.collect()
+    qb.destroy() // release the broadcast block (a serving loop would leak otherwise)
     // driver merge: parts x k rows per query
     val merged = Array.fill(queries.length) { new TopKBuffer(k) }
     partial.foreach { case (qi, buf) => merged(qi).mergeFrom(buf) }

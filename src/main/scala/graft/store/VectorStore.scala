@@ -47,10 +47,19 @@ final class VectorStore private (
 
   def count: Long = active.count()
 
+  // monotonic auto-id offset: NOT decremented on delete (matches the
+  // reference's vector_count-based `vec_{start+i}` naming which also never
+  // decrements, pythonvectordb.py:287-289) — avoids collisions with live or
+  // tombstoned ids after deletes.
+  private var nextAutoId: Long = 0L
+
   /** Bulk insert with the reference's five validations
     * (pythonvectordb.py:279-303). `rows` needs columns
     * (id: string | null, embedding: array<float>, meta: map<string,string>);
-    * null ids are auto-generated as `vec_{offset+row_number}`. */
+    * null ids are auto-generated as `vec_{offset+row_number}`.
+    * Re-adding a previously deleted id is allowed (the reference's delete
+    * fully removes the id, pythonvectordb.py:449-455): the tombstone is
+    * retired and the old row is physically dropped first. */
   def addVectors(rows: DataFrame): Unit = {
     val cols = rows.columns.toSet
     require(cols.contains("embedding"), "embedding column required")
@@ -59,30 +68,50 @@ final class VectorStore private (
         rows.withColumn("id",
           concat(lit("vec_"),
             (row_number().over(org.apache.spark.sql.expressions.Window
-              .orderBy(monotonically_increasing_id())) - 1 + count).cast("string")))
+              .orderBy(monotonically_increasing_id())) - 1 + nextAutoId).cast("string")))
       else rows
-    val withMeta =
+    val withMeta0 =
       if (!cols.contains("meta"))
         withId.withColumn("meta",
           map().cast(MapType(StringType, StringType)))
       else withId
+    // materialize once: the validation aggregate, the dup join, and the
+    // final insert all reuse these blocks instead of recomputing the input
+    // plan (and its auto-id window) per validation.
+    val withMeta = withMeta0.localCheckpoint(true)
 
-    // dim check (pythonvectordb.py:279-282)
-    val badDim = withMeta.filter(size(col("embedding")) =!= dim).count()
-    if (badDim > 0)
-      throw new IllegalArgumentException(s"dimension mismatch: $badDim rows != dim $dim")
-    // finiteness (pythonvectordb.py:284-285)
-    val nonFinite = withMeta.filter(VectorOps.hasNonFinite(col("embedding"))).count()
-    if (nonFinite > 0)
-      throw new IllegalArgumentException(s"non-finite values in $nonFinite rows")
-    // in-batch id uniqueness (pythonvectordb.py:296-297)
-    val dupInBatch = withMeta.groupBy(col("id")).count().filter(col("count") > 1).count()
-    if (dupInBatch > 0)
-      throw new IllegalArgumentException(s"$dupInBatch duplicate ids in batch")
-    // disjoint from existing (pythonvectordb.py:300-303)
+    // one aggregate job for the three row-local validations
+    // (pythonvectordb.py:279-297)
+    val v = withMeta.agg(
+      org.apache.spark.sql.functions.count(lit(1)).as("n"),
+      sum(when(size(col("embedding")) =!= dim, 1).otherwise(0)).as("bad_dim"),
+      sum(when(VectorOps.hasNonFinite(col("embedding")), 1).otherwise(0)).as("nonfinite"),
+      (org.apache.spark.sql.functions.count(lit(1)) - countDistinct(col("id"))).as("dups")).collect().head
+    if (v.getAs[Long]("bad_dim") > 0)
+      throw new IllegalArgumentException(
+        s"dimension mismatch: ${v.getAs[Long]("bad_dim")} rows != dim $dim")
+    if (v.getAs[Long]("nonfinite") > 0)
+      throw new IllegalArgumentException(
+        s"non-finite values in ${v.getAs[Long]("nonfinite")} rows")
+    if (v.getAs[Long]("dups") > 0)
+      throw new IllegalArgumentException(
+        s"${v.getAs[Long]("dups")} duplicate ids in batch")
+    // disjoint from existing LIVE rows (pythonvectordb.py:300-303)
     val dupExisting = withMeta.join(active.select("id"), Seq("id"), "left_semi").count()
     if (dupExisting > 0)
       throw new IllegalArgumentException(s"$dupExisting ids already exist")
+
+    // retire tombstones being re-added: drop the dead base rows and their
+    // tombstone entries so the new rows are visible
+    if (deletedCount > 0) {
+      val resurrected = tombstones.join(withMeta.select("id"), Seq("id"), "left_semi")
+      val nRes = resurrected.count()
+      if (nRes > 0) {
+        base = base.join(broadcast(resurrected), Seq("id"), "left_anti")
+        tombstones = tombstones.join(broadcast(resurrected), Seq("id"), "left_anti")
+        deletedCount -= nRes
+      }
+    }
 
     val prepared = withMeta.select(
       col("id").cast(StringType).as("id"),
@@ -90,6 +119,7 @@ final class VectorStore private (
       VectorOps.quantizeInt8(col("embedding")).as("qvec"),
       col("meta").cast(MapType(StringType, StringType)).as("meta"))
     base = base.unionByName(prepared)
+    nextAutoId += v.getAs[Long]("n")
   }
 
   // rolling search-latency telemetry, SEARCH_HISTORY_SIZE=100
@@ -183,13 +213,17 @@ final class VectorStore private (
   override def toString: String =
     s"VectorStore(dim=$dim, count=$count, deleted_pending=$deletedCount)" // pythonvectordb.py:652-659
 
-  /** Persist (pythonvectordb.py:557-582): compacts first, parquet + sidecar. */
+  /** Persist (pythonvectordb.py:557-582): compacts first, parquet + sidecar.
+    * The sidecar goes through the Hadoop FileSystem API so hdfs://, s3a://
+    * and file:// paths all work (same FS as the parquet data). */
   def save(path: String): Unit = {
     if (deletedCount > 0) compact() // pythonvectordb.py:568-569
     base.write.mode(SaveMode.Overwrite).parquet(s"$path/data")
     val meta = s"""{"version":1,"dimension":$dim}"""
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(
-      { java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path)); s"$path/store.json" }), meta)
+    val p = new org.apache.hadoop.fs.Path(path, "store.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(meta.getBytes("UTF-8")) finally out.close()
   }
 }
 
@@ -218,9 +252,15 @@ object VectorStore {
 
   /** T10: load with invariant assertions (pythonvectordb.py:599-630). */
   def load(spark: SparkSession, path: String): VectorStore = {
-    val metaPath = java.nio.file.Paths.get(s"$path/store.json")
-    require(java.nio.file.Files.exists(metaPath), s"missing $path/store.json")
-    val metaJson = java.nio.file.Files.readString(metaPath)
+    val p = new org.apache.hadoop.fs.Path(path, "store.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      throw new IllegalArgumentException(s"missing $path/store.json")
+    val metaJson = {
+      val in = fs.open(p)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    }
     val dim = """"dimension":(\d+)""".r.findFirstMatchIn(metaJson)
       .map(_.group(1).toInt)
       .getOrElse(throw new IllegalArgumentException("no dimension in sidecar"))
@@ -230,6 +270,8 @@ object VectorStore {
       s"schema mismatch: ${df.schema.fieldNames.mkString(",")}")
     val badDim = df.filter(size(col("embedding")) =!= dim).count()
     require(badDim == 0, s"$badDim rows violate dimension $dim")
-    new VectorStore(spark, dim, df, emptyTombstones(spark), 0L)
+    val st = new VectorStore(spark, dim, df, emptyTombstones(spark), 0L)
+    st.nextAutoId = st.count // reference rebuilds vector_count on load
+    st
   }
 }

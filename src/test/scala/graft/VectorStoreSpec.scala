@@ -142,4 +142,39 @@ class VectorStoreSpec extends SparkSpec {
     assert(out(0) == Seq(0.6, 0.8))
     assert(out(1) == Seq(0.0, 0.0))
   }
+
+  test("re-adding a deleted id resurrects it (new row visible, old row gone)") {
+    val st = freshStore()
+    st.delete(Seq("a"))
+    assert(st.getVector("a").isEmpty)
+    st.addVectors(mkRows(Seq(("a", Seq(0f, 0f, 1f, 0f), Map("g" -> "z")))))
+    assert(st.count == 4)
+    val v = st.getVector("a").get
+    assert(math.abs(v(2) - 1.0) <= 1.0 / 127 + 1e-9) // the NEW vector, not the old
+    val res = st.search(Array(0f, 0f, 1f, 0f), k = 1).collect().head
+    assert(res.getAs[String]("id") == "a")
+    st.compact()
+    assert(st.getVector("a").isDefined) // survives compaction
+  }
+
+  test("auto-generated ids stay monotonic across deletes (no collisions)") {
+    val st = VectorStore.create(spark, 2)
+    import org.apache.spark.sql.functions.col
+    val noId = Seq(Seq(1f, 0f), Seq(0f, 1f), Seq(1f, 1f))
+      .toDF("embedding")
+    st.addVectors(noId)
+    assert(st.count == 3)
+    st.delete(Seq("vec_0"))
+    // next autogen must not collide with live vec_1/vec_2 or dead vec_0
+    st.addVectors(Seq(Seq(0.5f, 0.5f)).toDF("embedding"))
+    assert(st.count == 3)
+    assert(st.getVector("vec_3").isDefined)
+  }
+
+  test("kernel dimension mismatch raises instead of silently truncating") {
+    intercept[IllegalArgumentException](
+      graft.functions.VectorKernels.cosineFloat(Array(1f, 2f), Array(1f, 2f, 3f)))
+    intercept[IllegalArgumentException](
+      graft.functions.VectorKernels.cosineInt8(Array[Byte](1, 2), Array[Byte](1)))
+  }
 }
