@@ -54,9 +54,8 @@ object MLQueries {
         // is 31 words, so unigram sets collide across most pairs (an
         // all-pairs blowup); trigram space is ~vocab^3 and behaves like a
         // real corpus.
-        val docs = Tables.documents(s, d)
-          .select(col("doc_id"), TextQueries.shingleArray(col("text")).as("toks"))
-          .filter(size(col("toks")) > 0)
+        val docs = TextQueries.tokenized(s, d)
+          .select(col("doc_id"), TextQueries.shingleArray(col("t")).as("toks"))
         val cv = new CountVectorizer().setInputCol("toks").setOutputCol("tf")
           .setBinary(true)
         val tf = cv.fit(docs).transform(docs).select(col("doc_id"), col("tf"))

@@ -30,24 +30,29 @@ object TextQueries {
     * window shuffle): at 100 TB this is a pure map stage; the only shuffle
     * in the dedup pipeline is the downstream join on the shingle/band key. */
   private def shingles(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), shingleArray(col("text")).as("shs"))
-      .filter(size(col("shs")) > 0)
-      .select(col("doc_id"), explode(col("shs")).as("sh"))
+    tokenized(s, d)
+      .select(col("doc_id"), explode(shingleArray(col("t"))).as("sh"))
 
-  /** Distinct word-trigram shingle array of a text column (empty array for
-    * texts under 3 tokens) — shared by the hand-rolled MinHash pipeline and
+  /** (doc_id, t: array<string>) with the token array aliased ONCE — the
+    * alias has multiple non-cheap downstream references, so CollapseProject
+    * keeps it un-inlined and `split` runs once per row (inlining the split
+    * into shingleArray would execute it 5x per row). Rows under 3 tokens
+    * are filtered here (a when-guard inside shingleArray would likewise be
+    * duplicated into filter + generator). */
+  def tokenized(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+
+  /** Distinct word-trigram shingle array over a token-array column (assumes
+    * >= 3 tokens upstream). Shared by the hand-rolled MinHash pipeline and
     * the MLlib LSH twin (MLQueries). */
-  def shingleArray(text: Column): Column = {
-    val t = split(text, " ")
-    when(size(t) >= 3,
-      array_distinct(transform(sequence(lit(0), size(t) - 3),
-        i => concat_ws(" ",
-          element_at(t, i + 1),
-          element_at(t, i + 2),
-          element_at(t, i + 3)))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def shingleArray(t: Column): Column =
+    array_distinct(transform(sequence(lit(0), size(t) - 3),
+      i => concat_ws(" ",
+        element_at(t, i + 1),
+        element_at(t, i + 2),
+        element_at(t, i + 3))))
 
   /** Oracle twin of `shingles`. */
   private val shinglesCte: String =
@@ -113,9 +118,12 @@ object TextQueries {
         // h_j = (h1*(2j+1) + h2*(13+j)) mod p  — 8x fewer digest computations
         // than seeded-md5-per-permutation, same LSH guarantees.
         val sh = shingles(s, d)
+          .select(col("doc_id"), md5(col("sh")).as("h"))
+          // md5 aliased once: CollapseProject keeps non-cheap exprs with
+          // multiple downstream references un-inlined => one digest per row
           .select(col("doc_id"),
-            conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long").as("h1"),
-            conv(substring(md5(col("sh")), 9, 8), 16, 10).cast("long").as("h2"))
+            conv(substring(col("h"), 1, 8), 16, 10).cast("long").as("h1"),
+            conv(substring(col("h"), 9, 8), 16, 10).cast("long").as("h2"))
         val minCols = (0 until 8).map(j =>
           min((col("h1") * (2 * j + 1) + col("h2") * (13 + j)) % 2147483647L).as(s"m$j"))
         val sig = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
