@@ -78,16 +78,26 @@ object RefBench {
       queries.foreach(q => index.search(Array(q), k))
       val idxSeqSec = (System.nanoTime() - t2) / 1e9
 
+      // driver-local replica: the in-process serving tier (the reference's
+      // own operating mode) — 100 sequential searches, no job scheduling
+      val local = index.toLocal
+      local.search(queries.head._2, k) // warm
+      val t3 = System.nanoTime()
+      queries.foreach(q => local.search(q._2, k))
+      val localSeqSec = (System.nanoTime() - t3) / 1e9
+      // B3 memory accounting (benchmark_suite.py:141-160)
+      val bytesPerVec = index.estimatedBytes.toDouble / n
+
       // batched: all 100 queries in ONE job over the packed index
       val t1 = System.nanoTime()
       index.search(queries, k)
       val batchSec = (System.nanoTime() - t1) / 1e9
       corpus.unpersist()
       index.unpersist()
-      (n, seqSec, idxSeqSec, batchSec)
+      (n, seqSec, idxSeqSec, batchSec, localSeqSec, bytesPerVec)
     }
-    val json = results.map { case (n, s, is, b) =>
-      f"""{"corpus":$n,"df_seq_qps":${100.0 / s}%.1f,"idx_seq_qps":${100.0 / is}%.1f,"idx_seq_ms":${is * 10}%.2f,"batch_qps":${100.0 / b}%.1f,"batch_ms":${b * 10}%.2f}"""
+    val json = results.map { case (n, s, is, b, ls, bpv) =>
+      f"""{"corpus":$n,"df_seq_qps":${100.0 / s}%.1f,"idx_seq_qps":${100.0 / is}%.1f,"local_seq_qps":${100.0 / ls}%.1f,"local_seq_ms":${ls * 10}%.2f,"batch_qps":${100.0 / b}%.1f,"batch_ms":${b * 10}%.2f,"bytes_per_vec":$bpv%.0f}"""
     }.mkString("[", ",", "]")
     println(s"""{"metric":"ref_search_protocol","dim":$dim,"k":$k,"queries":100,"baseline_qps_50k":1100,"results":$json}""")
 

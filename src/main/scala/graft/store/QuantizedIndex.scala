@@ -73,6 +73,72 @@ final class QuantizedIndex private (
 
   def persist(): this.type = { blocks.persist(StorageLevel.MEMORY_ONLY); this }
   def unpersist(): this.type = { blocks.unpersist(); this }
+
+  /** Estimated resident bytes: ids (8B) + int8 payload (dim B) per vector —
+    * the same `count x dim` payload accounting the reference reports
+    * (pythonvectordb.py:520). */
+  def estimatedBytes: Long = blocks.map(b => b.n.toLong * (8L + dim)).sum().toLong
+
+  /** Driver-local replica for the low-latency serving tier: collects the
+    * packed blocks once (count x (dim+8) bytes) and serves searches fully
+    * in-process with a thread-parallel scan — the faithful analog of the
+    * reference's single-node prange kernel (pythonvectordb.py:25-67). Use
+    * for corpora that fit one node; the distributed path handles the rest. */
+  def toLocal: LocalIndex = new LocalIndex(blocks.collect(), dim)
+}
+
+/** In-process (driver-side) index: same data layout and bitwise-identical
+  * scores as the distributed path, no job scheduling per query. */
+final class LocalIndex(blocks: Array[VectorBlock], val dim: Int) {
+
+  private val rowNorms: Array[Array[Long]] = blocks.map { blk =>
+    val norms = new Array[Long](blk.n)
+    var r = 0
+    while (r < blk.n) {
+      var s = 0L; var j = r * blk.dim; val end = j + blk.dim
+      while (j < end) { val x = blk.data(j).toLong; s += x * x; j += 1 }
+      norms(r) = s; r += 1
+    }
+    norms
+  }
+
+  def count: Long = blocks.map(_.n.toLong).sum
+
+  /** Thread-parallel scan (one task per block), deterministic merge. */
+  def search(q: Array[Byte], k: Int): Seq[(Long, Double)] = {
+    require(q.length == dim, s"query dimension ${q.length} != $dim")
+    val nq = VectorKernels.normSqInt8(q)
+    val futures = blocks.indices.map { bi =>
+      java.util.concurrent.CompletableFuture.supplyAsync { () =>
+        val blk = blocks(bi)
+        val buf = new TopKBuffer(k)
+        val data = blk.data
+        val d = blk.dim
+        val d4 = d - (d % 4)
+        var row = 0
+        while (row < blk.n) {
+          // int accumulation (dim*127^2 < 2^31) with 4x unroll — measurably
+          // faster than the scalar long loop on the JVM
+          var dot = 0
+          val base = row * d
+          var i = 0
+          while (i < d4) {
+            val j = base + i
+            dot += data(j) * q(i) + data(j + 1) * q(i + 1) +
+              data(j + 2) * q(i + 2) + data(j + 3) * q(i + 3)
+            i += 4
+          }
+          while (i < d) { dot += data(base + i) * q(i); i += 1 }
+          buf.insert(VectorKernels.cosineFromParts(dot.toLong, rowNorms(bi)(row), nq), blk.ids(row))
+          row += 1
+        }
+        buf
+      }
+    }
+    val merged = new TopKBuffer(k)
+    futures.foreach(f => merged.mergeFrom(f.join()))
+    (0 until merged.size).map(j => (merged.ids(j), merged.scores(j)))
+  }
 }
 
 object QuantizedIndex {

@@ -60,4 +60,19 @@ class BatchKnnSpec extends SparkSpec {
       .select(col("s.vec_id")).collect().map(_.getLong(0)).toSeq
     assert(top == Seq(4L, 1L, 2L))
   }
+
+  test("LocalIndex replica == distributed index search, bitwise") {
+    val emb = Tables.embeddings(spark, sf001)
+    val index = QuantizedIndex.build(emb, dim = 64, numBlocks = 4).persist()
+    val local = index.toLocal
+    assert(local.count == 500)
+    val queryVecs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), VectorKernels.quantize(r.getSeq[Float](1).toArray)))
+    val dist = index.search(queryVecs, k = 10)
+    queryVecs.foreach { case (qid, q) =>
+      assert(local.search(q, 10) == dist(qid), s"qid $qid")
+    }
+    index.unpersist()
+  }
 }
