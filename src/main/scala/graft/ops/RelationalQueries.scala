@@ -149,6 +149,86 @@ object RelationalQueries {
          |WHERE o_custkey < 150
          |ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
+    // Spark-native session windows (session_window merges events with
+    // gap < 30 min). Oracle: the first-principles lag formulation — a new
+    // session starts when the gap is >= the window (session_window's end
+    // is exclusive). Cross-validates the built-in against first principles.
+    Q("q_session_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n")).cast("long").as("n_events"))
+        .orderBy(col("user_id")),
+      Some("""WITH e AS (
+         |  SELECT user_id, ts,
+         |    lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+         |  FROM events),
+         |m AS (
+         |  SELECT user_id,
+         |    CASE WHEN pts IS NULL OR date_diff('microsecond', pts, ts) >= 1800000000 THEN 1 ELSE 0 END AS new_s
+         |  FROM e)
+         |SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
+         |  CAST(count(*) AS BIGINT) AS n_events
+         |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Exact interpolated percentiles (both engines: pos = p*(n-1),
+    // v = lower + frac*(higher-lower) over the sorted values).
+    Q("q_percentiles",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(percentile(col("l_extendedprice"),
+          array(lit(0.25), lit(0.5), lit(0.75), lit(0.95))).as("ps"))
+        .select(col("l_returnflag"), posexplode(col("ps")).as(Seq("i", "p_value")))
+        .select(col("l_returnflag"), col("i").cast("long").as("i"), col("p_value"))
+        .orderBy(col("l_returnflag"), col("i")),
+      Some("""WITH q AS (
+         |  SELECT l_returnflag,
+         |    quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.95]) AS ps
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag,
+         |  CAST(generate_subscripts(ps, 1) - 1 AS BIGINT) AS i,
+         |  unnest(ps) AS p_value
+         |FROM q ORDER BY l_returnflag, i""".stripMargin)),
+
+    // Moment statistics from exact integer sums: prices are quantized to
+    // cents (floor(x*100), identical doubles => identical longs on both
+    // engines), then n / sum / sum-of-squares are exact integers — the
+    // derived mean/variance/stddev are bitwise-reproducible regardless of
+    // partitioning. (A DECIMAL cast of x*x would hit half-up vs half-even
+    // ties: every double is dyadic, and ~2 per 60k rows land exactly on a
+    // scale-6 rounding boundary.)
+    Q("q_price_stats",
+      (s, d) => {
+        val xc = floor(col("l_extendedprice") * lit(100.0)) // cents, exact long
+        Tables.lineitem(s, d)
+          .select(col("l_returnflag"), xc.as("xc"))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("xc").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+              .cast("double").as("s1"),
+            sum((col("xc") * col("xc")).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+              .cast("double").as("s2"))
+          .select(col("l_returnflag"), col("n"),
+            (col("s1") / col("n") / lit(100.0)).as("mean"),
+            ((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1) / lit(10000.0)).as("variance"),
+            sqrt(((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1) / lit(10000.0))).as("stddev"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH c AS (
+         |  SELECT l_returnflag, CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS xc
+         |  FROM lineitem),
+         |m AS (
+         |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CAST(xc AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+         |    CAST(sum(CAST(xc*xc AS DECIMAL(38,0))) AS DOUBLE) AS s2
+         |  FROM c GROUP BY l_returnflag)
+         |SELECT l_returnflag, n, s1/n/100.0 AS mean,
+         |  (s2 - s1*s1/n)/(n - 1)/10000.0 AS variance,
+         |  sqrt((s2 - s1*s1/n)/(n - 1)/10000.0) AS stddev
+         |FROM m ORDER BY l_returnflag""".stripMargin)),
+
     // Skew-mitigated join: the salting pattern, verified oracle-exact.
     // The big (probe) side adds a deterministic salt; the small (build)
     // side is replicated across all salt values; the join key becomes
