@@ -149,6 +149,24 @@ object RelationalQueries {
          |WHERE o_custkey < 150
          |ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
+    // Pivot: return-flag x line-status revenue matrix (explicit pivot
+    // values keep the output schema deterministic; the oracle is the
+    // portable FILTER-based formulation).
+    Q("q_pivot",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(H.dsum(col("l_extendedprice")))
+        .withColumnRenamed("F", "rev_f")
+        .withColumnRenamed("O", "rev_o")
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) FILTER (l_linestatus = 'F') AS DOUBLE) AS rev_f,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) FILTER (l_linestatus = 'O') AS DOUBLE) AS rev_o
+         |FROM lineitem
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin)),
+
     // Spark-native session windows (session_window merges events with
     // gap < 30 min). Oracle: the first-principles lag formulation — a new
     // session starts when the gap is >= the window (session_window's end

@@ -156,6 +156,20 @@ final class VectorStore private (
     * the plan can feed the true end-to-end latency). */
   def recordSearchMillis(ms: Double): Unit = recordLatency(ms)
 
+  /** Build the packed serving index from the current active rows — the
+    * bridge from the mutable facade to the batch/low-latency search tier
+    * (QuantizedIndex / LocalIndex). String ids are dense-ranked to longs;
+    * the mapping is returned alongside. */
+  def buildIndex(numBlocks: Int): (QuantizedIndex, DataFrame) = {
+    val withIdx = active.select(col("id"), col("embedding"))
+      .withColumn("vec_id",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("id"))).cast("long") - 1)
+    val mapping = withIdx.select(col("vec_id"), col("id"))
+    (QuantizedIndex.build(withIdx.select(col("vec_id"), col("embedding")), dim, numBlocks),
+      mapping)
+  }
+
   /** Point lookup, dequantized (pythonvectordb.py:404-423). */
   def getVector(id: String): Option[Array[Double]] =
     active.filter(col("id") === id).select(col("qvec"))

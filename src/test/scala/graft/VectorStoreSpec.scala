@@ -177,4 +177,16 @@ class VectorStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       graft.functions.VectorKernels.cosineInt8(Array[Byte](1, 2), Array[Byte](1)))
   }
+
+  test("buildIndex bridges the store to the serving tier with id mapping") {
+    val st = freshStore()
+    val (idx, mapping) = st.buildIndex(numBlocks = 2)
+    val local = idx.toLocal
+    assert(local.count == 4)
+    val q = graft.functions.VectorKernels.quantize(Array(1f, 0f, 0f, 0f))
+    val top = local.search(q, 1).head
+    val ids = mapping.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ids(top._1) == "a")
+    assert(top._2 == 1.0)
+  }
 }
