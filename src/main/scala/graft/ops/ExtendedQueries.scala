@@ -99,6 +99,49 @@ object ExtendedQueries {
          |  CAST(epoch_us(last_click_ts) AS BIGINT) AS click_ts_us
          |FROM m WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin)),
 
+    // Interval (range) join, the scalable formulation: a naive range join
+    // is an n^2 blowup at 100 TB; instead both sides are bucketed into
+    // 30-minute epochs, purchases probe buckets {b-1, b} via an EQUI-join
+    // on (user, bucket), and the exact range predicate filters after.
+    // The oracle states the naive range join — proving result identity.
+    Q("q_interval_join",
+      (s, d) => {
+        val BUCKET = 1800000000L // 30 min in micros
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("us").as("c_us"),
+            (col("us") / BUCKET).cast("long").as("cb"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("us").as("p_us"),
+            (col("us") / BUCKET).cast("long").as("pb"))
+        val probes = purchases
+          .withColumn("cb", explode(array(col("pb") - 1, col("pb"))))
+        probes.join(clicks, Seq("user_id", "cb"), "left")
+          .withColumn("hit",
+            when(col("c_us").isNotNull &&
+              col("c_us") >= col("p_us") - BUCKET && col("c_us") < col("p_us"), 1)
+              .otherwise(0))
+          .groupBy(col("event_id"), col("user_id"))
+          .agg(sum(col("hit")).cast("long").as("n_recent_clicks"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH p AS (
+         |  SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS p_us
+         |  FROM events WHERE event_type = 'purchase'),
+         |c AS (
+         |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS c_us
+         |  FROM events WHERE event_type = 'click')
+         |SELECT p.event_id, p.user_id,
+         |  CAST(count(c.c_us) AS BIGINT) AS n_recent_clicks
+         |FROM p LEFT JOIN c
+         |  ON c.user_id = p.user_id
+         |  AND c.c_us >= p.p_us - 1800000000
+         |  AND c.c_us < p.p_us
+         |GROUP BY p.event_id, p.user_id
+         |ORDER BY p.event_id""".stripMargin)),
+
     // Sketch aggregation: HLL approx distinct counts (no oracle — sketch
     // values are engine-specific; accuracy asserted vs exact in ScalaTest).
     Q("q_approx_distinct",
