@@ -73,7 +73,34 @@ object MLQueries {
       },
       None),
 
-    Q("q_ann_recall",
+    annRecallQuery("q_ann_recall", multiProbe = false),
+
+    // Multi-probe LSH: probe the query's bucket AND its four 1-bit
+    // neighbors — the standard recall/cost knob (recall rises, candidates
+    // stay ~5/16 of the corpus instead of all of it).
+    annRecallQuery("q_ann_recall_multiprobe", multiProbe = true)
+  )
+
+  /** recall@3 of sign-bucket LSH (optionally multi-probe, hamming<=1
+    * buckets) vs the exact brute-force top-3 — deterministic, oracled. */
+  private def annRecallQuery(name: String, multiProbe: Boolean): Q = {
+
+    // flip bit i (1-based char position) of a 4-char '0'/'1' bucket string
+    def flip(b: org.apache.spark.sql.Column, i: Int) = concat(
+      substring(b, 1, i - 1),
+      when(substring(b, i, 1) === "1", lit("0")).otherwise(lit("1")),
+      substring(b, i + 1, 4 - i))
+    def flipSql(b: String, i: Int) =
+      s"substr($b, 1, ${i - 1}) || (CASE WHEN substr($b, $i, 1) = '1' THEN '0' ELSE '1' END) || substr($b, ${i + 1}, ${4 - i})"
+
+    def matchCond(qb: org.apache.spark.sql.Column, vb: org.apache.spark.sql.Column) =
+      if (!multiProbe) vb === qb
+      else (1 to 4).foldLeft(vb === qb)((acc, i) => acc || vb === flip(qb, i))
+    def matchSql(qb: String, vb: String) =
+      if (!multiProbe) s"$vb = $qb"
+      else ((s"$vb = $qb") +: (1 to 4).map(i => s"$vb = ${flipSql(qb, i)}")).mkString("(", " OR ", ")")
+
+    Q(name,
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         val queries = emb.filter(col("vec_id") < 10)
@@ -88,9 +115,8 @@ object MLQueries {
         val exact = scored
           .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
           .select(col("qid"), col("vec_id"))
-        val wb = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
-        val approx = scored.filter(col("qb") === col("vb"))
-          .withColumn("rn", row_number().over(wb)).filter(col("rn") <= 3)
+        val approx = scored.filter(matchCond(col("qb"), col("vb")))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
           .select(col("qid"), col("vec_id"))
         exact.join(approx, Seq("qid", "vec_id"), "left_semi")
           .agg((count(lit(1)).cast("double") /
@@ -113,10 +139,10 @@ object MLQueries {
            |approx AS (
            |  SELECT qid, vec_id FROM (
            |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
-           |    FROM sc WHERE qb = vb) t WHERE rn <= 3)
+           |    FROM sc WHERE ${matchSql("qb", "vb")}) t WHERE rn <= 3)
            |SELECT CAST(count(*) AS DOUBLE) / CAST(30 AS DOUBLE) AS recall_at_3
            |FROM exact WHERE EXISTS (
            |  SELECT 1 FROM approx a WHERE a.qid = exact.qid AND a.vec_id = exact.vec_id)""".stripMargin
       })
-  )
+  }
 }

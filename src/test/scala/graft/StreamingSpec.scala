@@ -28,4 +28,13 @@ class StreamingSpec extends SparkSpec {
     assert(top.getAs[String]("id") == "vec_0")
     assert(top.getAs[Double]("score") == 1.0)
   }
+
+  test("stream-stream interval join matches its batch twin") {
+    val streamed = graft.streaming.StreamJoin.runOnce(spark, sf001, "ssj_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.streaming.StreamJoin.batch(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
 }
