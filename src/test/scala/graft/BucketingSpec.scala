@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The 100 TB join-layout claim from SCALE.md, proven locally: bucketing
+  * both fact tables on the join key removes the shuffle entirely — the
+  * joined plan contains no ShuffleExchange. */
+class BucketingSpec extends SparkSpec {
+
+  test("bucketed fact-fact join plans without a shuffle exchange") {
+    val li = Tables.lineitem(spark, sf001)
+    val ord = Tables.orders(spark, sf001)
+    li.write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_bucketed")
+    ord.write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("ord_bucketed")
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(plan.contains("Bucketed: true"))
+      // no exchange on the JOIN keys (the agg's group-key exchange is fine)
+      assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+        !plan.contains("Exchange hashpartitioning(o_orderkey"),
+        s"unexpected join-key shuffle:\n$plan")
+
+      // same join over the raw (unbucketed) parquet DOES shuffle
+      val unbucketed = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      unbucketed.collect()
+      val uplan = unbucketed.queryExecution.executedPlan.toString
+      assert(uplan.contains("Exchange hashpartitioning(l_orderkey") ||
+        uplan.contains("Exchange hashpartitioning(o_orderkey"),
+        "control: unbucketed join should shuffle on the join key")
+
+      // results identical
+      val a = joined.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val b = unbucketed.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(a == b)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+}
