@@ -59,8 +59,10 @@ object MLQueries {
         val cv = new CountVectorizer().setInputCol("toks").setOutputCol("tf")
           .setBinary(true)
         val tf = cv.fit(docs).transform(docs).select(col("doc_id"), col("tf"))
-        // 2 OR'd tables: P(candidate) ~ 1-(1-J)^2 ~ 0.96 at J=0.8; halves
-        // the candidate volume vs 4 tables on this collision-heavy fixture
+        // 2 OR'd tables (MLlib MinHashLSH only OR-amplifies; it cannot do
+        // AND-banding, so its candidate volume on this collision-heavy
+        // fixture is inherently larger than the hand-rolled 4x2-band
+        // q_minhash_lsh — the cost difference is the point of comparison)
         val mh = new MinHashLSH().setInputCol("tf").setOutputCol("sig")
           .setNumHashTables(2).setSeed(42L)
         val model = mh.fit(tf)

@@ -3,6 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Tests for the extended operator set + SQL function registration. */
+case class Li(l_returnflag: String, l_quantity: Double)
+
 class ExtendedSpec extends SparkSpec {
 
   test("approx_count_distinct within 5% of exact") {
@@ -70,5 +72,22 @@ class ExtendedSpec extends SparkSpec {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
     }
+  }
+
+  test("typed Dataset API agrees with the untyped DataFrame path") {
+    import spark.implicits._
+    // Dataset[T] surface (SURVEY.md §1.3): case-class rows, groupByKey,
+    // typed mapGroups — same results as the declarative groupBy.
+    val ds = Tables.lineitem(spark, sf001)
+      .select(org.apache.spark.sql.functions.col("l_returnflag"),
+        org.apache.spark.sql.functions.col("l_quantity")).as[Li]
+    val typed = ds.groupByKey(_.l_returnflag)
+      .mapGroups((k, rows) => (k, rows.map(_.l_quantity).sum.round))
+      .collect().toMap
+    val untyped = Tables.lineitem(spark, sf001)
+      .groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.sum("l_quantity"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1).round).toMap
+    assert(typed == untyped)
   }
 }
