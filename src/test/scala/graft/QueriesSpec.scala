@@ -40,6 +40,12 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(qnames))
   }
 
+  test("registry names are unique (a duplicate would silently drop a query)") {
+    val names = SparkEntry.registry.map(_.name)
+    assert(names.distinct.size == names.size,
+      s"duplicates: ${names.diff(names.distinct).distinct}")
+  }
+
   test("jaccard scores are within (0, 1]") {
     val rows = SparkEntry.queries("q_ngram_jaccard")(spark, sf001).collect()
     assert(rows.forall { r =>
