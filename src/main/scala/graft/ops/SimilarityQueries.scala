@@ -81,11 +81,15 @@ object SimilarityQueries {
         }
         val wAssign = Window.partitionBy(col("vec_id"))
           .orderBy(col("cs").desc, col("cell").asc)
+        // materialize the assignment once (queries AND corpus both read it;
+        // in production this is the persisted index-build output — without
+        // it the lazy plan would run the assignment pass twice)
         val assigned = emb.crossJoin(broadcast(cent))
           .select(col("vec_id"), col("embedding"), col("cell"), cosQC.as("cs"))
           .withColumn("rn", row_number().over(wAssign))
           .filter(col("rn") === 1)
           .select(col("vec_id"), col("embedding"), col("cell"))
+          .localCheckpoint(true)
         // search: queries vec_id < 5 probe only their own cell
         val queries = assigned.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell"))
