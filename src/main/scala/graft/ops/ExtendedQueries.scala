@@ -99,6 +99,79 @@ object ExtendedQueries {
          |  CAST(epoch_us(last_click_ts) AS BIGINT) AS click_ts_us
          |FROM m WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin)),
 
+    // CUBE over (orderstatus, orderpriority): all 4 grouping-set levels.
+    Q("q_cube",
+      (s, d) => Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), H.dsum(col("o_totalprice")).as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+        .orderBy(col("status"), col("priority")),
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+         |  coalesce(o_orderpriority, 'ALL') AS priority,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+         |FROM orders
+         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         |ORDER BY status, priority""".stripMargin)),
+
+    // Time-series rollup: monthly order counts + revenue (date_trunc path).
+    Q("q_monthly_orders",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_orders"), H.dsum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("month")),
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         |  CAST(count(*) AS BIGINT) AS n_orders,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+         |FROM orders GROUP BY month ORDER BY month""".stripMargin)),
+
+    // arg-max aggregation: each nation's highest-balance customer
+    // (max_by / arg_max; c_acctbal is unique enough — tie-break free on
+    // this data, asserted by the deterministic compare).
+    Q("q_argmax",
+      (s, d) => Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(max_by(col("c_custkey"), struct(col("c_acctbal"), col("c_custkey"))).as("top_cust"),
+          max(col("c_acctbal")).as("top_bal"))
+        .orderBy(col("n_name")),
+      Some("""SELECT n_name, CAST(c_custkey AS BIGINT) AS top_cust, c_acctbal AS top_bal
+         |FROM (
+         |  SELECT n_name, c_custkey, c_acctbal,
+         |    row_number() OVER (PARTITION BY n_name
+         |      ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
+         |  FROM customer JOIN nation ON c_nationkey = n_nationkey) t
+         |WHERE rn = 1 ORDER BY n_name""".stripMargin)),
+
+    // Edit-distance verification of dedup candidates: exact Levenshtein
+    // over 64-char prefixes for the token-set duplicate groups (the
+    // "verify" stage after candidate generation; integer-exact both sides).
+    Q("q_levenshtein",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"),
+            md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))).as("fp"),
+            substring(col("text"), 1, 64).as("pre"))
+        docs.select(col("doc_id").as("doc_a"), col("fp"), col("pre").as("pre_a"))
+          .join(docs.select(col("doc_id").as("doc_b"), col("fp"), col("pre").as("pre_b")), "fp")
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            levenshtein(col("pre_a"), col("pre_b")).cast("long").as("edit_dist"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("""WITH f AS (
+         |  SELECT doc_id,
+         |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+         |    substr(text, 1, 64) AS pre
+         |  FROM documents)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(levenshtein(a.pre, b.pre) AS BIGINT) AS edit_dist
+         |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin)),
+
     // Interval (range) join, the scalable formulation: a naive range join
     // is an n^2 blowup at 100 TB; instead both sides are bucketed into
     // 30-minute epochs, purchases probe buckets {b-1, b} via an EQUI-join
