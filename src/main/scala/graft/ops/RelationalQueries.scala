@@ -149,6 +149,52 @@ object RelationalQueries {
          |WHERE o_custkey < 150
          |ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
+    // Quartile bucketing via ntile + per-bucket stats.
+    Q("q_ntile",
+      (s, d) => {
+        val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+        Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_acctbal"),
+            ntile(4).over(w).as("quartile"))
+          .groupBy(col("quartile"))
+          .agg(count(lit(1)).as("n"),
+            min(col("c_acctbal")).as("lo"), max(col("c_acctbal")).as("hi"))
+          .select(col("quartile").cast("long").as("quartile"),
+            col("n"), col("lo"), col("hi"))
+          .orderBy(col("quartile"))
+      },
+      Some("""SELECT CAST(quartile AS BIGINT) AS quartile,
+         |  CAST(count(*) AS BIGINT) AS n, min(c_acctbal) AS lo, max(c_acctbal) AS hi
+         |FROM (
+         |  SELECT c_custkey, c_acctbal,
+         |    ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+         |  FROM customer) t
+         |GROUP BY quartile ORDER BY quartile""".stripMargin)),
+
+    // Semi + anti join combo: customers active in 1995 but gone in 1996
+    // (churn), with their 1995 order count.
+    Q("q_churn",
+      (s, d) => {
+        val ord = Tables.orders(s, d)
+        val o95 = ord.filter(year(col("o_orderdate")) === 1995)
+        val o96 = ord.filter(year(col("o_orderdate")) === 1996)
+        Tables.customer(s, d)
+          .join(o95.select(col("o_custkey")), col("c_custkey") === col("o_custkey"), "left_semi")
+          .join(o96.select(col("o_custkey")), col("c_custkey") === col("o_custkey"), "left_anti")
+          .join(o95.groupBy(col("o_custkey")).agg(count(lit(1)).as("n_1995")),
+            col("c_custkey") === col("o_custkey"))
+          .select(col("c_custkey"), col("c_mktsegment"), col("n_1995"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""WITH o95 AS (SELECT o_custkey FROM orders WHERE date_part('year', o_orderdate) = 1995),
+         |o96 AS (SELECT o_custkey FROM orders WHERE date_part('year', o_orderdate) = 1996)
+         |SELECT c_custkey, c_mktsegment,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM o95 WHERE o_custkey = c_custkey) AS n_1995
+         |FROM customer
+         |WHERE EXISTS (SELECT 1 FROM o95 WHERE o_custkey = c_custkey)
+         |  AND NOT EXISTS (SELECT 1 FROM o96 WHERE o_custkey = c_custkey)
+         |ORDER BY c_custkey""".stripMargin)),
+
     // Pivot: return-flag x line-status revenue matrix (explicit pivot
     // values keep the output schema deterministic; the oracle is the
     // portable FILTER-based formulation).
