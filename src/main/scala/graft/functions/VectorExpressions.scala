@@ -99,6 +99,30 @@ case class CosineFloatExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** binary x array<float> -> double: cosine of a raw float query against a
+  * dequantized int8 stored vector — the reference's asymmetric search
+  * scoring (pythonvectordb.py:25-67; only the stored side is quantized). */
+case class CosineFloatInt8Expr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeCheck.both(VecTypeCheck.binary(left, prettyName),
+      VecTypeCheck.floatArray(right, prettyName))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cosine_float_int8"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.cosineFloatInt8(
+      b.asInstanceOf[ArrayData].toFloatArray(), a.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorKernels.cosineFloatInt8($b.toFloatArray(), $a)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineFloatInt8Expr =
+    copy(left = l, right = r)
+}
+
 /** binary -> array<double>: dequantize (q / 127.0). */
 case class DequantizeExpr(child: Expression)
     extends UnaryExpression {

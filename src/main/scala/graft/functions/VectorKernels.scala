@@ -119,6 +119,32 @@ object VectorKernels {
     else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Cosine of a raw FLOAT query against a DEQUANTIZED int8 stored vector —
+    * the reference's actual search scoring (pythonvectordb.py:25-67): the
+    * stored row is dequantized by 1/127 (:50, :57) and dotted with the raw
+    * query, so only the stored side carries quantization error. Query norm
+    * < 1e-10 -> 0.0 for every row (:46-48); stored norm < 1e-10 -> 0.0
+    * (:64-65). Double accumulation, left-to-right fold. */
+  def cosineFloatInt8(query: Array[Float], q: Array[Byte]): Double = {
+    require(query.length == q.length,
+      s"dimension mismatch: ${query.length} vs ${q.length}")
+    val n = query.length
+    var dot = 0.0
+    var nq = 0.0
+    var nv = 0.0
+    var i = 0
+    while (i < n) {
+      val x = query(i).toDouble
+      val y = q(i).toDouble / 127.0
+      dot += x * y
+      nq += x * x
+      nv += y * y
+      i += 1
+    }
+    if (math.sqrt(nq) < ZeroNormEps || math.sqrt(nv) < ZeroNormEps) 0.0
+    else dot / (math.sqrt(nq) * math.sqrt(nv))
+  }
+
   /** Dequantize an int8 vector back to doubles (q / 127.0), the `get_vector`
     * read path (pythonvectordb.py:404-423). */
   def dequantize(q: Array[Byte]): Array[Double] = {

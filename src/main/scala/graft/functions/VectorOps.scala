@@ -28,6 +28,12 @@ object VectorOps {
   /** array<float> x array<float> -> double cosine score. */
   def cosineFloat(a: Column, b: Column): Column = c(CosineFloatExpr(e(a), e(b)))
 
+  /** binary (stored qvec) x array<float> (raw query) -> double cosine of the
+    * float query vs the dequantized stored vector — the reference's search
+    * scoring (only the stored side quantized, pythonvectordb.py:25-67). */
+  def cosineFloatInt8(qvec: Column, query: Column): Column =
+    c(CosineFloatInt8Expr(e(qvec), e(query)))
+
   /** binary -> array<double> (q / 127.0). */
   def dequantize(q: Column): Column = c(DequantizeExpr(e(q)))
 

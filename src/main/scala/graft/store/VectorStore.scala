@@ -65,10 +65,13 @@ final class VectorStore private (
     require(cols.contains("embedding"), "embedding column required")
     val withId =
       if (!cols.contains("id"))
-        rows.withColumn("id",
-          concat(lit("vec_"),
-            (row_number().over(org.apache.spark.sql.expressions.Window
-              .orderBy(monotonically_increasing_id())) - 1 + nextAutoId).cast("string")))
+        // contiguous `vec_{offset+i}` ids without a global window funnel:
+        // zipWithIndex assigns per-partition offsets (one lightweight count
+        // job over all-but-last partitions), keeping the data distributed.
+        zipIndex(rows, "__row_idx")
+          .withColumn("id",
+            concat(lit("vec_"), (col("__row_idx") + nextAutoId).cast("string")))
+          .drop("__row_idx")
       else rows
     val withMeta0 =
       if (!cols.contains("meta"))
@@ -84,8 +87,12 @@ final class VectorStore private (
     // (pythonvectordb.py:279-297)
     val v = withMeta.agg(
       org.apache.spark.sql.functions.count(lit(1)).as("n"),
-      sum(when(size(col("embedding")) =!= dim, 1).otherwise(0)).as("bad_dim"),
-      sum(when(VectorOps.hasNonFinite(col("embedding")), 1).otherwise(0)).as("nonfinite"),
+      // null embeddings must count as invalid: size(null)/hasNonFinite(null)
+      // evaluate to null, and when(null).otherwise(0) would score them valid
+      sum(when(col("embedding").isNull ||
+        size(col("embedding")) =!= dim, 1).otherwise(0)).as("bad_dim"),
+      sum(when(coalesce(VectorOps.hasNonFinite(col("embedding")), lit(false)), 1)
+        .otherwise(0)).as("nonfinite"),
       (org.apache.spark.sql.functions.count(lit(1)) - countDistinct(col("id"))).as("dups")).collect().head
     if (v.getAs[Long]("bad_dim") > 0)
       throw new IllegalArgumentException(
@@ -126,25 +133,35 @@ final class VectorStore private (
   // (pythonvectordb.py:21, 234, 399-400)
   private val latencies = new java.util.ArrayDeque[Double](128)
 
-  /** k-NN search (pythonvectordb.py:327-402): int8-quantized cosine against
-    * the stored qvec column; optional Column predicate = the reference's
+  /** k-NN search (pythonvectordb.py:327-402): the RAW float query is scored
+    * against the DEQUANTIZED stored vectors — the reference's asymmetric
+    * scoring (pythonvectordb.py:25-67; only the stored side carries
+    * quantization error). Optional Column predicate = the reference's
     * `filter_fn`, expressed pushdown-friendly. Returns (id, score, meta)
-    * desc by score, id tiebreak. */
+    * desc by score, id tiebreak.
+    *
+    * Executes EAGERLY (the reference returns a materialized list and times
+    * the full scan+top-k, pythonvectordb.py:399-400): the k result rows are
+    * collected, the true wall time lands in the latency history, and the
+    * small local result is returned as a DataFrame. */
   def search(query: Array[Float], k: Int, filter: Option[Column] = None): DataFrame = {
     require(k > 0, s"k must be positive, got $k") // pythonvectordb.py:347-348
     require(query.length == dim,
       s"query dimension ${query.length} != $dim") // pythonvectordb.py:354-357
     require(!VectorKernels.hasNonFinite(query),
       "query contains non-finite values") // pythonvectordb.py:359-360
-    val q = VectorKernels.quantize(query)
     val corpus = filter.map(active.filter).getOrElse(active)
     val t0 = System.nanoTime()
-    val res = corpus
-      .select(col("id"), VectorOps.cosineInt8(col("qvec"), lit(q)).as("score"), col("meta"))
+    val plan = corpus
+      .select(col("id"),
+        VectorOps.cosineFloatInt8(col("qvec"), typedLit(query)).as("score"),
+        col("meta"))
       .orderBy(col("score").desc, col("id").asc)
       .limit(k)
-    recordLatency((System.nanoTime() - t0) / 1e6) // plan-build time; execution
-    res                                            // is lazy, like the ref's timing of its own work
+    val rows = plan.collect() // TakeOrderedAndProject: k rows reach the driver
+    recordLatency((System.nanoTime() - t0) / 1e6)
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), plan.schema)
   }
 
   private def recordLatency(ms: Double): Unit = synchronized {
@@ -152,19 +169,28 @@ final class VectorStore private (
     latencies.addLast(ms)
   }
 
-  /** Record an externally-observed search wall time (callers that execute
-    * the plan can feed the true end-to-end latency). */
+  /** Record an externally-observed search wall time (e.g. a caller timing a
+    * batched plan it executes itself). */
   def recordSearchMillis(ms: Double): Unit = recordLatency(ms)
+
+  /** Append a contiguous 0-based long index column without a global window:
+    * RDD zipWithIndex computes per-partition offsets (one small count job),
+    * so assignment stays distributed — no single-partition funnel. */
+  private def zipIndex(df: DataFrame, name: String): DataFrame = {
+    val out = StructType(df.schema.fields :+ StructField(name, LongType, nullable = false))
+    val rdd = df.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    spark.createDataFrame(rdd, out)
+  }
 
   /** Build the packed serving index from the current active rows — the
     * bridge from the mutable facade to the batch/low-latency search tier
     * (QuantizedIndex / LocalIndex). String ids are dense-ranked to longs;
     * the mapping is returned alongside. */
   def buildIndex(numBlocks: Int): (QuantizedIndex, DataFrame) = {
-    val withIdx = active.select(col("id"), col("embedding"))
-      .withColumn("vec_id",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("id"))).cast("long") - 1)
+    // dense 0..n-1 ids ordered by string id: distributed range-partitioned
+    // sort + per-partition zipWithIndex offsets — no global-window funnel
+    val withIdx = zipIndex(
+      active.select(col("id"), col("embedding")).sort(col("id")), "vec_id")
     val mapping = withIdx.select(col("vec_id"), col("id"))
     (QuantizedIndex.build(withIdx.select(col("vec_id"), col("embedding")), dim, numBlocks),
       mapping)
@@ -215,7 +241,14 @@ final class VectorStore private (
     if (lats.isEmpty) base
     else {
       val sorted = lats.sorted
-      def pct(p: Double) = sorted(math.min(sorted.length - 1, (p * sorted.length).toInt))
+      // np.percentile linear interpolation (pythonvectordb.py:546-549):
+      // pos = p*(n-1); lower + frac*(higher-lower)
+      def pct(p: Double) = {
+        val pos = p * (sorted.length - 1)
+        val lo = pos.toInt
+        if (lo + 1 >= sorted.length) sorted.last
+        else sorted(lo) + (pos - lo) * (sorted(lo + 1) - sorted(lo))
+      }
       base ++ Map[String, Any](
         "avg_search_ms" -> lats.sum / lats.length,
         "p50_search_ms" -> pct(0.50),

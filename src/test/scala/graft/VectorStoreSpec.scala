@@ -171,6 +171,38 @@ class VectorStoreSpec extends SparkSpec {
     assert(st.getVector("vec_3").isDefined)
   }
 
+  test("addVectors rejects null embeddings (not silently counted valid)") {
+    val st = freshStore()
+    val withNull = mkRows(Seq(("e", Seq(1f, 0f, 0f, 0f), Map.empty[String, String])))
+      .withColumn("embedding",
+        when(col("id") === "e", lit(null)).otherwise(col("embedding"))
+          .cast("array<float>"))
+    intercept[IllegalArgumentException](st.addVectors(withNull))
+    assert(st.count == 4)
+  }
+
+  test("search scores raw float query against dequantized store (asymmetric)") {
+    val st = freshStore()
+    // query with non-trivial direction: only the STORED side carries
+    // quantization error, so the score equals cosineFloatInt8 exactly
+    val q = Array(0.6f, 0.8f, 0f, 0f)
+    val res = st.search(q, k = 4).collect()
+    val qb = graft.functions.VectorKernels.quantize(Array(0.9f, 0.1f, 0f, 0f))
+    val expectC = graft.functions.VectorKernels.cosineFloatInt8(q, qb)
+    val cRow = res.find(_.getAs[String]("id") == "c").get
+    assert(cRow.getAs[Double]("score") == expectC)
+  }
+
+  test("stats percentiles use np.percentile linear interpolation") {
+    val st = freshStore()
+    // feed a known latency history: 1..4 ms
+    (1 to 4).foreach(i => st.recordSearchMillis(i.toDouble))
+    val m = st.stats
+    // np.percentile([1,2,3,4], 50) = 2.5 (interpolated, not nearest-rank 3)
+    assert(m("p50_search_ms") == 2.5)
+    assert(m("p95_search_ms") == 1.0 + 0.95 * 3.0)
+  }
+
   test("kernel dimension mismatch raises instead of silently truncating") {
     intercept[IllegalArgumentException](
       graft.functions.VectorKernels.cosineFloat(Array(1f, 2f), Array(1f, 2f, 3f)))
