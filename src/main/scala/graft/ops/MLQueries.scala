@@ -3,7 +3,7 @@ package graft.ops
 import graft.{OracleSql, Q, Tables}
 import graft.functions.VectorOps
 import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.feature.{CountVectorizer, MinHashLSH}
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -56,9 +56,18 @@ object MLQueries {
         // real corpus.
         val docs = TextQueries.tokenized(s, d)
           .select(col("doc_id"), TextQueries.shingleArray(col("t")).as("toks"))
-        val cv = new CountVectorizer().setInputCol("toks").setOutputCol("tf")
-          .setBinary(true)
-        val tf = cv.fit(docs).transform(docs).select(col("doc_id"), col("tf"))
+        // HashingTF, not CountVectorizer: no driver-side vocabulary fit (a
+        // collect of the whole shingle vocab — a non-starter at 100 TB) and
+        // no model broadcast; the fixed 2^18 feature space feeds MinHashLSH
+        // identically well for set signatures.
+        // Cache the TF vectors: approxSimilarityJoin(tf, tf) evaluates both
+        // sides of the self-join, and without a cache each side re-runs the
+        // tokenize -> shingle -> hash pipeline (an index-build artifact,
+        // persisted exactly like a real LSH index would be).
+        val tf = new HashingTF().setInputCol("toks").setOutputCol("tf")
+          .setBinary(true).setNumFeatures(1 << 18)
+          .transform(docs).select(col("doc_id"), col("tf"))
+          .persist()
         // 2 OR'd tables (MLlib MinHashLSH only OR-amplifies; it cannot do
         // AND-banding, so its candidate volume on this collision-heavy
         // fixture is inherently larger than the hand-rolled 4x2-band

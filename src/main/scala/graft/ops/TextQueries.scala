@@ -168,12 +168,18 @@ object TextQueries {
       headline = true),
 
     // Exact n-gram Jaccard >= 0.8 via shingle-equality join (no all-pairs).
+    // The join/aggregate key is a 60-bit md5-derived integer, not the
+    // shingle string: the shuffles carry 8-byte longs instead of ~25-byte
+    // strings. Both engines hash with the same md5 truncation, so results
+    // stay bit-identical even in the (astronomically unlikely) event of a
+    // 60-bit collision — the collision would be shared.
     Q("q_ngram_jaccard",
       (s, d) => {
-        val sh = shingles(s, d)
+        val sh = shingles(s, d).select(col("doc_id"),
+          conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("shh"))
         val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val inter = sh.select(col("doc_id").as("doc_a"), col("sh"))
-          .join(sh.select(col("doc_id").as("doc_b"), col("sh")), "sh")
+        val inter = sh.select(col("doc_id").as("doc_a"), col("shh"))
+          .join(sh.select(col("doc_id").as("doc_b"), col("shh")), "shh")
           .filter(col("doc_a") < col("doc_b"))
           .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
         inter
@@ -185,11 +191,12 @@ object TextQueries {
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some(s"""WITH $shinglesCte,
+         |shh AS (SELECT doc_id, ${OracleSql.hexToLong("md5(sh)", 1, 15)} AS shh FROM sh),
          |pairs AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
-         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  FROM shh a JOIN shh b ON a.shh = b.shh AND a.doc_id < b.doc_id
          |  GROUP BY a.doc_id, b.doc_id),
-         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shh GROUP BY doc_id),
          |j AS (
          |  SELECT doc_a, doc_b,
          |    CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) AS jaccard
@@ -199,26 +206,30 @@ object TextQueries {
          |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin)),
 
-    // SimHash: 32-bit fingerprint from per-token md5 bit votes.
+    // SimHash: 32-bit fingerprint from per-token md5 bit votes. Computed as
+    // a NARROW higher-order-function fold per doc (token md5s -> 32 bit
+    // votes -> fingerprint): zero shuffles before the final ORDER BY. (A
+    // previous version exploded tokens x 32 bits through two wide
+    // aggregations — a 32x shuffle blowup for the same result.)
     Q("q_simhash",
       (s, d) => {
-        val tokset = Tables.documents(s, d)
-          .select(col("doc_id"),
-            explode(array_distinct(split(col("text"), " "))).as("tok"))
-          .filter(col("tok") =!= "")
-        val h = tokset.select(col("doc_id"),
-          conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("hv"))
-        val bits = h
-          .select(col("doc_id"), col("hv"),
-            explode(sequence(lit(0), lit(31))).as("j"))
-          .select(col("doc_id"), col("j"),
-            when(expr("(hv div cast(pow(2, j) as bigint)) % 2") === 1, 1)
-              .otherwise(-1).as("w"))
-        bits.groupBy(col("doc_id"), col("j")).agg(sum(col("w")).as("v"))
-          .select(col("doc_id"),
-            (when(col("v") > 0, 1L).otherwise(0L) *
-              expr("cast(pow(2, j) as bigint)")).as("term"))
-          .groupBy(col("doc_id")).agg(sum(col("term")).cast("long").as("simhash"))
+        val toksArr = array_distinct(filter(split(col("text"), " "), t => t =!= ""))
+        val hvs = transform(toksArr,
+          t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+        // votes(j) = sum over tokens of (+1 if bit j of md5_32 set else -1);
+        // bit test via bitwiseAND == (hv div 2^j) % 2 for non-negative hv
+        val votes = aggregate(hvs,
+          array_repeat(lit(0L), 32),
+          (acc, hv) => zip_with(acc, sequence(lit(0), lit(31)),
+            (a, j) => a + when(
+              hv.bitwiseAND(pow(lit(2.0), j).cast("long")) =!= 0L, 1L)
+              .otherwise(-1L)))
+        val sim = aggregate(
+          zip_with(votes, sequence(lit(0), lit(31)),
+            (v, j) => when(v > 0, pow(lit(2.0), j).cast("long")).otherwise(0L)),
+          lit(0L), (acc, x) => acc + x)
+        Tables.documents(s, d)
+          .select(col("doc_id"), sim.as("simhash"))
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH tokset AS (
