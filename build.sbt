@@ -23,10 +23,32 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap: SPARK_DRIVER_MEM wins; otherwise size to the machine (1/8 of
+// physical, clamped to [4g, 16g]). Empirically the SWEET SPOT is moderate:
+// the round-1 bench at -Xmx8g ran the 50-query sweep in 161s flat, while
+// -Xmx48g runs showed erratic 10-40s per-query outliers (lazily-committed
+// G1 old gen + giant young collections). Small heaps also keep JVM startup
+// working on modest dev/CI hosts.
+val driverHeapGb: Int = sys.env.get("SPARK_DRIVER_MEM") match {
+  case Some(m) => m.toLowerCase.stripSuffix("g").toInt
+  case None =>
+    val physGb = try {
+      val kb = scala.io.Source.fromFile("/proc/meminfo").getLines()
+        .find(_.startsWith("MemTotal")).map(_.replaceAll("[^0-9]", "").toLong)
+        .getOrElse(32L * 1024 * 1024)
+      (kb / 1024 / 1024).toInt
+    } catch { case _: Throwable => 32 }
+    math.max(4, math.min(16, physGb / 8))
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // SIMD kernels (graft.functions.SimdKernels) use the JDK Vector API;
+  // on a real cluster add this to spark.executor.extraJavaOptions too
+  "--add-modules", "jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 128 GiB box: a roomy heap keeps the 50+-query bench sweep out of GC
-  // storms (at 8g, single queries showed erratic 10-20s GC-bound outliers)
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  s"-Xmx${driverHeapGb}g",
+  sys.env.get("GRAFT_GC_LOG").map(f => s"-Xlog:gc*:file=$f:time,uptime")
+    .getOrElse("-Dgraft.gclog=off"),
 )
+// (scalac resolves jdk.incubator.vector from the jrt image without flags;
+// only the runtime JVM needs --add-modules above)

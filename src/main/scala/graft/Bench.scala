@@ -27,10 +27,16 @@ object Bench {
     Tables.lineitem(spark, sfDir).count()
 
     // Reference search protocol at its published operating point (BASELINE.md:
-    // ~1,100 QPS at 50k vectors, dim 128, k=10, 100 queries): batched search
-    // on the packed int8 index; best of 5. Measured FIRST (clean JVM, no GC
-    // pressure from the query sweep).
-    val refQps = {
+    // ~1,100 QPS at 50k vectors, dim 128, k=10, 100 searches after warm-up).
+    // Two modes, both on the packed int8 index, measured FIRST (clean JVM):
+    //  - local: 100 SEQUENTIAL searches on the in-process serving replica
+    //    (LocalIndex, SIMD scan) — the faithful analog of the reference's
+    //    single-node query loop (benchmark_suite.py:105-121), and the number
+    //    comparable to its ~1,100 QPS;
+    //  - batch: all 100 queries in ONE Spark job over the distributed
+    //    blocks — the cluster serving path.
+    // Best of 5 each.
+    val (refQpsLocal, refQpsBatch) = {
       import spark.implicits._
       val dim = 128
       val rnd = new scala.util.Random(42)
@@ -41,27 +47,39 @@ object Bench {
       val qrnd = new scala.util.Random(7)
       val queries = (0 until 100).map(i => (i.toLong,
         graft.functions.VectorKernels.quantize(Array.fill(dim)(qrnd.nextGaussian().toFloat)))).toArray
+      val local = index.toLocal
+      (0 until 10).foreach(i => local.search(queries(i)._2, 10)) // warm-ups (benchmark_suite.py:109)
+      val bestLocal = (0 until 5).map { _ =>
+        val t = System.nanoTime()
+        queries.foreach(q => local.search(q._2, 10))
+        (System.nanoTime() - t) / 1e9
+      }.min
       index.search(queries, 10) // warm-up
-      val best = (0 until 5).map { _ =>
+      val bestBatch = (0 until 5).map { _ =>
         val t = System.nanoTime()
         index.search(queries, 10)
         (System.nanoTime() - t) / 1e9
       }.min
       index.unpersist()
-      100.0 / best
+      (100.0 / bestLocal, 100.0 / bestBatch)
     }
 
     val results = SparkEntry.registry.map { q =>
       val t0 = System.nanoTime()
       try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: $e") }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // hygiene between queries (untimed): drop any cached/checkpointed
+      // blocks a query pinned (MLlib fits, store localCheckpoints) so later
+      // queries aren't measured under earlier queries' heap pressure
+      spark.catalog.clearCache()
+      q.name -> sec
     }
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"ref_search_qps_50k":$refQps%.0f,"baseline_ref_qps_50k":1100,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"ref_search_qps_50k":$refQpsLocal%.0f,"ref_batch_qps_50k":$refQpsBatch%.0f,"baseline_ref_qps_50k":1100,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd text-fingerprint expressions (see TextKernels): stay inside
+  * WholeStageCodegen, replacing interpreted higher-order-function folds. */
+
+private[functions] object TextTypeCheck {
+  def stringArray(e: Expression, fn: String): TypeCheckResult = e.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$fn requires array<string>, got ${other.catalogString}")
+  }
+  def string(e: Expression, fn: String): TypeCheckResult = e.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$fn requires string, got ${other.catalogString}")
+  }
+}
+
+/** array<string> -> bigint: 32-bit SimHash of a token set (md5 bit votes). */
+case class SimHash32Expr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextTypeCheck.stringArray(child, prettyName)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash32"
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.simhash32(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.simhash32($c)")
+
+  override protected def withNewChildInternal(c: Expression): SimHash32Expr =
+    copy(child = c)
+}
+
+/** string -> bigint: first 60 bits of md5 (compact shuffle key). */
+case class Md5Prefix60Expr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextTypeCheck.string(child, prettyName)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "md5_prefix60"
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.md5Prefix60(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.md5Prefix60($c)")
+
+  override protected def withNewChildInternal(c: Expression): Md5Prefix60Expr =
+    copy(child = c)
+}

@@ -1,0 +1,21 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.bridge
+
+/** Column-level text-fingerprint API backed by codegen'd expressions
+  * (TextExpressions.scala). */
+object TextOps {
+
+  private def c(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    bridge.column(e)
+  private def e(col: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    bridge.expression(col)
+
+  /** array<string> -> bigint: 32-bit SimHash (md5 bit votes, one pass). */
+  def simhash32(toks: Column): Column = c(SimHash32Expr(e(toks)))
+
+  /** string -> bigint: first 60 bits of md5, ==
+    * conv(substring(md5(s),1,15),16,10) — a compact long shuffle key. */
+  def md5Prefix60(s: Column): Column = c(Md5Prefix60Expr(e(s)))
+}

@@ -76,11 +76,16 @@ object MLQueries {
           .setNumHashTables(2).setSeed(42L)
         val model = mh.fit(tf)
         // jaccard DISTANCE threshold 0.2 => shingle-set similarity >= 0.8
-        model.approxSimilarityJoin(tf, tf, 0.2, "dist")
+        val joined = model.approxSimilarityJoin(tf, tf, 0.2, "dist")
           .select(col("datasetA.doc_id").as("doc_a"),
             col("datasetB.doc_id").as("doc_b"), col("dist"))
           .filter(col("doc_a") < col("doc_b"))
           .orderBy(col("doc_a"), col("doc_b"))
+        // materialize, then release the TF cache — without this every bench
+        // rep leaks cached blocks for the session's lifetime
+        val out = joined.localCheckpoint(true)
+        tf.unpersist()
+        out
       },
       None),
 

@@ -176,7 +176,7 @@ object TextQueries {
     Q("q_ngram_jaccard",
       (s, d) => {
         val sh = shingles(s, d).select(col("doc_id"),
-          conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("shh"))
+          graft.functions.TextOps.md5Prefix60(col("sh")).as("shh"))
         val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         val inter = sh.select(col("doc_id").as("doc_a"), col("shh"))
           .join(sh.select(col("doc_id").as("doc_b"), col("shh")), "shh")
@@ -207,29 +207,20 @@ object TextQueries {
          |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // SimHash: 32-bit fingerprint from per-token md5 bit votes. Computed as
-    // a NARROW higher-order-function fold per doc (token md5s -> 32 bit
-    // votes -> fingerprint): zero shuffles before the final ORDER BY. (A
-    // previous version exploded tokens x 32 bits through two wide
-    // aggregations — a 32x shuffle blowup for the same result.)
+    // a NARROW codegen'd kernel per doc (SimHash32Expr: token md5s -> 32
+    // bit votes -> fingerprint in one pass): zero shuffles before the final
+    // ORDER BY and no per-token array allocations. (Earlier versions: an
+    // explode x 32-bit double aggregation — a 32x shuffle blowup — then an
+    // interpreted HOF fold that burned CPU on zip_with allocations.)
+    // Docs with no non-empty tokens are dropped, matching the oracle's
+    // tokset CTE (which loses them at the unnest).
     Q("q_simhash",
       (s, d) => {
         val toksArr = array_distinct(filter(split(col("text"), " "), t => t =!= ""))
-        val hvs = transform(toksArr,
-          t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
-        // votes(j) = sum over tokens of (+1 if bit j of md5_32 set else -1);
-        // bit test via bitwiseAND == (hv div 2^j) % 2 for non-negative hv
-        val votes = aggregate(hvs,
-          array_repeat(lit(0L), 32),
-          (acc, hv) => zip_with(acc, sequence(lit(0), lit(31)),
-            (a, j) => a + when(
-              hv.bitwiseAND(pow(lit(2.0), j).cast("long")) =!= 0L, 1L)
-              .otherwise(-1L)))
-        val sim = aggregate(
-          zip_with(votes, sequence(lit(0), lit(31)),
-            (v, j) => when(v > 0, pow(lit(2.0), j).cast("long")).otherwise(0L)),
-          lit(0L), (acc, x) => acc + x)
         Tables.documents(s, d)
-          .select(col("doc_id"), sim.as("simhash"))
+          .select(col("doc_id"), toksArr.as("toks"))
+          .filter(size(col("toks")) > 0)
+          .select(col("doc_id"), graft.functions.TextOps.simhash32(col("toks")).as("simhash"))
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH tokset AS (

@@ -159,7 +159,10 @@ final class VectorStore private (
       .orderBy(col("score").desc, col("id").asc)
       .limit(k)
     val rows = plan.collect() // TakeOrderedAndProject: k rows reach the driver
-    recordLatency((System.nanoTime() - t0) / 1e6)
+    // empty result == the reference's untimed early returns (empty table
+    // :363-364, filter eliminated everything :375-376) — those never reach
+    // the latency append at :399-400, so don't record a sample either
+    if (rows.nonEmpty) recordLatency((System.nanoTime() - t0) / 1e6)
     spark.createDataFrame(
       java.util.Arrays.asList(rows: _*), plan.schema)
   }

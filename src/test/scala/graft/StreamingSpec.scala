@@ -26,7 +26,10 @@ class StreamingSpec extends SparkSpec {
       .select("embedding").collect().head.getSeq[Float](0).toArray
     val top = st.search(q, 1).collect().head
     assert(top.getAs[String]("id") == "vec_0")
-    assert(top.getAs[Double]("score") == 1.0)
+    // asymmetric scoring (raw query vs dequantized stored vector,
+    // pythonvectordb.py:25-67): a self-match carries the stored side's
+    // quantization error, so the score is near-but-not-exactly 1
+    assert(top.getAs[Double]("score") > 0.999)
   }
 
   test("stream-stream interval join matches its batch twin") {
