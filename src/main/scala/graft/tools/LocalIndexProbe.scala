@@ -28,15 +28,12 @@ object LocalIndexProbe {
     val qrnd = new scala.util.Random(7)
     val queries = Array.fill(100)(
       VectorKernels.quantize(Array.fill(dim)(qrnd.nextGaussian().toFloat)))
-    (0 until 300).foreach(i => idx.search(queries(i % 100), 10)) // warm -> C2
-    Seq(1, 2, 4, 8, 12, 16).foreach { nc =>
-      (0 until 100).foreach(i => idx.search(queries(i), 10, nc)) // warm shape
-      val best = (0 until 5).map { _ =>
-        val t0 = System.nanoTime()
-        queries.foreach(q => idx.search(q, 10, nc))
-        (System.nanoTime() - t0) / 1e9
-      }.min
-      println(f"chunks=$nc%2d: ${100 / best}%6.0f QPS (${best * 10}%.3f ms/query)")
+    (0 until 500).foreach(i => idx.search(queries(i % 100), 10)) // warm -> C2
+    (0 until 5).foreach { rep =>
+      val t0 = System.nanoTime()
+      queries.foreach(q => idx.search(q, 10))
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"rep $rep: ${100 / sec}%6.0f QPS (${sec * 10}%.3f ms/query)")
     }
   }
 }
