@@ -145,6 +145,29 @@ object VectorKernels {
     else dot / (math.sqrt(nq) * math.sqrt(nv))
   }
 
+  /** `cosineFloatInt8` over one row of a PACKED int8 corpus (row-major,
+    * base offset) — the identical loop body and accumulation order, so the
+    * score is bitwise equal to the array version (asserted in SimdSpec).
+    * Used by the in-process store replica to scan without per-row copies. */
+  def cosineFloatInt8Packed(
+      query: Array[Float], data: Array[Byte], base: Int): Double = {
+    val n = query.length
+    var dot = 0.0
+    var nq = 0.0
+    var nv = 0.0
+    var i = 0
+    while (i < n) {
+      val x = query(i).toDouble
+      val y = data(base + i).toDouble / 127.0
+      dot += x * y
+      nq += x * x
+      nv += y * y
+      i += 1
+    }
+    if (math.sqrt(nq) < ZeroNormEps || math.sqrt(nv) < ZeroNormEps) 0.0
+    else dot / (math.sqrt(nq) * math.sqrt(nv))
+  }
+
   /** Dequantize an int8 vector back to doubles (q / 127.0), the `get_vector`
     * read path (pythonvectordb.py:404-423). */
   def dequantize(q: Array[Byte]): Array[Double] = {
