@@ -11,14 +11,7 @@ object Plans {
       if (args.length > 1) args.drop(1).toSeq
       else Seq("q_knn", "q_knn_filtered", "q3_join", "q1_agg", "q_minhash_lsh",
         "q_token_stats", "q_ann_bucket")
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = Sessions.local("8", appName = "graft-plans", logLevel = "ERROR")
     names.foreach { n =>
       println(s"\n================ $n ================")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -12,16 +12,7 @@ object QTime {
     val sfDir = args(0)
     val reps = args(1).toInt
     val names = args.drop(2).toSet
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.fromEnv("32", appName = "graft-qtime")
     Tables.lineitem(spark, sfDir).count() // warm up
 
     SparkEntry.registry.filter(q => names.contains(q.name)).foreach { q =>

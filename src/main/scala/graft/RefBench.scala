@@ -32,14 +32,7 @@ object RefBench {
   }
 
   def main(args: Array[String]): Unit = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = Sessions.fromEnv("32", appName = "graft-refbench", logLevel = "ERROR")
     val dim = 128
     val k = 10
     val sizes = Seq(1000, 5000, 10000, 50000, 100000)

@@ -149,13 +149,26 @@ object RelationalQueries {
          |WHERE o_custkey < 150
          |ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
-    // Quartile bucketing via ntile + per-bucket stats.
+    // Quartile bucketing + per-bucket stats, WITHOUT a global sort.
+    // The previous ntile() formulation used a partitionless window, which
+    // funnels the whole table through ONE task — correct at sf0.1, a
+    // scale-killer at 100 TB. Value-based quartile semantics instead: the
+    // three exact interpolated boundaries (pos = p*(n-1), identical to
+    // DuckDB's quantile_cont — parity proven by q_percentiles) come from
+    // ONE partial-merged aggregate whose buffer is O(distinct values), the
+    // 1-row result is broadcast, and each row is bucketed by a narrow
+    // projection: quartile = 1 + (x>b1) + (x>b2) + (x>b3). Rows with
+    // x exactly on a boundary fall in the lower bucket on both engines.
     Q("q_ntile",
       (s, d) => {
-        val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-        Tables.customer(s, d)
-          .select(col("c_custkey"), col("c_acctbal"),
-            ntile(4).over(w).as("quartile"))
+        val cust = Tables.customer(s, d)
+        val bounds = cust.agg(percentile(col("c_acctbal"),
+          array(lit(0.25), lit(0.5), lit(0.75))).as("bs"))
+        cust.crossJoin(broadcast(bounds))
+          .select(col("c_acctbal"),
+            (lit(1) + (col("c_acctbal") > col("bs")(0)).cast("int")
+              + (col("c_acctbal") > col("bs")(1)).cast("int")
+              + (col("c_acctbal") > col("bs")(2)).cast("int")).as("quartile"))
           .groupBy(col("quartile"))
           .agg(count(lit(1)).as("n"),
             min(col("c_acctbal")).as("lo"), max(col("c_acctbal")).as("hi"))
@@ -163,12 +176,14 @@ object RelationalQueries {
             col("n"), col("lo"), col("hi"))
           .orderBy(col("quartile"))
       },
-      Some("""SELECT CAST(quartile AS BIGINT) AS quartile,
+      Some("""WITH b AS (
+         |  SELECT quantile_cont(c_acctbal, [0.25, 0.5, 0.75]) AS bs
+         |  FROM customer)
+         |SELECT CAST(1 + CASE WHEN c_acctbal > bs[1] THEN 1 ELSE 0 END
+         |         + CASE WHEN c_acctbal > bs[2] THEN 1 ELSE 0 END
+         |         + CASE WHEN c_acctbal > bs[3] THEN 1 ELSE 0 END AS BIGINT) AS quartile,
          |  CAST(count(*) AS BIGINT) AS n, min(c_acctbal) AS lo, max(c_acctbal) AS hi
-         |FROM (
-         |  SELECT c_custkey, c_acctbal,
-         |    ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
-         |  FROM customer) t
+         |FROM customer, b
          |GROUP BY quartile ORDER BY quartile""".stripMargin)),
 
     // Semi + anti join combo: customers active in 1995 but gone in 1996
@@ -254,6 +269,26 @@ object RelationalQueries {
          |  CAST(generate_subscripts(ps, 1) - 1 AS BIGINT) AS i,
          |  unnest(ps) AS p_value
          |FROM q ORDER BY l_returnflag, i""".stripMargin)),
+
+    // Scale-path twin of q_percentiles. The exact `percentile` holds every
+    // group's full value list in its aggregation buffer — the right answer
+    // when the oracle demands exactness, an OOM risk at 100 TB.
+    // `percentile_approx` (Greenwald-Khanna summaries) keeps the buffer
+    // bounded at O(accuracy) per group regardless of row count; at
+    // accuracy=10000 the rank error is <= n/10000. No DuckDB oracle:
+    // sketch contents are engine-specific (driver records rows-only) —
+    // the accuracy gate lives in QueriesSpec, which asserts each approx
+    // quantile is within 1% relative error of the exact interpolated one.
+    // SCALE.md "Percentiles at scale" documents when each twin is safe.
+    Q("q_percentiles_approx",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_extendedprice"),
+          array(lit(0.25), lit(0.5), lit(0.75), lit(0.95)), lit(10000)).as("ps"))
+        .select(col("l_returnflag"), posexplode(col("ps")).as(Seq("i", "p_value")))
+        .select(col("l_returnflag"), col("i").cast("long").as("i"), col("p_value"))
+        .orderBy(col("l_returnflag"), col("i")),
+      None),
 
     // Moment statistics from exact integer sums: prices are quantized to
     // cents (floor(x*100), identical doubles => identical longs on both
