@@ -94,8 +94,138 @@ object MLQueries {
     // Multi-probe LSH: probe the query's bucket AND its four 1-bit
     // neighbors — the standard recall/cost knob (recall rises, candidates
     // stay ~5/16 of the corpus instead of all of it).
-    annRecallQuery("q_ann_recall_multiprobe", multiProbe = true)
+    annRecallQuery("q_ann_recall_multiprobe", multiProbe = true),
+
+    rpRecallQuery
   )
+
+  // ---- random-hyperplane LSH (seeded), the high-recall configuration ----
+  //
+  // The 4 axis hyperplanes of q_ann_recall top out at recall 0.53 even
+  // multi-probed. This is the tuned general configuration: RpTables=8
+  // independent sign-LSH tables of RpBits=6 seeded random hyperplanes,
+  // probed at hamming<=1 (base bucket + all 6 one-bit flips per table).
+  // Chosen from the AnnTune sweep on the fixture (tools/AnnTune.scala) —
+  // the corpus is near-random Gaussian (max neighbor cosine ~0.39, the
+  // adversarial case for cosine LSH), and this point still reaches
+  // recall@3 = 0.93 while touching ~60% of the corpus; tighter configs
+  // (8 bits) fall to 0.67 recall. On a clustered real corpus the same
+  // structure gives far lower candidate fractions.
+  //
+  // Scale shape: candidates come from an EQUI-JOIN on (table, bucket)
+  // after exploding each query into its 8x7 probe keys — never an n^2
+  // product or an OR-of-equalities cross join. The hyperplanes are
+  // deterministic literal arrays (seed 1234), so the DuckDB oracle states
+  // bit-identical projections: both engines left-fold the same doubles,
+  // so every sign bit — and therefore every bucket — matches exactly.
+  // final literal vals: constant-folded at compile time, so they are safe
+  // to read from `val all`'s eager oracle-SQL construction above even
+  // though that runs before this object's field initializers (a plain
+  // `private val` here would still be 0 at that point and silently emit
+  // an empty hyperplane list into the oracle)
+  final val RpBits = 6
+  final val RpTables = 8
+  final val RpDim = 64
+  private lazy val rpPlanes: Array[Array[Array[Double]]] = {
+    val rng = new scala.util.Random(1234)
+    Array.fill(RpTables)(Array.fill(RpBits)(Array.fill(RpDim)(rng.nextGaussian())))
+  }
+
+  private def rpRecallQuery: Q = {
+    // left-fold dot product — bitwise-parity twin of OracleSql.foldSum
+    def dotPlane(e: org.apache.spark.sql.Column, p: Array[Double]) =
+      aggregate(zip_with(e, typedLit(p), (x, pp) => x.cast("double") * pp),
+        lit(0.0), (a, x) => a + x)
+    def bucketT(e: org.apache.spark.sql.Column, t: Int) =
+      (0 until RpBits).map(j =>
+        when(dotPlane(e, rpPlanes(t)(j)) >= 0, lit(1 << j)).otherwise(lit(0)))
+        .reduce(_ + _)
+
+    Q("q_ann_recall_rp",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        // bucket signature per row, computed ONCE (48 fold expressions):
+        // materialized because corpus rows AND probe rows both read it
+        val withB = emb.select(col("vec_id"), col("embedding"),
+          array((0 until RpTables).map(t => bucketT(col("embedding"), t)): _*).as("bs"))
+          .localCheckpoint(true)
+        val corpusRows = withB
+          .select(col("vec_id"), posexplode(col("bs")).as(Seq("t", "bucket")))
+        val probeRows = withB.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), posexplode(col("bs")).as(Seq("t", "qb")))
+          .select(col("qid"), col("t"), explode(array(
+            col("qb") +: (0 until RpBits).map(j => col("qb").bitwiseXOR(lit(1 << j))): _*))
+            .as("bucket"))
+        val cand = probeRows.join(corpusRows, Seq("t", "bucket"))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id")).distinct()
+
+        val q = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val sc = q.join(emb.select(col("vec_id"), col("embedding")),
+            col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            VectorOps.cosineFloat(col("qe"), col("embedding")).as("score"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+        val exact = sc.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3).select(col("qid"), col("vec_id"))
+        val approx = sc.join(cand, Seq("qid", "vec_id"), "left_semi")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3).select(col("qid"), col("vec_id"))
+        val hits = exact.join(approx, Seq("qid", "vec_id"), "left_semi")
+          .agg(count(lit(1)).as("nhit"))
+        val ncand = cand.agg(count(lit(1)).as("ncand"))
+        val ntot = emb.agg(count(lit(1)).as("n"))
+        hits.crossJoin(ncand).crossJoin(ntot)
+          .select(
+            (col("nhit").cast("double") / lit(30.0)).as("recall_at_3"),
+            (col("ncand").cast("double") / (lit(10.0) * (col("n") - 1).cast("double")))
+              .as("cand_frac"))
+      },
+      Some {
+        def dotSql(p: Array[Double]): String = {
+          val lits = p.map(java.lang.Double.toString).mkString("[", ", ", "]")
+          s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip(embedding, $lits), p -> CAST(p[1] AS DOUBLE)*p[2])), (a,x) -> a+x)"
+        }
+        def bucketSql(t: Int): String =
+          (0 until RpBits).map(j =>
+            s"(CASE WHEN ${dotSql(rpPlanes(t)(j))} >= 0 THEN ${1 << j} ELSE 0 END)")
+            .mkString(" + ")
+        val bsList = (0 until RpTables).map(bucketSql).mkString("[", ",\n    ", "]")
+        val probeList = ("qb" +: (0 until RpBits).map(j => s"xor(qb, ${1 << j})"))
+          .mkString("[", ", ", "]")
+        s"""WITH wb AS (
+           |  SELECT vec_id, embedding, $bsList AS bs
+           |  FROM embeddings),
+           |cr AS (
+           |  SELECT vec_id, generate_subscripts(bs, 1) AS t, unnest(bs) AS bucket FROM wb),
+           |pr0 AS (SELECT vec_id AS qid, t, bucket AS qb FROM cr WHERE vec_id < 10),
+           |pr AS (SELECT qid, t, unnest($probeList) AS bucket FROM pr0),
+           |cand AS (
+           |  SELECT DISTINCT pr.qid, cr.vec_id
+           |  FROM pr JOIN cr ON cr.t = pr.t AND cr.bucket = pr.bucket
+           |  WHERE cr.vec_id <> pr.qid),
+           |qq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+           |sc AS (
+           |  SELECT qq.qid, e.vec_id, ${OracleSql.floatCos("qq.qe", "e.embedding")} AS score
+           |  FROM qq JOIN embeddings e ON e.vec_id <> qq.qid),
+           |exact AS (
+           |  SELECT qid, vec_id FROM (
+           |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+           |    FROM sc) t WHERE rn <= 3),
+           |approx AS (
+           |  SELECT qid, vec_id FROM (
+           |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+           |    FROM sc WHERE EXISTS (
+           |      SELECT 1 FROM cand c WHERE c.qid = sc.qid AND c.vec_id = sc.vec_id)) t
+           |  WHERE rn <= 3)
+           |SELECT
+           |  (SELECT CAST(count(*) AS DOUBLE) FROM exact WHERE EXISTS (
+           |     SELECT 1 FROM approx a WHERE a.qid = exact.qid AND a.vec_id = exact.vec_id)) / 30.0 AS recall_at_3,
+           |  (SELECT CAST(count(*) AS DOUBLE) FROM cand)
+           |    / (10.0 * ((SELECT count(*) FROM embeddings) - 1)) AS cand_frac""".stripMargin
+      })
+  }
 
   /** recall@3 of sign-bucket LSH (optionally multi-probe, hamming<=1
     * buckets) vs the exact brute-force top-3 — deterministic, oracled. */

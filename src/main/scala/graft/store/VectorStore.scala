@@ -144,13 +144,31 @@ final class VectorStore private (
     * the full scan+top-k, pythonvectordb.py:399-400): the k result rows are
     * collected, the true wall time lands in the latency history, and the
     * small local result is returned as a DataFrame. */
-  def search(query: Array[Float], k: Int, filter: Option[Column] = None): DataFrame = {
+  def search(query: Array[Float], k: Int, filter: Option[Column] = None): DataFrame =
+    searchImpl(query, k, corpus => filter.map(corpus.filter).getOrElse(corpus))
+
+  /** Arbitrary-predicate escape hatch — the full-generality analog of the
+    * reference's `filter_fn: Callable` (pythonvectordb.py:331, 368-372),
+    * which accepts any closure over (id, metadata). The row passed to `fn`
+    * has the store schema (id, embedding, qvec, meta).
+    *
+    * Prefer the `Column` overload: a black-box closure evaluates AFTER the
+    * scan (no parquet predicate pushdown, no column pruning, no codegen of
+    * the predicate), exactly the tradeoff SURVEY.md §4 documents. It still
+    * runs distributed and BEFORE scoring/top-k, like the reference's
+    * filtered path. */
+  def search(query: Array[Float], k: Int,
+      fn: org.apache.spark.api.java.function.FilterFunction[Row]): DataFrame =
+    searchImpl(query, k, corpus => corpus.filter(fn))
+
+  private def searchImpl(query: Array[Float], k: Int,
+      prep: DataFrame => DataFrame): DataFrame = {
     require(k > 0, s"k must be positive, got $k") // pythonvectordb.py:347-348
     require(query.length == dim,
       s"query dimension ${query.length} != $dim") // pythonvectordb.py:354-357
     require(!VectorKernels.hasNonFinite(query),
       "query contains non-finite values") // pythonvectordb.py:359-360
-    val corpus = filter.map(active.filter).getOrElse(active)
+    val corpus = prep(active)
     val t0 = System.nanoTime()
     val plan = corpus
       .select(col("id"),
@@ -228,15 +246,28 @@ final class VectorStore private (
     deletedCount = 0
   }
 
-  /** Engine stats (pythonvectordb.py:512-555): counts, memory estimate,
-    * and — when search history exists — avg/p50/p95/p99 latency over the
-    * last 100 searches (pythonvectordb.py:542-553). */
+  /** Engine stats (pythonvectordb.py:512-555): counts, memory estimate
+    * (payload + id + metadata bytes, the analog of the reference's
+    * getsizeof walk at pythonvectordb.py:520-530 — here ONE distributed
+    * aggregate, not a driver loop), and — when search history exists —
+    * avg/p50/p95/p99 latency plus `qps` = 1000/avg_ms over the last 100
+    * searches (pythonvectordb.py:542-553). */
   def stats: Map[String, Any] = {
+    val m = active.agg(
+      org.apache.spark.sql.functions.count(lit(1)).as("n"),
+      coalesce(sum(octet_length(col("id")).cast(LongType)), lit(0L)).as("id_bytes"),
+      coalesce(sum(aggregate(map_entries(col("meta")), lit(0L),
+        (acc, e) => acc + octet_length(e("key")) +
+          coalesce(octet_length(e("value")), lit(0)))), lit(0L)).as("meta_bytes"))
+      .collect().head
+    val n = m.getAs[Long]("n")
+    val memBytes = n * dim + m.getAs[Long]("id_bytes") + m.getAs[Long]("meta_bytes")
     val base = Map[String, Any](
-      "count" -> count,
+      "count" -> n,
       "dimension" -> dim,
       "deleted_pending" -> deletedCount,
-      "bytes_per_vector" -> dim) // int8 payload, pythonvectordb.py:520
+      "memory_bytes" -> memBytes,
+      "bytes_per_vector" -> (if (n == 0) dim.toDouble else memBytes.toDouble / n))
     val lats = synchronized {
       import scala.jdk.CollectionConverters._
       latencies.iterator().asScala.toArray
@@ -252,11 +283,14 @@ final class VectorStore private (
         if (lo + 1 >= sorted.length) sorted.last
         else sorted(lo) + (pos - lo) * (sorted(lo + 1) - sorted(lo))
       }
+      val avg = lats.sum / lats.length
       base ++ Map[String, Any](
-        "avg_search_ms" -> lats.sum / lats.length,
+        "avg_search_ms" -> avg,
         "p50_search_ms" -> pct(0.50),
         "p95_search_ms" -> pct(0.95),
-        "p99_search_ms" -> pct(0.99))
+        "p99_search_ms" -> pct(0.99),
+        // pythonvectordb.py:549: qps = 1000/avg_ms over the rolling window
+        "qps" -> (if (avg > 0) 1000.0 / avg else 0.0))
     }
   }
 

@@ -90,4 +90,20 @@ class ExtendedSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(1).round).toMap
     assert(typed == untyped)
   }
+
+  test("approx distinct counts within 3*rsd of exact for all three keys") {
+    import org.apache.spark.sql.functions._
+    val r = SparkEntry.queries("q_approx_distinct")(spark, sf001).collect().head
+    val ex = Tables.lineitem(spark, sf001).agg(
+      countDistinct(col("l_orderkey")),
+      countDistinct(col("l_partkey")),
+      countDistinct(col("l_suppkey"))).collect().head
+    (0 until 3).foreach { i =>
+      val approx = r.getLong(i).toDouble
+      val exact = ex.getLong(i).toDouble
+      // HLL++ at rsd=0.01: |approx-exact|/exact <= 3 sigma = 0.03
+      assert(math.abs(approx - exact) / exact <= 0.03,
+        s"key $i: approx=$approx exact=$exact")
+    }
+  }
 }

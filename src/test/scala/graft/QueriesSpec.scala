@@ -35,6 +35,21 @@ class QueriesSpec extends SparkSpec {
     assert(ids.intersect(Set(1L, 3L, 5L, 9L)).isEmpty)
   }
 
+  test("approx percentiles within 1% of the exact interpolated percentiles") {
+    val exact = SparkEntry.queries("q_percentiles")(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val approx = SparkEntry.queries("q_percentiles_approx")(spark, sf001).collect()
+    assert(approx.length == exact.size)
+    approx.foreach { r =>
+      val k = (r.getString(0), r.getLong(1))
+      val e = exact(k)
+      // GK summaries bound RANK error (n/accuracy); on this value-dense
+      // price distribution that translates to well under 1% value error
+      assert(math.abs(r.getDouble(2) - e) / math.abs(e) <= 0.01,
+        s"$k: approx=${r.getDouble(2)} exact=$e")
+    }
+  }
+
   test("every oracle name corresponds to a registered query") {
     val qnames = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qnames))

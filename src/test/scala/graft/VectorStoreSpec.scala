@@ -203,6 +203,35 @@ class VectorStoreSpec extends SparkSpec {
     assert(m("p95_search_ms") == 1.0 + 0.95 * 3.0)
   }
 
+  test("search accepts an arbitrary FilterFunction[Row] (filter_fn escape hatch)") {
+    val st = freshStore()
+    // a predicate no Column could push down: closure over id + meta
+    val fn = new org.apache.spark.api.java.function.FilterFunction[org.apache.spark.sql.Row] {
+      override def call(r: org.apache.spark.sql.Row): Boolean = {
+        val id = r.getAs[String]("id")
+        val g = r.getAs[Map[String, String]]("meta").getOrElse("g", "")
+        g == "y" && id != "d"
+      }
+    }
+    val res = st.search(Array(1f, 0f, 0f, 0f), k = 10, fn).collect()
+    assert(res.map(_.getAs[String]("id")).toSeq == Seq("b"))
+  }
+
+  test("stats reports qps = 1000/avg_ms over the rolling window") {
+    val st = freshStore()
+    Seq(2.0, 4.0).foreach(st.recordSearchMillis) // avg 3 ms
+    val m = st.stats
+    assert(m("qps") == 1000.0 / 3.0)
+  }
+
+  test("stats memory estimate includes id and metadata overhead") {
+    val st = freshStore()
+    val m = st.stats
+    // payload: 4 rows x dim 4 = 16 B; ids: 4 x 1 B; meta: 4 x ("g"+1-char value)
+    assert(m("memory_bytes") == (16L + 4L + 4L * 2L))
+    assert(m("bytes_per_vector") == (16.0 + 4.0 + 8.0) / 4.0)
+  }
+
   test("kernel dimension mismatch raises instead of silently truncating") {
     intercept[IllegalArgumentException](
       graft.functions.VectorKernels.cosineFloat(Array(1f, 2f), Array(1f, 2f, 3f)))
