@@ -130,8 +130,22 @@ object RefBench {
       }
       threads.foreach(_.join())
       val sec = (System.nanoTime() - t0) / 1e9
+
+      // same protocol on the in-process serving replica: overlapping
+      // callers scan on their own threads (see LocalIndex concurrency
+      // model), so aggregate QPS scales with cores instead of
+      // serializing behind the reference's RLock
+      val local = index.toLocal
+      qs.head.take(10).foreach(q => local.search(q._2, k)) // warm
+      val tl = System.nanoTime()
+      val lthreads = qs.map { tq =>
+        val th = new Thread(() => tq.foreach(q => local.search(q._2, k)))
+        th.start(); th
+      }
+      lthreads.foreach(_.join())
+      val lsec = (System.nanoTime() - tl) / 1e9
       index.unpersist()
-      println(f"""{"metric":"ref_concurrent_protocol","threads":10,"queries":500,"agg_qps":${500 / sec}%.0f}""")
+      println(f"""{"metric":"ref_concurrent_protocol","threads":10,"queries":500,"agg_qps":${500 / sec}%.0f,"local_agg_qps":${500 / lsec}%.0f}""")
     }
 
     // B5 lazy deletion + B6 save/load on a 10k-vector store

@@ -144,30 +144,41 @@ final class LocalIndex(blocks: Array[VectorBlock], val dim: Int) {
   private val gangSize = math.max(1, math.min(maxThreads, count / MinChunk))
   private val gang = if (gangSize > 1) new ScanGang(gangSize) else null
 
-  /** Thread-parallel SIMD scan, deterministic merge. Searches are
-    * serialized (the gang is a shared resource); concurrent callers queue
-    * on the monitor — same observable semantics as the reference's RLock
-    * around search (pythonvectordb.py:362). */
-  def search(q: Array[Byte], k: Int): Seq[(Long, Double)] = synchronized {
+  // Concurrency model (NOT the reference's RLock, pythonvectordb.py:362,
+  // which serializes every search): a lone caller takes the whole scan
+  // gang for minimum latency; when callers overlap, each extra caller
+  // scans the corpus on its OWN thread instead of queueing, so aggregate
+  // throughput scales with cores. The corpus arrays are immutable after
+  // construction, so unsynchronized reads are safe; TopKBuffer's total
+  // (score desc, id asc) order makes chunked-merge and sequential-scan
+  // results bitwise identical (asserted by SimdSpec).
+  private val gangLock = new java.util.concurrent.locks.ReentrantLock()
+
+  /** Thread-parallel SIMD scan, deterministic merge. */
+  def search(q: Array[Byte], k: Int): Seq[(Long, Double)] = {
     require(q.length == dim, s"query dimension ${q.length} != $dim")
     val nq = VectorKernels.normSqInt8(q)
     val qShort = new Array[Short](dim)
     var i = 0
     while (i < dim) { qShort(i) = q(i).toShort; i += 1 }
     val merged = new TopKBuffer(k)
-    if (gang == null) {
-      SimdSupport.scan(data, rowNorms, ids, 0, count, dim, qShort, nq, merged)
+    if (gang != null && gangLock.tryLock()) {
+      try {
+        val per = (count + gangSize - 1) / gangSize
+        val bufs = new Array[TopKBuffer](gangSize)
+        gang.run { c =>
+          val lo = c * per
+          val hi = math.min(count, lo + per)
+          val buf = new TopKBuffer(k)
+          SimdSupport.scan(data, rowNorms, ids, lo, hi, dim, qShort, nq, buf)
+          bufs(c) = buf
+        }
+        bufs.foreach(merged.mergeFrom)
+      } finally gangLock.unlock()
     } else {
-      val per = (count + gangSize - 1) / gangSize
-      val bufs = new Array[TopKBuffer](gangSize)
-      gang.run { c =>
-        val lo = c * per
-        val hi = math.min(count, lo + per)
-        val buf = new TopKBuffer(k)
-        SimdSupport.scan(data, rowNorms, ids, lo, hi, dim, qShort, nq, buf)
-        bufs(c) = buf
-      }
-      bufs.foreach(merged.mergeFrom)
+      // gang busy (concurrent burst) or corpus too small for fan-out:
+      // full scan on the calling thread
+      SimdSupport.scan(data, rowNorms, ids, 0, count, dim, qShort, nq, merged)
     }
     (0 until merged.size).map(j => (merged.ids(j), merged.scores(j)))
   }

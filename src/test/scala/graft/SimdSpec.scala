@@ -95,6 +95,37 @@ class SimdSpec extends SparkSpec {
     }
   }
 
+  test("concurrent LocalIndex searches equal sequential results bitwise") {
+    // The tryLock concurrency model routes overlapping callers onto their
+    // own full-corpus scan instead of queueing on the gang; both paths
+    // must produce identical (score desc, id asc) top-k.
+    val dim = 96
+    val n = 20000
+    val data = new Array[Byte](n * dim)
+    rnd.nextBytes(data)
+    val ids = Array.tabulate(n)(_.toLong)
+    val idx = new LocalIndex(Array(VectorBlock(ids, data, dim)), dim)
+    val queries = Array.fill(16) {
+      val q = new Array[Byte](dim); rnd.nextBytes(q); q
+    }
+    val expected = queries.map(q => idx.search(q, 10))
+    val results = new Array[Seq[(Long, Double)]](16 * 25)
+    val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (0 until 8).map { w =>
+      val th = new Thread(() =>
+        try {
+          (0 until 50).foreach { i =>
+            val qi = (w * 50 + i) % 16
+            results((w * 50 + i) % results.length) = idx.search(queries(qi), 10)
+            assert(results((w * 50 + i) % results.length) == expected(qi))
+          }
+        } catch { case _: Throwable => failures.incrementAndGet() })
+      th.start(); th
+    }
+    threads.foreach(_.join())
+    assert(failures.get() == 0)
+  }
+
   test("simhash32 kernel equals the md5 bit-vote SQL composition") {
     import spark.implicits._
     val docs = Seq(
