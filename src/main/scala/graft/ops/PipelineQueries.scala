@@ -1,0 +1,210 @@
+package graft.ops
+
+import graft.{OracleSql, Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators beyond the dedup/similarity set:
+  * reproducible dataset splitting, stratified sampling, and keyword
+  * relevance (BM25 ranking, per-document TF-IDF extraction).
+  *
+  * Scale design notes:
+  *  - Splits and samples are DETERMINISTIC HASH assignments (md5 of the
+  *    key, mod N), never RNG: the assignment is reproducible across
+  *    engines, re-runs and re-partitions, needs no state, and is a pure
+  *    narrow projection at 100 TB. This is how production corpus splits
+  *    are done (a row's split must not change when the corpus grows).
+  *  - BM25/TF-IDF shuffle only on (doc, term) / term keys; document
+  *    frequencies are tiny aggregates broadcast back. No all-pairs stage.
+  *  - Float parity with the oracle: scores are scalar double expressions
+  *    written in identical operation order on both sides; the only float
+  *    SUM (per-doc BM25 total) folds a term-sorted list left-to-right on
+  *    both sides, so it is order-deterministic (see Q.scala parity rules).
+  */
+object PipelineQueries {
+
+  /** 60-bit bucket hash of a salted doc_id — same value in both engines. */
+  private def bucket(salt: String, mod: Int) =
+    graft.functions.TextOps.md5Prefix60(
+      concat(lit(salt), col("doc_id").cast("string"))) % mod
+
+  private def bucketSql(salt: String, mod: Int): String =
+    s"${OracleSql.hexToLong(s"md5('$salt' || CAST(doc_id AS VARCHAR))", 1, 15)} % $mod"
+
+  /** BM25 terms: one rare ("dup", df≈5%) + two common — exercises the idf
+    * spread of the synthetic vocabulary. */
+  private val terms = Seq("dup", "spark", "join")
+  private val termsSql = terms.map(t => s"'$t'").mkString("(", ", ", ")")
+
+  val all: Seq[Q] = Seq(
+
+    // Reproducible train/val/test split: md5(doc_id) mod 100 -> 80/10/10.
+    // A narrow projection (no shuffle for the assignment itself); the only
+    // shuffle is the 3-group accounting aggregate.
+    Q("q_hash_split",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("b", bucket("split:", 100))
+        .withColumn("split",
+          when(col("b") < 80, "train").when(col("b") < 90, "val").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy(col("split")),
+      Some(s"""WITH b AS (
+         |  SELECT *, ${bucketSql("split:", 100)} AS bk FROM documents),
+         |sp AS (
+         |  SELECT CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val'
+         |              ELSE 'test' END AS split, n_chars, lang
+         |  FROM b)
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+         |FROM sp GROUP BY split ORDER BY split""".stripMargin)),
+
+    // Stratified deterministic sample: ~20% per language stratum via an
+    // independent salt (a doc's sample membership is uncorrelated with its
+    // split assignment). Reports achieved rate + exact mean length of the
+    // sample per stratum (sum/count, not avg(), for bitwise parity).
+    Q("q_stratified_sample",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("in_sample", (bucket("strat:", 1000) < 200).cast("int"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(col("in_sample")).cast("long").as("n_sampled"),
+          (sum(col("in_sample") * col("n_chars")).cast("double") /
+            sum(col("in_sample")).cast("double")).as("mean_chars_sampled"))
+        .orderBy(col("lang")),
+      Some(s"""WITH b AS (
+         |  SELECT lang, n_chars,
+         |    CASE WHEN ${bucketSql("strat:", 1000)} < 200 THEN 1 ELSE 0 END AS in_sample
+         |  FROM documents)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+         |  CAST(sum(in_sample) AS BIGINT) AS n_sampled,
+         |  CAST(sum(in_sample * n_chars) AS DOUBLE) / CAST(sum(in_sample) AS DOUBLE)
+         |    AS mean_chars_sampled
+         |FROM b GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // BM25 keyword ranking (k1=1.2, b=0.75, Lucene idf): top-10 documents
+    // for a 3-term query. tf/df/avgdl are exact integer aggregates; the
+    // per-doc score folds term-sorted per-term scores left-to-right, so the
+    // double total is order-deterministic on both engines. Shuffles: one
+    // groupBy (doc,term), one tiny df aggregate broadcast back, one
+    // top-k (TakeOrderedAndProject) — no corpus-wide sort.
+    Q("q_bm25",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+        val sized = docs.select(col("doc_id"), col("t"),
+          size(col("t")).cast("double").as("dl"))
+        val stats = docs.agg(
+          count(lit(1)).cast("double").as("n_docs"),
+          sum(size(col("t"))).cast("long").as("sum_dl"))
+        val tf = docs.select(col("doc_id"), explode(col("t")).as("tok"))
+          .filter(col("tok").isInCollection(terms))
+          .groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).cast("double").as("tf"))
+        val df = tf.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("df"))
+        val scored = tf
+          .join(broadcast(df), "tok")
+          .join(sized.select(col("doc_id"), col("dl")), "doc_id")
+          .crossJoin(broadcast(stats))
+          .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+          .withColumn("sc",
+            log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+              ((col("tf") * lit(2.2)) /
+                (col("tf") + lit(1.2) *
+                  (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl")))))
+        // round(9): JVM Math.log and DuckDB ln disagree in the last ulp for
+        // some inputs; 9 decimals is far above the ~1e-16 noise and both
+        // engines round positive halves identically (half-away-from-zero).
+        scored.groupBy(col("doc_id"))
+          .agg(
+            round(aggregate(
+              transform(sort_array(collect_list(struct(col("tok"), col("sc")))),
+                x => x.getField("sc")),
+              lit(0.0), (acc, x) => acc + x), 9).as("score"),
+            count(lit(1)).as("n_terms"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(10)
+      },
+      Some(s"""WITH docs AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |    CAST(sum(len(t)) AS BIGINT) AS sum_dl FROM docs),
+         |tf AS (
+         |  SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+         |  FROM (SELECT doc_id, unnest(t) AS tok FROM docs)
+         |  WHERE tok IN $termsSql GROUP BY doc_id, tok),
+         |df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+         |scored AS (
+         |  SELECT f.doc_id, f.tok,
+         |    ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+         |      ((f.tf * 2.2) /
+         |        (f.tf + 1.2 * (1.0 - 0.75 + 0.75 * CAST(len(d.t) AS DOUBLE) /
+         |          (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))) AS sc
+         |  FROM tf f
+         |  JOIN df ON f.tok = df.tok
+         |  JOIN docs d ON f.doc_id = d.doc_id
+         |  CROSS JOIN stats s)
+         |SELECT doc_id,
+         |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(sc ORDER BY tok)),
+         |    (a, b) -> a + b), 9) AS score,
+         |  CAST(count(*) AS BIGINT) AS n_terms
+         |FROM scored GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // Per-document TF-IDF keyword extraction: top-3 characteristic terms
+    // for a 20-doc slice, with document frequencies from the WHOLE corpus
+    // (the df aggregate is corpus-wide; the window partitions per doc_id,
+    // so partitions stay tiny at any scale).
+    Q("q_tfidf_keywords",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+        val toks = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "")
+        val df = toks.select(col("doc_id"), col("tok")).distinct()
+          .groupBy(col("tok")).agg(count(lit(1)).cast("double").as("df"))
+        val tf = toks.filter(col("doc_id") < 20)
+          .groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).cast("double").as("tf"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("tok"))
+        tf.join(broadcast(df), "tok")
+          .crossJoin(broadcast(n))
+          // round(9): absorbs the 1-ulp JVM-vs-DuckDB ln() divergence (see
+          // q_bm25); rank ties broken by tok so rounding can't flip order
+          // nondeterministically.
+          .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 9))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("rank").cast("long").as("rank"),
+            col("tok"), col("tfidf"))
+          .orderBy(col("doc_id"), col("rank"))
+      },
+      Some("""WITH toks AS (
+         |  SELECT doc_id, tok FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  WHERE tok <> ''),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+         |df AS (
+         |  SELECT tok, CAST(count(*) AS DOUBLE) AS df
+         |  FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok),
+         |tf AS (
+         |  SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+         |  FROM toks WHERE doc_id < 20 GROUP BY doc_id, tok),
+         |scored AS (
+         |  SELECT f.doc_id, f.tok, round(f.tf * ln(n.n_docs / df.df), 9) AS tfidf
+         |  FROM tf f JOIN df ON f.tok = df.tok CROSS JOIN n),
+         |ranked AS (
+         |  SELECT doc_id, tok, tfidf,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY tfidf DESC, tok) AS rank
+         |  FROM scored)
+         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, tok, tfidf
+         |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin))
+  )
+}

@@ -1,0 +1,66 @@
+package graft
+
+/** Semantic invariants for the dataset-pipeline operators (splits, strata,
+  * BM25, TF-IDF). Bit-exact value parity is the DuckDB oracle's job; these
+  * assert the statistical/ranking properties that make the operators useful. */
+class PipelineSpec extends SparkSpec {
+
+  test("hash split partitions every doc exactly once, near 80/10/10") {
+    val rows = SparkEntry.queries("q_hash_split")(spark, sf001).collect()
+      .map(r => r.getAs[String]("split") -> r.getAs[Long]("n_docs")).toMap
+    val total = rows.values.sum
+    val nTotal = Tables.documents(spark, sf001).count()
+    assert(total == nTotal, "splits must cover the corpus exactly once")
+    assert(rows.keySet == Set("train", "val", "test"))
+    val trainFrac = rows("train").toDouble / total
+    assert(trainFrac > 0.65 && trainFrac < 0.95, s"train frac $trainFrac")
+  }
+
+  test("hash split is deterministic across invocations") {
+    val a = SparkEntry.queries("q_hash_split")(spark, sf001).collect().toSeq
+    val b = SparkEntry.queries("q_hash_split")(spark, sf001).collect().toSeq
+    assert(a == b)
+  }
+
+  test("stratified sample hits every stratum near the 20% target rate") {
+    val rows = SparkEntry.queries("q_stratified_sample")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val total = r.getAs[Long]("n_total")
+      val sampled = r.getAs[Long]("n_sampled")
+      assert(sampled > 0, s"stratum ${r.getString(0)} empty")
+      val rate = sampled.toDouble / total
+      // small strata at sf0.001 => wide tolerance; the point is no stratum
+      // is skipped and none is wildly off the hash-target rate
+      assert(rate > 0.02 && rate < 0.6, s"stratum ${r.getString(0)} rate $rate")
+    }
+  }
+
+  test("bm25 ranks rare-term docs above common-term-only docs") {
+    import org.apache.spark.sql.functions._
+    val top = SparkEntry.queries("q_bm25")(spark, sf001).collect()
+    assert(top.length == 10)
+    val scores = top.map(_.getAs[Double]("score")).toSeq
+    assert(scores == scores.sortBy(-_), "descending by score")
+    assert(scores.head > 0)
+    // docs containing the rare term 'dup' carry its high idf: the top doc
+    // must be one of them whenever any 'dup' doc exists at this sf
+    val dupDocs = Tables.documents(spark, sf001)
+      .filter(array_contains(split(col("text"), " "), "dup"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    if (dupDocs.nonEmpty)
+      assert(dupDocs.contains(top.head.getAs[Long]("doc_id")),
+        s"top doc ${top.head.getAs[Long]("doc_id")} lacks the rare term")
+  }
+
+  test("tfidf keywords: <=3 ranked terms per doc, ranks contiguous from 1") {
+    val rows = SparkEntry.queries("q_tfidf_keywords")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, rs) =>
+      val ranks = rs.map(_.getAs[Long]("rank")).sorted.toSeq
+      assert(ranks == (1L to ranks.length), s"doc $id ranks $ranks")
+      assert(ranks.length <= 3)
+    }
+    assert(rows.forall(_.getAs[Double]("tfidf") >= 0.0))
+  }
+}
