@@ -86,45 +86,43 @@ object PipelineQueries {
          |FROM b GROUP BY lang ORDER BY lang""".stripMargin)),
 
     // BM25 keyword ranking (k1=1.2, b=0.75, Lucene idf): top-10 documents
-    // for a 3-term query. tf/df/avgdl are exact integer aggregates; the
-    // per-doc score folds term-sorted per-term scores left-to-right, so the
-    // double total is order-deterministic on both engines. Shuffles: one
-    // groupBy (doc,term), one tiny df aggregate broadcast back, one
-    // top-k (TakeOrderedAndProject) — no corpus-wide sort.
+    // for a fixed 3-term query. Because the term set is a compile-time
+    // constant, per-doc tf is a NARROW array-filter projection — no token
+    // explode, no (doc,term) shuffle anywhere. The whole plan is: one scan
+    // with per-term counts, a 1-row corpus aggregate (n_docs/sum_dl/df per
+    // term) broadcast back, and TakeOrderedAndProject for the top-k. The
+    // per-doc score adds term-sorted per-term scores left-to-right (zeros
+    // for absent terms are IEEE no-ops), so the double total matches the
+    // oracle's term-ordered list fold bitwise.
     Q("q_bm25",
       (s, d) => {
-        val docs = Tables.documents(s, d)
+        val ts = terms.sorted
+        val base = Tables.documents(s, d)
           .select(col("doc_id"), split(col("text"), " ").as("t"))
-        val sized = docs.select(col("doc_id"), col("t"),
-          size(col("t")).cast("double").as("dl"))
-        val stats = docs.agg(
+          .select(Seq(col("doc_id"), size(col("t")).cast("double").as("dl")) ++
+            ts.map(tm =>
+              size(filter(col("t"), x => x === tm)).cast("double").as(s"tf_$tm")): _*)
+        val stats = base.agg(
           count(lit(1)).cast("double").as("n_docs"),
-          sum(size(col("t"))).cast("long").as("sum_dl"))
-        val tf = docs.select(col("doc_id"), explode(col("t")).as("tok"))
-          .filter(col("tok").isInCollection(terms))
-          .groupBy(col("doc_id"), col("tok"))
-          .agg(count(lit(1)).cast("double").as("tf"))
-        val df = tf.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("df"))
-        val scored = tf
-          .join(broadcast(df), "tok")
-          .join(sized.select(col("doc_id"), col("dl")), "doc_id")
-          .crossJoin(broadcast(stats))
-          .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
-          .withColumn("sc",
-            log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-              ((col("tf") * lit(2.2)) /
-                (col("tf") + lit(1.2) *
-                  (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl")))))
+          Seq(sum(col("dl").cast("long")).as("sum_dl")) ++
+            ts.map(tm =>
+              sum((col(s"tf_$tm") > 0).cast("long")).cast("double").as(s"df_$tm")): _*)
+        def sc(tm: String) =
+          log(lit(1.0) +
+              (col("n_docs") - col(s"df_$tm") + lit(0.5)) / (col(s"df_$tm") + lit(0.5))) *
+            ((col(s"tf_$tm") * lit(2.2)) /
+              (col(s"tf_$tm") + lit(1.2) *
+                (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") /
+                  (col("sum_dl").cast("double") / col("n_docs")))))
         // round(9): JVM Math.log and DuckDB ln disagree in the last ulp for
         // some inputs; 9 decimals is far above the ~1e-16 noise and both
         // engines round positive halves identically (half-away-from-zero).
-        scored.groupBy(col("doc_id"))
-          .agg(
-            round(aggregate(
-              transform(sort_array(collect_list(struct(col("tok"), col("sc")))),
-                x => x.getField("sc")),
-              lit(0.0), (acc, x) => acc + x), 9).as("score"),
-            count(lit(1)).as("n_terms"))
+        base.crossJoin(broadcast(stats))
+          .filter(ts.map(tm => col(s"tf_$tm") > 0).reduce(_ || _))
+          .select(col("doc_id"),
+            round(ts.foldLeft(lit(0.0))((acc, tm) => acc + sc(tm)), 9).as("score"),
+            ts.map(tm => (col(s"tf_$tm") > 0).cast("long"))
+              .reduce(_ + _).as("n_terms"))
           .orderBy(col("score").desc, col("doc_id"))
           .limit(10)
       },
