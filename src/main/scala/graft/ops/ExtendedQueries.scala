@@ -251,6 +251,79 @@ object ExtendedQueries {
          |SELECT label, CAST(pos AS BIGINT) AS pos,
          |  (CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 8796093022208.0) AS DECIMAL(38,0))) AS DOUBLE)
          |   / 8796093022208.0) / count(*) AS c
-         |FROM e GROUP BY label, pos ORDER BY label, pos""".stripMargin))
+         |FROM e GROUP BY label, pos ORDER BY label, pos""".stripMargin)),
+
+    // FULL OUTER join: monthly order counts of the 'F' vs 'O' status
+    // populations (they occupy mostly-disjoint date ranges, so both
+    // null sides are genuinely exercised). Zero-filled with coalesce.
+    Q("q_full_outer",
+      (s, d) => {
+        val ord = Tables.orders(s, d)
+        def monthly(status: String, alias: String) = ord
+          .filter(col("o_orderstatus") === status)
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+          .agg(count(lit(1)).as(alias))
+        monthly("F", "n_f").join(monthly("O", "n_o"), Seq("month"), "full_outer")
+          .select(col("month"),
+            coalesce(col("n_f"), lit(0L)).as("n_f"),
+            coalesce(col("n_o"), lit(0L)).as("n_o"))
+          .orderBy(col("month"))
+      },
+      Some("""WITH f AS (
+         |  SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n_f
+         |  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1),
+         |o AS (
+         |  SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n_o
+         |  FROM orders WHERE o_orderstatus = 'O' GROUP BY 1)
+         |SELECT coalesce(f.month, o.month) AS month,
+         |  CAST(coalesce(n_f, 0) AS BIGINT) AS n_f,
+         |  CAST(coalesce(n_o, 0) AS BIGINT) AS n_o
+         |FROM f FULL OUTER JOIN o ON f.month = o.month
+         |ORDER BY month""".stripMargin)),
+
+    // Time-series resample + gap-fill: per-customer monthly activity over
+    // the corpus' full month span, missing months zero-filled. The month
+    // grid is GENERATED (sequence over the min..max span — one 1-row agg,
+    // never a corpus shuffle) and cross-joined with the small key set;
+    // actuals then LEFT-join the grid on (key, month). At 100 TB the grid
+    // is keys x months rows — tiny relative to the fact table — and the
+    // only wide shuffle is the per-(key,month) aggregate of the facts.
+    Q("q_gapfill",
+      (s, d) => {
+        val ord = Tables.orders(s, d)
+          .withColumn("month", trunc(col("o_orderdate"), "month"))
+        val span = ord.agg(min(col("month")).as("lo"), max(col("month")).as("hi"))
+        val months = span.select(
+          explode(sequence(col("lo"), col("hi"), expr("interval 1 month"))).as("month"))
+        val active = ord.filter(col("o_custkey") < 10)
+        val grid = active.select(col("o_custkey")).distinct().crossJoin(months)
+        val actual = active.groupBy(col("o_custkey"), col("month"))
+          .agg(count(lit(1)).as("n_orders"), H.dsum(col("o_totalprice")).as("revenue"))
+        grid.join(actual, Seq("o_custkey", "month"), "left")
+          .select(col("o_custkey"),
+            date_format(col("month"), "yyyy-MM").as("month"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            coalesce(col("revenue"), lit(0.0)).as("revenue"))
+          .orderBy(col("o_custkey"), col("month"))
+      },
+      Some("""WITH ord AS (
+         |  SELECT o_custkey, date_trunc('month', o_orderdate) AS month, o_totalprice
+         |  FROM orders),
+         |span AS (SELECT min(month) AS lo, max(month) AS hi FROM ord),
+         |months AS (
+         |  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+         |    CAST(hi AS TIMESTAMP), INTERVAL 1 MONTH)) AS DATE) AS month FROM span),
+         |keys AS (SELECT DISTINCT o_custkey FROM ord WHERE o_custkey < 10),
+         |grid AS (SELECT o_custkey, month FROM keys CROSS JOIN months),
+         |actual AS (
+         |  SELECT o_custkey, month, count(*) AS n_orders,
+         |    CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+         |  FROM ord WHERE o_custkey < 10 GROUP BY 1, 2)
+         |SELECT g.o_custkey, strftime(g.month, '%Y-%m') AS month,
+         |  CAST(coalesce(a.n_orders, 0) AS BIGINT) AS n_orders,
+         |  coalesce(a.revenue, 0.0) AS revenue
+         |FROM grid g LEFT JOIN actual a
+         |  ON g.o_custkey = a.o_custkey AND g.month = a.month
+         |ORDER BY g.o_custkey, month""".stripMargin))
   )
 }
