@@ -32,6 +32,16 @@ class StreamingSpec extends SparkSpec {
     assert(top.getAs[Double]("score") > 0.999)
   }
 
+  test("stream-static enrichment join matches its batch twin") {
+    val streamed = graft.streaming.StreamEnrich
+      .runOnce(spark, sf001, "enrich_test")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    val batch = graft.streaming.StreamEnrich.batch(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(streamed == batch)
+    assert(streamed.map(_._2).sum > 0)
+  }
+
   test("stream-stream interval join matches its batch twin") {
     val streamed = graft.streaming.StreamJoin.runOnce(spark, sf001, "ssj_test")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
