@@ -149,15 +149,33 @@ object ExtendedQueries {
     // Edit-distance verification of dedup candidates: exact Levenshtein
     // over 64-char prefixes for the token-set duplicate groups (the
     // "verify" stage after candidate generation; integer-exact both sides).
+    // One scan + ONE shuffle (groupBy fp), pairs generated group-locally:
+    // a self-join on fp would scan and shuffle the corpus twice; collecting
+    // each duplicate group (bounded: dup-group size) and exploding i<j
+    // pairs inside the group produces the identical pair set with half the
+    // shuffle volume — the shape that survives 100 TB.
     Q("q_levenshtein",
       (s, d) => {
-        val docs = Tables.documents(s, d)
+        val groups = Tables.documents(s, d)
           .select(col("doc_id"),
             md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))).as("fp"),
             substring(col("text"), 1, 64).as("pre"))
-        docs.select(col("doc_id").as("doc_a"), col("fp"), col("pre").as("pre_a"))
-          .join(docs.select(col("doc_id").as("doc_b"), col("fp"), col("pre").as("pre_b")), "fp")
-          .filter(col("doc_a") < col("doc_b"))
+          .groupBy(col("fp"))
+          .agg(sort_array(collect_list(struct(col("doc_id"), col("pre")))).as("g"))
+          .filter(size(col("g")) > 1)
+        groups
+          .select(posexplode(col("g")).as(Seq("i", "a")), col("g"))
+          .select(col("a"), explode(slice(col("g"), col("i") + 2, size(col("g")))).as("b"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            col("a.pre").as("pre_a"), col("b.pre").as("pre_b"))
+          // one giant dup group generates all its pairs in one task; the
+          // pair rows are cheap (two 64-char prefixes) — redistribute them
+          // on the pair key so the O(64x64) DP below parallelizes evenly
+          // no matter how skewed the group sizes are
+          // explicit count: AQE would coalesce this few-MB shuffle back to
+          // one partition (pair rows are small but each carries O(64x64)
+          // compute — bytes are the wrong balance metric here)
+          .repartition(64, col("doc_a"), col("doc_b"))
           .select(col("doc_a"), col("doc_b"),
             levenshtein(col("pre_a"), col("pre_b")).cast("long").as("edit_dist"))
           .orderBy(col("doc_a"), col("doc_b"))
