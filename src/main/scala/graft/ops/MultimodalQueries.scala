@@ -46,6 +46,42 @@ object MultimodalQueries {
            |SELECT doc_id, CAST(plen AS BIGINT) AS payload_len,
            |  $feats
            |FROM hh ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // Frame sampling over the binary payload (video-style): split into
+    // 16-byte frames, keep every 2nd, fingerprint the sampled stream.
+    // Pure Catalyst (Multimodal.sampleFrames) — narrow, no UDF, no
+    // shuffle before the final ORDER BY. The oracle rebuilds the same
+    // sampled byte stream with substr arithmetic (payloads are ASCII
+    // here, so string and binary slicing agree byte-for-byte).
+    Q("q_frame_sample",
+      (s, d) => {
+        val FRAME = 16
+        val STRIDE = 2
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
+          .withColumn("payload", encode(col("text"), "UTF-8"))
+        docs
+          .withColumn("frames",
+            Multimodal.sampleFrames(col("payload"), FRAME, STRIDE))
+          .withColumn("sampled",
+            aggregate(col("frames"), lit(Array.emptyByteArray),
+              (acc, f) => concat(acc, f)))
+          .select(col("doc_id"),
+            size(col("frames")).cast("long").as("n_frames"),
+            octet_length(col("sampled")).cast("long").as("sampled_len"),
+            md5(col("sampled")).as("fp"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH f AS (
+         |  SELECT doc_id, text,
+         |    list_transform(
+         |      generate_series(0, CAST((strlen(text) - 1) // 32 AS INTEGER)),
+         |      i -> substr(text, i * 32 + 1, 16)) AS frames
+         |  FROM documents WHERE doc_id < 100)
+         |SELECT doc_id,
+         |  CAST(len(frames) AS BIGINT) AS n_frames,
+         |  CAST(strlen(array_to_string(frames, '')) AS BIGINT) AS sampled_len,
+         |  md5(array_to_string(frames, '')) AS fp
+         |FROM f ORDER BY doc_id""".stripMargin))
   )
 }

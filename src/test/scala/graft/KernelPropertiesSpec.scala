@@ -1,0 +1,121 @@
+package graft
+
+import graft.functions.{SimdSupport, TopKBuffer, VectorKernels}
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ScalaCheck property tests for the pure-JVM kernels. These are the
+  * algebraic laws the distributed paths depend on — notably TopKBuffer's
+  * partition-order invariance, which is what makes the SIMD gang's chunked
+  * merge, the TypedImperativeAggregate's partial/final merge, and the
+  * concurrent LocalIndex fallback scan all bitwise-equal to a sequential
+  * pass. */
+class KernelPropertiesSpec extends AnyFunSuite {
+
+  private val params = SCTest.Parameters.default.withMinSuccessfulTests(200)
+
+  private def check(name: String, p: Prop): Unit = {
+    val res = SCTest.check(params, p)
+    assert(res.passed, s"$name: $res")
+  }
+
+  private val pairGen: Gen[(Long, Double)] = for {
+    id <- Gen.chooseNum(0L, 500L)
+    s <- Gen.chooseNum(-1000.0, 1000.0)
+  } yield (id, s)
+
+  private def runSeq(pairs: List[(Long, Double)], k: Int): Seq[(Long, Double)] = {
+    val b = new TopKBuffer(k)
+    pairs.foreach { case (i, s) => b.insert(s, i) }
+    (0 until b.size).map(j => (b.ids(j), b.scores(j)))
+  }
+
+  test("top-k buffer: any chunking + merge order equals the sequential pass") {
+    check("chunk-merge", Prop.forAll(
+      Gen.listOf(pairGen), Gen.chooseNum(1, 20), Gen.long) { (pairs, k, seed) =>
+      val rnd = new scala.util.Random(seed)
+      // random partition of the stream into chunks, merged in random order
+      val chunks = rnd.shuffle(pairs).foldLeft(List(List.empty[(Long, Double)])) {
+        case (acc, p) =>
+          if (rnd.nextInt(4) == 0) List(p) :: acc
+          else (p :: acc.head) :: acc.tail
+      }
+      val merged = new TopKBuffer(k)
+      rnd.shuffle(chunks).foreach { c =>
+        val b = new TopKBuffer(k)
+        c.foreach { case (i, s) => b.insert(s, i) }
+        merged.mergeFrom(b)
+      }
+      val got = (0 until merged.size).map(j => (merged.ids(j), merged.scores(j)))
+      got == runSeq(pairs, k)
+    })
+  }
+
+  test("top-k buffer equals sort-take on distinct-id streams") {
+    val distinctPairs = Gen.listOf(pairGen).map(_.groupBy(_._1).map(_._2.head).toList)
+    check("sort-take", Prop.forAll(distinctPairs, Gen.chooseNum(1, 20)) { (pairs, k) =>
+      val expected = pairs.sortBy { case (i, s) => (-s, i) }.take(k)
+      runSeq(pairs, k) == expected
+    })
+  }
+
+  private val vecGen: Gen[Array[Float]] = for {
+    dim <- Gen.chooseNum(1, 200)
+    v <- Gen.listOfN(dim, Gen.chooseNum(-100.0f, 100.0f))
+  } yield v.toArray
+
+  test("quantize: components in [-128,127]; roundtrip error <= 1/127") {
+    check("quantize", Prop.forAll(vecGen) { v =>
+      val q = VectorKernels.quantize(v)
+      val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+      val bounds = q.forall(b => b >= -128 && b <= 127)
+      val rt = if (norm < 1e-10) q.forall(_ == 0)
+      else v.indices.forall { i =>
+        math.abs(q(i) / 127.0 - v(i) / norm) <= 1.0 / 127.0 + 1e-12
+      }
+      bounds && rt
+    })
+  }
+
+  test("cosine_int8: symmetric, self=1 for nonzero, range [-1,1]") {
+    check("cosine", Prop.forAll(vecGen, vecGen) { (a0, b0) =>
+      val dim = math.min(a0.length, b0.length)
+      val a = VectorKernels.quantize(a0.take(dim))
+      val b = VectorKernels.quantize(b0.take(dim))
+      val ab = VectorKernels.cosineInt8(a, b)
+      val ba = VectorKernels.cosineInt8(b, a)
+      val self = VectorKernels.cosineInt8(a, a)
+      val selfOk = if (a.forall(_ == 0)) self == 0.0 else math.abs(self - 1.0) < 1e-9
+      ab == ba && ab >= -1.0 - 1e-12 && ab <= 1.0 + 1e-12 && selfOk
+    })
+  }
+
+  test("SIMD scan equals scalar scan on random dims/sizes") {
+    assume(SimdSupport.available)
+    val caseGen = for {
+      dim <- Gen.chooseNum(1, 160)
+      n <- Gen.chooseNum(1, 120)
+      k <- Gen.chooseNum(1, 15)
+      seed <- Gen.long
+    } yield (dim, n, k, seed)
+    check("simd", Prop.forAll(caseGen) { case (dim, n, k, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val data = Array.fill[Short](n * dim)((rnd.nextInt(256) - 128).toShort)
+      val norms = Array.tabulate(n) { r =>
+        (0 until dim).map(j => data(r * dim + j).toLong * data(r * dim + j)).sum
+      }
+      val ids = Array.tabulate(n)(_.toLong)
+      val q = Array.fill[Short](dim)((rnd.nextInt(256) - 128).toShort)
+      val nq = q.map(x => x.toLong * x).sum
+      val a = new TopKBuffer(k)
+      val b = new TopKBuffer(k)
+      graft.functions.SimdKernels.scanTopK(data, norms, ids, 0, n, dim, q, nq, a)
+      SimdSupport.scanTopKScalar(data, norms, ids, 0, n, dim, q, nq, b)
+      a.size == b.size && (0 until a.size).forall { j =>
+        a.ids(j) == b.ids(j) &&
+          java.lang.Double.doubleToLongBits(a.scores(j)) ==
+            java.lang.Double.doubleToLongBits(b.scores(j))
+      }
+    })
+  }
+}
