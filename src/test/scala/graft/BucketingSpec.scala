@@ -51,4 +51,37 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS ord_bucketed")
     }
   }
+
+  test("AQE splits a skewed join partition (the runtime half of SCALE.md)") {
+    import spark.implicits._
+    // one hot key carrying ~all rows on the left, joined to a small-but-
+    // not-broadcastable right side
+    val left = (0 until 120000).map(i => (if (i % 100 == 0) i.toLong else 7L, i))
+      .toDF("k", "v")
+    val right = (0L until 5000L).map(k => (k, s"r$k")).toDF("k", "name")
+    val prev = Map(
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" ->
+        spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionFactor"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+        spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
+        spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes"))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // thresholds low enough that the hot partition qualifies at this size
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      val joined = left.join(right, "k")
+      // collect() drives joined's OWN QueryExecution, so AQE finalizes the
+      // plan we inspect (count()/write wrap it in a new execution)
+      // hot key 7: 118800 rows; distinct keys i%100==0 under 5000: 50 rows
+      assert(joined.collect().length == 118850)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n${plan.take(2000)}")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }
