@@ -173,21 +173,57 @@ object TextQueries {
     // strings. Both engines hash with the same md5 truncation, so results
     // stay bit-identical even in the (astronomically unlikely) event of a
     // 60-bit collision — the collision would be shared.
+    // Exact-duplicate classes are collapsed BEFORE the shingle join: docs
+    // with identical shingle sets form one class (md5 of the sorted set),
+    // the join runs between class REPRESENTATIVES, and class-level results
+    // expand back to doc pairs (intra-class pairs are jaccard=1 by
+    // construction — emitted group-locally without touching the join).
+    // On dup-heavy corpora this is the difference between O(classes^2)
+    // and O(docs^2) shingle-join volume: at sf0.1 a 248-doc duplicate
+    // class alone would otherwise contribute 248^2/2 x ~50 shingles of
+    // join traffic. Result set provably identical to the naive
+    // formulation, which the oracle still states.
     Q("q_ngram_jaccard",
       (s, d) => {
-        val sh = shingles(s, d).select(col("doc_id"),
-          graft.functions.TextOps.md5Prefix60(col("sh")).as("shh"))
-        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val inter = sh.select(col("doc_id").as("doc_a"), col("shh"))
-          .join(sh.select(col("doc_id").as("doc_b"), col("shh")), "shh")
-          .filter(col("doc_a") < col("doc_b"))
-          .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-        inter
-          .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-          .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-          .select(col("doc_a"), col("doc_b"),
+        val docSh = tokenized(s, d)
+          .select(col("doc_id"), shingleArray(col("t")).as("shs"))
+          .select(col("doc_id"), col("shs"),
+            // \u0001 separator keeps the fingerprint injective on shingle
+            // SETS (an empty separator would let boundary ambiguity merge
+            // different sets into one class)
+            md5(concat_ws("\u0001", array_sort(col("shs")))).as("cfp"))
+        // classes is read by four consumers (shingle explode, two pair-
+        // expansion joins, intra-class pairs): materialize the small
+        // class table once instead of recomputing the scan+agg per branch
+        val classes = docSh.groupBy(col("cfp"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("docs"),
+            first(col("shs")).as("shs"))
+          .withColumn("n", size(col("shs")))
+          .localCheckpoint(true)
+        val classSh = classes.select(col("cfp"), col("n"), explode(col("shs")).as("sh"))
+          .select(col("cfp"), col("n"),
+            graft.functions.TextOps.md5Prefix60(col("sh")).as("shh"))
+        val interPairs = classSh
+          .select(col("cfp").as("ca"), col("n").as("na"), col("shh"))
+          .join(classSh.select(col("cfp").as("cb"), col("n").as("nb"), col("shh")), "shh")
+          .filter(col("ca") < col("cb"))
+          .groupBy(col("ca"), col("cb"), col("na"), col("nb"))
+          .agg(count(lit(1)).as("inter"))
+          .select(col("ca"), col("cb"),
             (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
           .filter(col("jaccard") >= 0.8)
+          .join(classes.select(col("cfp").as("ca"), col("docs").as("docs_a")), "ca")
+          .join(classes.select(col("cfp").as("cb"), col("docs").as("docs_b")), "cb")
+          .select(explode(col("docs_a")).as("da"), col("docs_b"), col("jaccard"))
+          .select(col("da"), explode(col("docs_b")).as("db"), col("jaccard"))
+          .select(least(col("da"), col("db")).as("doc_a"),
+            greatest(col("da"), col("db")).as("doc_b"), col("jaccard"))
+        val intraPairs = classes.filter(size(col("docs")) > 1)
+          .select(posexplode(col("docs")).as(Seq("i", "doc_a")), col("docs"))
+          .select(col("doc_a"),
+            explode(slice(col("docs"), col("i") + 2, size(col("docs")))).as("doc_b"))
+          .select(col("doc_a"), col("doc_b"), lit(1.0).as("jaccard"))
+        interPairs.unionByName(intraPairs)
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some(s"""WITH $shinglesCte,
