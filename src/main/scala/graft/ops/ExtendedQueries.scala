@@ -271,6 +271,29 @@ object ExtendedQueries {
          |   / 8796093022208.0) / count(*) AS c
          |FROM e GROUP BY label, pos ORDER BY label, pos""".stripMargin)),
 
+    // Explicit GROUPING SETS (neither rollup nor cube: the two 1-dim
+    // slices plus the grand total, WITHOUT the 2-dim cells), through the
+    // SQL surface. grouping() disambiguates real NULLs from subtotal rows.
+    Q("q_grouping_sets",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_v")
+        s.sql("""
+          SELECT coalesce(o_orderstatus, 'ALL') AS status,
+            coalesce(o_orderpriority, 'ALL') AS priority,
+            count(1) AS n,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+          FROM orders_v
+          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          ORDER BY status, priority""")
+      },
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+         |  coalesce(o_orderpriority, 'ALL') AS priority,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         |ORDER BY status, priority""".stripMargin)),
+
     // FULL OUTER join: monthly order counts of the 'F' vs 'O' status
     // populations (they occupy mostly-disjoint date ranges, so both
     // null sides are genuinely exercised). Zero-filled with coalesce.
