@@ -162,3 +162,34 @@ case class L2NormExpr(child: Expression)
   override protected def withNewChildInternal(c: Expression): L2NormExpr =
     copy(child = c)
 }
+
+/** array<float> -> array<int>: sign-LSH bucket id per table, against a
+  * plane matrix baked in as a literal reference object. One compiled pass
+  * over the vector replaces `tables*bits` interpreted
+  * aggregate(zip_with(...)) folds (each of which allocates a zipped struct
+  * array per row); accumulation order is identical, so results are
+  * bitwise-equal to the declarative form (asserted in SimdSpec). */
+case class SignBucketsExpr(child: Expression, planes: Array[Double],
+    tables: Int, bits: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeCheck.floatArray(child, prettyName)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sign_buckets"
+
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(VectorKernels.signBuckets(
+      v.asInstanceOf[ArrayData].toFloatArray(), planes, tables, bits))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("signPlanes", planes, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.VectorKernels.signBuckets($c.toFloatArray(), " +
+        s"$planesRef, $tables, $bits))")
+  }
+
+  override protected def withNewChildInternal(c: Expression): SignBucketsExpr =
+    copy(child = c)
+}

@@ -177,6 +177,35 @@ object VectorKernels {
     out
   }
 
+  /** Sign-LSH bucket ids for `tables` tables of `bits` hyperplanes, planes
+    * flattened as [(t*bits + j)*dim + i]. Dot products accumulate left to
+    * right from 0.0 — bitwise identical to the declarative
+    * `aggregate(zip_with(e, plane, _*_), 0.0, _+_)` fold and to the DuckDB
+    * oracle's list_reduce, so every sign bit (and bucket) matches both. */
+  def signBuckets(e: Array[Float], planes: Array[Double],
+                  tables: Int, bits: Int): Array[Int] = {
+    val dim = e.length
+    require(planes.length == tables * bits * dim,
+      s"plane matrix ${planes.length} != $tables*$bits*$dim")
+    val out = new Array[Int](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0
+      var j = 0
+      while (j < bits) {
+        val off = (t * bits + j) * dim
+        var acc = 0.0
+        var i = 0
+        while (i < dim) { acc += e(i).toDouble * planes(off + i); i += 1 }
+        if (acc >= 0) bucket |= 1 << j
+        j += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    out
+  }
+
   /** True if any component is NaN or +/-Inf (insert validation,
     * pythonvectordb.py:284-285). */
   def hasNonFinite(v: Array[Float]): Boolean = {

@@ -40,6 +40,11 @@ object VectorOps {
   /** array<float> -> double L2 norm. */
   def l2norm(v: Column): Column = c(L2NormExpr(e(v)))
 
+  /** array<float> -> array<int>: sign-LSH bucket per table against a
+    * flattened [(t*bits+j)*dim+i] plane matrix (one codegen'd pass). */
+  def signBuckets(v: Column, planes: Array[Double], tables: Int, bits: Int): Column =
+    c(SignBucketsExpr(e(v), planes, tables, bits))
+
   /** array<float> -> array<double>: unit L2 normalization with the
     * reference's < 1e-10 zero-norm guard (pythonvectordb.py:70-99) —
     * pure Catalyst composition (codegen'd HOF, no UDF). */

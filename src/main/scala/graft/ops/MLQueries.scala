@@ -144,10 +144,15 @@ object MLQueries {
     Q("q_ann_recall_rp",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        // bucket signature per row, computed ONCE (48 fold expressions):
-        // materialized because corpus rows AND probe rows both read it
+        // bucket signatures in ONE codegen'd pass (SignBucketsExpr) — the
+        // declarative twin (48 aggregate(zip_with) folds, `bucketT`) stays
+        // as the spec'd reference; both are bitwise-equal (SimdSpec).
+        // Materialized because corpus rows AND probe rows both read it.
+        val flat = new Array[Double](RpTables * RpBits * RpDim)
+        for (t <- 0 until RpTables; j <- 0 until RpBits; i <- 0 until RpDim)
+          flat((t * RpBits + j) * RpDim + i) = rpPlanes(t)(j)(i)
         val withB = emb.select(col("vec_id"), col("embedding"),
-          array((0 until RpTables).map(t => bucketT(col("embedding"), t)): _*).as("bs"))
+          VectorOps.signBuckets(col("embedding"), flat, RpTables, RpBits).as("bs"))
           .localCheckpoint(true)
         val corpusRows = withB
           .select(col("vec_id"), posexplode(col("bs")).as(Seq("t", "bucket")))

@@ -126,6 +126,29 @@ class SimdSpec extends SparkSpec {
     assert(failures.get() == 0)
   }
 
+  test("sign_buckets kernel equals the aggregate(zip_with) fold bitwise") {
+    import spark.implicits._
+    val tables = 3; val bits = 5; val dim = 33
+    val prnd = new scala.util.Random(99)
+    val planes = Array.fill(tables * bits * dim)(prnd.nextGaussian())
+    val vecs = (0 until 200).map(i =>
+      (i.toLong, Array.fill(dim)(prnd.nextGaussian().toFloat))).toDF("id", "v")
+    def dotPlane(e: org.apache.spark.sql.Column, t: Int, j: Int) = {
+      val p = Array.tabulate(dim)(i => planes((t * bits + j) * dim + i))
+      aggregate(zip_with(e, typedLit(p), (x, pp) => x.cast("double") * pp),
+        lit(0.0), (a, x) => a + x)
+    }
+    val declarative = vecs.select(col("id"), array((0 until tables).map { t =>
+      (0 until bits).map(j =>
+        when(dotPlane(col("v"), t, j) >= 0, lit(1 << j)).otherwise(lit(0)))
+        .reduce(_ + _)
+    }: _*).as("bs")).collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val kernel = vecs.select(col("id"),
+      graft.functions.VectorOps.signBuckets(col("v"), planes, tables, bits).as("bs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(kernel == declarative)
+  }
+
   test("simhash32 kernel equals the md5 bit-vote SQL composition") {
     import spark.implicits._
     val docs = Seq(
