@@ -132,14 +132,9 @@ object MLQueries {
   }
 
   private def rpRecallQuery: Q = {
-    // left-fold dot product — bitwise-parity twin of OracleSql.foldSum
-    def dotPlane(e: org.apache.spark.sql.Column, p: Array[Double]) =
-      aggregate(zip_with(e, typedLit(p), (x, pp) => x.cast("double") * pp),
-        lit(0.0), (a, x) => a + x)
-    def bucketT(e: org.apache.spark.sql.Column, t: Int) =
-      (0 until RpBits).map(j =>
-        when(dotPlane(e, rpPlanes(t)(j)) >= 0, lit(1 << j)).otherwise(lit(0)))
-        .reduce(_ + _)
+    // (the declarative aggregate(zip_with) fold this kernel replaces lives
+    // on as the parity reference in SimdSpec "sign_buckets kernel equals
+    // the aggregate(zip_with) fold bitwise")
 
     Q("q_ann_recall_rp",
       (s, d) => {
