@@ -82,6 +82,48 @@ object MultimodalQueries {
          |  CAST(len(frames) AS BIGINT) AS n_frames,
          |  CAST(strlen(array_to_string(frames, '')) AS BIGINT) AS sampled_len,
          |  md5(array_to_string(frames, '')) AS fp
-         |FROM f ORDER BY doc_id""".stripMargin))
+         |FROM f ORDER BY doc_id""".stripMargin)),
+
+    // Cross-modal retrieval join (SURVEY §7 M4 "multimodal join"): batch
+    // kNN over the embedding corpus for 5 query vectors, enriched with the
+    // matching documents' metadata (doc_id = vec_id, 1:1 in the fixtures).
+    // Scale shape: 5 query vectors broadcast; TopKAgg shuffles m x k rows
+    // (not m x n); the 15-row result broadcasts into the documents join.
+    Q("q_search_enrich",
+      (s, d) => {
+        import graft.functions.VectorOps
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), VectorOps.quantizeInt8(col("embedding")).as("q"))
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("q").as("qq"))
+        val top = emb.crossJoin(broadcast(queries))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            VectorOps.cosineInt8(col("q"), col("qq")).as("score"))
+          .groupBy(col("qid"))
+          .agg(VectorOps.topK(col("score"), col("vec_id"), 3).as("tk"))
+          .select(col("qid"), explode(col("tk")).as("t"))
+          .select(col("qid"), col("t.vec_id").as("vec_id"), col("t.score").as("score"))
+        top.join(Tables.documents(s, d)
+            .select(col("doc_id"), col("lang"), col("n_chars")),
+          col("vec_id") === col("doc_id"))
+          .select(col("qid"), col("vec_id"), col("score"), col("lang"), col("n_chars"))
+          .orderBy(col("qid"), col("score").desc, col("vec_id"))
+      },
+      Some(s"""WITH ${OracleSql.quantizeCte},
+         |qs AS (SELECT vec_id AS qid, q AS qq FROM qv WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT qs.qid, v.vec_id, ${OracleSql.int8Cos("v.q", "qs.qq")} AS score
+         |  FROM qv v CROSS JOIN qs WHERE v.vec_id <> qs.qid),
+         |top AS (
+         |  SELECT qid, vec_id, score FROM (
+         |    SELECT qid, vec_id, score,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY score DESC, vec_id) AS rn
+         |    FROM scored) t
+         |  WHERE rn <= 3)
+         |SELECT qid, top.vec_id, score, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+         |FROM top JOIN documents d ON top.vec_id = d.doc_id
+         |ORDER BY qid, score DESC, top.vec_id""".stripMargin))
   )
 }
