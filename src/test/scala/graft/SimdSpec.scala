@@ -174,6 +174,26 @@ class SimdSpec extends SparkSpec {
     assert(kernel == ref)
   }
 
+  test("simhash32 is invariant under token-array permutation") {
+    import spark.implicits._
+    val rnd2 = new scala.util.Random(17)
+    val base = Seq.fill(30)(rnd2.alphanumeric.take(rnd2.nextInt(8) + 1).mkString).distinct
+    val perms = (0 until 6).map(i => (i.toLong, rnd2.shuffle(base))).toDF("i", "toks")
+    val hashes = perms
+      .select(TextOps.simhash32(col("toks")).as("sh"))
+      .collect().map(_.getLong(0)).toSet
+    assert(hashes.size == 1, s"permutations hashed differently: $hashes")
+  }
+
+  test("md5Prefix60 stays in [0, 2^60) (safe as a long shuffle key)") {
+    import spark.implicits._
+    val strs = Seq.fill(500)(rnd.alphanumeric.take(rnd.nextInt(40)).mkString)
+      .zipWithIndex.map(_.swap).toDF("i", "s")
+    val vals = strs.select(TextOps.md5Prefix60(col("s")).as("h"))
+      .collect().map(_.getLong(0))
+    assert(vals.forall(h => h >= 0L && h < (1L << 60)))
+  }
+
   test("md5Prefix60 equals conv(substring(md5, 1, 15), 16, 10)") {
     import spark.implicits._
     val strs = (Seq("", "a", "hello world") ++
