@@ -271,6 +271,33 @@ object ExtendedQueries {
          |   / 8796093022208.0) / count(*) AS c
          |FROM e GROUP BY label, pos ORDER BY label, pos""".stripMargin)),
 
+    // RANGE-frame window: trailing-90-day revenue per customer — a VALUE
+    // range over event time (rows-frames elsewhere in the registry can't
+    // express "last 90 days", only "last N rows"). Partitioned per
+    // customer, so frames stay bounded at any corpus size; the sum routes
+    // through DECIMAL so frame-internal order can't perturb the double.
+    Q("q_range_window",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+          .rangeBetween(-90, Window.currentRow)
+        Tables.orders(s, d).filter(col("o_custkey") < 50)
+          .withColumn("day",
+            datediff(col("o_orderdate"), to_date(lit("1992-01-01"))).cast("long"))
+          .withColumn("trail90",
+            sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(25, 6)))
+              .over(w).cast("double"))
+          .select(col("o_custkey"), col("o_orderkey"), col("day"), col("trail90"))
+          .orderBy(col("o_custkey"), col("day"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+         |  CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS day,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) OVER (
+         |    PARTITION BY o_custkey
+         |    ORDER BY date_diff('day', DATE '1992-01-01', o_orderdate)
+         |    RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trail90
+         |FROM orders WHERE o_custkey < 50
+         |ORDER BY o_custkey, day, o_orderkey""".stripMargin)),
+
     // Explicit GROUPING SETS (neither rollup nor cube: the two 1-dim
     // slices plus the grand total, WITHOUT the 2-dim cells), through the
     // SQL surface. grouping() disambiguates real NULLs from subtotal rows.
