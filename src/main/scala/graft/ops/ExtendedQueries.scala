@@ -271,6 +271,33 @@ object ExtendedQueries {
          |   / 8796093022208.0) / count(*) AS c
          |FROM e GROUP BY label, pos ORDER BY label, pos""".stripMargin)),
 
+    // Unpivot/melt (wide -> long): per-brand metric columns melted into
+    // (brand, metric, value) rows — the inverse of q_pivot, and the
+    // standard reshape before per-metric aggregation in feature pipelines.
+    // A narrow Expand projection (each input row emits #metrics rows, no
+    // shuffle beyond the upstream agg).
+    Q("q_unpivot",
+      (s, d) => Tables.part(s, d)
+        .groupBy(col("p_brand"))
+        .agg(H.dsum(col("p_retailprice")).as("sum_price"),
+          sum(col("p_size")).cast("double").as("sum_size"),
+          count(lit(1)).cast("double").as("n_parts"))
+        .unpivot(Array(col("p_brand")),
+          Array(col("sum_price"), col("sum_size"), col("n_parts")),
+          "metric", "value")
+        .orderBy(col("p_brand"), col("metric")),
+      Some("""WITH g AS (
+         |  SELECT p_brand,
+         |    CAST(sum(CAST(p_retailprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price,
+         |    CAST(sum(p_size) AS DOUBLE) AS sum_size,
+         |    CAST(count(*) AS DOUBLE) AS n_parts
+         |  FROM part GROUP BY p_brand)
+         |SELECT p_brand, metric, value FROM (
+         |  SELECT p_brand, 'sum_price' AS metric, sum_price AS value FROM g
+         |  UNION ALL SELECT p_brand, 'sum_size', sum_size FROM g
+         |  UNION ALL SELECT p_brand, 'n_parts', n_parts FROM g)
+         |ORDER BY p_brand, metric""".stripMargin)),
+
     // RANGE-frame window: trailing-90-day revenue per customer — a VALUE
     // range over event time (rows-frames elsewhere in the registry can't
     // express "last 90 days", only "last N rows"). Partitioned per
