@@ -271,6 +271,70 @@ object ExtendedQueries {
          |   / 8796093022208.0) / count(*) AS c
          |FROM e GROUP BY label, pos ORDER BY label, pos""".stripMargin)),
 
+    // Ordered funnel (view -> click -> purchase): stage N counts users
+    // whose earliest stage-N event strictly follows their earliest
+    // stage-(N-1) event. Every stage is a groupBy(user) + equi-join on
+    // user — shuffle keys are user ids throughout, never a time-range
+    // product, so the funnel scales with events/user, not corpus size.
+    Q("q_funnel",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("ts"))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(v, "user_id").filter(col("ts") > col("t1"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(c, "user_id").filter(col("ts") > col("t2"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+        ev.agg(countDistinct(col("user_id")).as("n_users"))
+          .crossJoin(v.agg(count(lit(1)).as("n_view")))
+          .crossJoin(c.agg(count(lit(1)).as("n_click_after_view")))
+          .crossJoin(p.agg(count(lit(1)).as("n_purchase_after_click")))
+      },
+      Some("""WITH v AS (
+         |  SELECT user_id, min(ts) AS t1 FROM events
+         |  WHERE event_type = 'view' GROUP BY user_id),
+         |c AS (
+         |  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+         |  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+         |p AS (
+         |  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+         |  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+         |SELECT
+         |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events) AS n_users,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click_after_view,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase_after_click""".stripMargin)),
+
+    // Weekly cohort retention: users grouped by the week of their first
+    // event; cell (cohort, week_n) counts members active n weeks later.
+    // Two shuffles (per-user first-week agg, then the cohort-cell agg) —
+    // the matrix is (weeks x weeks), tiny at any corpus size.
+    Q("q_cohort_retention",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        val first = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+        ev.distinct().join(first, "user_id")
+          .groupBy(col("cohort"),
+            (datediff(col("wk"), col("cohort")) / 7).cast("long").as("week_n"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+            col("week_n"), col("n_active"))
+          .orderBy(col("cohort_week"), col("week_n"))
+      },
+      Some("""WITH ev AS (
+         |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+         |f AS (SELECT user_id, min(wk) AS cohort FROM ev GROUP BY user_id)
+         |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+         |  CAST(date_diff('day', cohort, wk) // 7 AS BIGINT) AS week_n,
+         |  CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_active
+         |FROM ev JOIN f USING (user_id)
+         |GROUP BY cohort, week_n
+         |ORDER BY cohort_week, week_n""".stripMargin)),
+
     // Unpivot/melt (wide -> long): per-brand metric columns melted into
     // (brand, metric, value) rows — the inverse of q_pivot, and the
     // standard reshape before per-metric aggregation in feature pipelines.
