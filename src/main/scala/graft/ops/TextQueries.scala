@@ -69,6 +69,63 @@ object TextQueries {
       |  SELECT DISTINCT doc_id, tok || ' ' || t2 || ' ' || t3 AS sh
       |  FROM sh0 WHERE t3 IS NOT NULL)""".stripMargin
 
+  /** MinHash+LSH candidate pairs (doc_a < doc_b), the shared front half of
+    * q_minhash_lsh and q_dedup_components. One md5 per shingle; 8 minhash
+    * permutations via universal hashing h_j = (h1*(2j+1) + h2*(13+j)) mod p
+    * — 8x fewer digest computations than seeded-md5-per-permutation, same
+    * LSH guarantees. */
+  def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+      .select(col("doc_id"), md5(col("sh")).as("h"))
+      // md5 aliased once: CollapseProject keeps non-cheap exprs with
+      // multiple downstream references un-inlined => one digest per row
+      .select(col("doc_id"),
+        conv(substring(col("h"), 1, 8), 16, 10).cast("long").as("h1"),
+        conv(substring(col("h"), 9, 8), 16, 10).cast("long").as("h2"))
+    val minCols = (0 until 8).map(j =>
+      min((col("h1") * (2 * j + 1) + col("h2") * (13 + j)) % 2147483647L).as(s"m$j"))
+    val sig = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    val bands = sig.select(col("doc_id"),
+      concat_ws("|", col("m0"), col("m1")).as("b0"),
+      concat_ws("|", col("m2"), col("m3")).as("b1"),
+      concat_ws("|", col("m4"), col("m5")).as("b2"),
+      concat_ws("|", col("m6"), col("m7")).as("b3"))
+    (0 until 4).map { k =>
+      bands.select(col("doc_id").as("doc_a"), col(s"b$k").as("bk"))
+        .join(bands.select(col("doc_id").as("doc_b"), col(s"b$k").as("bk")), "bk")
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+    }.reduce(_ union _).distinct()
+  }
+
+  /** Oracle CTE chain producing the same candidate `pairs` table. */
+  private def minhashPairsCtes: String =
+    s"""$shinglesCte,
+       |hh AS (
+       |  SELECT doc_id,
+       |    ${OracleSql.hexToLong("md5(sh)", 1, 8)} AS h1,
+       |    ${OracleSql.hexToLong("md5(sh)", 9, 8)} AS h2
+       |  FROM sh),
+       |sig AS (
+       |  SELECT doc_id,
+       |    min((h1*1 + h2*13) % 2147483647) AS m0,
+       |    min((h1*3 + h2*14) % 2147483647) AS m1,
+       |    min((h1*5 + h2*15) % 2147483647) AS m2,
+       |    min((h1*7 + h2*16) % 2147483647) AS m3,
+       |    min((h1*9 + h2*17) % 2147483647) AS m4,
+       |    min((h1*11 + h2*18) % 2147483647) AS m5,
+       |    min((h1*13 + h2*19) % 2147483647) AS m6,
+       |    min((h1*15 + h2*20) % 2147483647) AS m7
+       |  FROM hh GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, m0 || '|' || m1 AS b0, m2 || '|' || m3 AS b1,
+       |         m4 || '|' || m5 AS b2, m6 || '|' || m7 AS b3 FROM sig),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.b0 = b.b0 AND a.doc_id < b.doc_id
+       |  UNION SELECT a.doc_id, b.doc_id FROM bands a JOIN bands b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+       |  UNION SELECT a.doc_id, b.doc_id FROM bands a JOIN bands b ON a.b2 = b.b2 AND a.doc_id < b.doc_id
+       |  UNION SELECT a.doc_id, b.doc_id FROM bands a JOIN bands b ON a.b3 = b.b3 AND a.doc_id < b.doc_id)""".stripMargin
+
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("table", "row", "data"),
     "en" -> Seq("the", "a", "value"),
@@ -113,59 +170,62 @@ object TextQueries {
     // MinHash (8 perms via seeded md5) + LSH banding (4 bands x 2 rows):
     // candidate near-dup pairs via band-equality join — the 100 TB dedup path.
     Q("q_minhash_lsh",
-      (s, d) => {
-        // One md5 per shingle; 8 minhash permutations via universal hashing
-        // h_j = (h1*(2j+1) + h2*(13+j)) mod p  — 8x fewer digest computations
-        // than seeded-md5-per-permutation, same LSH guarantees.
-        val sh = shingles(s, d)
-          .select(col("doc_id"), md5(col("sh")).as("h"))
-          // md5 aliased once: CollapseProject keeps non-cheap exprs with
-          // multiple downstream references un-inlined => one digest per row
-          .select(col("doc_id"),
-            conv(substring(col("h"), 1, 8), 16, 10).cast("long").as("h1"),
-            conv(substring(col("h"), 9, 8), 16, 10).cast("long").as("h2"))
-        val minCols = (0 until 8).map(j =>
-          min((col("h1") * (2 * j + 1) + col("h2") * (13 + j)) % 2147483647L).as(s"m$j"))
-        val sig = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
-        val bands = sig.select(col("doc_id"),
-          concat_ws("|", col("m0"), col("m1")).as("b0"),
-          concat_ws("|", col("m2"), col("m3")).as("b1"),
-          concat_ws("|", col("m4"), col("m5")).as("b2"),
-          concat_ws("|", col("m6"), col("m7")).as("b3"))
-        (0 until 4).map { k =>
-          bands.select(col("doc_id").as("doc_a"), col(s"b$k").as("bk"))
-            .join(bands.select(col("doc_id").as("doc_b"), col(s"b$k").as("bk")), "bk")
-            .filter(col("doc_a") < col("doc_b"))
-            .select(col("doc_a"), col("doc_b"))
-        }.reduce(_ union _).distinct().orderBy(col("doc_a"), col("doc_b"))
-      },
-      Some(s"""WITH $shinglesCte,
-         |hh AS (
-         |  SELECT doc_id,
-         |    ${OracleSql.hexToLong("md5(sh)", 1, 8)} AS h1,
-         |    ${OracleSql.hexToLong("md5(sh)", 9, 8)} AS h2
-         |  FROM sh),
-         |sig AS (
-         |  SELECT doc_id,
-         |    min((h1*1 + h2*13) % 2147483647) AS m0,
-         |    min((h1*3 + h2*14) % 2147483647) AS m1,
-         |    min((h1*5 + h2*15) % 2147483647) AS m2,
-         |    min((h1*7 + h2*16) % 2147483647) AS m3,
-         |    min((h1*9 + h2*17) % 2147483647) AS m4,
-         |    min((h1*11 + h2*18) % 2147483647) AS m5,
-         |    min((h1*13 + h2*19) % 2147483647) AS m6,
-         |    min((h1*15 + h2*20) % 2147483647) AS m7
-         |  FROM hh GROUP BY doc_id),
-         |bands AS (
-         |  SELECT doc_id, m0 || '|' || m1 AS b0, m2 || '|' || m3 AS b1,
-         |         m4 || '|' || m5 AS b2, m6 || '|' || m7 AS b3 FROM sig),
-         |pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.b0 = b.b0 AND a.doc_id < b.doc_id
-         |  UNION SELECT a.doc_id, b.doc_id FROM bands a JOIN bands b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
-         |  UNION SELECT a.doc_id, b.doc_id FROM bands a JOIN bands b ON a.b2 = b.b2 AND a.doc_id < b.doc_id
-         |  UNION SELECT a.doc_id, b.doc_id FROM bands a JOIN bands b ON a.b3 = b.b3 AND a.doc_id < b.doc_id)
+      (s, d) => minhashPairs(s, d).orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""WITH $minhashPairsCtes
          |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin),
       headline = true),
+
+    // Connected components over the LSH candidate graph — the final step
+    // of production dedup (candidate pairs -> duplicate CLUSTERS -> one
+    // keeper per cluster). Distributed min-label propagation: each
+    // iteration is one equi-join + min-aggregate on doc ids, converging in
+    // O(graph diameter) rounds (dup clusters are dense, so 2-4 in
+    // practice); lineage is cut per round with an eager checkpoint. The
+    // oracle computes the same components with a recursive CTE — engine-
+    // independent ground truth for an iterative distributed algorithm.
+    Q("q_dedup_components",
+      (s, d) => {
+        val pairs = minhashPairs(s, d).localCheckpoint(true)
+        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+          .localCheckpoint(true)
+        var labels = edges.select(col("src").as("doc_id")).distinct()
+          .withColumn("label", col("doc_id"))
+          .localCheckpoint(true)
+        var changed = 1L
+        var iter = 0
+        while (changed > 0 && iter < 25) {
+          val prop = edges
+            .join(labels.select(col("doc_id").as("src"), col("label")), "src")
+            .groupBy(col("dst").as("doc_id"))
+            .agg(min(col("label")).as("nlabel"))
+          val next = labels.join(prop, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+            .localCheckpoint(true)
+          changed = next
+            .join(labels.select(col("doc_id"), col("label").as("old")), "doc_id")
+            .filter(col("label") =!= col("old")).count()
+          labels = next
+          iter += 1
+        }
+        labels.groupBy(col("label").as("component"))
+          .agg(count(lit(1)).as("size"), max(col("doc_id")).as("max_doc"))
+          .orderBy(col("component"))
+      },
+      Some(s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(doc, label) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc),
+         |lab AS (SELECT doc, min(label) AS label FROM reach GROUP BY doc)
+         |SELECT CAST(label AS BIGINT) AS component,
+         |  CAST(count(*) AS BIGINT) AS size,
+         |  CAST(max(doc) AS BIGINT) AS max_doc
+         |FROM lab GROUP BY label ORDER BY component""".stripMargin)),
 
     // Exact n-gram Jaccard >= 0.8 via shingle-equality join (no all-pairs).
     // The join/aggregate key is a 60-bit md5-derived integer, not the
