@@ -85,6 +85,54 @@ object PipelineQueries {
          |    AS mean_chars_sampled
          |FROM b GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // Train/test decontamination: count test-split documents sharing an
+    // 8-gram with any train-split document (the standard pre-training
+    // contamination check; 8-grams, not 3-grams, so incidental phrase
+    // overlap doesn't flag). Candidates come from an equi-join on the
+    // 60-bit shingle hash — never a doc x doc product; at 100 TB this is
+    // the same bucket-join shape as the dedup pipeline, run train x test.
+    Q("q_decontaminate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("b", bucket("split:", 100))
+          .withColumn("t", split(col("text"), " "))
+          .filter(size(col("t")) >= 8)
+        def grams(side: String) = docs
+          .filter(if (side == "train") col("b") < 80 else col("b") >= 90)
+          .select(col("doc_id").as(s"${side}_doc"),
+            explode(array_distinct(transform(sequence(lit(0), size(col("t")) - 8),
+              i => concat_ws(" ", (0 until 8).map(o => element_at(col("t"), i + o + 1)): _*))))
+              .as("g"))
+          .select(col(s"${side}_doc"),
+            graft.functions.TextOps.md5Prefix60(col("g")).as("gh"))
+        val pairs = grams("test").join(grams("train"), "gh")
+          .select(col("test_doc"), col("train_doc")).distinct()
+        docs.filter(col("b") >= 90).agg(count(lit(1)).as("n_test_docs"))
+          .crossJoin(pairs.agg(
+            countDistinct(col("test_doc")).as("n_contaminated"),
+            count(lit(1)).as("n_pairs")))
+      },
+      Some(s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t,
+         |    ${bucketSql("split:", 100)} AS b
+         |  FROM documents),
+         |d8 AS (SELECT * FROM d WHERE len(t) >= 8),
+         |grams AS (
+         |  SELECT doc_id, b, ${OracleSql.hexToLong("md5(g)", 1, 15)} AS gh FROM (
+         |    SELECT DISTINCT doc_id, b,
+         |      unnest(list_transform(generate_series(1, len(t) - 7),
+         |        i -> array_to_string(t[i:i+7], ' '))) AS g
+         |    FROM d8)),
+         |pairs AS (
+         |  SELECT DISTINCT te.doc_id AS test_doc, tr.doc_id AS train_doc
+         |  FROM grams te JOIN grams tr ON te.gh = tr.gh
+         |  WHERE te.b >= 90 AND tr.b < 80)
+         |SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM d8 WHERE b >= 90) AS n_test_docs,
+         |  CAST(count(DISTINCT test_doc) AS BIGINT) AS n_contaminated,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM pairs""".stripMargin)),
+
     // BM25 keyword ranking (k1=1.2, b=0.75, Lucene idf): top-10 documents
     // for a fixed 3-term query. Because the term set is a compile-time
     // constant, per-doc tf is a NARROW array-filter projection — no token
