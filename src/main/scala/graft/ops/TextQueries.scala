@@ -98,6 +98,52 @@ object TextQueries {
     }.reduce(_ union _).distinct()
   }
 
+  /** Connected-component labels over the LSH candidate graph: (doc_id,
+    * label) with label = min doc id in the component. Distributed min-label
+    * propagation — one equi-join + min-aggregate per round, lineage cut by
+    * an eager checkpoint, converging in O(graph diameter) rounds (dup
+    * clusters are dense: 2-4 in practice). */
+  def componentLabels(s: SparkSession, d: String): DataFrame = {
+    val pairs = minhashPairs(s, d).localCheckpoint(true)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 25) {
+      val prop = edges
+        .join(labels.select(col("doc_id").as("src"), col("label")), "src")
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("label")).as("nlabel"))
+      val next = labels.join(prop, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      changed = next
+        .join(labels.select(col("doc_id"), col("label").as("old")), "doc_id")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Oracle CTE chain: `edges` + recursive `reach` + per-doc min `lab` —
+    * the recursive-CTE ground truth for componentLabels. */
+  private def componentCtes: String =
+    s"""$minhashPairsCtes,
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(doc, label) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc),
+       |lab AS (SELECT doc, min(label) AS label FROM reach GROUP BY doc)""".stripMargin
+
   /** Oracle CTE chain producing the same candidate `pairs` table. */
   private def minhashPairsCtes: String =
     s"""$shinglesCte,
@@ -184,48 +230,48 @@ object TextQueries {
     // oracle computes the same components with a recursive CTE — engine-
     // independent ground truth for an iterative distributed algorithm.
     Q("q_dedup_components",
-      (s, d) => {
-        val pairs = minhashPairs(s, d).localCheckpoint(true)
-        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-          .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-          .localCheckpoint(true)
-        var labels = edges.select(col("src").as("doc_id")).distinct()
-          .withColumn("label", col("doc_id"))
-          .localCheckpoint(true)
-        var changed = 1L
-        var iter = 0
-        while (changed > 0 && iter < 25) {
-          val prop = edges
-            .join(labels.select(col("doc_id").as("src"), col("label")), "src")
-            .groupBy(col("dst").as("doc_id"))
-            .agg(min(col("label")).as("nlabel"))
-          val next = labels.join(prop, Seq("doc_id"), "left")
-            .select(col("doc_id"),
-              least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-            .localCheckpoint(true)
-          changed = next
-            .join(labels.select(col("doc_id"), col("label").as("old")), "doc_id")
-            .filter(col("label") =!= col("old")).count()
-          labels = next
-          iter += 1
-        }
-        labels.groupBy(col("label").as("component"))
-          .agg(count(lit(1)).as("size"), max(col("doc_id")).as("max_doc"))
-          .orderBy(col("component"))
-      },
-      Some(s"""WITH RECURSIVE $minhashPairsCtes,
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |reach(doc, label) AS (
-         |  SELECT DISTINCT src, src FROM edges
-         |  UNION
-         |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc),
-         |lab AS (SELECT doc, min(label) AS label FROM reach GROUP BY doc)
+      (s, d) => componentLabels(s, d)
+        .groupBy(col("label").as("component"))
+        .agg(count(lit(1)).as("size"), max(col("doc_id")).as("max_doc"))
+        .orderBy(col("component")),
+      Some(s"""WITH RECURSIVE $componentCtes
          |SELECT CAST(label AS BIGINT) AS component,
          |  CAST(count(*) AS BIGINT) AS size,
          |  CAST(max(doc) AS BIGINT) AS max_doc
          |FROM lab GROUP BY label ORDER BY component""".stripMargin)),
+
+    // Keeper selection — the ACTIONABLE output of the dedup pipeline: one
+    // keeper per duplicate cluster (longest text, doc_id tiebreak), every
+    // other member a drop. Join of the component labels with the documents
+    // table + one per-component argmax; the drop list is what a corpus
+    // build actually consumes.
+    Q("q_dedup_keepers",
+      (s, d) => {
+        val labels = componentLabels(s, d)
+        val sized = labels.join(
+          Tables.documents(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
+        sized.groupBy(col("label").as("component"))
+          .agg(
+            max_by(col("doc_id"), struct(col("n_chars"), -col("doc_id"))).as("keeper"),
+            max(col("n_chars")).as("keeper_chars"),
+            (count(lit(1)) - 1).as("n_dropped"))
+          .orderBy(col("component"))
+      },
+      Some(s"""WITH RECURSIVE $componentCtes,
+         |sized AS (
+         |  SELECT lab.doc, lab.label, d.n_chars
+         |  FROM lab JOIN documents d ON lab.doc = d.doc_id),
+         |ranked AS (
+         |  SELECT label, doc, n_chars,
+         |    row_number() OVER (PARTITION BY label
+         |      ORDER BY n_chars DESC, doc ASC) AS rn,
+         |    count(*) OVER (PARTITION BY label) AS sz
+         |  FROM sized)
+         |SELECT CAST(label AS BIGINT) AS component,
+         |  CAST(doc AS BIGINT) AS keeper,
+         |  CAST(n_chars AS BIGINT) AS keeper_chars,
+         |  CAST(sz - 1 AS BIGINT) AS n_dropped
+         |FROM ranked WHERE rn = 1 ORDER BY component""".stripMargin)),
 
     // Exact n-gram Jaccard >= 0.8 via shingle-equality join (no all-pairs).
     // The join/aggregate key is a 60-bit md5-derived integer, not the
