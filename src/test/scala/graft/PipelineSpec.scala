@@ -53,6 +53,49 @@ class PipelineSpec extends SparkSpec {
         s"top doc ${top.head.getAs[Long]("doc_id")} lacks the rare term")
   }
 
+  test("funnel stages are monotonically non-increasing") {
+    val r = SparkEntry.queries("q_funnel")(spark, sf001).collect().head
+    val (users, view, click, purchase) = (r.getAs[Long]("n_users"),
+      r.getAs[Long]("n_view"), r.getAs[Long]("n_click_after_view"),
+      r.getAs[Long]("n_purchase_after_click"))
+    assert(users >= view && view >= click && click >= purchase)
+    assert(view > 0, "fixture users must reach stage 1")
+  }
+
+  test("decontamination flags every cross-split exact duplicate") {
+    import org.apache.spark.sql.functions._
+    val r = SparkEntry.queries("q_decontaminate")(spark, sf001).collect().head
+    val contaminated = r.getAs[Long]("n_contaminated")
+    assert(contaminated <= r.getAs[Long]("n_test_docs"))
+    // any exact text duplicate (>= 8 tokens) spanning test/train MUST be
+    // caught by 8-gram overlap — compute the lower bound independently
+    val docs = Tables.documents(spark, sf001)
+      .withColumn("b", graft.functions.TextOps.md5Prefix60(
+        concat(lit("split:"), col("doc_id").cast("string"))) % 100)
+      .withColumn("nt", size(split(col("text"), " ")))
+      .filter(col("nt") >= 8)
+      .select(col("doc_id"), col("b"), md5(col("text")).as("th"))
+    val crossDup = docs.filter(col("b") >= 90).select(col("th")).distinct()
+      .join(docs.filter(col("b") < 80).select(col("th")).distinct(), "th")
+      .join(docs.filter(col("b") >= 90).select(col("doc_id"), col("th")), "th")
+      .select(col("doc_id")).distinct().count()
+    assert(contaminated >= crossDup,
+      s"decontamination missed exact cross-split dups: $contaminated < $crossDup")
+  }
+
+  test("keeper accounting closes against the component sizes") {
+    val comps = SparkEntry.queries("q_dedup_components")(spark, sf001).collect()
+      .map(r => r.getAs[Long]("component") -> r.getAs[Long]("size")).toMap
+    val keepers = SparkEntry.queries("q_dedup_keepers")(spark, sf001).collect()
+    assert(keepers.map(_.getAs[Long]("component")).toSet == comps.keySet)
+    keepers.foreach { r =>
+      val c = r.getAs[Long]("component")
+      assert(r.getAs[Long]("n_dropped") == comps(c) - 1,
+        s"component $c drop count mismatch")
+      assert(r.getAs[Long]("keeper") >= c, "keeper must be a member (>= min id)")
+    }
+  }
+
   test("tfidf keywords: <=3 ranked terms per doc, ranks contiguous from 1") {
     val rows = SparkEntry.queries("q_tfidf_keywords")(spark, sf001).collect()
     assert(rows.nonEmpty)
