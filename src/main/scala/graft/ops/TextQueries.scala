@@ -273,6 +273,34 @@ object TextQueries {
          |  CAST(sz - 1 AS BIGINT) AS n_dropped
          |FROM ranked WHERE rn = 1 ORDER BY component""".stripMargin)),
 
+    // Corpus-wide top bigrams — the frequency statistics a tokenizer/BPE
+    // training run starts from. Narrow bigram projection (no window),
+    // one groupBy shuffle, TakeOrderedAndProject for the top-k.
+    Q("q_top_ngrams",
+      (s, d) => {
+        val t = Tables.documents(s, d)
+          .select(split(col("text"), " ").as("t"))
+          .filter(size(col("t")) >= 2)
+        t.select(explode(transform(sequence(lit(0), size(col("t")) - 2),
+            i => concat_ws(" ", element_at(col("t"), i + 1), element_at(col("t"), i + 2))))
+            .as("bigram"))
+          .filter(!col("bigram").startsWith(" ") && !col("bigram").endsWith(" "))
+          .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("bigram"))
+          .limit(20)
+      },
+      Some("""WITH t AS (
+         |  SELECT string_split(text, ' ') AS t FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 2),
+         |bg AS (
+         |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+         |    i -> t[i] || ' ' || t[i+1])) AS bigram
+         |  FROM t)
+         |SELECT bigram, CAST(count(*) AS BIGINT) AS n
+         |FROM bg
+         |WHERE bigram NOT LIKE ' %' AND bigram NOT LIKE '% '
+         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin)),
+
     // Exact n-gram Jaccard >= 0.8 via shingle-equality join (no all-pairs).
     // The join/aggregate key is a 60-bit md5-derived integer, not the
     // shingle string: the shuffles carry 8-byte longs instead of ~25-byte

@@ -44,6 +44,17 @@ object StreamDedup {
       }
   }
 
+  /** Built-in bounded-state dedup: `dropDuplicatesWithinWatermark` on
+    * event_id. Unlike the unbounded seen-set above, state for an id is
+    * DROPPED once the watermark passes it — the production shape for
+    * at-least-once sources where duplicates arrive close together
+    * (retransmits), trading unbounded exactness for bounded state. */
+  def dedupEventsWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Run the streaming dedup to completion against the static documents
     * parquet via the memory sink; returns kept docs. */
   def runOnce(spark: SparkSession, dir: String, queryName: String): DataFrame = {

@@ -32,6 +32,28 @@ class StreamingSpec extends SparkSpec {
     assert(top.getAs[Double]("score") > 0.999)
   }
 
+  test("dropDuplicatesWithinWatermark removes retransmitted events") {
+    // simulate an at-least-once source: the same events file delivered twice
+    val dir = java.nio.file.Files.createTempDirectory("dup_events")
+    val src = java.nio.file.Paths.get(sf001, "events.parquet")
+    java.nio.file.Files.copy(src, dir.resolve("a.parquet"))
+    java.nio.file.Files.copy(src, dir.resolve("b.parquet"))
+    val stream = spark.readStream
+      .schema(graft.streaming.EventsStream.rawSchema).parquet(dir.toString)
+    val q = graft.streaming.StreamDedup.dedupEventsWithinWatermark(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("wm_dedup_test")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("wm_dedup_test")
+    val distinctIds = spark.read
+      .schema(graft.streaming.EventsStream.rawSchema).parquet(dir.toString)
+      .select("event_id").distinct().count()
+    assert(kept.count() == distinctIds, "one event per id must survive")
+    assert(kept.select("event_id").distinct().count() == kept.count())
+  }
+
   test("stream-static enrichment join matches its batch twin") {
     val streamed = graft.streaming.StreamEnrich
       .runOnce(spark, sf001, "enrich_test")
