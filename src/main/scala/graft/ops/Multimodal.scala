@@ -75,10 +75,18 @@ object Multimodal {
 
   /** Frame sampling over a multimodal payload: split the binary into
     * fixed-size "frames" and keep every `stride`-th — pure Catalyst
-    * (narrow), showing binary-column slicing without a UDF. */
+    * (narrow), showing binary-column slicing without a UDF.
+    *
+    * Zero-length payloads yield an EMPTY frame list (matching a floor-
+    * division oracle): without the guard, (0-1)/step truncates to 0 and —
+    * because Spark's `sequence(0, -1)` counts DOWN rather than returning
+    * empty — a naive floor() would emit two phantom frames. */
   def sampleFrames(payload: org.apache.spark.sql.Column,
-                   frameBytes: Int, stride: Int): org.apache.spark.sql.Column =
-    transform(
-      sequence(lit(0), ((octet_length(payload) - 1) / lit(frameBytes * stride)).cast("int")),
-      i => substring(payload, (i * frameBytes * stride + 1).cast("int"), lit(frameBytes)))
+                   frameBytes: Int, stride: Int): org.apache.spark.sql.Column = {
+    val step = frameBytes * stride
+    when(octet_length(payload) === 0, array().cast("array<binary>"))
+      .otherwise(transform(
+        sequence(lit(0), floor((octet_length(payload) - 1) / lit(step)).cast("int")),
+        i => substring(payload, (i * step + 1).cast("int"), lit(frameBytes))))
+  }
 }

@@ -72,8 +72,11 @@ object PipelineQueries {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_total"),
           sum(col("in_sample")).cast("long").as("n_sampled"),
-          (sum(col("in_sample") * col("n_chars")).cast("double") /
-            sum(col("in_sample")).cast("double")).as("mean_chars_sampled"))
+          // guarded: an empty stratum divides 0/0, which Spark (non-ANSI)
+          // nulls but DuckDB IEEE-evaluates to NaN — make both sides NULL
+          when(sum(col("in_sample")) > 0,
+            sum(col("in_sample") * col("n_chars")).cast("double") /
+              sum(col("in_sample")).cast("double")).as("mean_chars_sampled"))
         .orderBy(col("lang")),
       Some(s"""WITH b AS (
          |  SELECT lang, n_chars,
@@ -81,8 +84,9 @@ object PipelineQueries {
          |  FROM documents)
          |SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
          |  CAST(sum(in_sample) AS BIGINT) AS n_sampled,
-         |  CAST(sum(in_sample * n_chars) AS DOUBLE) / CAST(sum(in_sample) AS DOUBLE)
-         |    AS mean_chars_sampled
+         |  CASE WHEN sum(in_sample) > 0
+         |    THEN CAST(sum(in_sample * n_chars) AS DOUBLE) / CAST(sum(in_sample) AS DOUBLE)
+         |    ELSE NULL END AS mean_chars_sampled
          |FROM b GROUP BY lang ORDER BY lang""".stripMargin)),
 
     // Train/test decontamination: count test-split documents sharing an

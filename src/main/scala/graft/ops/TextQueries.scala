@@ -128,6 +128,13 @@ object TextQueries {
       labels = next
       iter += 1
     }
+    // A silent cap here would emit wrong cluster labels on graphs with
+    // diameter > 25 (chain-shaped near-dup runs) — fail instead. Min-label
+    // propagation converges in O(diameter) rounds; dup clusters are dense,
+    // so hitting 25 means the candidate graph is pathological and needs a
+    // doubling/pointer-jumping variant, not a truncated answer.
+    require(changed == 0,
+      s"component labeling did not converge in $iter rounds ($changed labels still changing)")
     labels
   }
 

@@ -75,7 +75,12 @@ final class QuantizedIndex private (
       }
       bufs
     }.collect()
-    qb.destroy() // release the broadcast block (a serving loop would leak otherwise)
+    // Release executor-side broadcast blocks WITHOUT blocking: destroy()
+    // waits on a driver RPC round-trip per call, which throttled the batch
+    // serving loop ~3x (BENCH_r04 ref_batch_qps_50k 1162->338). Async
+    // unpersist keeps the loop hot; the ContextCleaner reclaims the
+    // driver-side block once the Broadcast object is GC'd.
+    qb.unpersist(blocking = false)
     // driver merge: parts x k rows per query
     val merged = Array.fill(queries.length) { new TopKBuffer(k) }
     partial.foreach { bufs =>
@@ -100,8 +105,23 @@ final class QuantizedIndex private (
     * packed blocks once (count x (dim+8) bytes) and serves searches fully
     * in-process — the faithful analog of the reference's single-node prange
     * kernel (pythonvectordb.py:25-67). Use for corpora that fit one node;
-    * the distributed path handles the rest. */
-  def toLocal: LocalIndex = new LocalIndex(blocks.collect(), dim)
+    * the distributed path handles the rest.
+    *
+    * Guarded: refuses corpora whose packed payload exceeds `maxLocalBytes`
+    * (default 4 GiB) so a caller cannot OOM the driver by pointing this at
+    * a cluster-sized corpus — misuse fails fast with the distributed
+    * `search` named as the alternative. */
+  def toLocal: LocalIndex = toLocal(QuantizedIndex.DefaultMaxLocalBytes)
+
+  def toLocal(maxLocalBytes: Long): LocalIndex = {
+    val est = estimatedBytes
+    require(est <= maxLocalBytes,
+      s"toLocal refused: estimated packed corpus is $est bytes " +
+        s"(> limit $maxLocalBytes). A driver-local replica of this corpus " +
+        "would risk an OOM; use the distributed QuantizedIndex.search, or " +
+        "raise the limit explicitly via toLocal(maxLocalBytes).")
+    new LocalIndex(blocks.collect(), dim)
+  }
 }
 
 /** In-process (driver-side) index: same scores as the distributed path
@@ -230,8 +250,10 @@ private[store] final class ScanGang(val n: Int) {
   private val workers = Array.tabulate(n)(new Worker(_))
   workers.foreach(_.start())
 
-  /** Run job(0..n-1) on the gang; returns when all are done. Caller must
-    * serialize runs (LocalIndex.search synchronizes). */
+  /** Run job(0..n-1) on the gang; returns when all are done. Callers must
+    * serialize runs: LocalIndex.search only enters here under gangLock
+    * (tryLock winners); losers scan on their own thread instead. Any new
+    * call path must hold that lock — job/done/epoch are shared state. */
   def run(f: Int => Unit): Unit = {
     job = f
     done.set(0)
@@ -247,6 +269,11 @@ private[store] final class ScanGang(val n: Int) {
 }
 
 object QuantizedIndex {
+
+  /** Default ceiling for toLocal's driver-side collect: 4 GiB of packed
+    * payload — generous for a single-node serving replica, far below any
+    * corpus that belongs on the distributed path. */
+  val DefaultMaxLocalBytes: Long = 4L << 30
 
   /** Build from a DataFrame with (vec_id: long, embedding: array<float>):
     * quantize + pack per partition. */
