@@ -42,8 +42,12 @@ object ExtendedQueries {
         val cust = Tables.customer(s, d)
         val nat = Tables.nation(s, d)
         val reg = Tables.region(s, d)
+        // customer unhinted: it grows with scale factor, so a static
+        // broadcast hint would OOM the driver at the 100 TB design point
+        // (AQE still broadcasts it at small SF). Hints stay only on the
+        // fixed-cardinality dims (25 nations, 5 regions).
         li.join(ord, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
           .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
           .rollup(col("r_name"), col("n_name"))
@@ -233,14 +237,51 @@ object ExtendedQueries {
          |GROUP BY p.event_id, p.user_id
          |ORDER BY p.event_id""".stripMargin)),
 
-    // Sketch aggregation: HLL approx distinct counts (no oracle — sketch
-    // values are engine-specific; accuracy asserted vs exact in ScalaTest).
+    // Sketch aggregation: HLL++ approx distinct counts.
+    // Oracle closure: the HLL estimate itself is engine-specific, so the
+    // query emits the EXACT distinct counts (recomputable by DuckDB) plus
+    // per-key `within_tol` invariants |approx-exact|/exact <= 0.03
+    // (3 sigma at rsd=0.01) which the oracle states as the constant 1 —
+    // a sketch-accuracy regression flips the boolean and fails the
+    // hash-match. The exact countDistinct companions exist only for the
+    // correctness gate; the 100 TB path runs the single partial-merged
+    // HLL aggregate alone (bounded O(1/rsd^2) buffer per key, no
+    // distinct-shuffle — that is the point of the sketch).
+    // NOTE the exact companions are deliberately SEPARATE one-column
+    // distinct sub-plans, not countDistinct() in the same agg: mixing
+    // multiple countDistinct with the HLL aggregates triggers Spark's
+    // multi-distinct Expand rewrite, whose first aggregate groups by
+    // (gid, value) — materializing a ~16 KB HLL partial buffer per
+    // DISTINCT VALUE (measured: 39s vs 2s at sf0.1). Each distinct()
+    // below partial-dedups map-side and shuffles only distinct keys.
     Q("q_approx_distinct",
-      (s, d) => Tables.lineitem(s, d).agg(
-        approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"),
-        approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx_parts"),
-        approx_count_distinct(col("l_suppkey"), rsd = 0.01).as("approx_supps")),
-      None),
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        def exact(c: String, as: String) =
+          li.select(col(c)).distinct().agg(count(lit(1)).as(as))
+        li.agg(
+            approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("a_o"),
+            approx_count_distinct(col("l_partkey"), rsd = 0.01).as("a_p"),
+            approx_count_distinct(col("l_suppkey"), rsd = 0.01).as("a_s"))
+          .crossJoin(exact("l_orderkey", "exact_orders"))
+          .crossJoin(exact("l_partkey", "exact_parts"))
+          .crossJoin(exact("l_suppkey", "exact_supps"))
+          .select(col("exact_orders"), col("exact_parts"), col("exact_supps"),
+          (abs(col("a_o") - col("exact_orders")).cast("double") /
+            col("exact_orders") <= lit(0.03)).cast("long").as("orders_within_tol"),
+          (abs(col("a_p") - col("exact_parts")).cast("double") /
+            col("exact_parts") <= lit(0.03)).cast("long").as("parts_within_tol"),
+          (abs(col("a_s") - col("exact_supps")).cast("double") /
+            col("exact_supps") <= lit(0.03)).cast("long").as("supps_within_tol"))
+      },
+      Some("""SELECT
+         |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+         |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+         |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS exact_supps,
+         |  CAST(1 AS BIGINT) AS orders_within_tol,
+         |  CAST(1 AS BIGINT) AS parts_within_tol,
+         |  CAST(1 AS BIGINT) AS supps_within_tol
+         |FROM lineitem""".stripMargin)),
 
     // Per-label embedding centroids — the batch index-build step of an
     // IVF-style ANN index (coarse quantizer), as a distributed aggregation.

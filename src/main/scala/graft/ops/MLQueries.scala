@@ -5,6 +5,7 @@ import graft.functions.VectorOps
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
 import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -26,68 +27,112 @@ object MLQueries {
 
   val all: Seq[Q] = Seq(
 
+    // Oracle closure: KMeans cell assignments are engine-specific, so the
+    // registry row reduces the IVF result to invariants DuckDB can state
+    // independently: the query count, completeness (3 results per query),
+    // a recall@3-vs-exact floor, and an exact companion — the mean of the
+    // brute-force top-3 scores, summed via the 2^43 floor trick (exact
+    // integer DECIMAL sum => order-independent, bitwise equal across
+    // engines; see q_centroids). A clustering/probe regression drops
+    // recall below the floor and fails the hash-match. The raw per-query
+    // result stays available as `ivfTop3` (structure + recall asserted in
+    // MLSpec).
     Q("q_ivf_kmeans",
       (s, d) => {
+        val ivf = ivfTop3(s, d)
         val emb = Tables.embeddings(s, d)
-          .withColumn("fv", array_to_vector(col("embedding")))
-        val km = new KMeans().setK(8).setSeed(42L).setMaxIter(5)
-          .setFeaturesCol("fv").setPredictionCol("cell")
-        val model = km.fit(emb)
-        val assigned = model.transform(emb)
-          .select(col("vec_id"), col("embedding"), col("cell"))
-        val queries = assigned.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell"))
-        val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
-        queries.join(assigned, "cell")
-          .filter(col("vec_id") =!= col("qid"))
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val sc = q.join(emb.select(col("vec_id"), col("embedding")),
+            col("vec_id") =!= col("qid"))
           .select(col("qid"), col("vec_id"),
             VectorOps.cosineFloat(col("qe"), col("embedding")).as("score"))
-          .withColumn("rn", row_number().over(w).cast("long"))
-          .filter(col("rn") <= 3)
-          .orderBy(col("qid"), col("rn"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+        val exact = sc.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        val P43 = 8796093022208.0 // 2^43
+        val exactAgg = exact.agg(
+          count(lit(1)).as("n_exact"),
+          (sum(floor(col("score") * lit(P43))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .cast("double") / lit(P43) / count(lit(1))).as("exact_mean_top3"))
+        val hits = exact.select(col("qid"), col("vec_id"))
+          .join(ivf.select(col("qid"), col("vec_id")), Seq("qid", "vec_id"), "left_semi")
+          .agg(count(lit(1)).as("nhit"))
+        ivf.agg(countDistinct(col("qid")).as("n_queries"),
+            count(lit(1)).as("n_results"))
+          .crossJoin(hits).crossJoin(exactAgg)
+          .select(col("n_queries"),
+            (col("n_results") === col("n_exact")).cast("long").as("results_complete"),
+            (col("nhit").cast("double") / col("n_exact").cast("double")
+              >= lit(IvfRecallFloor)).cast("long").as("recall_ok"),
+            col("exact_mean_top3"))
       },
-      None),
+      Some {
+        val w = "row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id)"
+        s"""WITH qq AS (
+           |  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+           |sc AS (
+           |  SELECT qq.qid, e.vec_id, ${OracleSql.floatCos("qq.qe", "e.embedding")} AS score
+           |  FROM qq JOIN embeddings e ON e.vec_id <> qq.qid),
+           |exact AS (
+           |  SELECT qid, vec_id, score FROM (
+           |    SELECT qid, vec_id, score, $w AS rn FROM sc) t WHERE rn <= 3)
+           |SELECT CAST(5 AS BIGINT) AS n_queries,
+           |  CAST(1 AS BIGINT) AS results_complete,
+           |  CAST(1 AS BIGINT) AS recall_ok,
+           |  CAST(sum(CAST(floor(score * 8796093022208.0) AS DECIMAL(38,0))) AS DOUBLE)
+           |    / 8796093022208.0 / count(*) AS exact_mean_top3
+           |FROM exact""".stripMargin
+      }),
 
+    // Oracle closure: the MinHashLSH candidate set is hash-seed-specific,
+    // so the registry row reduces it to invariants: the exact count of
+    // true near-dup pairs (trigram-shingle jaccard >= 0.8 — the same
+    // truth set q_ngram_jaccard oracle-checks) and `all_true_found` — the
+    // LSH join must cover every true pair (approxSimilarityJoin
+    // post-filters candidates by exact key distance, so any miss is a
+    // candidate-generation failure). DuckDB recomputes the truth count
+    // and states 1 for coverage. Raw pairs stay available as
+    // `mllibMinhashPairs` (superset property asserted in MLSpec).
     Q("q_mllib_minhash",
       (s, d) => {
-        // Shingle (word trigram) sets, not unigram sets: the fixture vocab
-        // is 31 words, so unigram sets collide across most pairs (an
-        // all-pairs blowup); trigram space is ~vocab^3 and behaves like a
-        // real corpus.
-        val docs = TextQueries.tokenized(s, d)
-          .select(col("doc_id"), TextQueries.shingleArray(col("t")).as("toks"))
-        // HashingTF, not CountVectorizer: no driver-side vocabulary fit (a
-        // collect of the whole shingle vocab — a non-starter at 100 TB) and
-        // no model broadcast; the fixed 2^18 feature space feeds MinHashLSH
-        // identically well for set signatures.
-        // Cache the TF vectors: approxSimilarityJoin(tf, tf) evaluates both
-        // sides of the self-join, and without a cache each side re-runs the
-        // tokenize -> shingle -> hash pipeline (an index-build artifact,
-        // persisted exactly like a real LSH index would be).
-        val tf = new HashingTF().setInputCol("toks").setOutputCol("tf")
-          .setBinary(true).setNumFeatures(1 << 18)
-          .transform(docs).select(col("doc_id"), col("tf"))
-          .persist()
-        // 2 OR'd tables (MLlib MinHashLSH only OR-amplifies; it cannot do
-        // AND-banding, so its candidate volume on this collision-heavy
-        // fixture is inherently larger than the hand-rolled 4x2-band
-        // q_minhash_lsh — the cost difference is the point of comparison)
-        val mh = new MinHashLSH().setInputCol("tf").setOutputCol("sig")
-          .setNumHashTables(2).setSeed(42L)
-        val model = mh.fit(tf)
-        // jaccard DISTANCE threshold 0.2 => shingle-set similarity >= 0.8
-        val joined = model.approxSimilarityJoin(tf, tf, 0.2, "dist")
-          .select(col("datasetA.doc_id").as("doc_a"),
-            col("datasetB.doc_id").as("doc_b"), col("dist"))
+        val found = mllibMinhashPairs(s, d).select(col("doc_a"), col("doc_b"))
+        val shh = TextQueries.tokenized(s, d)
+          .select(col("doc_id"), explode(TextQueries.shingleArray(col("t"))).as("sh"))
+          .select(col("doc_id"), graft.functions.TextOps.md5Prefix60(col("sh")).as("shh"))
+        val sizes = shh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val truePairs = shh.select(col("doc_id").as("doc_a"), col("shh"))
+          .join(shh.select(col("doc_id").as("doc_b"), col("shh")), "shh")
           .filter(col("doc_a") < col("doc_b"))
-          .orderBy(col("doc_a"), col("doc_b"))
-        // materialize, then release the TF cache — without this every bench
-        // rep leaks cached blocks for the session's lifetime
-        val out = joined.localCheckpoint(true)
-        tf.unpersist()
-        out
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+          .filter(col("inter").cast("double") /
+            (col("na") + col("nb") - col("inter")) >= lit(0.8))
+          .select(col("doc_a"), col("doc_b"))
+        val missed = truePairs.join(found, Seq("doc_a", "doc_b"), "left_anti")
+          .agg(count(lit(1)).as("n_missed"))
+        truePairs.agg(count(lit(1)).as("n_true_pairs"))
+          .crossJoin(missed)
+          .select(col("n_true_pairs"),
+            (col("n_missed") === 0).cast("long").as("all_true_found"))
       },
-      None),
+      Some(s"""WITH ${TextQueries.shinglesCte},
+         |shh AS (SELECT doc_id, ${OracleSql.hexToLong("md5(sh)", 1, 15)} AS shh FROM sh),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
+         |  FROM shh a JOIN shh b ON a.shh = b.shh AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shh GROUP BY doc_id),
+         |tp AS (
+         |  SELECT doc_a, doc_b FROM pairs
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.8)
+         |SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+         |  CAST(1 AS BIGINT) AS all_true_found
+         |FROM tp""".stripMargin)),
 
     annRecallQuery("q_ann_recall", multiProbe = false),
 
@@ -98,6 +143,86 @@ object MLQueries {
 
     rpRecallQuery
   )
+
+  /** recall@3 floor stated by the q_ivf_kmeans oracle invariant. Measured
+    * single-probe IVF (8 cells, probe 1) recall on the near-random Gaussian
+    * fixture (the adversarial case for coarse quantizers — see AnnTune
+    * notes): 0.53 at sf0.001, 0.27 at sf0.01 (tools/IvfProbe). Random cell
+    * assignment would score ~1/8 = 0.125; 0.2 sits between broken and
+    * working at every fixture SF, so the invariant catches a
+    * clustering/probe regression without being SF-brittle. `final` so the
+    * eager oracle construction in `val all` sees the constant-folded value. */
+  final val IvfRecallFloor = 0.2
+
+  /** Raw IVF result: top-3 within-cell neighbors per query (qid, vec_id,
+    * score, rn). KMeans (seeded) learns the coarse quantizer, vectors are
+    * assigned to cells, queries probe only their own cell — the batch
+    * index-build + probe shape of a real IVF index. Cell ids are
+    * engine-specific, so the registry row (q_ivf_kmeans) reduces this to
+    * oracle-checkable invariants; MLSpec asserts structure + recall here. */
+  def ivfTop3(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .withColumn("fv", array_to_vector(col("embedding")))
+    val km = new KMeans().setK(8).setSeed(42L).setMaxIter(5)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+    val model = km.fit(emb)
+    val assigned = model.transform(emb)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val queries = assigned.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+    queries.join(assigned, "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        VectorOps.cosineFloat(col("qe"), col("embedding")).as("score"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  /** Raw MLlib MinHashLSH near-dup pairs (doc_a, doc_b, dist) — the
+    * library twin of the hand-rolled q_minhash_lsh. Candidate pairs are
+    * hash-seed-specific, so the registry row (q_mllib_minhash) reduces
+    * this to oracle-checkable invariants; MLSpec asserts the superset
+    * property here. */
+  def mllibMinhashPairs(s: SparkSession, d: String): DataFrame = {
+    // Shingle (word trigram) sets, not unigram sets: the fixture vocab
+    // is 31 words, so unigram sets collide across most pairs (an
+    // all-pairs blowup); trigram space is ~vocab^3 and behaves like a
+    // real corpus.
+    val docs = TextQueries.tokenized(s, d)
+      .select(col("doc_id"), TextQueries.shingleArray(col("t")).as("toks"))
+    // HashingTF, not CountVectorizer: no driver-side vocabulary fit (a
+    // collect of the whole shingle vocab — a non-starter at 100 TB) and
+    // no model broadcast; the fixed 2^18 feature space feeds MinHashLSH
+    // identically well for set signatures.
+    // Cache the TF vectors: approxSimilarityJoin(tf, tf) evaluates both
+    // sides of the self-join, and without a cache each side re-runs the
+    // tokenize -> shingle -> hash pipeline (an index-build artifact,
+    // persisted exactly like a real LSH index would be).
+    val tf = new HashingTF().setInputCol("toks").setOutputCol("tf")
+      .setBinary(true).setNumFeatures(1 << 18)
+      .transform(docs).select(col("doc_id"), col("tf"))
+      .persist()
+    // 2 OR'd tables (MLlib MinHashLSH only OR-amplifies; it cannot do
+    // AND-banding, so its candidate volume on this collision-heavy
+    // fixture is inherently larger than the hand-rolled 4x2-band
+    // q_minhash_lsh — the cost difference is the point of comparison)
+    val mh = new MinHashLSH().setInputCol("tf").setOutputCol("sig")
+      .setNumHashTables(2).setSeed(42L)
+    val model = mh.fit(tf)
+    // jaccard DISTANCE threshold 0.2 => shingle-set similarity >= 0.8
+    val joined = model.approxSimilarityJoin(tf, tf, 0.2, "dist")
+      .select(col("datasetA.doc_id").as("doc_a"),
+        col("datasetB.doc_id").as("doc_b"), col("dist"))
+      .filter(col("doc_a") < col("doc_b"))
+      .orderBy(col("doc_a"), col("doc_b"))
+    // materialize, then release the TF cache — without this every bench
+    // rep leaks cached blocks for the session's lifetime
+    val out = joined.localCheckpoint(true)
+    tf.unpersist()
+    out
+  }
 
   // ---- random-hyperplane LSH (seeded), the high-recall configuration ----
   //

@@ -223,7 +223,11 @@ object PipelineQueries {
           .agg(count(lit(1)).cast("double").as("tf"))
         val w = Window.partitionBy(col("doc_id"))
           .orderBy(col("tfidf").desc, col("tok"))
-        tf.join(broadcast(df), "tok")
+        // Broadcast the 20-doc tf slice (bounded by construction), NOT the
+        // corpus-wide vocabulary df (unbounded at scale — billions of
+        // distinct tokens at 100 TB would OOM the driver). With tf
+        // broadcast, the df side streams and the join output stays tiny.
+        broadcast(tf).join(df, "tok")
           .crossJoin(broadcast(n))
           // round(9): absorbs the 1-ulp JVM-vs-DuckDB ln() divergence (see
           // q_bm25); rank ties broken by tok so rounding can't flip order

@@ -59,8 +59,12 @@ object RelationalQueries {
           .filter(col("o_orderdate") < to_timestamp(lit("1998-03-15 00:00:00")))
         val li = Tables.lineitem(s, d)
           .filter(col("l_shipdate") > to_timestamp(lit("1998-03-15 00:00:00")))
+        // No broadcast hint on customer: it grows with scale factor
+        // (150k x SF rows — ~10 GiB+ at the 100 TB design point), so a
+        // static hint would force a driver OOM there. AQE still picks a
+        // broadcast join at small SF from runtime size stats.
         li.join(ord, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
           .groupBy(col("o_orderkey"),
             date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
           .agg(H.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
@@ -88,8 +92,11 @@ object RelationalQueries {
         val cust = Tables.customer(s, d)
         val nat = Tables.nation(s, d)
         val reg = Tables.region(s, d)
+        // customer unhinted (scale-factor-growing — see q3_join); the
+        // broadcast hints stay only on fixed-cardinality dims (25 nations,
+        // 5 regions), which are broadcast-safe at ANY scale factor.
         li.join(ord, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
           .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(reg.filter(col("r_name").isin("ASIA", "EUROPE"))),
             col("n_regionkey") === col("r_regionkey"))
@@ -275,20 +282,39 @@ object RelationalQueries {
     // when the oracle demands exactness, an OOM risk at 100 TB.
     // `percentile_approx` (Greenwald-Khanna summaries) keeps the buffer
     // bounded at O(accuracy) per group regardless of row count; at
-    // accuracy=10000 the rank error is <= n/10000. No DuckDB oracle:
-    // sketch contents are engine-specific (driver records rows-only) —
-    // the accuracy gate lives in QueriesSpec, which asserts each approx
-    // quantile is within 1% relative error of the exact interpolated one.
-    // SCALE.md "Percentiles at scale" documents when each twin is safe.
+    // accuracy=10000 the rank error is <= n/10000.
+    // Oracle closure: the GK sketch values are engine-specific, so the
+    // query emits the EXACT interpolated percentile (recomputable by
+    // DuckDB — parity proven by q_percentiles) plus a `within_tol`
+    // invariant |approx-exact|/|exact| <= 0.01 which the oracle states as
+    // the constant 1. A sketch regression beyond 1% flips the boolean and
+    // fails the hash-match. The exact companion exists for the gate; the
+    // 100 TB path runs the approx aggregate alone (SCALE.md "Percentiles
+    // at scale").
     Q("q_percentiles_approx",
       (s, d) => Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(percentile_approx(col("l_extendedprice"),
-          array(lit(0.25), lit(0.5), lit(0.75), lit(0.95)), lit(10000)).as("ps"))
-        .select(col("l_returnflag"), posexplode(col("ps")).as(Seq("i", "p_value")))
-        .select(col("l_returnflag"), col("i").cast("long").as("i"), col("p_value"))
+        .agg(
+          percentile(col("l_extendedprice"),
+            array(lit(0.25), lit(0.5), lit(0.75), lit(0.95))).as("eps"),
+          percentile_approx(col("l_extendedprice"),
+            array(lit(0.25), lit(0.5), lit(0.75), lit(0.95)), lit(10000)).as("aps"))
+        .select(col("l_returnflag"),
+          posexplode(arrays_zip(col("eps"), col("aps"))).as(Seq("i", "z")))
+        .select(col("l_returnflag"), col("i").cast("long").as("i"),
+          col("z.eps").as("p_value"),
+          (abs(col("z.aps") - col("z.eps")) / abs(col("z.eps")) <= lit(0.01))
+            .cast("long").as("within_tol"))
         .orderBy(col("l_returnflag"), col("i")),
-      None),
+      Some("""WITH q AS (
+         |  SELECT l_returnflag,
+         |    quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.95]) AS ps
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag,
+         |  CAST(generate_subscripts(ps, 1) - 1 AS BIGINT) AS i,
+         |  unnest(ps) AS p_value,
+         |  CAST(1 AS BIGINT) AS within_tol
+         |FROM q ORDER BY l_returnflag, i""".stripMargin)),
 
     // Moment statistics from exact integer sums: prices are quantized to
     // cents (floor(x*100), identical doubles => identical longs on both

