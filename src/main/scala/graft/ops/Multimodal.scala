@@ -77,10 +77,13 @@ object Multimodal {
     * fixed-size "frames" and keep every `stride`-th — pure Catalyst
     * (narrow), showing binary-column slicing without a UDF.
     *
-    * Zero-length payloads yield an EMPTY frame list (matching a floor-
-    * division oracle): without the guard, (0-1)/step truncates to 0 and —
-    * because Spark's `sequence(0, -1)` counts DOWN rather than returning
-    * empty — a naive floor() would emit two phantom frames. */
+    * Zero-length payloads yield an EMPTY frame list, by explicit guard on
+    * BOTH sides of the oracle pair: here via the `when(octet_length = 0)`
+    * branch (Spark's `sequence(0, -1)` counts DOWN rather than returning
+    * empty, so phantom frames would appear without it), and in the
+    * q_frame_sample DuckDB oracle via a matching `CASE WHEN strlen = 0`
+    * (DuckDB `//` truncates toward zero, so (0-1)//step = 0 would emit one
+    * empty frame without the guard). */
   def sampleFrames(payload: org.apache.spark.sql.Column,
                    frameBytes: Int, stride: Int): org.apache.spark.sql.Column = {
     val step = frameBytes * stride

@@ -74,9 +74,10 @@ object MultimodalQueries {
       },
       Some("""WITH f AS (
          |  SELECT doc_id, text,
-         |    list_transform(
+         |    CASE WHEN strlen(text) = 0 THEN CAST([] AS VARCHAR[])
+         |    ELSE list_transform(
          |      generate_series(0, CAST((strlen(text) - 1) // 32 AS INTEGER)),
-         |      i -> substr(text, i * 32 + 1, 16)) AS frames
+         |      i -> substr(text, i * 32 + 1, 16)) END AS frames
          |  FROM documents WHERE doc_id < 100)
          |SELECT doc_id,
          |  CAST(len(frames) AS BIGINT) AS n_frames,

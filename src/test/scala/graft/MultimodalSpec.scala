@@ -36,6 +36,17 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.head.length == 10)
   }
 
+  test("sampleFrames: empty payload yields ZERO frames (oracle-pinned edge)") {
+    // Pins the empty-payload semantics on the Spark side; the q_frame_sample
+    // DuckDB oracle carries a matching CASE WHEN strlen=0 guard (DuckDB //
+    // truncates toward zero, so it would otherwise emit ONE empty frame).
+    import spark.implicits._
+    val df = Seq("").toDF("s").select(encode(col("s"), "UTF-8").as("payload"))
+    val frames = df.select(Multimodal.sampleFrames(col("payload"), frameBytes = 16, stride = 2).as("f"))
+      .collect().head.getSeq[Array[Byte]](0)
+    assert(frames.isEmpty)
+  }
+
   test("resizeStub decimates deterministically") {
     val in = (0 until 100).map(_.toByte).toArray
     val out = Multimodal.resizeStub(in, 4)

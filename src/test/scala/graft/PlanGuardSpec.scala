@@ -61,6 +61,50 @@ class PlanGuardSpec extends SparkSpec {
     assert(broadcasts(p) >= 3, s"dims must broadcast:\n${p.toString.take(1500)}")
   }
 
+  test("no CartesianProduct in ANY registry plan; BNLJ broadcast sides are query-sized") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.adaptive.BroadcastQueryStageExec
+    // Every registry query is executed at sf0.001 and its AQE-FINAL plan
+    // inspected: no CartesianProduct anywhere, and every nested-loop
+    // join's broadcast side must be query-sized — bounded probe sets
+    // (literal-filtered ids), 1-row aggregates, centroid tables — never
+    // the corpus. Row counts come from the materialized broadcast stage's
+    // runtime statistics; corpus tables at sf0.001 are >= 500 rows, so
+    // the 100-row bound separates the two regimes.
+    SparkEntry.registry.foreach { q =>
+      val plan = finalPlan(q.fn(spark, sf001))
+      val all = collectAll(plan)
+      val cart = all.collect { case c: CartesianProductExec => c }
+      assert(cart.isEmpty, s"${q.name}: CartesianProduct in plan:\n${plan.toString.take(1200)}")
+      all.collect { case j: BroadcastNestedLoopJoinExec => j }.foreach { j =>
+        val build = j.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+          case _ => j.right
+        }
+        // only the join's OWN broadcast stage — nested broadcast-hash-join
+        // build sides deeper in the subtree are AQE's size-based choices,
+        // not nested-loop fan-out
+        val own = build match {
+          case s: BroadcastQueryStageExec => Some(s)
+          case r: ReusedExchangeExec => collectAll(r).collectFirst { case s: BroadcastQueryStageExec => s }
+          case _ => None
+        }
+        own.foreach { s =>
+          val rows = s.getRuntimeStatistics.rowCount
+          assert(rows.forall(_ <= 100L),
+            s"${q.name}: BNLJ broadcast side has ${rows.getOrElse(-1L)} rows (corpus-sized?):\n${build.toString.take(800)}")
+        }
+      }
+    }
+  }
+
+  test("q_neardup_pairs: LSH equi-join + bounded top-k, no pair-level shuffle") {
+    val p = finalPlan(SparkEntry.queries("q_neardup_pairs")(spark, sf001))
+    val s = p.toString
+    assert(s.contains("TakeOrderedAndProject"), "slot top-k pushdown lost")
+    assert(!s.contains("CartesianProduct"), "cartesian reintroduced")
+  }
+
   test("q_knn_filtered: metadata predicate reaches the parquet scan") {
     val df = SparkEntry.queries("q_knn_filtered")(spark, sf001)
     df.collect()

@@ -1,0 +1,50 @@
+package graft
+
+import graft.functions.VectorOps
+import graft.ops.SimilarityQueries
+import org.apache.spark.sql.functions._
+
+/** q_neardup_pairs exactness: the seeded sign-LSH candidate generator +
+  * rescore must be BIT-EQUAL to the exhaustive cross-product baseline on
+  * the fixtures (the DuckDB oracle states the brute-force SQL, so any
+  * missed candidate pair is a hash-gate failure). The brute force lives
+  * on here as the test-only oracle; tools/NeardupProbe documents the
+  * coverage margin (top-60 covered at every SF, query needs top-20). */
+class SimilaritySpec extends SparkSpec {
+
+  private def bruteTop20(d: String) = {
+    val e = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorOps.cosineFloat(col("ea"), col("eb")).as("score"))
+      .orderBy(col("score").desc, col("id_a"), col("id_b"))
+      .limit(20)
+  }
+
+  private def assertLshEqualsBrute(d: String): Unit = {
+    val brute = bruteTop20(d).collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val lsh = SparkEntry.queries("q_neardup_pairs")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(lsh.length == 20, s"expected 20 pairs, got ${lsh.length}")
+    assert(lsh.toSeq == brute.toSeq,
+      s"LSH top-20 diverged from brute force at $d:\n lsh=${lsh.toSeq}\n brute=${brute.toSeq}")
+  }
+
+  test("q_neardup_pairs: LSH+rescore bit-equals brute force at sf0.001") {
+    assertLshEqualsBrute(sf001)
+  }
+
+  test("q_neardup_pairs: LSH+rescore bit-equals brute force at sf0.01 (the oracle SF)") {
+    assertLshEqualsBrute("/root/testdata/sf0.01")
+  }
+
+  test("ndPlanes are seed-deterministic and correctly sized") {
+    assert(SimilarityQueries.NdTables * SimilarityQueries.NdBits * SimilarityQueries.NdDim == 8192)
+    val rng = new scala.util.Random(777)
+    val first = rng.nextGaussian()
+    val again = new scala.util.Random(777).nextGaussian()
+    assert(first == again)
+  }
+}
