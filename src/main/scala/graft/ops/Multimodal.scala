@@ -11,19 +11,57 @@ import org.apache.spark.sql.types._
   * expensive to construct), rows streamed through it, features emitted as
   * typed columns.
   *
-  * The decode itself is a clearly-marked STUB (this container has no image/
-  * audio codecs): `decodeStub` derives a deterministic byte histogram +
-  * fake embedding from the payload. A production build replaces ONLY the
-  * body of `decodeStub` with e.g. JPEG decode + model forward.
+  * The decode is REAL for the formats the JDK ships codecs for
+  * (`javax.imageio`: PNG, BMP, JPEG, GIF): true width/height/channels and
+  * a 16-bin luminance histogram feature. Payloads ImageIO cannot decode
+  * (the fixtures' text-as-bytes blobs, unknown containers) fall back to a
+  * deterministic byte-histogram featurization so the pipeline still emits
+  * a typed row per input — mirroring production pipelines, which route
+  * undecodable media to a default feature rather than failing the job.
   */
 object Multimodal {
 
   final case class MediaFeatures(
       width: Int, height: Int, channels: Int, feature: Array[Float])
 
-  /** STUB decoder — deterministic fake: dimensions from payload length,
-    * features from a byte histogram. Replace with a real codec call. */
-  def decodeStub(payload: Array[Byte]): MediaFeatures = {
+  /** Real image decode via the JDK's ImageIO (PNG/BMP/JPEG/GIF): true
+    * dimensions + channel count from the raster, feature = 16-bin
+    * luminance histogram (ITU-R BT.601 weights), normalized to sum 1.
+    * Returns None for payloads no registered codec accepts. */
+  def decodeImage(payload: Array[Byte]): Option[MediaFeatures] = {
+    if (payload.length == 0) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val channels = img.getRaster.getNumBands
+      val hist = new Array[Float](16)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+            114 * (rgb & 0xff)) / 1000
+          hist(lum >> 4) += 1f
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h).toFloat
+      var j = 0
+      while (j < 16) { hist(j) /= n; j += 1 }
+      Some(MediaFeatures(w, h, channels, hist))
+    }
+  }
+
+  /** Fallback featurization for undecodable payloads: deterministic byte
+    * histogram, pseudo-dimensions from the payload length (kept from the
+    * former stub so non-image fixtures keep their pinned outputs). */
+  def decodeFallback(payload: Array[Byte]): MediaFeatures = {
     val hist = new Array[Float](16)
     var i = 0
     while (i < payload.length) {
@@ -40,6 +78,11 @@ object Multimodal {
       feature = hist)
   }
 
+  /** Decode: real ImageIO decode when a codec accepts the payload, the
+    * deterministic fallback otherwise. */
+  def decode(payload: Array[Byte]): MediaFeatures =
+    decodeImage(payload).getOrElse(decodeFallback(payload))
+
   val featureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("width", IntegerType, nullable = false),
@@ -53,9 +96,10 @@ object Multimodal {
     val spark = df.sparkSession
     val out = df.select(col("id").cast("long"), col("payload")).rdd
       .mapPartitions { it =>
-        // production: initialize the codec/model ONCE here
+        // one ImageIO codec registry lookup per JVM; heavier decoders
+        // (models, native codecs) would initialize ONCE here
         it.map { r =>
-          val f = decodeStub(r.getAs[Array[Byte]](1))
+          val f = decode(r.getAs[Array[Byte]](1))
           Row(r.getLong(0), f.width, f.height, f.channels, f.feature.toSeq)
         }
       }

@@ -7,12 +7,13 @@ import org.apache.spark.sql.functions._
   * with typed metadata; decode/feature-extract runs as a distributed
   * projection over the binary column.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked deterministic STUB (md5-derived features standing in for
-  * a real `decode -> embed` UDF); the Spark-side plumbing — binary column,
-  * schema, partition-parallel featurization, oracle check — is real. A
-  * production decode would replace `fakeFeature` with a codec call inside
-  * the same projection (or mapInPandas/mapPartitions for batched C++ codecs).
+  * Real image decode lives in Multimodal.decode (javax.imageio — PNG/BMP/
+  * JPEG/GIF, exercised by MultimodalSpec on real PNG bytes). The ORACLE-
+  * GATED queries below featurize the fixtures' text-as-bytes payloads, so
+  * they use a deterministic md5-derived pseudo-feature (`fakeFeature`)
+  * that DuckDB can restate exactly; the Spark-side plumbing — binary
+  * column, schema, partition-parallel featurization, oracle check — is
+  * identical to the real-codec path (same shape as mapPartitions decode).
   */
 object MultimodalQueries {
 

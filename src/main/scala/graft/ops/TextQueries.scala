@@ -103,8 +103,21 @@ object TextQueries {
     * label) with label = min doc id in the component. Distributed min-label
     * propagation — one equi-join + min-aggregate per round, lineage cut by
     * an eager checkpoint, converging in O(graph diameter) rounds (dup
-    * clusters are dense: 2-4 in practice). */
-  def componentLabels(s: SparkSession, d: String): DataFrame = {
+    * clusters are dense: 2-4 in practice).
+    *
+    * Memoized per (session, dir): the labels are the shared "index build"
+    * output that BOTH q_dedup_components and q_dedup_keepers consume —
+    * without the cache, keepers reruns the whole minhash + propagation
+    * pipeline. The cached DataFrame is already materialized (eager
+    * localCheckpoint), so reuse is a block read, not a recompute; entries
+    * die with their session. */
+  def componentLabels(s: SparkSession, d: String): DataFrame =
+    labelsCache.getOrElseUpdate((s, d), computeComponentLabels(s, d))
+
+  private val labelsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def computeComponentLabels(s: SparkSession, d: String): DataFrame = {
     val pairs = minhashPairs(s, d).localCheckpoint(true)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))

@@ -98,7 +98,9 @@ final class QuantizedIndex private (
 
   /** Estimated resident bytes: ids (8B) + int8 payload (dim B) per vector —
     * the same `count x dim` payload accounting the reference reports
-    * (pythonvectordb.py:520). */
+    * (pythonvectordb.py:520). NOTE: computed with a Spark job over the
+    * blocks (a count-style aggregate); when the blocks aren't persisted
+    * this rescans the source. */
   def estimatedBytes: Long = blocks.map(b => b.n.toLong * (8L + dim)).sum().toLong
 
   /** Driver-local replica for the low-latency serving tier: collects the
@@ -107,19 +109,27 @@ final class QuantizedIndex private (
     * kernel (pythonvectordb.py:25-67). Use for corpora that fit one node;
     * the distributed path handles the rest.
     *
-    * Guarded: refuses corpora whose packed payload exceeds `maxLocalBytes`
-    * (default 4 GiB) so a caller cannot OOM the driver by pointing this at
-    * a cluster-sized corpus — misuse fails fast with the distributed
-    * `search` named as the alternative. */
+    * Guarded: refuses corpora whose DRIVER-PEAK footprint exceeds
+    * `maxLocalBytes` (default 4 GiB) so a caller cannot OOM the driver by
+    * pointing this at a cluster-sized corpus — misuse fails fast with the
+    * distributed `search` named as the alternative. The peak is the
+    * MATERIALIZED replica, not the packed payload: while building, the
+    * collected byte blocks (dim+8 B/vector) coexist with the repacked
+    * short[] data (2*dim), ids (8) and rowNorms (8) — ~3x the payload
+    * estimate; the guard accounts for all of it. Computing the estimate
+    * runs one Spark job over the blocks. */
   def toLocal: LocalIndex = toLocal(QuantizedIndex.DefaultMaxLocalBytes)
 
   def toLocal(maxLocalBytes: Long): LocalIndex = {
-    val est = estimatedBytes
-    require(est <= maxLocalBytes,
-      s"toLocal refused: estimated packed corpus is $est bytes " +
-        s"(> limit $maxLocalBytes). A driver-local replica of this corpus " +
-        "would risk an OOM; use the distributed QuantizedIndex.search, or " +
-        "raise the limit explicitly via toLocal(maxLocalBytes).")
+    val n = blocks.map(_.n.toLong).sum().toLong
+    // peak during LocalIndex construction: collected blocks (dim+8)
+    // + short[] data (2*dim) + ids (8) + rowNorms (8) per vector
+    val peak = n * (3L * dim + 24L)
+    require(peak <= maxLocalBytes,
+      s"toLocal refused: materializing this corpus needs ~$peak bytes of " +
+        s"driver heap at peak (> limit $maxLocalBytes). Use the " +
+        "distributed QuantizedIndex.search, or raise the limit explicitly " +
+        "via toLocal(maxLocalBytes).")
     new LocalIndex(blocks.collect(), dim)
   }
 }

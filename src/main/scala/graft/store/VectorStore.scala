@@ -251,7 +251,14 @@ final class VectorStore private (
     * getsizeof walk at pythonvectordb.py:520-530 — here ONE distributed
     * aggregate, not a driver loop), and — when search history exists —
     * avg/p50/p95/p99 latency plus `qps` = 1000/avg_ms over the last 100
-    * searches (pythonvectordb.py:542-553). */
+    * searches (pythonvectordb.py:542-553).
+    *
+    * COST: each call runs one full distributed aggregate over the active
+    * rows (a Spark job) — poll accordingly; it is telemetry, not a free
+    * counter read. Keys: `bytes_per_vector` keeps the reference's
+    * semantics (int8 payload = `dimension` bytes/vector,
+    * pythonvectordb.py:523); `avg_row_bytes` is the measured average
+    * INCLUDING id + metadata overhead. */
   def stats: Map[String, Any] = {
     val m = active.agg(
       org.apache.spark.sql.functions.count(lit(1)).as("n"),
@@ -267,7 +274,8 @@ final class VectorStore private (
       "dimension" -> dim,
       "deleted_pending" -> deletedCount,
       "memory_bytes" -> memBytes,
-      "bytes_per_vector" -> (if (n == 0) dim.toDouble else memBytes.toDouble / n))
+      "bytes_per_vector" -> dim.toDouble,
+      "avg_row_bytes" -> (if (n == 0) dim.toDouble else memBytes.toDouble / n))
     val lats = synchronized {
       import scala.jdk.CollectionConverters._
       latencies.iterator().asScala.toArray
@@ -356,6 +364,63 @@ object VectorStore {
     require(badDim == 0, s"$badDim rows violate dimension $dim")
     val st = new VectorStore(spark, dim, df, emptyTombstones(spark), 0L)
     st.nextAutoId = st.count // reference rebuilds vector_count on load
+    st
+  }
+
+  /** Import a reference-engine `.npz` save (pythonvectordb.py:557-582) —
+    * the migration entry point for existing PythonVectorDB data, with the
+    * same invariant checks as the reference's own load
+    * (pythonvectordb.py:617-630).
+    *
+    * The stored int8 rows become `qvec` VERBATIM, so `search` scores are
+    * bit-identical to what the reference computes on the same file (both
+    * engines score the int8 payload against the float query). `embedding`
+    * is the dequantized reconstruction (b/127, the reference's own
+    * get_vector view, pythonvectordb.py:422-423) — the original floats are
+    * not in the file. Pickled entries (`id_to_index`, `metadata`) are
+    * skipped: the index is positional (rebuilt from row order) and pickle
+    * is not parseable without Python; metadata migrates via a documents-
+    * style side table instead.
+    *
+    * An `.npz` is a single compressed file — the reference is a single-
+    * node engine — so the import necessarily reads it at the driver, then
+    * parallelizes immediately; at 100 TB the data would already live in
+    * parquet, and this path exists only to move small single-node stores
+    * into it. */
+  def importNpz(spark: SparkSession, path: String): VectorStore = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = {
+      val in = fs.open(p)
+      try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    }
+    val entries = Npz.read(bytes)
+    def entry(name: String): Npz.Npy =
+      entries.getOrElse(name,
+        throw new IllegalArgumentException(s"npz missing entry '$name' (not a reference save?)"))
+    val dim = Npz.longScalar(entry("dimension")).toInt
+    require(dim > 0, s"Invalid dimension: $dim") // pythonvectordb.py:617-618
+    val count = Npz.longScalar(entry("vector_count")).toInt
+    require(count >= 0, s"Invalid vector_count: $count") // :620-621
+    val (rows, cols, data) = Npz.int8Matrix(entry("vectors"))
+    require(rows == count, "Vector count mismatch") // :623-624
+    require(cols == dim, "Vector dimension mismatch") // :626-627
+    val ids = Npz.stringArray(entry("vector_ids"))
+    require(ids.length == count, "Vector IDs count mismatch") // :629-630
+    val parts = math.max(1, math.min(count / 4096,
+      spark.sparkContext.defaultParallelism))
+    val localRows: Seq[Row] = (0 until count).map { i =>
+      val q = java.util.Arrays.copyOfRange(data, i * dim, (i + 1) * dim)
+      val emb = new Array[Float](dim)
+      var j = 0
+      while (j < dim) { emb(j) = q(j) / 127.0f; j += 1 }
+      Row(ids(i), emb.toSeq, q, Map.empty[String, String])
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(localRows, parts), schema)
+      .localCheckpoint(true)
+    val st = new VectorStore(spark, dim, df, emptyTombstones(spark), 0L)
+    st.nextAutoId = count
     st
   }
 }

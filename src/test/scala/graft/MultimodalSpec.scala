@@ -4,7 +4,8 @@ import graft.ops.Multimodal
 import org.apache.spark.sql.functions._
 
 /** Multimodal plumbing: binary payload columns through the batched decode
-  * and frame sampling paths (decode itself is a documented stub). */
+  * (real javax.imageio for PNG/BMP/JPEG, deterministic byte-histogram
+  * fallback for undecodable payloads) and frame sampling paths. */
 class MultimodalSpec extends SparkSpec {
 
   test("decodeBatch produces typed features for every payload") {
@@ -21,9 +22,40 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("decode is deterministic (same payload -> same features)") {
-    val a = Multimodal.decodeStub("hello world".getBytes)
-    val b = Multimodal.decodeStub("hello world".getBytes)
+    val a = Multimodal.decode("hello world".getBytes)
+    val b = Multimodal.decode("hello world".getBytes)
     assert(a.feature.toSeq == b.feature.toSeq && a.width == b.width)
+  }
+
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if ((x + y) % 2 == 0) 0xffffff else 0x000000)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("decode reads REAL PNG bytes: true dimensions, channels, luminance histogram") {
+    val payload = pngBytes(20, 12)
+    val f = Multimodal.decode(payload)
+    assert(f.width == 20 && f.height == 12)
+    assert(f.channels == 3)
+    // checkerboard: half the pixels pure white (lum 255 -> bin 15),
+    // half pure black (lum 0 -> bin 0)
+    assert(math.abs(f.feature(0) - 0.5f) < 1e-6f)
+    assert(math.abs(f.feature(15) - 0.5f) < 1e-6f)
+    assert(math.abs(f.feature.sum - 1f) < 1e-5f)
+  }
+
+  test("decodeBatch decodes PNG payloads distributedly alongside fallback rows") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, pngBytes(8, 8)),
+      (2L, "not an image".getBytes)).toDF("id", "payload")
+    val out = Multimodal.decodeBatch(rows).collect().sortBy(_.getLong(0))
+    assert(out(0).getAs[Int]("width") == 8 && out(0).getAs[Int]("height") == 8)
+    assert(out(1).getAs[Int]("channels") == 3) // fallback path still typed
   }
 
   test("sampleFrames slices the payload at the right offsets") {

@@ -229,7 +229,10 @@ class VectorStoreSpec extends SparkSpec {
     val m = st.stats
     // payload: 4 rows x dim 4 = 16 B; ids: 4 x 1 B; meta: 4 x ("g"+1-char value)
     assert(m("memory_bytes") == (16L + 4L + 4L * 2L))
-    assert(m("bytes_per_vector") == (16.0 + 4.0 + 8.0) / 4.0)
+    // bytes_per_vector keeps the reference's payload-only semantics
+    // (pythonvectordb.py:523: dim bytes of int8 per vector)
+    assert(m("bytes_per_vector") == 4.0)
+    assert(m("avg_row_bytes") == (16.0 + 4.0 + 8.0) / 4.0)
   }
 
   test("kernel dimension mismatch raises instead of silently truncating") {
