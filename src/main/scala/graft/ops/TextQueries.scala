@@ -542,6 +542,113 @@ object TextQueries {
          |  (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
          |WHERE tok <> ''
          |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20""".stripMargin),
-      headline = true)
+      headline = true),
+
+    // Repetition-ratio quality gate (a Gopher-style corpus filter signal):
+    // 1 - distinct/total tokens per doc; the 20 most repetitive docs.
+    // Narrow projection (both counts are HOFs over the token array — no
+    // explode, no shuffle before the top-k); all-integer counts + ONE
+    // double division keep the oracle bit-exact.
+    Q("q_repetition",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          size(array_distinct(split(col("text"), " "))).cast("long").as("n_uniq"))
+        .withColumn("rep_ratio",
+          (col("n_tok") - col("n_uniq")).cast("double") / col("n_tok").cast("double"))
+        .orderBy(col("rep_ratio").desc, col("doc_id"))
+        .limit(20),
+      Some("""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq
+         |  FROM documents)
+         |SELECT doc_id, n_tok, n_uniq,
+         |  CAST(n_tok - n_uniq AS DOUBLE) / CAST(n_tok AS DOUBLE) AS rep_ratio
+         |FROM t ORDER BY rep_ratio DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // Collocation mining (phrase/merge-rule candidates for tokenizer
+    // training): PMI-style lift per adjacent bigram,
+    //   lift = (c_xy * N_uni * N_uni) / (N_bi * c_x * c_y)
+    // with every product computed in exact BIGINT and ONE double division
+    // at the end — transcendental-free (no log), so both engines emit the
+    // identical double. Scale shape: two narrow token/bigram projections,
+    // two count aggregates, a broadcast-joinable unigram side (vocabulary
+    // counts), TakeOrderedAndProject for the top-k.
+    Q("q_collocations",
+      (s, d) => {
+        val tk = toks(s, d).filter(col("tok") =!= "")
+        val uni = tk.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        val nUni = tk.agg(count(lit(1)).as("n_uni"))
+        val t = Tables.documents(s, d)
+          .select(split(col("text"), " ").as("t"))
+          .filter(size(col("t")) >= 2)
+        val bi = t.select(explode(transform(sequence(lit(0), size(col("t")) - 2),
+            i => struct(element_at(col("t"), i + 1).as("x"),
+              element_at(col("t"), i + 2).as("y")))).as("b"))
+          .select(col("b.x"), col("b.y"))
+          .filter(col("x") =!= "" && col("y") =!= "")
+        val cxy = bi.groupBy(col("x"), col("y")).agg(count(lit(1)).as("cxy"))
+        val nBi = bi.agg(count(lit(1)).as("n_bi"))
+        cxy.filter(col("cxy") >= 5)
+          .join(uni.select(col("tok").as("x"), col("c").as("cx")), "x")
+          .join(uni.select(col("tok").as("y"), col("c").as("cy")), "y")
+          .crossJoin(nUni).crossJoin(nBi)
+          .select(col("x"), col("y"), col("cxy"), col("cx"), col("cy"),
+            ((col("cxy") * col("n_uni") * col("n_uni")).cast("double") /
+              (col("n_bi") * col("cx") * col("cy")).cast("double")).as("lift"))
+          .orderBy(col("lift").desc, col("x"), col("y"))
+          .limit(20)
+      },
+      Some("""WITH tk AS (
+         |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         |tk2 AS (SELECT tok FROM tk WHERE tok <> ''),
+         |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tk2 GROUP BY tok),
+         |nu AS (SELECT CAST(count(*) AS BIGINT) AS n_uni FROM tk2),
+         |tt AS (SELECT string_split(text, ' ') AS t FROM documents
+         |       WHERE len(string_split(text, ' ')) >= 2),
+         |bi0 AS (
+         |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+         |    i -> {'x': t[i], 'y': t[i+1]})) AS b FROM tt),
+         |bi AS (SELECT b.x AS x, b.y AS y FROM bi0 WHERE b.x <> '' AND b.y <> ''),
+         |cxy AS (SELECT x, y, CAST(count(*) AS BIGINT) AS cxy FROM bi GROUP BY x, y),
+         |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bi FROM bi)
+         |SELECT x, y, cxy, ux.c AS cx, uy.c AS cy,
+         |  CAST(cxy * n_uni * n_uni AS DOUBLE) / CAST(n_bi * ux.c * uy.c AS DOUBLE) AS lift
+         |FROM cxy
+         |JOIN uni ux ON cxy.x = ux.tok
+         |JOIN uni uy ON cxy.y = uy.tok
+         |CROSS JOIN nu CROSS JOIN nb
+         |WHERE cxy >= 5
+         |ORDER BY lift DESC, x, y LIMIT 20""".stripMargin)),
+
+    // Vocabulary-growth curve (Heaps' law over ingest order), on the
+    // TRIGRAM-shingle vocabulary (the unigram vocab here is 31 words, all
+    // seen in the first bucket — degenerate; the n-gram vocabulary is what
+    // a tokenizer/BPE merge budget actually tracks): shingles first seen
+    // per 50-doc bucket + the cumulative vocabulary size. One
+    // min-aggregate over (shingle, first_doc), a bucket count, and a
+    // running-total window over the handful of bucket rows.
+    Q("q_vocab_growth",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("bucket"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        shingles(s, d)
+          .groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
+          .select((col("first_doc") / 50).cast("long").as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as("new_shingles"))
+          .withColumn("vocab_cum", sum(col("new_shingles")).over(w).cast("long"))
+          .orderBy(col("bucket"))
+      },
+      Some(s"""WITH $shinglesCte,
+         |fd AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY sh),
+         |b AS (SELECT CAST(first_doc // 50 AS BIGINT) AS bucket,
+         |             CAST(count(*) AS BIGINT) AS new_shingles
+         |      FROM fd GROUP BY 1)
+         |SELECT bucket, new_shingles,
+         |  CAST(sum(new_shingles) OVER (ORDER BY bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_cum
+         |FROM b ORDER BY bucket""".stripMargin))
   )
 }
