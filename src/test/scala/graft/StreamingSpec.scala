@@ -72,4 +72,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
     assert(streamed == batch)
   }
+
+  test("streaming LSH near-dup candidates match the batch minhash pipeline") {
+    val streamed = graft.streaming.StreamNearDup
+      .runOnce(spark, sf001, "neardup_stream_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.ops.TextQueries.minhashPairs(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty)
+    // a pair colliding in several bands is emitted once per band by the
+    // stream (cross-band dedup happens downstream); DISTINCT sets equal
+    assert(streamed == batch,
+      s"stream-only=${(streamed -- batch).take(5)} batch-only=${(batch -- streamed).take(5)}")
+  }
+
+  test("streaming near-dup bucket cap bounds state (degenerate-bucket guard)") {
+    import spark.implicits._
+    // 6 identical docs -> same buckets; cap 3 => pairs only among first 3
+    val docs = (0L until 6L)
+      .map(i => (i, "alpha beta gamma delta epsilon zeta", "en", "t", 34L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairs = graft.streaming.StreamNearDup.candidates(docs, maxBucket = 3)
+      .collect().map(p => (p.doc_a, p.doc_b)).toSet
+    assert(pairs == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+  }
 }
