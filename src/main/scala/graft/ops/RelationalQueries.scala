@@ -359,7 +359,11 @@ object RelationalQueries {
     // side is replicated across all salt values; the join key becomes
     // (key, salt) so one hot key spreads over SALT partitions. The result
     // is identical to the plain join — which is exactly what the DuckDB
-    // oracle states.
+    // oracle states. The shuffle_hash hint pins the SHUFFLED join the
+    // pattern exists for: without it AQE broadcasts the replicated orders
+    // side at bench SF (ShuffleAudit measured an 80 MB broadcast), which
+    // silently turns the salting demo into a broadcast join — the one
+    // strategy salting is irrelevant to.
     Q("q_skew_salted_join",
       (s, d) => {
         val SALT = 4
@@ -368,6 +372,7 @@ object RelationalQueries {
         val ord = Tables.orders(s, d)
           .withColumn("salt", explode(sequence(lit(0), lit(SALT - 1))))
           .withColumn("salt", col("salt").cast("int"))
+          .hint("shuffle_hash")
         li.join(ord, col("l_orderkey") === col("o_orderkey") && li("salt") === ord("salt"))
           .groupBy(col("o_orderpriority"))
           .agg(H.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),

@@ -105,6 +105,15 @@ class PlanGuardSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"), "cartesian reintroduced")
   }
 
+  test("q_skew_salted_join: salted SHUFFLED join (salt in the partitioning key)") {
+    val p = finalPlan(SparkEntry.queries("q_skew_salted_join")(spark, sf001))
+    val s = p.toString
+    assert(s.contains("ShuffledHashJoin"),
+      s"salting demo must shuffle, not broadcast:\n${s.take(1200)}")
+    assert(s.contains("salt"), "salt column missing from the join")
+    assert(broadcasts(p) == 0, "salted side must not broadcast")
+  }
+
   test("q_knn_filtered: metadata predicate reaches the parquet scan") {
     val df = SparkEntry.queries("q_knn_filtered")(spark, sf001)
     df.collect()
