@@ -347,28 +347,45 @@ object TextQueries {
             // SETS (an empty separator would let boundary ambiguity merge
             // different sets into one class)
             md5(concat_ws("\u0001", array_sort(col("shs")))).as("cfp"))
+          // class identity travels as TWO 60-bit longs (120 bits of the
+          // md5: hex chars 1-15 and 16-30) instead of the 32-char hex
+          // string: the class-pair intersection aggregate is the single
+          // biggest shuffle in the engine (ShuffleAudit: 120 MB of a
+          // 222 MB total at sf0.1) and 16 bytes of key vs ~60 roughly
+          // halves it. 120 bits keeps collisions negligible at any real
+          // class count (10^9 classes -> ~4e-19), and the ca<cb filter
+          // only dedups unordered pairs, so any total order on (c1, c2)
+          // is valid.
+          .select(col("doc_id"), col("shs"),
+            conv(substring(col("cfp"), 1, 15), 16, 10).cast("long").as("c1"),
+            conv(substring(col("cfp"), 16, 15), 16, 10).cast("long").as("c2"))
         // classes is read by four consumers (shingle explode, two pair-
         // expansion joins, intra-class pairs): materialize the small
         // class table once instead of recomputing the scan+agg per branch
-        val classes = docSh.groupBy(col("cfp"))
+        val classes = docSh.groupBy(col("c1"), col("c2"))
           .agg(sort_array(collect_list(col("doc_id"))).as("docs"),
             first(col("shs")).as("shs"))
           .withColumn("n", size(col("shs")))
           .localCheckpoint(true)
-        val classSh = classes.select(col("cfp"), col("n"), explode(col("shs")).as("sh"))
-          .select(col("cfp"), col("n"),
+        val classSh = classes
+          .select(col("c1"), col("c2"), col("n"), explode(col("shs")).as("sh"))
+          .select(col("c1"), col("c2"), col("n"),
             graft.functions.TextOps.md5Prefix60(col("sh")).as("shh"))
         val interPairs = classSh
-          .select(col("cfp").as("ca"), col("n").as("na"), col("shh"))
-          .join(classSh.select(col("cfp").as("cb"), col("n").as("nb"), col("shh")), "shh")
-          .filter(col("ca") < col("cb"))
-          .groupBy(col("ca"), col("cb"), col("na"), col("nb"))
+          .select(col("c1").as("ca1"), col("c2").as("ca2"), col("n").as("na"), col("shh"))
+          .join(classSh.select(col("c1").as("cb1"), col("c2").as("cb2"),
+            col("n").as("nb"), col("shh")), "shh")
+          .filter(col("ca1") < col("cb1") ||
+            (col("ca1") === col("cb1") && col("ca2") < col("cb2")))
+          .groupBy(col("ca1"), col("ca2"), col("cb1"), col("cb2"), col("na"), col("nb"))
           .agg(count(lit(1)).as("inter"))
-          .select(col("ca"), col("cb"),
+          .select(col("ca1"), col("ca2"), col("cb1"), col("cb2"),
             (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
           .filter(col("jaccard") >= 0.8)
-          .join(classes.select(col("cfp").as("ca"), col("docs").as("docs_a")), "ca")
-          .join(classes.select(col("cfp").as("cb"), col("docs").as("docs_b")), "cb")
+          .join(classes.select(col("c1").as("ca1"), col("c2").as("ca2"),
+            col("docs").as("docs_a")), Seq("ca1", "ca2"))
+          .join(classes.select(col("c1").as("cb1"), col("c2").as("cb2"),
+            col("docs").as("docs_b")), Seq("cb1", "cb2"))
           .select(explode(col("docs_a")).as("da"), col("docs_b"), col("jaccard"))
           .select(col("da"), explode(col("docs_b")).as("db"), col("jaccard"))
           .select(least(col("da"), col("db")).as("doc_a"),
