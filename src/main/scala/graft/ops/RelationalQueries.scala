@@ -354,6 +354,45 @@ object RelationalQueries {
          |  sqrt((s2 - s1*s1/n)/(n - 1)/10000.0) AS stddev
          |FROM m ORDER BY l_returnflag""".stripMargin)),
 
+    // TPC-H Q9-style product-line profit: the DEEP multi-join (lineitem
+    // joins part, supplier, orders, nation — 5 tables) that exercises
+    // Catalyst's join ordering. The selective part filter ('%red%')
+    // prunes the fact rows early; the fixed-cardinality nation dim gets
+    // the only broadcast hint (the scale-factor-growing sides are AQE's
+    // call, per the r5 verdict). Profit sums route through DECIMAL for
+    // order-independent bit-exactness.
+    Q("q9_profit",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val part = Tables.part(s, d)
+          .filter(col("p_name").contains("red"))
+          .select(col("p_partkey"))
+        val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+        val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"))
+        val nat = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+        li.join(part, col("l_partkey") === col("p_partkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"),
+            year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(H.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("profit"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("nation"), col("o_year").desc)
+      },
+      Some("""SELECT n_name AS nation,
+         |  CAST(date_part('year', o_orderdate) AS BIGINT) AS o_year,
+         |  CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS profit,
+         |  CAST(count(*) AS BIGINT) AS n_items
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE p_name LIKE '%red%'
+         |GROUP BY 1, 2
+         |ORDER BY 1, 2 DESC""".stripMargin)),
+
     // Skew-mitigated join: the salting pattern, verified oracle-exact.
     // The big (probe) side adds a deterministic salt; the small (build)
     // side is replicated across all salt values; the join key becomes
