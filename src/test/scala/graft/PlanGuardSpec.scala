@@ -114,6 +114,12 @@ class PlanGuardSpec extends SparkSpec {
     assert(broadcasts(p) == 0, "salted side must not broadcast")
   }
 
+  test("q9_profit: fact side streams through the dim joins, shuffling only to aggregate/sort") {
+    val p = finalPlan(SparkEntry.queries("q9_profit")(spark, sf001))
+    assert(shuffles(p) <= 2, s"fact side must not shuffle before the agg:\n${p.toString.take(1500)}")
+    assert(broadcasts(p) >= 4, "all four dims should broadcast at this SF")
+  }
+
   test("q_knn_filtered: metadata predicate reaches the parquet scan") {
     val df = SparkEntry.queries("q_knn_filtered")(spark, sf001)
     df.collect()
