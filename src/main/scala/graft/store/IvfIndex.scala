@@ -25,6 +25,8 @@ object IvfIndex {
 
   /** Assignment + partitioned write. `emb` needs (vec_id, label, embedding). */
   def build(emb: DataFrame, path: String): Unit = {
+    // derive dim from the data instead of assuming the fixture's 64
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
     val cent = emb
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy(col("label"), col("pos"))
@@ -32,7 +34,7 @@ object IvfIndex {
       .groupBy(col("label"))
       .agg(map_from_entries(collect_list(struct(col("pos"), col("c")))).as("cm"))
       .select(col("label").cast("int").as("cell"),
-        transform(sequence(lit(0), lit(63)), i => element_at(col("cm"), i)).as("centroid"))
+        transform(sequence(lit(0), lit(dim - 1)), i => element_at(col("cm"), i)).as("centroid"))
     val cosQC = {
       val dot = aggregate(zip_with(col("embedding"), col("centroid"),
         (x, c) => x.cast("double") * c), lit(0.0), (a, x) => a + x)
