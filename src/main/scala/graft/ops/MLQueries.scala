@@ -3,7 +3,7 @@ package graft.ops
 import graft.{OracleSql, Q, Tables}
 import graft.functions.VectorOps
 import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, HashingTF, MinHashLSH}
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -134,6 +134,72 @@ object MLQueries {
          |  CAST(1 AS BIGINT) AS all_true_found
          |FROM tp""".stripMargin)),
 
+    // Oracle closure for the MLlib euclidean-LSH twin
+    // (BucketedRandomProjectionLSH — the second MLlib LSH family from
+    // SURVEY §7 M4, next to MinHashLSH): per-query approxNearestNeighbors
+    // results are hash-seed-specific, so the registry row reduces them to
+    // invariants — completeness (3 results per query), a recall@3 floor
+    // vs the exact euclidean top-3, and an exact companion the oracle
+    // recomputes (mean exact top-3 distance, 2^43 floor trick => exact
+    // DECIMAL sum, order-independent). Raw neighbors stay available as
+    // `brpTop3` (MLSpec asserts structure + recall).
+    Q("q_mllib_brp",
+      (s, d) => {
+        val brp = brpTop3(s, d)
+        val emb = Tables.embeddings(s, d)
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val dist = {
+          val diff2 = zip_with(col("qe"), col("embedding"),
+            (x, y) => (x.cast("double") - y.cast("double")) *
+              (x.cast("double") - y.cast("double")))
+          sqrt(aggregate(diff2, lit(0.0), (acc, v) => acc + v))
+        }
+        val sc = q.join(emb.select(col("vec_id"), col("embedding")),
+            col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), dist.as("dist"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("dist").asc, col("vec_id"))
+        val exact = sc.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        val P43 = 8796093022208.0 // 2^43
+        val exactAgg = exact.agg(
+          count(lit(1)).as("n_exact"),
+          (sum(floor(col("dist") * lit(P43))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .cast("double") / lit(P43) / count(lit(1))).as("exact_mean_top3_dist"))
+        val hits = exact.select(col("qid"), col("vec_id"))
+          .join(brp.select(col("qid"), col("vec_id")), Seq("qid", "vec_id"), "left_semi")
+          .agg(count(lit(1)).as("nhit"))
+        brp.agg(countDistinct(col("qid")).as("n_queries"),
+            count(lit(1)).as("n_results"))
+          .crossJoin(hits).crossJoin(exactAgg)
+          .select(col("n_queries"),
+            (col("n_results") === col("n_exact")).cast("long").as("results_complete"),
+            (col("nhit").cast("double") / col("n_exact").cast("double")
+              >= lit(BrpRecallFloor)).cast("long").as("recall_ok"),
+            col("exact_mean_top3_dist"))
+      },
+      Some {
+        val dSql = "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+          "list_transform(list_zip(qq.qe, e.embedding), " +
+          "p -> (CAST(p[1] AS DOUBLE)-CAST(p[2] AS DOUBLE))*(CAST(p[1] AS DOUBLE)-CAST(p[2] AS DOUBLE)))), (a,x) -> a+x))"
+        s"""WITH qq AS (
+           |  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+           |sc AS (
+           |  SELECT qq.qid, e.vec_id, $dSql AS dist
+           |  FROM qq JOIN embeddings e ON e.vec_id <> qq.qid),
+           |exact AS (
+           |  SELECT qid, vec_id, dist FROM (
+           |    SELECT qid, vec_id, dist,
+           |      row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
+           |    FROM sc) t WHERE rn <= 3)
+           |SELECT CAST(5 AS BIGINT) AS n_queries,
+           |  CAST(1 AS BIGINT) AS results_complete,
+           |  CAST(1 AS BIGINT) AS recall_ok,
+           |  CAST(sum(CAST(floor(dist * 8796093022208.0) AS DECIMAL(38,0))) AS DOUBLE)
+           |    / 8796093022208.0 / count(*) AS exact_mean_top3_dist
+           |FROM exact""".stripMargin
+      }),
+
     annRecallQuery("q_ann_recall", multiProbe = false),
 
     // Multi-probe LSH: probe the query's bucket AND its four 1-bit
@@ -178,6 +244,37 @@ object MLQueries {
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
       .orderBy(col("qid"), col("rn"))
+  }
+
+  /** recall@3 floor stated by the q_mllib_brp oracle invariant. Measured
+    * (tools/BrpProbe) on the near-random Gaussian fixture: 0.933 at
+    * sf0.001/sf0.01, 1.000 at sf0.1 — approxNearestNeighbors widens its
+    * hash-distance threshold adaptively, so recall stays high even on
+    * LSH-adversarial data. Random top-3 would score ~3/n < 0.01; 0.2
+    * separates broken from working at every fixture SF with >4x margin.
+    * `final` so the eager oracle construction in `val all` sees the
+    * constant-folded value. */
+  final val BrpRecallFloor = 0.2
+
+  /** Raw MLlib BucketedRandomProjectionLSH top-3 euclidean neighbors per
+    * query (qid, vec_id, dist) — the euclidean-LSH twin of `ivfTop3`.
+    * approxNearestNeighbors post-ranks candidates by EXACT key distance,
+    * so any rank error vs brute force is a candidate-generation miss. */
+  def brpTop3(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .withColumn("fv", array_to_vector(col("embedding")))
+      .select(col("vec_id"), col("fv"))
+    val brp = new BucketedRandomProjectionLSH()
+      .setInputCol("fv").setOutputCol("sig")
+      .setNumHashTables(4).setBucketLength(2.0).setSeed(42L)
+    val model = brp.fit(emb)
+    val keys = emb.filter(col("vec_id") < 5).collect()
+    keys.map { r =>
+      val qid = r.getLong(0)
+      val key = r.getAs[org.apache.spark.ml.linalg.Vector](1)
+      model.approxNearestNeighbors(emb.filter(col("vec_id") =!= qid), key, 3, "dist")
+        .select(lit(qid).as("qid"), col("vec_id"), col("dist"))
+    }.reduce(_ unionByName _)
   }
 
   /** Raw MLlib MinHashLSH near-dup pairs (doc_a, doc_b, dist) — the

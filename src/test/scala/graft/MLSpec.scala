@@ -21,6 +21,23 @@ class MLSpec extends SparkSpec {
     assert(r.getAs[Double]("exact_mean_top3") > 0.0)
   }
 
+  test("q_mllib_brp registry invariants all hold (euclidean-LSH twin)") {
+    val r = SparkEntry.queries("q_mllib_brp")(spark, sf001).collect().head
+    assert(r.getAs[Long]("n_queries") == 5L)
+    assert(r.getAs[Long]("results_complete") == 1L)
+    assert(r.getAs[Long]("recall_ok") == 1L)
+    assert(r.getAs[Double]("exact_mean_top3_dist") > 0.0)
+  }
+
+  test("brp neighbors rank by exact euclidean distance within each query") {
+    val rows = ops.MLQueries.brpTop3(spark, sf001).collect()
+    assert(rows.length == 15) // 5 queries x 3
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val dists = rs.map(_.getDouble(2)).toSeq
+      assert(dists == dists.sorted, s"distances not ascending: $dists")
+    }
+  }
+
   test("q_mllib_minhash registry invariants all hold") {
     val r = SparkEntry.queries("q_mllib_minhash")(spark, sf001).collect().head
     assert(r.getAs[Long]("n_true_pairs") > 0L)
