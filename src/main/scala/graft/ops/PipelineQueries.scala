@@ -259,6 +259,60 @@ object PipelineQueries {
          |      ORDER BY tfidf DESC, tok) AS rank
          |  FROM scored)
          |SELECT doc_id, CAST(rank AS BIGINT) AS rank, tok, tfidf
-         |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin))
+         |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
+
+    // Content-safety gate: table-driven blocklist filtering, the safety
+    // stage every training-corpus build runs before assembly. The
+    // blocklist is a maintained TABLE (here an inline 3-word stand-in),
+    // broadcast into a token-level equi-join — per doc the flagged-token
+    // count, per language the flag rate and the worst offender. Scale
+    // shape: tokens never leave their partition until the tiny per-doc
+    // aggregate; the blocklist side broadcasts at any realistic size
+    // (blocklists are thousands of terms, not billions).
+    Q("q_blocklist_filter",
+      (s, d) => {
+        import s.implicits._
+        val bl = Seq("slow", "big", "vector").toDF("btok")
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            explode(split(col("text"), " ")).as("tok"))
+        val flagged = toks
+          .join(broadcast(bl), col("tok") === col("btok"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_bad"))
+        Tables.documents(s, d).select(col("doc_id"), col("lang"))
+          .join(flagged, Seq("doc_id"), "left")
+          .select(col("lang"), col("doc_id"),
+            coalesce(col("n_bad"), lit(0L)).as("n_bad"))
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("n_bad") > 0, 1L).otherwise(0L)).as("n_flagged"),
+            // composite argmax key packed into one BIGINT (DuckDB 1.0
+            // arg_max has no list keys): max n_bad, tie -> smallest doc_id
+            max_by(col("doc_id"),
+              col("n_bad") * lit(4294967296L) - col("doc_id")).as("worst_doc"),
+            max(col("n_bad")).as("worst_n_bad"))
+          .withColumn("flag_rate",
+            col("n_flagged").cast("double") / col("n_docs").cast("double"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH bl(btok) AS (VALUES ('slow'), ('big'), ('vector')),
+         |toks AS (
+         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |flagged AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bad
+         |  FROM toks JOIN bl ON tok = btok GROUP BY doc_id),
+         |per_doc AS (
+         |  SELECT d.lang, d.doc_id, COALESCE(f.n_bad, 0) AS n_bad
+         |  FROM documents d LEFT JOIN flagged f ON d.doc_id = f.doc_id)
+         |SELECT lang,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN n_bad > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+         |  CAST(arg_max(doc_id, n_bad * 4294967296 - doc_id) AS BIGINT) AS worst_doc,
+         |  CAST(max(n_bad) AS BIGINT) AS worst_n_bad,
+         |  CAST(sum(CASE WHEN n_bad > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS flag_rate
+         |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin))
   )
 }
