@@ -301,12 +301,17 @@ object MLQueries {
       .setBinary(true).setNumFeatures(1 << 18)
       .transform(docs).select(col("doc_id"), col("tf"))
       .persist()
-    // 2 OR'd tables (MLlib MinHashLSH only OR-amplifies; it cannot do
+    // 4 OR'd tables (MLlib MinHashLSH only OR-amplifies; it cannot do
     // AND-banding, so its candidate volume on this collision-heavy
     // fixture is inherently larger than the hand-rolled 4x2-band
-    // q_minhash_lsh — the cost difference is the point of comparison)
+    // q_minhash_lsh — the cost difference is the point of comparison).
+    // Table count is coverage-validated per fixture SF with
+    // tools/MinhashCoverageProbe: 2 tables MISS 4 of the 256 true
+    // jaccard>=0.8 pairs at sf0.1 (the all_true_found invariant is a
+    // stated oracle constant, so a single miss is a hash-gate failure);
+    // 3 tables cover every SF, 4 adds a table of margin.
     val mh = new MinHashLSH().setInputCol("tf").setOutputCol("sig")
-      .setNumHashTables(2).setSeed(42L)
+      .setNumHashTables(4).setSeed(42L)
     val model = mh.fit(tf)
     // jaccard DISTANCE threshold 0.2 => shingle-set similarity >= 0.8
     val joined = model.approxSimilarityJoin(tf, tf, 0.2, "dist")

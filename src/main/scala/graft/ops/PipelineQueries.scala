@@ -5,8 +5,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline operators beyond the dedup/similarity set:
-  * reproducible dataset splitting, stratified sampling, and keyword
-  * relevance (BM25 ranking, per-document TF-IDF extraction).
+  * reproducible dataset splitting, stratified sampling, keyword
+  * relevance (BM25 ranking, per-document TF-IDF extraction), and the
+  * content-safety blocklist gate.
   *
   * Scale design notes:
   *  - Splits and samples are DETERMINISTIC HASH assignments (md5 of the
