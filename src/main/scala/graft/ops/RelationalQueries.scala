@@ -441,6 +441,53 @@ object RelationalQueries {
          |GROUP BY w_start_us, event_type
          |ORDER BY w_start_us, event_type""".stripMargin)),
 
+    // Anomaly detection over event streams: per-user hourly activity
+    // z-scored against that user's own mean/std, top-20 most anomalous
+    // (user, hour) cells. All moments stay in exact BIGINT (the variance
+    // numerator cnt*sum_n2 - sum_n^2 is integer arithmetic) with one
+    // double division + sqrt at the end, so the score is bit-identical
+    // across engines. Shape: two keyed aggregates (user-hour, then user)
+    // + a broadcast-size stats join back + TakeOrderedAndProject.
+    Q("q_anomaly_hours",
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .groupBy(col("user_id"),
+            unix_micros(date_trunc("hour", col("ts"))).as("h_us"))
+          .agg(count(lit(1)).as("n"))
+        val stats = hourly.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("n")).as("sum_n"),
+            sum(col("n") * col("n")).as("sum_n2"))
+          .filter(col("cnt") >= 2)
+        hourly.join(stats, "user_id")
+          .withColumn("mean", col("sum_n").cast("double") / col("cnt").cast("double"))
+          .withColumn("varr",
+            (col("cnt") * col("sum_n2") - col("sum_n") * col("sum_n")).cast("double") /
+              (col("cnt") * col("cnt")).cast("double"))
+          .filter(col("varr") > 0.0)
+          .withColumn("z", (col("n").cast("double") - col("mean")) / sqrt(col("varr")))
+          .select(col("user_id"), col("h_us"), col("n"), col("z"))
+          .orderBy(col("z").desc, col("user_id"), col("h_us"))
+          .limit(20)
+      },
+      Some("""WITH hourly AS (
+         |  SELECT user_id, CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS h_us,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM events GROUP BY user_id, h_us),
+         |stats AS (
+         |  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt,
+         |    CAST(sum(n) AS BIGINT) AS sum_n,
+         |    CAST(sum(n*n) AS BIGINT) AS sum_n2
+         |  FROM hourly GROUP BY user_id HAVING count(*) >= 2),
+         |scored AS (
+         |  SELECT h.user_id, h.h_us, h.n,
+         |    (CAST(h.n AS DOUBLE) - CAST(sum_n AS DOUBLE)/CAST(cnt AS DOUBLE))
+         |      / sqrt(CAST(cnt*sum_n2 - sum_n*sum_n AS DOUBLE)/CAST(cnt*cnt AS DOUBLE)) AS z
+         |  FROM hourly h JOIN stats s ON h.user_id = s.user_id
+         |  WHERE CAST(cnt*sum_n2 - sum_n*sum_n AS DOUBLE)/CAST(cnt*cnt AS DOUBLE) > 0.0)
+         |SELECT user_id, h_us, n, z FROM scored
+         |ORDER BY z DESC, user_id, h_us LIMIT 20""".stripMargin)),
+
     // JSON-typed event properties: from_json + grouped rollup.
     Q("q_events_json",
       (s, d) => Tables.events(s, d)
