@@ -86,6 +86,58 @@ class StreamingSpec extends SparkSpec {
       s"stream-only=${(streamed -- batch).take(5)} batch-only=${(batch -- streamed).take(5)}")
   }
 
+  test("streaming near-dup state survives a checkpointed restart (no re-emission)") {
+    // exactly-once across restart: run 1 ingests the first half of the
+    // corpus and stops; run 2 resumes from the SAME checkpoint on the
+    // full directory, so the state store must (a) skip the already-
+    // processed file, (b) hold run-1 bucket members so cross-half pairs
+    // still emit, and (c) never re-emit a run-1 pair.
+    // (memory sink cannot recover a checkpoint, so the restartable FILE
+    // sink collects the output)
+    import org.apache.spark.sql.functions.col
+    val inDir = java.nio.file.Files.createTempDirectory("neardup-in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("neardup-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("neardup-ckpt").toString
+    val docs = Tables.documents(spark, sf001)
+    docs.filter(col("doc_id") < 250).coalesce(1)
+      .write.mode("append").parquet(inDir)
+
+    def runOnce(): Long = {
+      val stream = spark.readStream
+        .schema(graft.streaming.StreamDedup.rawSchema).parquet(inDir)
+      val q = graft.streaming.StreamNearDup.candidates(stream)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", outDir)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      spark.read.parquet(outDir).count()
+    }
+
+    val cnt1 = runOnce()
+    docs.filter(col("doc_id") >= 250).coalesce(1)
+      .write.mode("append").parquet(inDir)
+    val cnt2 = runOnce()
+    assert(cnt1 > 0 && cnt2 > cnt1, s"restart produced nothing new: $cnt1 -> $cnt2")
+
+    // multiset equality with a single-batch run: carried-over state means
+    // every (band, colliding pair) slot is emitted EXACTLY once across
+    // both runs — a state-store failure would either re-emit run-1 slots
+    // (extra rows) or lose cross-half pairs (missing rows)
+    val total = graft.streaming.StreamNearDup.candidates(docs).count()
+    assert(cnt2 == total, s"emitted $cnt2 slots across restart vs $total single-batch")
+
+    // and the distinct pair set equals the batch minhash pipeline
+    val streamedPairs = spark.read.parquet(outDir)
+      .select(col("doc_a"), col("doc_b")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.ops.TextQueries.minhashPairs(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamedPairs == batch,
+      s"missing=${(batch -- streamedPairs).take(5)} extra=${(streamedPairs -- batch).take(5)}")
+  }
+
   test("streaming near-dup bucket cap bounds state (degenerate-bucket guard)") {
     import spark.implicits._
     // 6 identical docs -> same buckets; cap 3 => pairs only among first 3
