@@ -77,6 +77,71 @@ object Npz {
     (a.shape.head, a.shape(1), a.data)
   }
 
+  // ---------------------------------------------------------------- write
+
+  /** npy v1 payload: magic + header dict + raw data. */
+  private def npyBytes(descr: String, shape: Seq[Int], data: Array[Byte]): Array[Byte] = {
+    val shapeStr = shape match {
+      case Seq() => "()"
+      case Seq(n) => s"($n,)"
+      case s => s.mkString("(", ", ", ")")
+    }
+    val header0 = s"{'descr': '$descr', 'fortran_order': False, 'shape': $shapeStr, }"
+    // pad with spaces + trailing \n so magic+len+header is 64-aligned
+    val pad = (64 - (10 + header0.length + 1) % 64) % 64
+    val header = header0 + (" " * pad) + "\n"
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0x93); out.write("NUMPY".getBytes("US-ASCII"))
+    out.write(1); out.write(0)
+    out.write(header.length & 0xff); out.write((header.length >> 8) & 0xff)
+    out.write(header.getBytes("US-ASCII"))
+    out.write(data)
+    out.toByteArray
+  }
+
+  def int8MatrixBytes(rows: Int, cols: Int, data: Array[Byte]): Array[Byte] = {
+    require(data.length == rows * cols)
+    npyBytes("|i1", Seq(rows, cols), data)
+  }
+
+  def longScalarBytes(v: Long): Array[Byte] = {
+    val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putLong(v)
+    npyBytes("<i8", Seq(), b.array())
+  }
+
+  def stringScalarBytes(s: String): Array[Byte] =
+    npyBytes(s"<U${s.length}", Seq(), s.getBytes("UTF-32LE"))
+
+  def stringArrayBytes(xs: Array[String]): Array[Byte] = {
+    val k = math.max(1, xs.map(_.length).maxOption.getOrElse(1))
+    val out = new Array[Byte](xs.length * k * 4)
+    xs.zipWithIndex.foreach { case (s, i) =>
+      val b = s.getBytes("UTF-32LE")
+      System.arraycopy(b, 0, out, i * k * 4, b.length) // rest stays NUL
+    }
+    npyBytes(s"<U$k", Seq(xs.length), out)
+  }
+
+  /** Object-dtype npy: the pickled 0-d ndarray shell numpy itself writes
+    * (np.savez of a python dict), so `np.load(..., allow_pickle=True)
+    * [name].item()` — the reference's own load steps
+    * (pythonvectordb.py:611-612) — unwraps it. */
+  def objectScalarBytes(picklePayload: Array[Byte]): Array[Byte] =
+    npyBytes("|O", Seq(), picklePayload)
+
+  /** Write entries (name -> npy payload) as a compressed npz zip. */
+  def writeZip(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    entries.foreach { case (name, bytes) =>
+      z.putNextEntry(new java.util.zip.ZipEntry(s"$name.npy"))
+      z.write(bytes)
+      z.closeEntry()
+    }
+    z.close()
+    bos.toByteArray
+  }
+
   /** `<Uk` fixed-width UTF-32LE string array (numpy str_ dtype). */
   def stringArray(a: Npy): Array[String] = {
     val k = a.descr match {

@@ -305,6 +305,51 @@ final class VectorStore private (
   override def toString: String =
     s"VectorStore(dim=$dim, count=$count, deleted_pending=$deletedCount)" // pythonvectordb.py:652-659
 
+  /** Export to the reference engine's OWN `.npz` format
+    * (pythonvectordb.py:572-582: version, dimension, int8 vectors,
+    * vector_ids, pickled id_to_index + metadata, counts) — the reverse
+    * half of the migration story: a store built here loads back into
+    * PythonVectorDB unchanged (tools/check_npz_export.py replicates its
+    * load steps, pythonvectordb.py:600-630, against the emitted file).
+    * Compacts first like the reference's save (:568-569). An `.npz` is a
+    * single-node artifact, so the rows are collected at the driver by
+    * design — guarded the same way toLocal is. */
+  def exportNpz(path: String, maxLocalBytes: Long = QuantizedIndex.DefaultMaxLocalBytes): Unit = {
+    if (deletedCount > 0) compact()
+    val n = count
+    require(n * (5L * dim + 64L) <= maxLocalBytes,
+      s"exportNpz refused: ~${n * (5L * dim + 64L)} driver bytes at peak " +
+        s"(> $maxLocalBytes); an .npz is a single-node artifact — for " +
+        "cluster-sized corpora use save() (parquet).")
+    val rows = base.select(col("id"), col("qvec"), col("meta")).collect()
+    val ids = rows.map(_.getString(0))
+    val data = new Array[Byte](rows.length * dim)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      System.arraycopy(r.getAs[Array[Byte]](1), 0, data, i * dim, dim)
+    }
+    // reference semantics: metadata holds entries only for rows that HAVE
+    // metadata (pythonvectordb.py:317-323)
+    val meta = rows.collect {
+      case r if r.getAs[Map[String, String]](2) != null &&
+        r.getAs[Map[String, String]](2).nonEmpty =>
+        r.getString(0) -> r.getAs[Map[String, String]](2).toSeq.sortBy(_._1)
+    }.toSeq
+    val bytes = Npz.writeZip(Seq(
+      "version" -> Npz.stringScalarBytes("1.0.0"),
+      "dimension" -> Npz.longScalarBytes(dim.toLong),
+      "vectors" -> Npz.int8MatrixBytes(rows.length, dim, data),
+      "vector_ids" -> Npz.stringArrayBytes(ids),
+      "id_to_index" -> Npz.objectScalarBytes(
+        Pickle.strIntDictArray(ids.zipWithIndex.toSeq)),
+      "metadata" -> Npz.objectScalarBytes(Pickle.strMapDictArray(meta)),
+      "vector_count" -> Npz.longScalarBytes(rows.length.toLong),
+      "deleted_count" -> Npz.longScalarBytes(0L)))
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(bytes) finally out.close()
+  }
+
   /** Persist (pythonvectordb.py:557-582): compacts first, parquet + sidecar.
     * The sidecar goes through the Hadoop FileSystem API so hdfs://, s3a://
     * and file:// paths all work (same FS as the parquet data). */
