@@ -109,11 +109,17 @@ object Npz {
     npyBytes("<i8", Seq(), b.array())
   }
 
+  // <Uk widths count CODE POINTS (UTF-32 elements), not UTF-16 chars:
+  // String.length over-counts by 1 per surrogate pair, which would declare
+  // a payload longer than the UTF-32LE bytes actually written.
+  private def cp(s: String): Int = s.codePointCount(0, s.length)
+
   def stringScalarBytes(s: String): Array[Byte] =
-    npyBytes(s"<U${s.length}", Seq(), s.getBytes("UTF-32LE"))
+    npyBytes(s"<U${math.max(1, cp(s))}",
+      Seq(), java.util.Arrays.copyOf(s.getBytes("UTF-32LE"), math.max(1, cp(s)) * 4))
 
   def stringArrayBytes(xs: Array[String]): Array[Byte] = {
-    val k = math.max(1, xs.map(_.length).maxOption.getOrElse(1))
+    val k = math.max(1, xs.map(cp).maxOption.getOrElse(1))
     val out = new Array[Byte](xs.length * k * 4)
     xs.zipWithIndex.foreach { case (s, i) =>
       val b = s.getBytes("UTF-32LE")

@@ -422,10 +422,14 @@ object VectorStore {
     * engines score the int8 payload against the float query). `embedding`
     * is the dequantized reconstruction (b/127, the reference's own
     * get_vector view, pythonvectordb.py:422-423) — the original floats are
-    * not in the file. Pickled entries (`id_to_index`, `metadata`) are
-    * skipped: the index is positional (rebuilt from row order) and pickle
-    * is not parseable without Python; metadata migrates via a documents-
-    * style side table instead.
+    * not in the file. The pickled `metadata` entry IS read
+    * (Pickle.dictFromObjectArray — the bounded protocol-2/3/4 subset
+    * numpy writes for dict payloads) and lands in the `meta` column, so a
+    * reference user's metadata-filtered searches keep working after
+    * migration; non-string metadata values are coerced with python
+    * `str()` semantics (Pickle.pyStr). `id_to_index` stays skipped — it
+    * is positional and the reference itself rebuilds it from row order on
+    * load (pythonvectordb.py:640).
     *
     * An `.npz` is a single compressed file — the reference is a single-
     * node engine — so the import necessarily reads it at the driver, then
@@ -452,6 +456,17 @@ object VectorStore {
     require(cols == dim, "Vector dimension mismatch") // :626-627
     val ids = Npz.stringArray(entry("vector_ids"))
     require(ids.length == count, "Vector IDs count mismatch") // :629-630
+    // metadata: {id -> {key -> value}} for rows that have any
+    // (pythonvectordb.py:317-323); absent/empty pickles to an empty dict
+    val metaById: Map[String, Map[String, String]] =
+      entries.get("metadata").map { npy =>
+        Pickle.dictFromObjectArray(npy.data).map {
+          case (id, m: scala.collection.Map[Any @unchecked, Any @unchecked]) =>
+            id -> m.map { case (k, v) => k.toString -> Pickle.pyStr(v) }.toMap
+          case (id, other) => sys.error(
+            s"npz metadata for '$id' is not a dict: $other")
+        }
+      }.getOrElse(Map.empty)
     val parts = math.max(1, math.min(count / 4096,
       spark.sparkContext.defaultParallelism))
     val localRows: Seq[Row] = (0 until count).map { i =>
@@ -459,7 +474,7 @@ object VectorStore {
       val emb = new Array[Float](dim)
       var j = 0
       while (j < dim) { emb(j) = q(j) / 127.0f; j += 1 }
-      Row(ids(i), emb.toSeq, q, Map.empty[String, String])
+      Row(ids(i), emb.toSeq, q, metaById.getOrElse(ids(i), Map.empty[String, String]))
     }
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(localRows, parts), schema)
