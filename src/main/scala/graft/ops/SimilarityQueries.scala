@@ -32,6 +32,10 @@ object SimilarityQueries {
   final val NdBits = 4
   final val NdTables = 32
   final val NdDim = 64
+  /** q_neardup_thresh cutoff: the lowest τ the frozen tables provably
+    * cover at every SF (tools/ThreshProbe — 0 missed qualifying pairs,
+    * result sets 10/22/211 rows at sf0.001/0.01/0.1). */
+  final val NdTau = 0.44
   private lazy val ndPlanes: Array[Double] = {
     val rng = new scala.util.Random(777)
     Array.fill(NdTables * NdBits * NdDim)(rng.nextGaussian())
@@ -87,6 +91,44 @@ object SimilarityQueries {
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |ORDER BY score DESC, id_a, id_b
          |LIMIT 20""".stripMargin),
+      headline = true),
+
+    // Threshold near-dup: ALL pairs with float cosine >= Tau — the
+    // scale-honest companion to q_neardup_pairs. Exact global top-k has no
+    // sub-quadratic candidate set on adversarial (near-random) data; a
+    // THRESHOLD does: output volume is O(qualifying pairs) (0.011% of all
+    // pairs at tau=0.44 on sf0.1 — tools/ThreshProbe), the score filter
+    // runs BEFORE the dedup exchange so only qualifying slot rows (<=
+    // 32 copies each) ever shuffle, and on a real near-dup corpus
+    // (pair cosine >= 0.9) AND-amplified tables prune candidates to ~1%
+    // with >99% per-table recall (NOTES_r7 table). Tau=0.44 is the lowest
+    // threshold the frozen 32x4 seed-777 tables provably cover at every
+    // SF (ThreshProbe: 0 missed qualifying pairs at sf0.001/0.01/0.1),
+    // so LSH + rescore is bit-equal to the brute-force oracle.
+    Q("q_neardup_thresh",
+      (s, d) => {
+        val sig = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"),
+            posexplode(VectorOps.signBuckets(col("embedding"), ndPlanes, NdTables, NdBits))
+              .as(Seq("t", "bucket")))
+        val a = sig.select(col("t"), col("bucket"),
+          col("vec_id").as("id_a"), col("embedding").as("ea"))
+        val b = sig.select(col("t"), col("bucket"),
+          col("vec_id").as("id_b"), col("embedding").as("eb"))
+        a.join(b, Seq("t", "bucket"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            VectorOps.cosineFloat(col("ea"), col("eb")).as("score"))
+          .filter(col("score") >= NdTau)
+          .dropDuplicates("id_a", "id_b")
+          .orderBy(col("score").desc, col("id_a"), col("id_b"))
+      },
+      Some(s"""SELECT id_a, id_b, score FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${OracleSql.floatCos("a.embedding", "b.embedding")} AS score
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) p
+         |WHERE score >= $NdTau
+         |ORDER BY score DESC, id_a, id_b""".stripMargin),
       headline = true),
 
     // IVF search: per-label centroids act as the coarse quantizer; every

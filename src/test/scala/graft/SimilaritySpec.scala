@@ -40,6 +40,34 @@ class SimilaritySpec extends SparkSpec {
     assertLshEqualsBrute("/root/testdata/sf0.01")
   }
 
+  private def bruteThresh(d: String) = {
+    val e = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorOps.cosineFloat(col("ea"), col("eb")).as("score"))
+      .filter(col("score") >= SimilarityQueries.NdTau)
+      .orderBy(col("score").desc, col("id_a"), col("id_b"))
+  }
+
+  private def assertThreshEqualsBrute(d: String): Unit = {
+    val brute = bruteThresh(d).collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val lsh = SparkEntry.queries("q_neardup_thresh")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(brute.nonEmpty, s"threshold fixture set is empty at $d — tau too high")
+    assert(lsh.toSeq == brute.toSeq,
+      s"LSH threshold pairs diverged from brute force at $d:\n lsh=${lsh.toSeq}\n brute=${brute.toSeq}")
+  }
+
+  test("q_neardup_thresh: LSH+rescore bit-equals brute force at sf0.001") {
+    assertThreshEqualsBrute(sf001)
+  }
+
+  test("q_neardup_thresh: LSH+rescore bit-equals brute force at sf0.01 (the oracle SF)") {
+    assertThreshEqualsBrute("/root/testdata/sf0.01")
+  }
+
   test("ndPlanes are seed-deterministic and correctly sized") {
     assert(SimilarityQueries.NdTables * SimilarityQueries.NdBits * SimilarityQueries.NdDim == 8192)
     val rng = new scala.util.Random(777)
