@@ -127,6 +127,7 @@ final class VectorStore private (
       col("meta").cast(MapType(StringType, StringType)).as("meta"))
     base = base.unionByName(prepared)
     nextAutoId += v.getAs[Long]("n")
+    invalidateAtRest()
   }
 
   // rolling search-latency telemetry, SEARCH_HISTORY_SIZE=100
@@ -217,10 +218,33 @@ final class VectorStore private (
       mapping)
   }
 
-  /** Point lookup, dequantized (pythonvectordb.py:404-423). */
+  // Set when the current rows are known to match an id-hash-partitioned
+  // at-rest layout (after save() or load()); cleared by any mutation.
+  // Point lookups then go to disk with a PARTITION filter — file-listing
+  // level pruning, 1/numBuckets of the files touched (the IvfIndex.scala
+  // pattern applied to the main store).
+  private var atRest: Option[(String, Int)] = None
+  private def invalidateAtRest(): Unit = atRest = None
+
+  /** Point lookup, dequantized (pythonvectordb.py:404-423). On a store
+    * whose rows are known-identical to an at-rest save (fresh load(), or
+    * save() with no mutation since), the lookup scans ONLY the one
+    * id-hash partition holding the id (VectorStoreSpec asserts the
+    * 1-partition scan); otherwise it filters the in-memory lineage. */
   def getVector(id: String): Option[Array[Double]] =
-    active.filter(col("id") === id).select(col("qvec"))
-      .collect().headOption.map(r => VectorKernels.dequantize(r.getAs[Array[Byte]](0)))
+    lookupFrame(id).collect().headOption
+      .map(r => VectorKernels.dequantize(r.getAs[Array[Byte]](0)))
+
+  /** The point-lookup plan `getVector` executes — package-visible so the
+    * spec can assert the 1-partition scan on the at-rest path. */
+  private[graft] def lookupFrame(id: String): DataFrame = atRest match {
+    case Some((path, buckets)) =>
+      spark.read.parquet(s"$path/data")
+        .filter(col("id_bucket") === idBucket(lit(id), buckets) && col("id") === id)
+        .select(col("qvec"))
+    case None =>
+      active.filter(col("id") === id).select(col("qvec"))
+  }
 
   /** Lazy delete via tombstone set (pythonvectordb.py:425-463, with the
     * intended exclusion semantics — SURVEY.md §2.2 T6 documents the
@@ -233,6 +257,7 @@ final class VectorStore private (
     if (hit > 0) {
       tombstones = tombstones.unionByName(del).distinct()
       deletedCount += hit
+      invalidateAtRest()
       if (deletedCount >= DeletedThreshold) compact()
     }
     hit
@@ -352,15 +377,27 @@ final class VectorStore private (
 
   /** Persist (pythonvectordb.py:557-582): compacts first, parquet + sidecar.
     * The sidecar goes through the Hadoop FileSystem API so hdfs://, s3a://
-    * and file:// paths all work (same FS as the parquet data). */
-  def save(path: String): Unit = {
+    * and file:// paths all work (same FS as the parquet data).
+    *
+    * The data is written hive-partitioned by `id_bucket` =
+    * pmod(xxhash64(id), numBuckets): point lookups and id-filtered reads
+    * on the loaded store carry a PARTITION filter, so they prune to one
+    * bucket's files at listing time instead of scanning every file — at
+    * 100 TB that is the difference between a point lookup touching
+    * 1/numBuckets of the store and touching all of it. Size numBuckets so
+    * one bucket's files stay scan-sized at the target corpus (the
+    * default 64 suits the test scale; a 100 TB store wants thousands). */
+  def save(path: String, numBuckets: Int = VectorStore.DefaultSaveBuckets): Unit = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
     if (deletedCount > 0) compact() // pythonvectordb.py:568-569
-    base.write.mode(SaveMode.Overwrite).parquet(s"$path/data")
-    val meta = s"""{"version":1,"dimension":$dim}"""
+    base.withColumn("id_bucket", idBucket(col("id"), numBuckets))
+      .write.mode(SaveMode.Overwrite).partitionBy("id_bucket").parquet(s"$path/data")
+    val meta = s"""{"version":1,"dimension":$dim,"id_buckets":$numBuckets}"""
     val p = new org.apache.hadoop.fs.Path(path, "store.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try out.write(meta.getBytes("UTF-8")) finally out.close()
+    atRest = Some((path, numBuckets))
   }
 }
 
@@ -368,6 +405,17 @@ object VectorStore {
 
   /** Reference DELETED_THRESHOLD (pythonvectordb.py:22). */
   val DeletedThreshold = 1000
+
+  /** Default id-hash partition count for `save` — sized for the test
+    * scale; a production store picks numBuckets so one bucket's files
+    * stay scan-sized. */
+  val DefaultSaveBuckets = 64
+
+  /** The at-rest partition key: pmod(xxhash64(id), n). Deterministic from
+    * the id alone, so a point lookup reconstructs its partition without
+    * any index read. */
+  def idBucket(id: Column, n: Int): Column =
+    pmod(xxhash64(id), lit(n.toLong)).cast(IntegerType)
 
   val schema: StructType = StructType(Seq(
     StructField("id", StringType, nullable = false),
@@ -402,13 +450,20 @@ object VectorStore {
       .map(_.group(1).toInt)
       .getOrElse(throw new IllegalArgumentException("no dimension in sidecar"))
     require(dim > 0, "dimension must be positive")
-    val df = spark.read.parquet(s"$path/data")
+    // id_buckets present since the partitioned-at-rest layout; absent on
+    // older flat saves (still loadable, just without lookup pruning)
+    val buckets = """"id_buckets":(\d+)""".r.findFirstMatchIn(metaJson)
+      .map(_.group(1).toInt)
+    val raw = spark.read.parquet(s"$path/data")
+    val df = if (raw.columns.contains("id_bucket")) raw.drop("id_bucket") else raw
     require(df.schema.fieldNames.sorted.sameElements(schema.fieldNames.sorted),
       s"schema mismatch: ${df.schema.fieldNames.mkString(",")}")
     val badDim = df.filter(size(col("embedding")) =!= dim).count()
     require(badDim == 0, s"$badDim rows violate dimension $dim")
     val st = new VectorStore(spark, dim, df, emptyTombstones(spark), 0L)
     st.nextAutoId = st.count // reference rebuilds vector_count on load
+    if (raw.columns.contains("id_bucket"))
+      st.atRest = buckets.map(path -> _)
     st
   }
 

@@ -112,6 +112,54 @@ class VectorStoreSpec extends SparkSpec {
       after.map(r => (r.getString(0), r.getDouble(1))))
   }
 
+  test("save partitions by id hash; at-rest point lookup scans ONE partition") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val st = VectorStore.create(spark, 4)
+    st.addVectors(mkRows((0 until 40).map(i =>
+      (s"r$i", Seq(i.toFloat / 40, 1f, 0f, 0f), Map("g" -> (i % 3).toString)))))
+    val dir = java.nio.file.Files.createTempDirectory("vstore-bucketed").toString
+    st.save(dir, numBuckets = 8)
+    // the layout is hive-partitioned on the id hash
+    val parts = new java.io.File(s"$dir/data").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("id_bucket=")).map(_.getName).toSet
+    assert(parts.size > 1, s"expected multiple id_bucket partitions, got $parts")
+
+    def scannedPartitions(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      val p = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      p.collectLeaves().collectFirst { case f: FileSourceScanExec => f }
+        .getOrElse(fail(s"no file scan in plan:\n$p"))
+        .selectedPartitions.partitionCount
+    }
+    // both the just-saved store and a fresh load prune to 1 partition
+    assert(scannedPartitions(st.lookupFrame("r17")) == 1,
+      "post-save lookup should scan exactly one id_bucket partition")
+    val re = VectorStore.load(spark, dir)
+    assert(scannedPartitions(re.lookupFrame("r17")) == 1,
+      "post-load lookup should scan exactly one id_bucket partition")
+    // and the pruned lookup still finds the row / rejects absent ids
+    assert(re.getVector("r17").isDefined && re.getVector("r999").isEmpty)
+    assert(re.count == 40)
+  }
+
+  test("mutations invalidate the at-rest lookup path (no stale disk reads)") {
+    val st = VectorStore.create(spark, 4)
+    st.addVectors(mkRows(Seq(("a", Seq(1f, 0f, 0f, 0f), Map.empty[String, String]))))
+    val dir = java.nio.file.Files.createTempDirectory("vstore-stale").toString
+    st.save(dir)
+    val re = VectorStore.load(spark, dir)
+    // a row added AFTER load must be visible (the disk path wouldn't have it)
+    re.addVectors(mkRows(Seq(("b", Seq(0f, 1f, 0f, 0f), Map.empty[String, String]))))
+    assert(re.getVector("b").isDefined)
+    // a row deleted AFTER save must disappear (the disk path would keep it)
+    re.delete(Seq("a"))
+    assert(re.getVector("a").isEmpty)
+  }
+
   test("load rejects missing sidecar") {
     intercept[IllegalArgumentException](
       VectorStore.load(spark, "/tmp/definitely-not-a-store-xyz"))
