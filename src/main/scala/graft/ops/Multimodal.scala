@@ -106,10 +106,43 @@ object Multimodal {
     spark.createDataFrame(out, featureSchema)
   }
 
-  /** STUB resize: decimate the payload by `factor` (every factor-th byte)
-    * — stands in for image resize; deterministic, shape-preserving
-    * plumbing (binary -> binary projection). A real build swaps the byte
-    * loop for a codec resize. */
+  /** REAL image resize for codec-decodable payloads: decode, scale to
+    * (targetW, targetH) with bilinear interpolation, re-encode as PNG
+    * (lossless, so the resized image re-decodes to exactly the drawn
+    * pixels). Scaling draws through a synchronous Graphics2D pass —
+    * `Image.getScaledInstance` produces asynchronously-computed images
+    * that can re-encode incomplete under a null ImageObserver. Payloads
+    * no codec accepts fall back to byte decimation sized to a comparable
+    * reduction — undecodable media still flows through the pipeline as a
+    * binary -> binary projection. */
+  def resize(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+    require(targetW > 0 && targetH > 0, s"bad target ${targetW}x$targetH")
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (img == null) {
+      val inLen = math.max(1, payload.length)
+      val factor = math.max(1, math.round(math.sqrt(
+        inLen.toDouble / math.max(1, targetW * targetH))).toInt)
+      resizeStub(payload, factor)
+    } else {
+      val out = new java.awt.image.BufferedImage(
+        targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, targetW, targetH, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  /** Byte-decimation resize (every factor-th byte) — the fallback for
+    * payloads no codec accepts; deterministic, shape-preserving plumbing
+    * (binary -> binary projection). */
   def resizeStub(payload: Array[Byte], factor: Int): Array[Byte] = {
     val out = new Array[Byte]((payload.length + factor - 1) / factor)
     var i = 0

@@ -85,4 +85,35 @@ class MultimodalSpec extends SparkSpec {
     assert(out.length == 25)
     assert(out(1) == 4.toByte && out(24) == 96.toByte)
   }
+
+  test("resize scales a REAL PNG to the target dims and re-decodes") {
+    val resized = Multimodal.resize(pngBytes(20, 12), 10, 6)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized))
+    assert(back != null, "resized payload is not a decodable image")
+    assert(back.getWidth == 10 && back.getHeight == 6)
+    // upscale works too
+    val up = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.resize(pngBytes(8, 8), 32, 16)))
+    assert(up.getWidth == 32 && up.getHeight == 16)
+  }
+
+  test("resize preserves solid color (bilinear of a constant is constant)") {
+    val img = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, 0x336699)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.resize(bos.toByteArray, 4, 4)))
+    for (y <- 0 until 4; x <- 0 until 4)
+      assert((back.getRGB(x, y) & 0xffffff) == 0x336699, s"pixel ($x,$y) drifted")
+  }
+
+  test("resize falls back to deterministic decimation for non-image payloads") {
+    val in = (0 until 4096).map(_.toByte).toArray
+    val a = Multimodal.resize(in, 32, 32) // target 1024 px -> factor 2
+    val b = Multimodal.resize(in, 32, 32)
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == 2048)
+    assert(a(1) == 2.toByte) // every-2nd-byte decimation
+  }
 }
