@@ -1,7 +1,7 @@
 package graft.store
 
 import graft.functions.VectorOps
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -25,6 +25,7 @@ object IvfIndex {
 
   /** Assignment + partitioned write. `emb` needs (vec_id, label, embedding). */
   def build(emb: DataFrame, path: String): Unit = {
+    require(!emb.isEmpty, "IvfIndex.build: empty corpus — nothing to index")
     // derive dim from the data instead of assuming the fixture's 64
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     val cent = emb
@@ -35,6 +36,33 @@ object IvfIndex {
       .agg(map_from_entries(collect_list(struct(col("pos"), col("c")))).as("cm"))
       .select(col("label").cast("int").as("cell"),
         transform(sequence(lit(0), lit(dim - 1)), i => element_at(col("cm"), i)).as("centroid"))
+    // a null cell (label not castable to int) would silently drop its
+    // vectors from every probe — fail the build instead
+    require(cent.filter(col("cell").isNull).isEmpty,
+      "IvfIndex.build: non-integer label produced a null cell id")
+    assignAndWrite(emb, cent, path, SaveMode.Overwrite)
+    cent.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Incremental maintenance: assign `emb` against the SAVED centroids
+    * sidecar (frozen at build time — the production contract of IVF
+    * append) and add the rows to their cell partitions with a partitioned
+    * APPEND. Existing cell files are never rewritten; cost is the
+    * O(|new| x num_cells) assignment plus the new rows' write — not a
+    * corpus rebuild. Periodic `build` refreshes the centroids when drift
+    * accumulates. Caller appends NEW vec_ids; ids are not deduplicated. */
+  def append(emb: DataFrame, path: String): Unit = {
+    if (emb.isEmpty) return
+    val spark = emb.sparkSession
+    val cent = spark.read.parquet(s"$path/centroids")
+    assignAndWrite(emb, cent, path, SaveMode.Append)
+  }
+
+  /** Nearest-centroid assignment (broadcast centroids, deterministic
+    * cell-id tie-break) + hive-partitioned write of (vec_id, embedding)
+    * under cell=K directories. */
+  private def assignAndWrite(emb: DataFrame, cent: DataFrame,
+                             path: String, mode: SaveMode): Unit = {
     val cosQC = {
       val dot = aggregate(zip_with(col("embedding"), col("centroid"),
         (x, c) => x.cast("double") * c), lit(0.0), (a, x) => a + x)
@@ -50,8 +78,7 @@ object IvfIndex {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/data")
-    cent.write.mode("overwrite").parquet(s"$path/centroids")
+      .write.mode(mode).partitionBy("cell").parquet(s"$path/data")
   }
 
   /** Rank centroids against the query (the sidecar is num_cells rows —

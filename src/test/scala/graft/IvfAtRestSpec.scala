@@ -55,6 +55,91 @@ class IvfAtRestSpec extends SparkSpec {
     assert(fileScan(probe2).selectedPartitions.partitionCount == 3)
   }
 
+  test("append assigns against frozen centroids and touches no existing file") {
+    val emb = Tables.embeddings(spark, sf001)
+    val half1 = emb.filter(col("vec_id") < 250)
+    val half2 = emb.filter(col("vec_id") >= 250)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-append").toString
+    IvfIndex.build(half1, dir)
+    def dataFiles(): Set[String] = {
+      val root = new java.io.File(s"$dir/data")
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(root).map(_.getAbsolutePath).filter(_.endsWith(".parquet")).toSet
+    }
+    val before = dataFiles()
+    IvfIndex.append(half2, dir)
+    // existing cell files were not rewritten — append only adds
+    assert(before.subsetOf(dataFiles()), "append rewrote existing cell files")
+    val data = spark.read.parquet(s"$dir/data")
+    assert(data.count() == emb.count())
+    assert(data.select("vec_id").distinct().count() == emb.count())
+
+    // every appended row sits in its nearest SAVED centroid's cell
+    // (deterministic cell tie-break), verified driver-side on the sidecar
+    val cents = spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    def cos(a: Array[Float], c: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i).toDouble * c(i); na += a(i).toDouble * a(i); nb += c(i) * c(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val appended = data.join(half2.select("vec_id"), "vec_id")
+      .select("vec_id", "embedding", "cell").collect()
+    appended.foreach { r =>
+      val e = r.getSeq[Float](1).toArray
+      val best = cents.map { case (cell, c) => (cell, cos(e, c)) }
+        .maxBy { case (cell, s) => (s, -cell) }._1
+      assert(r.getInt(2) == best,
+        s"vec ${r.getLong(0)} in cell ${r.getInt(2)}, nearest saved centroid is $best")
+    }
+  }
+
+  test("probe after append still prunes and equals the exact cell-restricted scan") {
+    val emb = Tables.embeddings(spark, sf001)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-append-probe").toString
+    IvfIndex.build(emb.filter(col("vec_id") < 250), dir)
+    IvfIndex.append(emb.filter(col("vec_id") >= 250), dir)
+    val query = emb.filter(col("vec_id") === 300)
+      .select("embedding").collect().head.getSeq[Float](0).toArray
+    // pruning: nprobe=1 still reads exactly one partition
+    val probe1 = IvfIndex.probe(spark, dir, query, k = 3, nprobe = 1)
+    assert(fileScan(probe1).selectedPartitions.partitionCount == 1)
+    // equality: probe == exact scan over (build + append) data restricted
+    // to the probed cells — appended rows fully searchable
+    val cells = IvfIndex.probedCells(spark, dir, query, nprobe = 2)
+    val expected = spark.read.parquet(s"$dir/data")
+      .filter(col("cell").isin(cells: _*))
+      .select(col("vec_id"),
+        VectorOps.cosineFloat(typedLit(query), col("embedding")).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(5).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = IvfIndex.probe(spark, dir, query, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expected)
+    // the appended query vector finds itself
+    assert(got.head._1 == 300L && math.abs(got.head._2 - 1.0) < 1e-12)
+    // NOTE deliberately NOT asserted: probe equality with a from-scratch
+    // build on the union. Scratch recomputes centroids, the near-random
+    // fixture embeddings sit close to cell boundaries, and IVF probe
+    // answers depend on cell membership — so the two indexes legitimately
+    // return different (equally valid) nprobe-bounded answers. The
+    // incremental contract is frozen-centroid assignment (asserted above,
+    // row by row, against the sidecar); refreshing centroids IS a rebuild.
+  }
+
+  test("build guards: empty corpus and null cells fail loudly") {
+    val emb = Tables.embeddings(spark, sf001)
+    intercept[IllegalArgumentException] {
+      IvfIndex.build(emb.filter(col("vec_id") < 0),
+        java.nio.file.Files.createTempDirectory("ivf-empty").toString)
+    }
+    intercept[IllegalArgumentException] {
+      IvfIndex.build(emb.withColumn("label", lit(null).cast("string")),
+        java.nio.file.Files.createTempDirectory("ivf-null-label").toString)
+    }
+  }
+
   test("probe result equals the exact scan restricted to the probed cells") {
     val query = Tables.embeddings(spark, sf001).filter(col("vec_id") === 1)
       .select("embedding").collect().head.getSeq[Float](0).toArray
