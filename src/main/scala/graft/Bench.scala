@@ -76,6 +76,19 @@ object Bench {
     // broadcast/block refs before the first measured query (untimed)
     System.gc()
 
+    // The dedup-label index build, reported as its OWN line: the labels
+    // memo (TextQueries.componentLabels) means q_dedup_components and
+    // q_dedup_keepers consume a prebuilt index during the sweep — their
+    // per-query numbers are the serving cost, this number is the build
+    // cost. Cleared first so the build is actually measured here.
+    graft.ops.TextQueries.clearComponentLabels(spark)
+    val labelsBuildSec = {
+      val t0 = System.nanoTime()
+      graft.ops.TextQueries.componentLabels(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    System.gc()
+
     // Min-of-3 per query: the r4->r5 sweep comparison showed ±2-4x
     // POSITIONAL variance on unchanged plans (q_rollup 2.1->5.6->2.2s,
     // q_ntile 0.8->2.3->0.4s across three rounds of identical code —
@@ -107,7 +120,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
     val totalMedian = results.map(_._2._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$REPS,"stat":"min","total_median":$totalMedian%.3f,"queries":$qs,"ref_search_qps_50k":$refQpsLocal%.0f,"ref_batch_qps_50k":$refQpsBatch%.0f,"ref_concurrent_qps_50k":$refQpsConc%.0f,"baseline_ref_qps_50k":1100,"sf":"$sfDir"}""")
+    // protocol versions the line for cross-round tooling: 1 = r<=5
+    // (value = sum of per-query MEDIANS, labels build folded into the
+    // dedup queries), 2 = r6+ (value = sum of per-query MINS with untimed
+    // inter-query GC; total_median kept for v1 comparisons; labels build
+    // reported separately). Compare like with like across rounds.
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","protocol":2,"reps":$REPS,"stat":"min","total_median":$totalMedian%.3f,"labels_build_sec":$labelsBuildSec%.3f,"queries":$qs,"ref_search_qps_50k":$refQpsLocal%.0f,"ref_batch_qps_50k":$refQpsBatch%.0f,"ref_concurrent_qps_50k":$refQpsConc%.0f,"baseline_ref_qps_50k":1100,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

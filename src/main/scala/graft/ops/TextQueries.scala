@@ -105,26 +105,82 @@ object TextQueries {
     * an eager checkpoint, converging in O(graph diameter) rounds (dup
     * clusters are dense: 2-4 in practice).
     *
-    * Memoized per (session, dir): the labels are the shared "index build"
-    * output that BOTH q_dedup_components and q_dedup_keepers consume —
-    * without the cache, keepers reruns the whole minhash + propagation
-    * pipeline. The cached DataFrame is already materialized (eager
-    * localCheckpoint), so reuse is a block read, not a recompute; entries
-    * die with their session. */
-  def componentLabels(s: SparkSession, d: String): DataFrame =
-    labelsCache.getOrElseUpdate((s, d), computeComponentLabels(s, d))
+    * Memoized per (session, dir, data-mtime): the labels are the shared
+    * "index build" output that BOTH q_dedup_components and q_dedup_keepers
+    * consume — without the cache, keepers reruns the whole minhash +
+    * propagation pipeline. The cached DataFrame is already materialized
+    * (eager localCheckpoint), so reuse is a block read, not a recompute.
+    * Hygiene (the round-6 advice): entries for stopped sessions are purged
+    * on every access; a rewrite of `$d/documents.parquet` changes the
+    * mtime component of the key, so the stale entry is evicted (blocks
+    * unpersisted) instead of served; `clearComponentLabels` gives callers
+    * (Bench, long-lived services) deterministic release of every
+    * checkpoint block the build pinned. */
+  def componentLabels(s: SparkSession, d: String): DataFrame = {
+    // purge entries whose session is gone (their blocks died with it)
+    labelsCache.filterInPlace { case ((sess, _, _), _) => !sess.sparkContext.isStopped }
+    val key = (s, d, documentsMtime(s, d))
+    // a stale same-dir entry (older mtime) is dead weight — release it
+    labelsCache.keys.filter(k => k._1 == s && k._2 == d && k != key)
+      .foreach(k => labelsCache.remove(k).foreach(_.release()))
+    labelsCache.getOrElseUpdate(key, computeComponentLabels(s, d)).df
+  }
+
+  /** Deterministically drop every cached label entry (and its pinned
+    * checkpoint blocks) for `s` — for benches that want to time the build
+    * and services that outlive many datasets. */
+  def clearComponentLabels(s: SparkSession): Unit =
+    labelsCache.keys.filter(_._1 == s)
+      .foreach(k => labelsCache.remove(k).foreach(_.release()))
+
+  /** Count of live cached entries for `s` (spec hook). */
+  private[graft] def cachedLabelEntries(s: SparkSession): Int =
+    labelsCache.keys.count(_._1 == s)
+
+  /** The live entries for `s` (spec hook — released-state assertions). */
+  private[graft] def labelEntriesFor(s: SparkSession): Seq[LabelEntry] =
+    labelsCache.collect { case ((sess, _, _), e) if sess == s => e }.toSeq
+
+  private def documentsMtime(s: SparkSession, d: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    try fs.getFileStatus(p).getModificationTime catch { case _: Exception => 0L }
+  }
+
+  /** A built label set plus every checkpoint block the build pinned —
+    * `release()` unpersists them all (the ContextCleaner would eventually
+    * GC them, but a long-lived session wants determinism). */
+  private[graft] final case class LabelEntry(df: DataFrame, pinned: Seq[DataFrame]) {
+    def release(): Unit = pinned.foreach { p =>
+      p.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+        case _ =>
+      }
+    }
+    /** True when every pinned checkpoint RDD has been dropped from the
+      * block store (spec hook). */
+    private[graft] def released: Boolean = pinned.forall { p =>
+      p.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.getStorageLevel
+      }.forall(_ == org.apache.spark.storage.StorageLevel.NONE)
+    }
+  }
 
   private val labelsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Long), LabelEntry]
 
-  private def computeComponentLabels(s: SparkSession, d: String): DataFrame = {
-    val pairs = minhashPairs(s, d).localCheckpoint(true)
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
-      .localCheckpoint(true)
+  private def computeComponentLabels(s: SparkSession, d: String): LabelEntry = {
+    val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def ckpt(df: DataFrame): DataFrame = {
+      val out = df.localCheckpoint(true)
+      pinned += out
+      out
+    }
+    val pairs = ckpt(minhashPairs(s, d))
+    val edges = ckpt(pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    var labels = ckpt(edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 25) {
@@ -132,10 +188,9 @@ object TextQueries {
         .join(labels.select(col("doc_id").as("src"), col("label")), "src")
         .groupBy(col("dst").as("doc_id"))
         .agg(min(col("label")).as("nlabel"))
-      val next = labels.join(prop, Seq("doc_id"), "left")
+      val next = ckpt(labels.join(prop, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint(true)
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label")))
       changed = next
         .join(labels.select(col("doc_id"), col("label").as("old")), "doc_id")
         .filter(col("label") =!= col("old")).count()
@@ -149,7 +204,7 @@ object TextQueries {
     // doubling/pointer-jumping variant, not a truncated answer.
     require(changed == 0,
       s"component labeling did not converge in $iter rounds ($changed labels still changing)")
-    labels
+    LabelEntry(labels, pinned.toSeq)
   }
 
   /** Oracle CTE chain: `edges` + recursive `reach` + per-doc min `lab` —

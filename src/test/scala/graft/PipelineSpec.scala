@@ -96,6 +96,31 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("componentLabels cache: memoizes per dir, clear releases every pinned block") {
+    import graft.ops.TextQueries
+    TextQueries.clearComponentLabels(spark)
+    assert(TextQueries.cachedLabelEntries(spark) == 0)
+    val l1 = TextQueries.componentLabels(spark, sf001)
+    val labeledCount = l1.count()
+    assert(TextQueries.cachedLabelEntries(spark) == 1)
+    // memoized: a second access returns the same materialized frame
+    assert(TextQueries.componentLabels(spark, sf001) eq l1)
+    // a second dir builds its own entry
+    TextQueries.componentLabels(spark, "/root/testdata/sf0.01")
+    assert(TextQueries.cachedLabelEntries(spark) == 2)
+    // clear evicts both AND drops every checkpoint block the builds
+    // pinned (deterministic release — not ContextCleaner-eventual)
+    val entries = TextQueries.labelEntriesFor(spark)
+    assert(entries.size == 2 && entries.forall(_.pinned.nonEmpty))
+    TextQueries.clearComponentLabels(spark)
+    assert(TextQueries.cachedLabelEntries(spark) == 0)
+    assert(entries.forall(_.released),
+      "checkpoint blocks still in the block store after clearComponentLabels")
+    // rebuilding after the clear works (l1 itself is dead — its lineage
+    // was truncated by the checkpoint, which is why release is explicit)
+    assert(TextQueries.componentLabels(spark, sf001).count() == labeledCount)
+  }
+
   test("tfidf keywords: <=3 ranked terms per doc, ranks contiguous from 1") {
     val rows = SparkEntry.queries("q_tfidf_keywords")(spark, sf001).collect()
     assert(rows.nonEmpty)
