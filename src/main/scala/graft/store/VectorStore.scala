@@ -40,10 +40,19 @@ final class VectorStore private (
   import VectorStore._
 
   /** Active (non-deleted) rows: (id string, embedding array<float>,
-    * qvec binary, meta map<string,string>). */
-  def active: DataFrame =
+    * qvec binary, meta map<string,string>).
+    *
+    * Thread-safety mirrors the reference's RLock (pythonvectordb.py:233,
+    * held at :299/:362/:414/:439/:519/:566): every mutation runs under
+    * the store monitor, and reads assemble their plan from a CONSISTENT
+    * snapshot of (base, tombstones, deletedCount) under the same monitor.
+    * Unlike the reference, reads release the lock BEFORE executing the
+    * Spark job — distributed searches from concurrent callers proceed in
+    * parallel; only the var snapshot is serialized. */
+  def active: DataFrame = synchronized {
     if (deletedCount == 0) base
     else base.join(broadcast(tombstones), Seq("id"), "left_anti")
+  }
 
   def count: Long = active.count()
 
@@ -60,7 +69,7 @@ final class VectorStore private (
     * Re-adding a previously deleted id is allowed (the reference's delete
     * fully removes the id, pythonvectordb.py:449-455): the tombstone is
     * retired and the old row is physically dropped first. */
-  def addVectors(rows: DataFrame): Unit = {
+  def addVectors(rows: DataFrame): Unit = synchronized {
     val cols = rows.columns.toSet
     require(cols.contains("embedding"), "embedding column required")
     val withId =
@@ -237,20 +246,22 @@ final class VectorStore private (
 
   /** The point-lookup plan `getVector` executes — package-visible so the
     * spec can assert the 1-partition scan on the at-rest path. */
-  private[graft] def lookupFrame(id: String): DataFrame = atRest match {
-    case Some((path, buckets)) =>
-      spark.read.parquet(s"$path/data")
-        .filter(col("id_bucket") === idBucket(lit(id), buckets) && col("id") === id)
-        .select(col("qvec"))
-    case None =>
-      active.filter(col("id") === id).select(col("qvec"))
+  private[graft] def lookupFrame(id: String): DataFrame = synchronized {
+    atRest match {
+      case Some((path, buckets)) =>
+        spark.read.parquet(s"$path/data")
+          .filter(col("id_bucket") === idBucket(lit(id), buckets) && col("id") === id)
+          .select(col("qvec"))
+      case None =>
+        active.filter(col("id") === id).select(col("qvec"))
+    }
   }
 
   /** Lazy delete via tombstone set (pythonvectordb.py:425-463, with the
     * intended exclusion semantics — SURVEY.md §2.2 T6 documents the
     * reference's misalignment bug which we do NOT replicate). Auto-compacts
     * past `DeletedThreshold` like the reference (pythonvectordb.py:460-461). */
-  def delete(ids: Seq[String]): Long = {
+  def delete(ids: Seq[String]): Long = synchronized {
     import spark.implicits._
     val del = ids.toDF("id")
     val hit = active.join(broadcast(del), Seq("id"), "left_semi").count()
@@ -265,7 +276,7 @@ final class VectorStore private (
 
   /** Fold tombstones into the base frame (pythonvectordb.py:465-510's
     * threshold compaction; here: the rewrite that keeps the anti-join small). */
-  def compact(): Unit = {
+  def compact(): Unit = synchronized {
     base = active.localCheckpoint(eager = true)
     tombstones = emptyTombstones(spark)
     deletedCount = 0
@@ -285,7 +296,10 @@ final class VectorStore private (
     * pythonvectordb.py:523); `avg_row_bytes` is the measured average
     * INCLUDING id + metadata overhead. */
   def stats: Map[String, Any] = {
-    val m = active.agg(
+    // consistent var snapshot under the monitor; the aggregate job runs
+    // outside it (concurrent searches keep flowing)
+    val (corpus, deletedNow) = synchronized((active, deletedCount))
+    val m = corpus.agg(
       org.apache.spark.sql.functions.count(lit(1)).as("n"),
       coalesce(sum(octet_length(col("id")).cast(LongType)), lit(0L)).as("id_bytes"),
       coalesce(sum(aggregate(map_entries(col("meta")), lit(0L),
@@ -297,7 +311,7 @@ final class VectorStore private (
     val base = Map[String, Any](
       "count" -> n,
       "dimension" -> dim,
-      "deleted_pending" -> deletedCount,
+      "deleted_pending" -> deletedNow,
       "memory_bytes" -> memBytes,
       "bytes_per_vector" -> dim.toDouble,
       "avg_row_bytes" -> (if (n == 0) dim.toDouble else memBytes.toDouble / n))
@@ -339,7 +353,7 @@ final class VectorStore private (
     * Compacts first like the reference's save (:568-569). An `.npz` is a
     * single-node artifact, so the rows are collected at the driver by
     * design — guarded the same way toLocal is. */
-  def exportNpz(path: String, maxLocalBytes: Long = QuantizedIndex.DefaultMaxLocalBytes): Unit = {
+  def exportNpz(path: String, maxLocalBytes: Long = QuantizedIndex.DefaultMaxLocalBytes): Unit = synchronized {
     if (deletedCount > 0) compact()
     val n = count
     require(n * (5L * dim + 64L) <= maxLocalBytes,
@@ -387,7 +401,7 @@ final class VectorStore private (
     * 1/numBuckets of the store and touching all of it. Size numBuckets so
     * one bucket's files stay scan-sized at the target corpus (the
     * default 64 suits the test scale; a 100 TB store wants thousands). */
-  def save(path: String, numBuckets: Int = VectorStore.DefaultSaveBuckets): Unit = {
+  def save(path: String, numBuckets: Int = VectorStore.DefaultSaveBuckets): Unit = synchronized {
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
     if (deletedCount > 0) compact() // pythonvectordb.py:568-569
     base.withColumn("id_bucket", idBucket(col("id"), numBuckets))

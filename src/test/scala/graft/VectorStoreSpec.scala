@@ -160,6 +160,32 @@ class VectorStoreSpec extends SparkSpec {
     assert(re.getVector("a").isEmpty)
   }
 
+  test("concurrent mutations keep the store consistent (reference lock semantics)") {
+    // the reference guards every mutation with an RLock
+    // (pythonvectordb.py:233, 299, 439); without the store monitor the
+    // base-var read-modify-write here loses batches under interleaving
+    val st = VectorStore.create(spark, 4)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ths = (0 until 4).map { w =>
+      val t = new Thread(() =>
+        try st.addVectors(mkRows((0 until 10).map(i =>
+          (s"w${w}_$i", Seq(w.toFloat, i.toFloat, 0f, 1f), Map.empty[String, String]))))
+        catch { case e: Throwable => errs.add(e) })
+      t.start(); t
+    }
+    ths.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent addVectors raised: ${errs.peek()}")
+    assert(st.count == 40, "a concurrent batch was lost")
+    // interleaved deletes against reads stay consistent too
+    val dels = (0 until 4).map { w =>
+      val t = new Thread(() => st.delete(Seq(s"w${w}_0", s"w${w}_1")))
+      t.start(); t
+    }
+    dels.foreach(_.join())
+    assert(st.count == 32)
+    assert(st.search(Array(1f, 0f, 0f, 1f), k = 40).collect().length == 32)
+  }
+
   test("load rejects missing sidecar") {
     intercept[IllegalArgumentException](
       VectorStore.load(spark, "/tmp/definitely-not-a-store-xyz"))
