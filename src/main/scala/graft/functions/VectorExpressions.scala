@@ -193,3 +193,113 @@ case class SignBucketsExpr(child: Expression, planes: Array[Double],
   override protected def withNewChildInternal(c: Expression): SignBucketsExpr =
     copy(child = c)
 }
+
+/** array<float> -> array<int>: PQ code per subspace against a trained flat
+  * codebook reference object (training/inspection form; storage uses
+  * PqEncodeExpr's byte packing). One codegen'd pass assigns all m
+  * subspaces. */
+case class PqAssignExpr(child: Expression, codebook: Array[Double],
+    m: Int, k: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeCheck.floatArray(child, prettyName)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_assign"
+
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(VectorKernels.pqCodes(
+      v.asInstanceOf[ArrayData].toFloatArray(), codebook, m, k))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", codebook, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.VectorKernels.pqCodes($c.toFloatArray(), " +
+        s"$cbRef, $m, $k))")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqAssignExpr =
+    copy(child = c)
+}
+
+/** array<float> -> binary: PQ codes packed one byte per subspace — the
+  * stored/compressed row form (m bytes vs dim*4 floats). */
+case class PqEncodeExpr(child: Expression, codebook: Array[Double],
+    m: Int, k: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeCheck.floatArray(child, prettyName)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_encode"
+
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.pqEncode(
+      v.asInstanceOf[ArrayData].toFloatArray(), codebook, m, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", codebook, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorKernels.pqEncode($c.toFloatArray(), " +
+        s"$cbRef, $m, $k)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqEncodeExpr =
+    copy(child = c)
+}
+
+/** array<float> (query) -> array<double>: the per-query ADC lookup table
+  * (lut[sub*k+c] = <nq_sub, centroid_c>) — computed once per query row,
+  * then every corpus row scores via PqAdcExpr with m table reads. */
+case class PqLutExpr(child: Expression, codebook: Array[Double],
+    m: Int, k: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeCheck.floatArray(child, prettyName)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_lut"
+
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(VectorKernels.pqLut(
+      v.asInstanceOf[ArrayData].toFloatArray(), codebook, m, k))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", codebook, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.VectorKernels.pqLut($c.toFloatArray(), " +
+        s"$cbRef, $m, $k))")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqLutExpr =
+    copy(child = c)
+}
+
+/** binary (PQ codes) x array<double> (LUT) -> double: approximate cosine
+  * via asymmetric distance computation — m byte reads + adds per row. */
+case class PqAdcExpr(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeCheck.both(VecTypeCheck.binary(left, prettyName),
+      right.dataType match {
+        case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<double> LUT, got ${other.catalogString}")
+      })
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_adc"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.pqAdc(a.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[ArrayData].toDoubleArray(), k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorKernels.pqAdc($a, $b.toDoubleArray(), $k)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcExpr =
+    copy(left = l, right = r)
+}

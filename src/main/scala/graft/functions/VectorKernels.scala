@@ -217,4 +217,114 @@ object VectorKernels {
     }
     false
   }
+
+  // ---------------------------------------------------------------------
+  // Product quantization (PQ). The vector is split into `m` contiguous
+  // subspaces of dim/m components each; every subspace is coded as the id
+  // of its nearest codebook centroid (Lloyd's-trained, k per subspace), so
+  // a dim-D float vector (4*D bytes) compresses to m bytes (dim 64, m=8
+  // -> 32x; dim 128 -> 64x) — the residency step BEYOND int8 scalar
+  // quantization (D bytes) on the 100 TB path. Queries score compressed rows via an ADC lookup table
+  // (lut[sub*k+c] = <q_sub, centroid_c>): one table of m*k dots per query,
+  // then each row costs m table reads instead of dim multiplies.
+  //
+  // Codebook layout: flat double[], centroid component
+  // [(sub*k + c)*subdim + i]. All PQ kernels normalize the raw float
+  // vector internally with the same double-fold + <1e-10 zero guard as
+  // `quantize` (pythonvectordb.py:70-99), so trainer, encoder and LUT
+  // agree bitwise on the vector they see.
+  // ---------------------------------------------------------------------
+
+  /** Unit-normalize into doubles (x / l2norm), zero-norm guard -> zeros.
+    * Bitwise identical to VectorOps.normalize (the K2 Catalyst HOF). */
+  def normalizeD(v: Array[Float]): Array[Double] = {
+    val out = new Array[Double](v.length)
+    val nrm = l2norm(v)
+    if (nrm < ZeroNormEps) return out
+    var i = 0
+    while (i < v.length) { out(i) = v(i).toDouble / nrm; i += 1 }
+    out
+  }
+
+  /** PQ code per subspace: argmin_c ||nv_sub - centroid_c||^2, ties to the
+    * lowest c (deterministic). Returns one int per subspace in [0, k). */
+  def pqCodes(v: Array[Float], codebook: Array[Double], m: Int, k: Int): Array[Int] = {
+    val dim = v.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subdim = dim / m
+    require(codebook.length == m * k * subdim,
+      s"codebook ${codebook.length} != $m*$k*$subdim")
+    val nv = normalizeD(v)
+    val out = new Array[Int](m)
+    var sub = 0
+    while (sub < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        val off = (sub * k + c) * subdim
+        var d = 0.0
+        var i = 0
+        while (i < subdim) {
+          val diff = nv(sub * subdim + i) - codebook(off + i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(sub) = best
+      sub += 1
+    }
+    out
+  }
+
+  /** PQ codes packed one byte per subspace (k <= 256) — the stored form. */
+  def pqEncode(v: Array[Float], codebook: Array[Double], m: Int, k: Int): Array[Byte] = {
+    require(k <= 256, s"k=$k does not fit one byte per code")
+    val codes = pqCodes(v, codebook, m, k)
+    val out = new Array[Byte](m)
+    var i = 0
+    while (i < m) { out(i) = codes(i).toByte; i += 1 }
+    out
+  }
+
+  /** ADC lookup table for a query: lut[sub*k + c] = <nq_sub, centroid_c>
+    * (double left fold). sum_sub lut[sub*k + code_sub] then approximates
+    * cosine(q, v) because both sides are unit vectors. */
+  def pqLut(q: Array[Float], codebook: Array[Double], m: Int, k: Int): Array[Double] = {
+    val dim = q.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subdim = dim / m
+    require(codebook.length == m * k * subdim,
+      s"codebook ${codebook.length} != $m*$k*$subdim")
+    val nq = normalizeD(q)
+    val lut = new Array[Double](m * k)
+    var sub = 0
+    while (sub < m) {
+      var c = 0
+      while (c < k) {
+        val off = (sub * k + c) * subdim
+        var acc = 0.0
+        var i = 0
+        while (i < subdim) { acc += nq(sub * subdim + i) * codebook(off + i); i += 1 }
+        lut(sub * k + c) = acc
+        c += 1
+      }
+      sub += 1
+    }
+    lut
+  }
+
+  /** Approximate cosine of the LUT's query vs a PQ-coded row: m unsigned
+    * byte reads + adds — no per-row float math at all. */
+  def pqAdc(codes: Array[Byte], lut: Array[Double], k: Int): Double = {
+    var acc = 0.0
+    var sub = 0
+    while (sub < codes.length) {
+      acc += lut(sub * k + (codes(sub) & 0xff))
+      sub += 1
+    }
+    acc
+  }
 }

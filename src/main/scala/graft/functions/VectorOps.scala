@@ -55,6 +55,24 @@ object VectorOps {
       .otherwise(transform(v, x => x.cast("double") / nrm))
   }
 
+  /** array<float> -> array<int>: PQ subspace codes against a trained flat
+    * codebook (layout [(sub*k+c)*subdim+i]) — training/inspection form. */
+  def pqAssign(v: Column, codebook: Array[Double], m: Int, k: Int): Column =
+    c(PqAssignExpr(e(v), codebook, m, k))
+
+  /** array<float> -> binary: PQ codes, one byte per subspace (the stored
+    * compressed row — m bytes vs dim*4 floats). */
+  def pqEncode(v: Column, codebook: Array[Double], m: Int, k: Int): Column =
+    c(PqEncodeExpr(e(v), codebook, m, k))
+
+  /** array<float> query -> array<double> ADC lookup table (m*k dots). */
+  def pqLut(q: Column, codebook: Array[Double], m: Int, k: Int): Column =
+    c(PqLutExpr(e(q), codebook, m, k))
+
+  /** binary codes x array<double> lut -> double approximate cosine. */
+  def pqAdc(codes: Column, lut: Column, k: Int): Column =
+    c(PqAdcExpr(e(codes), e(lut), k))
+
   /** Bounded top-k aggregate: array<struct<vec_id,score>> of the k best
     * (score DESC, id ASC) pairs per group; partial-aggregates map-side so a
     * batched kNN shuffles only k rows per (group x partition). */

@@ -1,0 +1,87 @@
+package graft
+
+import graft.functions.VectorKernels
+import graft.ops.PqQueries
+import org.apache.spark.sql.functions._
+
+/** Product quantization: kernel semantics, training determinism, and the
+  * q_pq_recall registry invariants (the oracle states the recall floor;
+  * the raw search result's structure is asserted here). */
+class PqSpec extends SparkSpec {
+
+  private val M = PqQueries.M
+  private val K = PqQueries.K
+
+  test("pq kernels: codes in range, encode packs them, ADC sums the LUT") {
+    val rnd = new scala.util.Random(42)
+    val dim = 128
+    val subdim = dim / M
+    val cb = Array.fill(M * K * subdim)(rnd.nextGaussian())
+    val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val codes = VectorKernels.pqCodes(v, cb, M, K)
+    assert(codes.length == M && codes.forall(c => c >= 0 && c < K))
+    val packed = VectorKernels.pqEncode(v, cb, M, K)
+    assert(packed.toSeq == codes.map(_.toByte).toSeq)
+    val q = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val lut = VectorKernels.pqLut(q, cb, M, K)
+    assert(lut.length == M * K)
+    val adc = VectorKernels.pqAdc(packed, lut, K)
+    val manual = codes.zipWithIndex.map { case (c, sub) => lut(sub * K + c) }
+      .foldLeft(0.0)(_ + _)
+    assert(adc == manual)
+  }
+
+  test("ADC of a vector's own codes approximates its self-cosine (reconstruction)") {
+    // encode v, score v's own LUT against its codes: the result is
+    // <nv, reconstruction> — positive and bounded by ~1; on the random
+    // Gaussian fixture (the PQ-adversarial case) the per-subspace
+    // distortion is high, so the bar is a sanity band, not ~1.
+    val cb = PqQueries.trainCodebook(spark, sf001)
+    val emb = Tables.embeddings(spark, sf001).limit(20).collect()
+    val selfs = emb.map { r =>
+      val v = r.getAs[Seq[Float]]("embedding").toArray
+      val codes = VectorKernels.pqEncode(v, cb, M, K)
+      val lut = VectorKernels.pqLut(v, cb, M, K)
+      VectorKernels.pqAdc(codes, lut, K)
+    }
+    selfs.foreach(s => assert(s > 0.0 && s <= 1.01, s"self-ADC $s out of range"))
+    assert(selfs.sum / selfs.length > 0.3)
+  }
+
+  test("codebook training is bit-deterministic across runs") {
+    val a = PqQueries.trainCodebook(spark, sf001)
+    val b = PqQueries.trainCodebook(spark, sf001)
+    assert(a.toSeq == b.toSeq)
+    val dim = Tables.embeddings(spark, sf001)
+      .select(size(col("embedding"))).head().getInt(0)
+    assert(a.length == M * K * (dim / M))
+  }
+
+  test("pqTop3 returns top-3 per query with descending exact scores") {
+    val rows = PqQueries.pqTop3(spark, sf001).collect()
+    assert(rows.length == 30) // 10 queries x 3
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.length == 3)
+      val scores = rs.map(_.getDouble(2)).toSeq
+      assert(scores == scores.sorted.reverse)
+    }
+  }
+
+  test("q_pq_recall registry invariants all hold") {
+    val r = SparkEntry.queries("q_pq_recall")(spark, sf001).collect().head
+    assert(r.getAs[Long]("n_queries") == 10L)
+    assert(r.getAs[Long]("results_complete") == 1L)
+    assert(r.getAs[Long]("recall_ok") == 1L)
+    // testdata embeddings are dim 64 -> 64*4/8 = 32x over float32
+    assert(r.getAs[Long]("compression_x") == 32L)
+    assert(r.getAs[Double]("exact_mean_top3") > 0.0)
+  }
+
+  test("compressed row is M bytes (32x vs float32 at the testdata's dim 64)") {
+    val cb = PqQueries.trainCodebook(spark, sf001)
+    val bytes = Tables.embeddings(spark, sf001)
+      .select(functions.VectorOps.pqEncode(col("embedding"), cb, M, K).as("c"))
+      .select(length(col("c")).as("n")).distinct().collect()
+    assert(bytes.map(_.getInt(0)).toSeq == Seq(M))
+  }
+}
