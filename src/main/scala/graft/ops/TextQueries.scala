@@ -616,6 +616,47 @@ object TextQueries {
          |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20""".stripMargin),
       headline = true),
 
+    // Heavy hitters via count-min sketch — the streaming/mergeable
+    // frequency summary (Cormode & Muthukrishnan 2005; Spark's built-in
+    // count_min_sketch aggregate). At 100 TB the sketch is the ONLY way to
+    // track token frequencies without a corpus-wide groupBy: it partial-
+    // aggregates map-side into a fixed 2/eps x depth array and merges in
+    // one 1-row reduce — no shuffle proportional to vocabulary. The exact
+    // top-10 companion exists for the oracle gate (the q_approx_distinct
+    // pattern); the sketch invariants are what the query proves:
+    // est >= exact (CMS never undercounts — structural) and
+    // est - exact <= ceil(eps * total) (the CMS error bound; deterministic
+    // here given the fixed seed — validated at all three SFs).
+    Q("q_heavy_hitters",
+      (s, d) => {
+        val t = toks(s, d).filter(col("tok") =!= "")
+        val top10 = t.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("tok").asc).limit(10)
+        val skBytes = t
+          .agg(expr("count_min_sketch(tok, 0.001d, 0.99d, 777)").as("sk"))
+          .head().getAs[Array[Byte]](0) // 1-row aggregate (bounded)
+        val cms = org.apache.spark.util.sketch.CountMinSketch
+          .readFrom(new java.io.ByteArrayInputStream(skBytes))
+        val bound = math.ceil(0.001 * cms.totalCount()).toLong
+        // 10-row bounded collect: probing a sketch is a point-lookup API
+        val rows = top10.collect().toSeq.map { r =>
+          val tok = r.getString(0)
+          val cnt = r.getLong(1)
+          // the SQL aggregate adds strings as UTF-8 bytes; probe the same way
+          val est = cms.estimateCount(tok.getBytes("UTF-8"))
+          (tok, cnt, if (est >= cnt) 1L else 0L,
+            if (est - cnt <= bound) 1L else 0L)
+        }
+        import s.implicits._
+        rows.toDF("tok", "cnt", "est_ge_exact", "est_within_eps")
+          .orderBy(col("cnt").desc, col("tok").asc)
+      },
+      Some("""SELECT tok, CAST(count(*) AS BIGINT) AS cnt,
+         |  CAST(1 AS BIGINT) AS est_ge_exact, CAST(1 AS BIGINT) AS est_within_eps
+         |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+         |WHERE tok <> ''
+         |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 10""".stripMargin)),
+
     // Repetition-ratio quality gate (a Gopher-style corpus filter signal):
     // 1 - distinct/total tokens per doc; the 20 most repetitive docs.
     // Narrow projection (both counts are HOFs over the token array — no

@@ -49,6 +49,18 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("count-min heavy hitters: sketch never undercounts and stays in the eps bound") {
+    val rows = SparkEntry.queries("q_heavy_hitters")(spark, sf001).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("est_ge_exact") == 1L, s"${r.getString(0)} undercounted")
+      assert(r.getAs[Long]("est_within_eps") == 1L, s"${r.getString(0)} out of bound")
+    }
+    // top-10 ordering is deterministic: cnt desc, token asc
+    val pairs = rows.map(r => (r.getLong(1), r.getString(0))).toSeq
+    assert(pairs == pairs.sortBy { case (c, t) => (-c, t) })
+  }
+
   test("every oracle name corresponds to a registered query") {
     val qnames = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qnames))
