@@ -1,0 +1,119 @@
+package graft
+
+import graft.functions.{VectorKernels, VectorOps}
+import graft.ops.PqQueries
+import graft.store.IvfPqIndex
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ at rest: cell partition pruning (what a probe reads) composed
+  * with PQ row compression (how big each read row is). The ADC probe is
+  * cross-checked against a driver-side kernel replay, and the two-stage
+  * rescored probe against the cell-restricted exact search. */
+class IvfPqSpec extends SparkSpec {
+
+  private val M = PqQueries.M
+  private val K = PqQueries.K
+
+  private lazy val indexPath: String = {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    IvfPqIndex.build(Tables.embeddings(spark, sf001), dir)
+    dir
+  }
+
+  private def query0: Array[Float] =
+    Tables.embeddings(spark, sf001).filter(col("vec_id") === 0)
+      .select("embedding").collect().head.getSeq[Float](0).toArray
+
+  private def fileScan(df: org.apache.spark.sql.DataFrame): FileSourceScanExec = {
+    df.collect()
+    val p = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    p.collectLeaves().collectFirst { case f: FileSourceScanExec => f }
+      .getOrElse(fail(s"no file scan in plan:\n$p"))
+  }
+
+  test("build: every vector coded once, rows are M-byte codes, no floats at rest") {
+    val data = spark.read.parquet(s"$indexPath/data")
+    val n = Tables.embeddings(spark, sf001).count()
+    assert(data.count() == n)
+    assert(data.select("vec_id").distinct().count() == n)
+    // the data files carry ONLY (vec_id, codes, cell) — compression is real
+    assert(data.schema.fieldNames.sorted.toSeq == Seq("cell", "codes", "vec_id"))
+    val lens = data.select(length(col("codes"))).distinct().collect().map(_.getInt(0))
+    assert(lens.toSeq == Seq(M))
+    assert(data.select("cell").distinct().count() >= 5)
+  }
+
+  test("ADC probe scans only the probed cells' partitions") {
+    val scan1 = fileScan(IvfPqIndex.probe(spark, indexPath, query0, k = 5, nprobe = 1))
+    assert(scan1.toString.contains("PartitionFilters"))
+    assert(scan1.selectedPartitions.partitionCount == 1)
+    val scan3 = fileScan(IvfPqIndex.probe(spark, indexPath, query0, k = 5, nprobe = 3))
+    assert(scan3.selectedPartitions.partitionCount == 3)
+  }
+
+  test("ADC probe equals a driver-side kernel replay over the probed cells") {
+    val q = query0
+    val cb = spark.read.parquet(s"$indexPath/codebook")
+      .orderBy("idx").collect().map(_.getDouble(1))
+    val cells = IvfPqIndex.probedCells(spark, indexPath, q, nprobe = 2)
+    val lut = VectorKernels.pqLut(q, cb, M, K)
+    val expected = spark.read.parquet(s"$indexPath/data")
+      .filter(col("cell").isin(cells: _*))
+      .select("vec_id", "codes").collect()
+      .map(r => (r.getLong(0), VectorKernels.pqAdc(r.getAs[Array[Byte]](1), lut, K)))
+      .sortBy { case (id, adc) => (-adc, id) }
+      .take(5)
+    val got = IvfPqIndex.probe(spark, indexPath, q, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == expected.toSeq)
+  }
+
+  test("rescored probe with candK >= cell rows equals the cell-restricted exact search") {
+    val q = query0
+    val emb = Tables.embeddings(spark, sf001)
+    val cells = IvfPqIndex.probedCells(spark, indexPath, q, nprobe = 2)
+    val inCells = spark.read.parquet(s"$indexPath/data")
+      .filter(col("cell").isin(cells: _*)).select("vec_id")
+    val exact = emb.join(inCells, "vec_id")
+      .select(col("vec_id"),
+        VectorOps.cosineFloat(typedLit(q), col("embedding")).as("score"))
+      .orderBy(col("score").desc, col("vec_id")).limit(5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val got = IvfPqIndex.probeRescored(spark, indexPath, q, emb,
+        k = 5, candK = 100000, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == exact.toSeq)
+  }
+
+  test("append encodes against the frozen codebook and only adds files") {
+    val emb = Tables.embeddings(spark, sf001)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-append").toString
+    IvfPqIndex.build(emb.filter(col("vec_id") < 250), dir)
+    val cbBefore = spark.read.parquet(s"$dir/codebook")
+      .orderBy("idx").collect().map(_.getDouble(1))
+    def dataFiles(): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/data")).map(_.getAbsolutePath)
+        .filter(_.endsWith(".parquet")).toSet
+    }
+    val before = dataFiles()
+    IvfPqIndex.append(emb.filter(col("vec_id") >= 250), dir)
+    assert(before.subsetOf(dataFiles()), "append rewrote existing cell files")
+    val data = spark.read.parquet(s"$dir/data")
+    assert(data.count() == emb.count())
+    // appended rows carry codes from the FROZEN codebook: re-encode one
+    // appended vector driver-side against the saved codebook and compare
+    val v300 = emb.filter(col("vec_id") === 300)
+      .select("embedding").collect().head.getSeq[Float](0).toArray
+    val expected = VectorKernels.pqEncode(v300, cbBefore, M, K).toSeq
+    val stored = data.filter(col("vec_id") === 300)
+      .select("codes").collect().head.getAs[Array[Byte]](0).toSeq
+    assert(stored == expected)
+  }
+}
