@@ -138,43 +138,7 @@ object SimilarityQueries {
     // 1/num_cells of the corpus.
     Q("q_ivf_search",
       (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        // coarse centroids: per-label means (the q_centroids build step),
-        // computed with the same 2^43 exact-integer trick.
-        val P43 = 8796093022208.0
-        val cent = emb
-          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
-          .groupBy(col("label"), col("pos"))
-          .agg(((sum(floor(col("x").cast("double") * lit(P43))
-            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-            .cast("double") / lit(P43)) / count(lit(1))).as("c"))
-          .groupBy(col("label"))
-          .agg(map_from_entries(collect_list(struct(col("pos"), col("c")))).as("cm"))
-          .select(col("label").as("cell"),
-            transform(sequence(lit(0), lit(63)), i => element_at(col("cm"), i)).as("centroid"))
-        // assign: nearest centroid by float-double cosine (deterministic
-        // tie-break on cell id)
-        val cosQC = {
-          val dot = aggregate(zip_with(col("embedding"), col("centroid"),
-            (x, c) => x.cast("double") * c), lit(0.0), (a, x) => a + x)
-          val na = aggregate(transform(col("embedding"),
-            x => x.cast("double") * x.cast("double")), lit(0.0), (a, x) => a + x)
-          val nb = aggregate(transform(col("centroid"), c => c * c),
-            lit(0.0), (a, x) => a + x)
-          when(na === 0.0 || nb === 0.0, 0.0)
-            .otherwise(dot / (sqrt(na) * sqrt(nb)))
-        }
-        val wAssign = Window.partitionBy(col("vec_id"))
-          .orderBy(col("cs").desc, col("cell").asc)
-        // materialize the assignment once (queries AND corpus both read it;
-        // in production this is the persisted index-build output — without
-        // it the lazy plan would run the assignment pass twice)
-        val assigned = emb.crossJoin(broadcast(cent))
-          .select(col("vec_id"), col("embedding"), col("cell"), cosQC.as("cs"))
-          .withColumn("rn", row_number().over(wAssign))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("embedding"), col("cell"))
-          .localCheckpoint(true)
+        val assigned = cellAssignments(s, d)
         // search: queries vec_id < 5 probe only their own cell
         val queries = assigned.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell"))
@@ -189,33 +153,7 @@ object SimilarityQueries {
           .orderBy(col("qid"), col("rn"))
       },
       Some {
-        val centDotQ = OracleSql.foldSum(
-          "list_transform(list_zip(e.embedding, ct.centroid), p -> CAST(p[1] AS DOUBLE)*p[2])")
-        val centNormE = OracleSql.foldSum(
-          "list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))")
-        val centNormC = OracleSql.foldSum(
-          "list_transform(ct.centroid, c -> c*c)")
-        s"""WITH cm AS (
-           |  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS x
-           |  FROM embeddings),
-           |cagg AS (
-           |  SELECT label, pos,
-           |    (CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 8796093022208.0) AS DECIMAL(38,0))) AS DOUBLE)
-           |     / 8796093022208.0) / count(*) AS c
-           |  FROM cm GROUP BY label, pos),
-           |cent AS (
-           |  SELECT label AS cell, list(c ORDER BY pos) AS centroid
-           |  FROM cagg GROUP BY label),
-           |asg0 AS (
-           |  SELECT e.vec_id, e.embedding, ct.cell,
-           |    CASE WHEN $centNormE = 0 OR $centNormC = 0 THEN 0.0
-           |         ELSE $centDotQ/(sqrt($centNormE)*sqrt($centNormC)) END AS cs
-           |  FROM embeddings e, cent ct),
-           |asg AS (
-           |  SELECT vec_id, embedding, cell FROM (
-           |    SELECT vec_id, embedding, cell,
-           |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
-           |    FROM asg0) t WHERE rn = 1),
+        s"""WITH $asgCtes,
            |qq AS (SELECT vec_id AS qid, embedding AS qe, cell FROM asg WHERE vec_id < 5),
            |cand AS (
            |  SELECT qq.qid, a.vec_id, ${OracleSql.floatCos("qq.qe", "a.embedding")} AS score
@@ -253,6 +191,127 @@ object SimilarityQueries {
          |  SELECT qid, vec_id, score,
          |    CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rn
          |  FROM cand)
-         |SELECT qid, vec_id, score, rn FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin))
+         |SELECT qid, vec_id, score, rn FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin)),
+
+    // SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    // embedding corpus coarsely, then prune near-duplicate pairs ONLY
+    // within each cluster — the clustering bounds the pairwise work to
+    // sum(cell_i^2) instead of n^2, which is the whole trick at 100 TB
+    // (where the cluster count scales with the corpus so cells stay
+    // task-sized). Keep rule: a vector is pruned iff a LOWER-id vector in
+    // the SAME cell has cosine >= SemTau (deterministic, no transitive
+    // closure needed). Everything — per-label centroids, nearest-cell
+    // assignment, within-cell pairs — is recomputable by DuckDB, so the
+    // per-cell summary hash-matches exactly (no invariant reduction).
+    Q("q_semdedup",
+      (s, d) => {
+        val assigned = cellAssignments(s, d)
+        val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
+          col("embedding").as("a_e"))
+        val b = assigned.select(col("cell"), col("vec_id").as("b_id"),
+          col("embedding").as("b_e"))
+        val pruned = a.join(b, "cell")
+          .filter(col("a_id") < col("b_id"))
+          .filter(VectorOps.cosineFloat(col("a_e"), col("b_e")) >= lit(SemTau))
+          .select(col("cell"), col("b_id")).distinct()
+        assigned.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+          .join(pruned.groupBy(col("cell")).agg(count(lit(1)).as("np")),
+            Seq("cell"), "left")
+          .select(col("cell"), col("n"),
+            coalesce(col("np"), lit(0L)).as("n_pruned"),
+            (col("n") - coalesce(col("np"), lit(0L))).as("n_kept"))
+          .orderBy(col("cell"))
+      },
+      Some {
+        s"""WITH $asgCtes,
+           |pr AS (
+           |  SELECT DISTINCT b.cell, b.vec_id
+           |  FROM asg a JOIN asg b USING (cell)
+           |  WHERE a.vec_id < b.vec_id
+           |    AND ${OracleSql.floatCos("a.embedding", "b.embedding")} >= $SemTau),
+           |nn AS (SELECT cell, CAST(count(*) AS BIGINT) AS n FROM asg GROUP BY cell),
+           |pp AS (SELECT cell, CAST(count(*) AS BIGINT) AS np FROM pr GROUP BY cell)
+           |SELECT nn.cell, nn.n,
+           |  CAST(COALESCE(pp.np, 0) AS BIGINT) AS n_pruned,
+           |  nn.n - CAST(COALESCE(pp.np, 0) AS BIGINT) AS n_kept
+           |FROM nn LEFT JOIN pp USING (cell) ORDER BY nn.cell""".stripMargin
+      })
   )
+
+  /** q_semdedup cosine cutoff. On the near-random fixture within-cell
+    * pairs this high are scarce, which is fine — the result is an exact
+    * hash-match against the brute-force oracle at any tau; 0.4 leaves a
+    * non-empty pruned set at every SF (cells concentrate correlated
+    * vectors, so within-cell pairs clear it sooner than global ones). */
+  final val SemTau = 0.4
+
+  /** Per-label-centroid cell assignment — the shared coarse quantizer of
+    * q_ivf_search and q_semdedup: per-label means (2^43 exact-integer
+    * trick), nearest-centroid assignment by float-double cosine with a
+    * deterministic cell tie-break, materialized once (localCheckpoint) so
+    * downstream plans don't run the assignment pass twice. */
+  private def cellAssignments(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val P43 = 8796093022208.0
+    val cent = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(((sum(floor(col("x").cast("double") * lit(P43))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        .cast("double") / lit(P43)) / count(lit(1))).as("c"))
+      .groupBy(col("label"))
+      .agg(map_from_entries(collect_list(struct(col("pos"), col("c")))).as("cm"))
+      .select(col("label").as("cell"),
+        transform(sequence(lit(0), lit(63)), i => element_at(col("cm"), i)).as("centroid"))
+    val cosQC = {
+      val dot = aggregate(zip_with(col("embedding"), col("centroid"),
+        (x, c) => x.cast("double") * c), lit(0.0), (a, x) => a + x)
+      val na = aggregate(transform(col("embedding"),
+        x => x.cast("double") * x.cast("double")), lit(0.0), (a, x) => a + x)
+      val nb = aggregate(transform(col("centroid"), c => c * c),
+        lit(0.0), (a, x) => a + x)
+      when(na === 0.0 || nb === 0.0, 0.0)
+        .otherwise(dot / (sqrt(na) * sqrt(nb)))
+    }
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cs").desc, col("cell").asc)
+    emb.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("cell"), cosQC.as("cs"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .localCheckpoint(true)
+  }
+
+  /** The shared DuckDB CTE chain ending in `asg(vec_id, embedding, cell)`
+    * — the oracle twin of cellAssignments (identical double op order). */
+  private lazy val asgCtes: String = {
+    val centDotQ = OracleSql.foldSum(
+      "list_transform(list_zip(e.embedding, ct.centroid), p -> CAST(p[1] AS DOUBLE)*p[2])")
+    val centNormE = OracleSql.foldSum(
+      "list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))")
+    val centNormC = OracleSql.foldSum(
+      "list_transform(ct.centroid, c -> c*c)")
+    s"""cm AS (
+       |  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS x
+       |  FROM embeddings),
+       |cagg AS (
+       |  SELECT label, pos,
+       |    (CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 8796093022208.0) AS DECIMAL(38,0))) AS DOUBLE)
+       |     / 8796093022208.0) / count(*) AS c
+       |  FROM cm GROUP BY label, pos),
+       |cent AS (
+       |  SELECT label AS cell, list(c ORDER BY pos) AS centroid
+       |  FROM cagg GROUP BY label),
+       |asg0 AS (
+       |  SELECT e.vec_id, e.embedding, ct.cell,
+       |    CASE WHEN $centNormE = 0 OR $centNormC = 0 THEN 0.0
+       |         ELSE $centDotQ/(sqrt($centNormE)*sqrt($centNormC)) END AS cs
+       |  FROM embeddings e, cent ct),
+       |asg AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT vec_id, embedding, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+       |    FROM asg0) t WHERE rn = 1)""".stripMargin
+  }
 }

@@ -68,6 +68,22 @@ class SimilaritySpec extends SparkSpec {
     assertThreshEqualsBrute("/root/testdata/sf0.01")
   }
 
+  test("q_semdedup: per-cell accounting is consistent and pruning is real") {
+    val rows = SparkEntry.queries("q_semdedup")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    var total = 0L
+    var pruned = 0L
+    rows.foreach { r =>
+      val (n, np, nk) = (r.getAs[Long]("n"), r.getAs[Long]("n_pruned"), r.getAs[Long]("n_kept"))
+      assert(np + nk == n, s"cell ${r.get(0)}: pruned+kept != n")
+      assert(nk >= 1, s"cell ${r.get(0)}: the lowest id must always survive")
+      total += n; pruned += np
+    }
+    assert(total == Tables.embeddings(spark, sf001).count())
+    // tau=0.4 prunes a non-empty set on this fixture (21 at sf0.001)
+    assert(pruned > 0)
+  }
+
   test("ndPlanes are seed-deterministic and correctly sized") {
     assert(SimilarityQueries.NdTables * SimilarityQueries.NdBits * SimilarityQueries.NdDim == 8192)
     val rng = new scala.util.Random(777)
