@@ -235,6 +235,46 @@ object SimilarityQueries {
            |  CAST(COALESCE(pp.np, 0) AS BIGINT) AS n_pruned,
            |  nn.n - CAST(COALESCE(pp.np, 0) AS BIGINT) AS n_kept
            |FROM nn LEFT JOIN pp USING (cell) ORDER BY nn.cell""".stripMargin
+      }),
+
+    // Prototypicality ranking — the other half of embedding-space
+    // curation (cf. "Beyond neural scaling laws" data pruning, SemDeDup's
+    // companion signal): cosine to the ASSIGNED cell's centroid ranks how
+    // representative each vector is of its cluster. Per cell, the 2 most
+    // prototypical ('proto' — prune for diversity) and the 2 most
+    // marginal ('edge' — prune as likely noise/outliers). Every value is
+    // DuckDB-recomputable => exact hash-match. The rank is a per-cell
+    // window: one shuffle on the cell key, corpus-linear.
+    Q("q_prototypes",
+      (s, d) => {
+        val a = cellAssignments(s, d)
+        val wd = Window.partitionBy(col("cell")).orderBy(col("cs").desc, col("vec_id"))
+        val wa = Window.partitionBy(col("cell")).orderBy(col("cs").asc, col("vec_id"))
+        val proto = a.withColumn("rn", row_number().over(wd).cast("long"))
+          .filter(col("rn") <= 2)
+          .select(col("cell"), lit("proto").as("kind"), col("rn"),
+            col("vec_id"), col("cs"))
+        val edge = a.withColumn("rn", row_number().over(wa).cast("long"))
+          .filter(col("rn") <= 2)
+          .select(col("cell"), lit("edge").as("kind"), col("rn"),
+            col("vec_id"), col("cs"))
+        proto.union(edge).orderBy(col("cell"), col("kind"), col("rn"))
+      },
+      Some {
+        s"""WITH $asgCtes,
+           |p AS (
+           |  SELECT cell, 'proto' AS kind,
+           |    CAST(row_number() OVER (PARTITION BY cell ORDER BY cs DESC, vec_id) AS BIGINT) AS rn,
+           |    vec_id, cs FROM asg),
+           |e AS (
+           |  SELECT cell, 'edge' AS kind,
+           |    CAST(row_number() OVER (PARTITION BY cell ORDER BY cs ASC, vec_id) AS BIGINT) AS rn,
+           |    vec_id, cs FROM asg)
+           |SELECT cell, kind, rn, vec_id, cs FROM (
+           |  SELECT * FROM p WHERE rn <= 2
+           |  UNION ALL
+           |  SELECT * FROM e WHERE rn <= 2) u
+           |ORDER BY cell, kind, rn""".stripMargin
       })
   )
 
@@ -279,7 +319,9 @@ object SimilarityQueries {
       .select(col("vec_id"), col("embedding"), col("cell"), cosQC.as("cs"))
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cell"))
+      // cs (cosine to the ASSIGNED cell's centroid) rides along — it is
+      // the prototypicality signal q_prototypes ranks on
+      .select(col("vec_id"), col("embedding"), col("cell"), col("cs"))
       .localCheckpoint(true)
   }
 
@@ -309,8 +351,8 @@ object SimilarityQueries {
        |         ELSE $centDotQ/(sqrt($centNormE)*sqrt($centNormC)) END AS cs
        |  FROM embeddings e, cent ct),
        |asg AS (
-       |  SELECT vec_id, embedding, cell FROM (
-       |    SELECT vec_id, embedding, cell,
+       |  SELECT vec_id, embedding, cell, cs FROM (
+       |    SELECT vec_id, embedding, cell, cs,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
        |    FROM asg0) t WHERE rn = 1)""".stripMargin
   }

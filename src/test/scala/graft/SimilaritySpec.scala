@@ -84,6 +84,20 @@ class SimilaritySpec extends SparkSpec {
     assert(pruned > 0)
   }
 
+  test("q_prototypes: 2 proto + 2 edge per cell, proto always >= edge") {
+    val rows = SparkEntry.queries("q_prototypes")(spark, sf001).collect()
+    val byCell = rows.groupBy(_.get(0))
+    byCell.foreach { case (cell, rs) =>
+      val proto = rs.filter(_.getString(1) == "proto")
+      val edge = rs.filter(_.getString(1) == "edge")
+      assert(proto.length == 2 && edge.length == 2, s"cell $cell incomplete")
+      val minProto = proto.map(_.getAs[Double]("cs")).min
+      val maxEdge = edge.map(_.getAs[Double]("cs")).max
+      assert(minProto >= maxEdge,
+        s"cell $cell: prototypical cs $minProto < edge cs $maxEdge")
+    }
+  }
+
   test("ndPlanes are seed-deterministic and correctly sized") {
     assert(SimilarityQueries.NdTables * SimilarityQueries.NdBits * SimilarityQueries.NdDim == 8192)
     val rng = new scala.util.Random(777)
