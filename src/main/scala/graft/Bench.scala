@@ -31,7 +31,8 @@ object Bench {
     // protocols — the A/B lever for attributing sweep-wide shifts to
     // serving-side state (broadcast blocks, heap pressure) vs the queries.
     val skipServing = sys.env.get("SPARK_GRAFT_SKIP_SERVING").contains("1")
-    val (refQpsLocal, refQpsBatch, refQpsConc) = if (skipServing) (0.0, 0.0, 0.0) else {
+    val (refQpsLocal, refQpsBatch, refQpsConc, refQpsPq) =
+      if (skipServing) (0.0, 0.0, 0.0, 0.0) else {
       import spark.implicits._
       val dim = 128
       val rnd = new scala.util.Random(42)
@@ -69,8 +70,37 @@ object Bench {
         ths.foreach(_.join())
         (System.nanoTime() - t) / 1e9
       }.min
+      // PQ ADC serving twin (LocalPqIndex): same 50k corpus compressed to
+      // M bytes/row, scored via LUT reads — the residency tier's scan
+      // throughput next to the int8 SIMD number. Float queries regenerate
+      // the exact draw sequence the quantized queries came from (seed 7).
+      val pqM = graft.ops.PqQueries.M
+      val pqK = graft.ops.PqQueries.K
+      val cb = graft.ops.PqQueries.trainCodebookOn(embDf)
+      val codeRows = embDf.select(embDf("vec_id"),
+        graft.functions.VectorOps.pqEncode(embDf("embedding"), cb, pqM, pqK).as("c"))
+        .collect() // serving replica: bounded like toLocal (50k x 8 B)
+      val pqIds = new Array[Long](codeRows.length)
+      val pqCodes = new Array[Byte](codeRows.length * pqM)
+      var ri = 0
+      while (ri < codeRows.length) {
+        pqIds(ri) = codeRows(ri).getLong(0)
+        System.arraycopy(codeRows(ri).getAs[Array[Byte]](1), 0, pqCodes, ri * pqM, pqM)
+        ri += 1
+      }
+      val pq = new graft.store.LocalPqIndex(pqIds, pqCodes, pqM, pqK, cb)
+      val qFloats = {
+        val r = new scala.util.Random(7)
+        (0 until 100).map(_ => Array.fill(dim)(r.nextGaussian().toFloat)).toArray
+      }
+      (0 until 10).foreach(i => pq.search(qFloats(i), 10))
+      val bestPq = (0 until 5).map { _ =>
+        val t = System.nanoTime()
+        qFloats.foreach(q => pq.search(q, 10))
+        (System.nanoTime() - t) / 1e9
+      }.min
       index.unpersist()
-      (100.0 / bestLocal, 100.0 / bestBatch, 500.0 / bestConc)
+      (100.0 / bestLocal, 100.0 / bestBatch, 500.0 / bestConc, 100.0 / bestPq)
     }
     // decouple the sweep from serving-section heap state: drop dangling
     // broadcast/block refs before the first measured query (untimed)
@@ -125,7 +155,7 @@ object Bench {
     // dedup queries), 2 = r6+ (value = sum of per-query MINS with untimed
     // inter-query GC; total_median kept for v1 comparisons; labels build
     // reported separately). Compare like with like across rounds.
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","protocol":2,"reps":$REPS,"stat":"min","total_median":$totalMedian%.3f,"labels_build_sec":$labelsBuildSec%.3f,"queries":$qs,"ref_search_qps_50k":$refQpsLocal%.0f,"ref_batch_qps_50k":$refQpsBatch%.0f,"ref_concurrent_qps_50k":$refQpsConc%.0f,"baseline_ref_qps_50k":1100,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","protocol":2,"reps":$REPS,"stat":"min","total_median":$totalMedian%.3f,"labels_build_sec":$labelsBuildSec%.3f,"queries":$qs,"ref_search_qps_50k":$refQpsLocal%.0f,"ref_batch_qps_50k":$refQpsBatch%.0f,"ref_concurrent_qps_50k":$refQpsConc%.0f,"ref_pq_qps_50k":$refQpsPq%.0f,"baseline_ref_qps_50k":1100,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -58,7 +58,7 @@ object PqQueries {
     * order-independent means => bit-deterministic training) on the
     * near-random Gaussian fixture: 0.933 at sf0.001, 0.933 at sf0.01,
     * 0.700 at sf0.1 — the floor sits >= 6 hits (of 30) below the weakest
-    * SF. Random 128-dim data is PQ-adversarial (subspace distances
+    * SF. Random high-dim data is PQ-adversarial (subspace distances
     * concentrate); on a clustered real corpus the same codebook budget
     * recalls far higher. */
   final val PqRecallFloor = 0.5

@@ -90,6 +90,37 @@ class IvfPqSpec extends SparkSpec {
     assert(got.toSeq == exact.toSeq)
   }
 
+  test("streaming micro-batches maintain the index like batch appends (frozen quantizers)") {
+    val emb = Tables.embeddings(spark, sf001)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-stream").toString
+    val inDir = java.nio.file.Files.createTempDirectory("ivfpq-feed").toString
+    IvfPqIndex.build(emb.filter(col("vec_id") < 250), dir)
+    val cbFrozen = spark.read.parquet(s"$dir/codebook")
+      .orderBy("idx").collect().map(_.getDouble(1))
+    // two staged files -> two micro-batches (maxFilesPerTrigger=1)
+    emb.filter(col("vec_id") >= 250 && col("vec_id") < 375)
+      .coalesce(1).write.mode("append").parquet(inDir)
+    emb.filter(col("vec_id") >= 375)
+      .coalesce(1).write.mode("append").parquet(inDir)
+    val stream = spark.readStream
+      .schema(graft.streaming.StreamIndexIngest.embSchema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val batches = graft.streaming.StreamIndexIngest.ingestOnce(stream, dir)
+    assert(batches >= 2, s"expected >= 2 micro-batches, got $batches")
+    val data = spark.read.parquet(s"$dir/data")
+    assert(data.count() == emb.count())
+    assert(data.select("vec_id").distinct().count() == emb.count())
+    // a streamed row carries codes from the BUILD-time codebook
+    val v400 = emb.filter(col("vec_id") === 400)
+      .select("embedding").collect().head.getSeq[Float](0).toArray
+    val stored = data.filter(col("vec_id") === 400)
+      .select("codes").collect().head.getAs[Array[Byte]](0).toSeq
+    assert(stored == VectorKernels.pqEncode(v400, cbFrozen, M, K).toSeq)
+    // probes over the streamed index still prune to their cells
+    val scan = fileScan(IvfPqIndex.probe(spark, dir, v400, k = 3, nprobe = 1))
+    assert(scan.selectedPartitions.partitionCount == 1)
+  }
+
   test("append encodes against the frozen codebook and only adds files") {
     val emb = Tables.embeddings(spark, sf001)
     val dir = java.nio.file.Files.createTempDirectory("ivfpq-append").toString

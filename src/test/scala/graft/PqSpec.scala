@@ -77,6 +77,47 @@ class PqSpec extends SparkSpec {
     assert(r.getAs[Double]("exact_mean_top3") > 0.0)
   }
 
+  test("LocalPqIndex ADC search equals a kernel replay over the corpus") {
+    val cb = PqQueries.trainCodebook(spark, sf001)
+    val rows = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding")).collect()
+    val ids = rows.map(_.getLong(0))
+    val codes = new Array[Byte](rows.length * M)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      System.arraycopy(
+        VectorKernels.pqEncode(r.getAs[Seq[Float]](1).toArray, cb, M, K),
+        0, codes, i * M, M)
+    }
+    val idx = new store.LocalPqIndex(ids, codes, M, K, cb)
+    val q = rows.head.getAs[Seq[Float]](1).toArray
+    val got = idx.search(q, 5)
+    val lut = VectorKernels.pqLut(q, cb, M, K)
+    val expected = rows.map { r =>
+      val c = VectorKernels.pqEncode(r.getAs[Seq[Float]](1).toArray, cb, M, K)
+      (r.getLong(0), VectorKernels.pqAdc(c, lut, K))
+    }.sortBy { case (id, s) => (-s, id) }.take(5).toSeq
+    assert(got == expected)
+  }
+
+  test("LocalPqIndex gang scan equals the sequential scan (50k synthetic rows)") {
+    // big enough that the worker gang engages (count / 2048 > 1)
+    val rnd = new scala.util.Random(11)
+    val n = 50000
+    val dim = 64
+    val subdim = dim / M
+    val cb = Array.fill(M * K * subdim)(rnd.nextGaussian())
+    val ids = Array.tabulate(n)(_.toLong)
+    val codes = Array.fill(n * M)((rnd.nextInt(K)).toByte)
+    val idx = new store.LocalPqIndex(ids, codes, M, K, cb)
+    val q = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val got = idx.search(q, 10)
+    val lut = VectorKernels.pqLut(q, cb, M, K)
+    val expected = (0 until n).map { r =>
+      (r.toLong, VectorKernels.pqAdc(codes.slice(r * M, r * M + M), lut, K))
+    }.sortBy { case (id, s) => (-s, id) }.take(10)
+    assert(got == expected)
+  }
+
   test("compressed row is M bytes (32x vs float32 at the testdata's dim 64)") {
     val cb = PqQueries.trainCodebook(spark, sf001)
     val bytes = Tables.embeddings(spark, sf001)
