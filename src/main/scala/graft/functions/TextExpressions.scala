@@ -58,3 +58,34 @@ case class Md5Prefix60Expr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Md5Prefix60Expr =
     copy(child = c)
 }
+
+/** bigint -> boolean: membership probe against a Bloom filter baked in as
+  * a reference object (Spark's own org.apache.spark.util.sketch
+  * BloomFilter — the engine-native mergeable set sketch, same family the
+  * optimizer injects as runtime join filters). No false negatives;
+  * false-positive rate set at build time. Codegen'd so the probe stays
+  * inside WholeStageCodegen — the broadcast-sketch scan pattern. */
+case class BloomMightContainExpr(child: Expression,
+    filter: org.apache.spark.util.sketch.BloomFilter)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires bigint, got ${other.catalogString}")
+  }
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bloom_might_contain"
+
+  override def nullSafeEval(v: Any): Any =
+    filter.mightContainLong(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloom", filter,
+      "org.apache.spark.util.sketch.BloomFilter")
+    defineCodeGen(ctx, ev, c => s"$ref.mightContainLong($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): BloomMightContainExpr =
+    copy(child = c)
+}

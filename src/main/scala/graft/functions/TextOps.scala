@@ -18,4 +18,10 @@ object TextOps {
   /** string -> bigint: first 60 bits of md5, ==
     * conv(substring(md5(s),1,15),16,10) — a compact long shuffle key. */
   def md5Prefix60(s: Column): Column = c(Md5Prefix60Expr(e(s)))
+
+  /** bigint -> boolean: probe a (broadcast-sized) Bloom filter — the
+    * codegen'd membership scan for sketch-side decontamination/blocklists. */
+  def bloomMightContain(key: Column,
+      filter: org.apache.spark.util.sketch.BloomFilter): Column =
+    c(BloomMightContainExpr(e(key), filter))
 }

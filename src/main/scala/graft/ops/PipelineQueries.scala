@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{OracleSql, Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -36,6 +37,36 @@ object PipelineQueries {
     * spread of the synthetic vocabulary. */
   private val terms = Seq("dup", "spark", "join")
   private val termsSql = terms.map(t => s"'$t'").mkString("(", ", ", ")")
+
+  /** q_bloom_decontaminate sizing: a doc is a false positive if ANY of
+    * its ~90 grams collides, so the per-ITEM fpp must be sized to the
+    * probes-per-doc — fpp 1% gave a 33-38% doc FP rate (tools/BloomProbe,
+    * all SFs); 1e-4 gives 0.25-0.76%. That is the real Bloom-sizing
+    * lesson at 100 TB: fpp ~ target_doc_rate / grams_per_doc, and the
+    * filter is still broadcast-sized (~20 bits/item). The doc-rate cap
+    * below is ~6x the worst observed SF — a filter regression (wrong
+    * size, wrong hash input) blows well past it. */
+  private val BloomFpp = 0.0001
+  private val FpDocBound = 0.05
+
+  /** Split-bucketed, tokenized documents with >= 8 tokens — the shared
+    * base of both decontamination variants. */
+  private def decontDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("b", bucket("split:", 100))
+      .withColumn("t", split(col("text"), " "))
+      .filter(size(col("t")) >= 8)
+
+  /** Distinct 8-gram 60-bit hashes per doc for one split side
+    * (train: b < 80; test: b >= 90). */
+  private def gramHashes(docs: DataFrame, side: String): DataFrame = docs
+    .filter(if (side == "train") col("b") < 80 else col("b") >= 90)
+    .select(col("doc_id").as(s"${side}_doc"),
+      explode(array_distinct(transform(sequence(lit(0), size(col("t")) - 8),
+        i => concat_ws(" ", (0 until 8).map(o => element_at(col("t"), i + o + 1)): _*))))
+        .as("g"))
+    .select(col(s"${side}_doc"),
+      graft.functions.TextOps.md5Prefix60(col("g")).as("gh"))
 
   val all: Seq[Q] = Seq(
 
@@ -98,18 +129,8 @@ object PipelineQueries {
     // the same bucket-join shape as the dedup pipeline, run train x test.
     Q("q_decontaminate",
       (s, d) => {
-        val docs = Tables.documents(s, d)
-          .withColumn("b", bucket("split:", 100))
-          .withColumn("t", split(col("text"), " "))
-          .filter(size(col("t")) >= 8)
-        def grams(side: String) = docs
-          .filter(if (side == "train") col("b") < 80 else col("b") >= 90)
-          .select(col("doc_id").as(s"${side}_doc"),
-            explode(array_distinct(transform(sequence(lit(0), size(col("t")) - 8),
-              i => concat_ws(" ", (0 until 8).map(o => element_at(col("t"), i + o + 1)): _*))))
-              .as("g"))
-          .select(col(s"${side}_doc"),
-            graft.functions.TextOps.md5Prefix60(col("g")).as("gh"))
+        val docs = decontDocs(s, d)
+        def grams(side: String) = gramHashes(docs, side)
         val pairs = grams("test").join(grams("train"), "gh")
           .select(col("test_doc"), col("train_doc")).distinct()
         docs.filter(col("b") >= 90).agg(count(lit(1)).as("n_test_docs"))
@@ -137,6 +158,66 @@ object PipelineQueries {
          |  CAST(count(DISTINCT test_doc) AS BIGINT) AS n_contaminated,
          |  CAST(count(*) AS BIGINT) AS n_pairs
          |FROM pairs""".stripMargin)),
+
+    // Bloom-filter decontamination — the sketch-side formulation of the
+    // same check, completing the sketch family (HLL: q_approx_distinct;
+    // CMS: q_heavy_hitters; Bloom: here). The test split's 8-gram hashes
+    // build a Spark BloomFilter (fpp sized to probes-per-doc, see
+    // BloomFpp); the train side is then a NARROW
+    // codegen'd membership scan (`bloom_might_contain`) — at 100 TB you
+    // broadcast a few-MB sketch to every executor instead of shuffling
+    // the train-side grams into an equi-join. Invariants the oracle
+    // states: exact doc counts (DuckDB recomputes the true contamination
+    // via the join), no_false_negatives = 1 (structural — Bloom never
+    // misses a member), fp_ok = 1 (observed false-positive DOC rate under
+    // FpDocBound; deterministic given the filter, validated at all SFs).
+    Q("q_bloom_decontaminate",
+      (s, d) => {
+        val docs = decontDocs(s, d)
+        val test = gramHashes(docs, "test")
+        val train = gramHashes(docs, "train")
+        val testHashes = test.select(col("gh")).distinct()
+        val expected = math.max(1L, testHashes.count()) // 1-value action
+        val bloom = testHashes.stat.bloomFilter("gh", expected, BloomFpp)
+        val flagged = train
+          .filter(graft.functions.TextOps.bloomMightContain(col("gh"), bloom))
+          .select(col("train_doc")).distinct()
+        val truly = train.join(testHashes, "gh")
+          .select(col("train_doc")).distinct()
+        val missed = truly.join(flagged, Seq("train_doc"), "left_anti")
+          .agg(count(lit(1)).as("n_missed"))
+        val nTrain = docs.filter(col("b") < 80).agg(count(lit(1)).as("n_train_docs"))
+        nTrain
+          .crossJoin(truly.agg(count(lit(1)).as("n_true_contaminated")))
+          .crossJoin(flagged.agg(count(lit(1)).as("n_flagged")))
+          .crossJoin(missed)
+          .select(col("n_train_docs"), col("n_true_contaminated"),
+            (col("n_missed") === 0).cast("long").as("no_false_negatives"),
+            ((col("n_flagged") - col("n_true_contaminated")).cast("double")
+              <= lit(FpDocBound) *
+                 (col("n_train_docs") - col("n_true_contaminated")).cast("double"))
+              .cast("long").as("fp_ok"))
+      },
+      Some(s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t,
+         |    ${bucketSql("split:", 100)} AS b
+         |  FROM documents),
+         |d8 AS (SELECT * FROM d WHERE len(t) >= 8),
+         |grams AS (
+         |  SELECT doc_id, b, ${OracleSql.hexToLong("md5(g)", 1, 15)} AS gh FROM (
+         |    SELECT DISTINCT doc_id, b,
+         |      unnest(list_transform(generate_series(1, len(t) - 7),
+         |        i -> array_to_string(t[i:i+7], ' '))) AS g
+         |    FROM d8)),
+         |truly AS (
+         |  SELECT DISTINCT tr.doc_id
+         |  FROM grams tr WHERE tr.b < 80 AND EXISTS (
+         |    SELECT 1 FROM grams te WHERE te.b >= 90 AND te.gh = tr.gh))
+         |SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM d8 WHERE b < 80) AS n_train_docs,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM truly) AS n_true_contaminated,
+         |  CAST(1 AS BIGINT) AS no_false_negatives,
+         |  CAST(1 AS BIGINT) AS fp_ok""".stripMargin)),
 
     // BM25 keyword ranking (k1=1.2, b=0.75, Lucene idf): top-10 documents
     // for a fixed 3-term query. Because the term set is a compile-time

@@ -83,6 +83,17 @@ class PipelineSpec extends SparkSpec {
       s"decontamination missed exact cross-split dups: $contaminated < $crossDup")
   }
 
+  test("bloom decontamination: no false negatives, doc FP rate in bound") {
+    val r = SparkEntry.queries("q_bloom_decontaminate")(spark, sf001).collect().head
+    assert(r.getAs[Long]("no_false_negatives") == 1L,
+      "Bloom filter missed a truly contaminated doc — structurally impossible unless the probe hashes differently than the build")
+    assert(r.getAs[Long]("fp_ok") == 1L, "false-positive doc rate above bound")
+    assert(r.getAs[Long]("n_true_contaminated") <= r.getAs[Long]("n_train_docs"))
+    // sf0.001 ground truth from tools/BloomProbe: 5 of 399 train docs
+    assert(r.getAs[Long]("n_train_docs") == 399L)
+    assert(r.getAs[Long]("n_true_contaminated") == 5L)
+  }
+
   test("keeper accounting closes against the component sizes") {
     val comps = SparkEntry.queries("q_dedup_components")(spark, sf001).collect()
       .map(r => r.getAs[Long]("component") -> r.getAs[Long]("size")).toMap
