@@ -118,4 +118,53 @@ class KernelPropertiesSpec extends AnyFunSuite {
       }
     })
   }
+
+  test("PQ: codes in range, encode/codes agree, self-ADC bounded by unit norms") {
+    val m = 8
+    val k = 16
+    check("pq-laws", Prop.forAll(Gen.chooseNum(1L, Long.MaxValue)) { seed =>
+      val rnd = new scala.util.Random(seed)
+      val dim = m * (1 + rnd.nextInt(16)) // any multiple of m up to 128
+      val subdim = dim / m
+      val cb = Array.fill(m * k * subdim)(rnd.nextGaussian())
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val codes = VectorKernels.pqCodes(v, cb, m, k)
+      val packed = VectorKernels.pqEncode(v, cb, m, k)
+      val lut = VectorKernels.pqLut(v, cb, m, k)
+      val self = VectorKernels.pqAdc(packed, lut, k)
+      // <nv, recon> bounded by |recon| (Cauchy-Schwarz; nv is unit) —
+      // recon is the concatenation of the selected centroids
+      val reconNormSq = (0 until m).map { sub =>
+        val off = (sub * k + codes(sub)) * subdim
+        (0 until subdim).map(i => cb(off + i) * cb(off + i)).sum
+      }.sum
+      codes.forall(c => c >= 0 && c < k) &&
+        packed.toSeq == codes.map(_.toByte).toSeq &&
+        !self.isNaN &&
+        math.abs(self) <= math.sqrt(reconNormSq) + 1e-9
+    })
+  }
+
+  test("PQ: zero vector encodes deterministically and scores 0 against any LUT-free query") {
+    val m = 8
+    val k = 16
+    check("pq-zero", Prop.forAll(Gen.chooseNum(1L, Long.MaxValue)) { seed =>
+      val rnd = new scala.util.Random(seed)
+      val dim = m * (1 + rnd.nextInt(16))
+      val subdim = dim / m
+      val cb = Array.fill(m * k * subdim)(rnd.nextGaussian())
+      val zero = new Array[Float](dim)
+      // zero-norm guard: normalizes to zeros, so every subspace picks the
+      // centroid nearest the origin — same codes on repeat (determinism)
+      val c1 = VectorKernels.pqCodes(zero, cb, m, k)
+      val c2 = VectorKernels.pqCodes(zero, cb, m, k)
+      // and the zero QUERY's LUT is all zeros -> every row scores 0.0
+      val lutZ = VectorKernels.pqLut(zero, cb, m, k)
+      val anyCodes = VectorKernels.pqEncode(
+        Array.fill(dim)(rnd.nextGaussian().toFloat), cb, m, k)
+      c1.toSeq == c2.toSeq &&
+        lutZ.forall(_ == 0.0) &&
+        VectorKernels.pqAdc(anyCodes, lutZ, k) == 0.0
+    })
+  }
 }
