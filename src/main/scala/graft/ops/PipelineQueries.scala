@@ -50,8 +50,10 @@ object PipelineQueries {
   private val FpDocBound = 0.05
 
   /** Split-bucketed, tokenized documents with >= 8 tokens — the shared
-    * base of both decontamination variants. */
-  private def decontDocs(s: SparkSession, d: String): DataFrame =
+    * base of both decontamination variants (private[graft]: the
+    * FpDocBound measurement tool, tools/BloomProbe, must measure the
+    * SAME pipeline the oracle gates). */
+  private[graft] def decontDocs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .withColumn("b", bucket("split:", 100))
       .withColumn("t", split(col("text"), " "))
@@ -59,7 +61,7 @@ object PipelineQueries {
 
   /** Distinct 8-gram 60-bit hashes per doc for one split side
     * (train: b < 80; test: b >= 90). */
-  private def gramHashes(docs: DataFrame, side: String): DataFrame = docs
+  private[graft] def gramHashes(docs: DataFrame, side: String): DataFrame = docs
     .filter(if (side == "train") col("b") < 80 else col("b") >= 90)
     .select(col("doc_id").as(s"${side}_doc"),
       explode(array_distinct(transform(sequence(lit(0), size(col("t")) - 8),
@@ -174,9 +176,12 @@ object PipelineQueries {
     Q("q_bloom_decontaminate",
       (s, d) => {
         val docs = decontDocs(s, d)
+        // both gram sides are consumed by multiple actions (count + bloom
+        // build + exact join; flagged + truly) — materialize once instead
+        // of re-running the tokenize/explode/md5 pipeline per action
         val test = gramHashes(docs, "test")
-        val train = gramHashes(docs, "train")
-        val testHashes = test.select(col("gh")).distinct()
+        val train = gramHashes(docs, "train").localCheckpoint(true)
+        val testHashes = test.select(col("gh")).distinct().localCheckpoint(true)
         val expected = math.max(1L, testHashes.count()) // 1-value action
         val bloom = testHashes.stat.bloomFilter("gh", expected, BloomFpp)
         val flagged = train

@@ -23,9 +23,11 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
-  /** Assignment + partitioned write. `emb` needs (vec_id, label, embedding). */
-  def build(emb: DataFrame, path: String): Unit = {
-    require(!emb.isEmpty, "IvfIndex.build: empty corpus — nothing to index")
+  /** Per-label mean centroids with the null-cell guard — the coarse
+    * quantizer shared by this index and IvfPqIndex. `emb` needs
+    * (label, embedding). */
+  private[store] def labelCentroids(emb: DataFrame, caller: String): DataFrame = {
+    require(!emb.isEmpty, s"$caller: empty corpus — nothing to index")
     // derive dim from the data instead of assuming the fixture's 64
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     val cent = emb
@@ -39,7 +41,13 @@ object IvfIndex {
     // a null cell (label not castable to int) would silently drop its
     // vectors from every probe — fail the build instead
     require(cent.filter(col("cell").isNull).isEmpty,
-      "IvfIndex.build: non-integer label produced a null cell id")
+      s"$caller: non-integer label produced a null cell id")
+    cent
+  }
+
+  /** Assignment + partitioned write. `emb` needs (vec_id, label, embedding). */
+  def build(emb: DataFrame, path: String): Unit = {
+    val cent = labelCentroids(emb, "IvfIndex.build")
     assignAndWrite(emb, cent, path, SaveMode.Overwrite)
     cent.write.mode("overwrite").parquet(s"$path/centroids")
   }
@@ -59,10 +67,9 @@ object IvfIndex {
   }
 
   /** Nearest-centroid assignment (broadcast centroids, deterministic
-    * cell-id tie-break) + hive-partitioned write of (vec_id, embedding)
-    * under cell=K directories. */
-  private def assignAndWrite(emb: DataFrame, cent: DataFrame,
-                             path: String, mode: SaveMode): Unit = {
+    * cell-id tie-break): (vec_id, embedding, cell) — shared with
+    * IvfPqIndex, which projects codes before its write. */
+  private[store] def assignCells(emb: DataFrame, cent: DataFrame): DataFrame = {
     val cosQC = {
       val dot = aggregate(zip_with(col("embedding"), col("centroid"),
         (x, c) => x.cast("double") * c), lit(0.0), (a, x) => a + x)
@@ -78,8 +85,13 @@ object IvfIndex {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("cell"))
-      .write.mode(mode).partitionBy("cell").parquet(s"$path/data")
   }
+
+  /** assignCells + hive-partitioned write of (vec_id, embedding). */
+  private def assignAndWrite(emb: DataFrame, cent: DataFrame,
+                             path: String, mode: SaveMode): Unit =
+    assignCells(emb, cent)
+      .write.mode(mode).partitionBy("cell").parquet(s"$path/data")
 
   /** Rank centroids against the query (the sidecar is num_cells rows —
     * tiny by construction), then scan only the top-`nprobe` cells. */

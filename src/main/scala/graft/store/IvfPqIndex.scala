@@ -37,22 +37,11 @@ object IvfPqIndex {
     * (vec_id, label, embedding) — cells are per-label means, matching
     * IvfIndex so the two layouts are directly comparable. */
   def build(emb: DataFrame, path: String): Unit = {
-    require(!emb.isEmpty, "IvfPqIndex.build: empty corpus — nothing to index")
     val spark = emb.sparkSession
     val cb = PqQueries.trainCodebookOn(emb)
     writeCodebook(spark, cb, path)
-
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
-    val cent = emb
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .groupBy(col("label"), col("pos"))
-      .agg(avg(col("x").cast("double")).as("c"))
-      .groupBy(col("label"))
-      .agg(map_from_entries(collect_list(struct(col("pos"), col("c")))).as("cm"))
-      .select(col("label").cast("int").as("cell"),
-        transform(sequence(lit(0), lit(dim - 1)), i => element_at(col("cm"), i)).as("centroid"))
-    require(cent.filter(col("cell").isNull).isEmpty,
-      "IvfPqIndex.build: non-integer label produced a null cell id")
+    // coarse quantizer + null guard shared with the float index
+    val cent = IvfIndex.labelCentroids(emb, "IvfPqIndex.build")
     cent.write.mode("overwrite").parquet(s"$path/centroids")
     assignEncodeWrite(emb, cent, cb, path, SaveMode.Overwrite)
   }
@@ -63,8 +52,16 @@ object IvfPqIndex {
   def append(emb: DataFrame, path: String): Unit = {
     if (emb.isEmpty) return
     val spark = emb.sparkSession
-    val cent = spark.read.parquet(s"$path/centroids")
-    val cb = readCodebook(spark, path)
+    append(emb, path,
+      spark.read.parquet(s"$path/centroids"), readCodebook(spark, path))
+  }
+
+  /** As append, with the frozen sidecars already loaded — the streaming
+    * maintenance path (StreamIndexIngest) reads them ONCE per stream, not
+    * per micro-batch. */
+  def append(emb: DataFrame, path: String,
+             cent: DataFrame, cb: Array[Double]): Unit = {
+    if (emb.isEmpty) return
     assignEncodeWrite(emb, cent, cb, path, SaveMode.Append)
   }
 
@@ -98,39 +95,22 @@ object IvfPqIndex {
       .limit(k)
   }
 
-  /** The query's top-`nprobe` cells by centroid cosine (sidecar-sized). */
+  /** The query's top-`nprobe` cells by centroid cosine (sidecar-sized) —
+    * identical ranking to the float index's. */
   def probedCells(spark: SparkSession, path: String, query: Array[Float],
                   nprobe: Int): Seq[Int] =
-    spark.read.parquet(s"$path/centroids")
-      .select(col("cell"),
-        VectorOps.cosineFloat(typedLit(query), col("centroid").cast("array<float>")).as("cs"))
-      .orderBy(col("cs").desc, col("cell"))
-      .limit(nprobe)
-      .collect().map(_.getInt(0)).toSeq
+    IvfIndex.probedCells(spark, path, query, nprobe)
 
+  /** IvfIndex's shared nearest-centroid assignment, then the PQ encode
+    * projection before the partitioned write — codes at rest, no floats. */
   private def assignEncodeWrite(emb: DataFrame, cent: DataFrame,
                                 cb: Array[Double], path: String,
-                                mode: SaveMode): Unit = {
-    val cosQC = {
-      val dot = aggregate(zip_with(col("embedding"), col("centroid"),
-        (x, c) => x.cast("double") * c), lit(0.0), (a, x) => a + x)
-      val na = aggregate(transform(col("embedding"),
-        x => x.cast("double") * x.cast("double")), lit(0.0), (a, x) => a + x)
-      val nb = aggregate(transform(col("centroid"), c => c * c),
-        lit(0.0), (a, x) => a + x)
-      when(na === 0.0 || nb === 0.0, 0.0).otherwise(dot / (sqrt(na) * sqrt(nb)))
-    }
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cell").asc)
-    emb.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("embedding"), col("cell"), cosQC.as("cs"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+                                mode: SaveMode): Unit =
+    IvfIndex.assignCells(emb, cent)
       .select(col("vec_id"),
         VectorOps.pqEncode(col("embedding"), cb, PqQueries.M, PqQueries.K).as("codes"),
         col("cell"))
       .write.mode(mode).partitionBy("cell").parquet(s"$path/data")
-  }
 
   private def writeCodebook(spark: SparkSession, cb: Array[Double], path: String): Unit = {
     import spark.implicits._
@@ -139,7 +119,9 @@ object IvfPqIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
   }
 
-  private def readCodebook(spark: SparkSession, path: String): Array[Double] = {
+  /** The flat codebook sidecar (public: streaming maintenance loads it
+    * once per stream instead of once per micro-batch). */
+  def readCodebook(spark: SparkSession, path: String): Array[Double] = {
     val rows = spark.read.parquet(s"$path/codebook")
       .orderBy(col("idx")).collect() // M*K*subdim rows — sidecar-sized
     rows.map(_.getDouble(1))

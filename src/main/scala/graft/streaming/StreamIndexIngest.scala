@@ -23,20 +23,29 @@ object StreamIndexIngest {
     StructField("label", IntegerType)))
 
   /** Drain `stream` (vec_id, embedding[, ...]) into the index at `path`;
-    * one IvfPqIndex.append per micro-batch. Returns the query handle's
-    * batch count for the caller to assert on. */
+    * one IvfPqIndex.append per micro-batch. The frozen sidecars
+    * (centroids + codebook) are read ONCE for the stream's lifetime —
+    * they are immutable by the append contract, and re-reading them per
+    * micro-batch would pay a driver-side parquet read + codebook collect
+    * on every batch of a continuous feed. Returns the batch count for
+    * the caller to assert on (AtomicLong: foreachBatch runs on the
+    * stream-execution thread, the caller reads after stop()). */
   def ingestOnce(stream: DataFrame, path: String): Long = {
-    var batches = 0L
+    val spark = stream.sparkSession
+    val cent = spark.read.parquet(s"$path/centroids").localCheckpoint(true)
+    val cb = IvfPqIndex.readCodebook(spark, path)
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
     val q = stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        IvfPqIndex.append(batch.select("vec_id", "embedding"), path)
-        batches += 1
+        IvfPqIndex.append(batch.select("vec_id", "embedding"), path, cent, cb)
+        batches.incrementAndGet()
+        ()
       }
       .start()
     q.processAllAvailable()
     q.stop()
-    batches
+    batches.get()
   }
 
   /** Convenience: stream the embeddings fixture at `dir` into `path`. */
