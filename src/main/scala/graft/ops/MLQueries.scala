@@ -200,6 +200,78 @@ object MLQueries {
            |FROM exact""".stripMargin
       }),
 
+    // Dimensionality reduction — the embedding-pipeline step the index
+    // tiers sit downstream of (reduce 64 -> 8 dims before IVF/PQ/LSH).
+    // MLlib PCA (SVD over the covariance); oracle closure via the
+    // variance-decomposition identity: the components themselves are
+    // engine-specific, but (a) explainedVariance is a PROPORTION vector
+    // whose top-K sum has a probeable floor, (b) P^T P = I is structural
+    // (checked driver-side on the K x K gram of the loadings), and
+    // (c) the TOTAL per-dim variance is exactly recomputable by DuckDB
+    // through the 2^43 DECIMAL quantization with identical double op
+    // order — the exact companion that anchors the hash-match.
+    Q("q_pca_reduce",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val model = new org.apache.spark.ml.feature.PCA()
+          .setInputCol("fv").setOutputCol("proj").setK(PcaK)
+          .fit(emb.select(array_to_vector(col("embedding")).as("fv")))
+        val explained = model.explainedVariance.toArray.sum
+        val pc = model.pc
+        var maxDev = 0.0
+        var a = 0
+        while (a < PcaK) {
+          var b = 0
+          while (b < PcaK) {
+            var dot = 0.0
+            var i = 0
+            while (i < pc.numRows) { dot += pc(i, a) * pc(i, b); i += 1 }
+            val target = if (a == b) 1.0 else 0.0
+            maxDev = math.max(maxDev, math.abs(dot - target))
+            b += 1
+          }
+          a += 1
+        }
+        val P43 = 8796093022208.0
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val perDim = emb
+          .select(posexplode(col("embedding")).as(Seq("i", "x")))
+          .groupBy(col("i"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("x").cast("double") * lit(P43)).cast(dec))
+              .cast("double").as("s1"),
+            sum(floor(col("x").cast("double") * col("x").cast("double") * lit(P43))
+              .cast(dec)).cast("double").as("s2"))
+          .select((((col("s2") / lit(P43)) -
+            (col("s1") / lit(P43)) * (col("s1") / lit(P43)) / col("n")) /
+            (col("n") - 1)).as("v"))
+        perDim.agg(
+            (sum(floor(col("v") * lit(P43)).cast(dec)).cast("double") / lit(P43))
+              .as("total_var"))
+          .select(lit(PcaK.toLong).as("n_components"),
+            lit(if (explained >= PcaExplainedFloor) 1L else 0L).as("explained_ok"),
+            lit(if (maxDev < 1e-9) 1L else 0L).as("orthonormal_ok"),
+            col("total_var"))
+      },
+      Some {
+        val P = "8796093022208.0"
+        s"""WITH cm AS (
+           |  SELECT generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x
+           |  FROM embeddings),
+           |per AS (
+           |  SELECT i, count(*) AS n,
+           |    CAST(sum(CAST(floor(CAST(x AS DOUBLE) * $P) AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+           |    CAST(sum(CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * $P) AS DECIMAL(38,0))) AS DOUBLE) AS s2
+           |  FROM cm GROUP BY i),
+           |v AS (
+           |  SELECT ((s2 / $P) - (s1 / $P) * (s1 / $P) / n) / (n - 1) AS v FROM per)
+           |SELECT CAST($PcaK AS BIGINT) AS n_components,
+           |  CAST(1 AS BIGINT) AS explained_ok,
+           |  CAST(1 AS BIGINT) AS orthonormal_ok,
+           |  CAST(sum(CAST(floor(v * $P) AS DECIMAL(38,0))) AS DOUBLE) / $P AS total_var
+           |FROM v""".stripMargin
+      }),
+
     annRecallQuery("q_ann_recall", multiProbe = false),
 
     // Multi-probe LSH: probe the query's bucket AND its four 1-bit
@@ -209,6 +281,18 @@ object MLQueries {
 
     rpRecallQuery
   )
+
+  /** q_pca_reduce: components kept (64 -> 8). */
+  final val PcaK = 8
+
+  /** Explained-variance-proportion floor for the top PcaK components,
+    * stated by the q_pca_reduce oracle invariant. On iid Gaussian data the
+    * covariance spectrum is Marchenko-Pastur-flat — the WORST case for
+    * PCA — so the top 8 of 64 proportions sum to barely above 8/64.
+    * Measured (tools/PcaProbe, one fit per SF): 0.2035 / 0.2049 / 0.1598
+    * at sf0.001 / 0.01 / 0.1. Floor sits ~20% under the weakest; a real
+    * clustered corpus concentrates variance and clears it trivially. */
+  final val PcaExplainedFloor = 0.13
 
   /** recall@3 floor stated by the q_ivf_kmeans oracle invariant. Measured
     * single-probe IVF (8 cells, probe 1) recall on the near-random Gaussian

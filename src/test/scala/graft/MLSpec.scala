@@ -21,6 +21,14 @@ class MLSpec extends SparkSpec {
     assert(r.getAs[Double]("exact_mean_top3") > 0.0)
   }
 
+  test("q_pca_reduce: orthonormal loadings, explained floor, positive variance") {
+    val r = SparkEntry.queries("q_pca_reduce")(spark, sf001).collect().head
+    assert(r.getAs[Long]("n_components") == ops.MLQueries.PcaK.toLong)
+    assert(r.getAs[Long]("explained_ok") == 1L)
+    assert(r.getAs[Long]("orthonormal_ok") == 1L)
+    assert(r.getAs[Double]("total_var") > 0.0)
+  }
+
   test("q_mllib_brp registry invariants all hold (euclidean-LSH twin)") {
     val r = SparkEntry.queries("q_mllib_brp")(spark, sf001).collect().head
     assert(r.getAs[Long]("n_queries") == 5L)
