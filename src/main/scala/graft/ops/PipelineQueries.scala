@@ -400,6 +400,87 @@ object PipelineQueries {
          |  CAST(max(n_bad) AS BIGINT) AS worst_n_bad,
          |  CAST(sum(CASE WHEN n_bad > 0 THEN 1 ELSE 0 END) AS DOUBLE)
          |    / CAST(count(*) AS DOUBLE) AS flag_rate
-         |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin))
+         |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // PII detection/redaction — the scrubbing half of the safety stage
+    // (q_blocklist_filter is the table-driven half): email, phone, and
+    // IPv4 patterns counted and redacted per document, reported per
+    // language. The fixture's synthetic text carries no natural PII, so
+    // the query first INJECTS deterministic PII derived from doc_id
+    // (~20% of docs get an email, ~14% a phone, ~9% an IP — identical
+    // string arithmetic on both engines) — the machinery being proven is
+    // the pattern set, global redaction, and exact removed-character
+    // accounting, all of which DuckDB recomputes bit-for-bit. Patterns
+    // stay in the Java-regex ∩ RE2 common subset (no lookaround, no
+    // backrefs, ASCII classes) so both engines match identically; at
+    // 100 TB this is a pure narrow scan until the tiny per-lang
+    // aggregate — zero pre-agg shuffles, and the regexes are codegen'd
+    // (functions.regexp_count/regexp_replace, no UDFs).
+    Q("q_pii_redact",
+      (s, d) => {
+        val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val PhonePat = "\\d{3}[-.]\\d{3}[-.]\\d{4}"
+        val IpPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+        val inj = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          concat(
+            col("text"),
+            when(col("doc_id") % 5 === 0,
+              concat(lit(" contact user"), col("doc_id").cast("string"),
+                lit("@example.com now"))).otherwise(lit("")),
+            when(col("doc_id") % 7 === 0,
+              concat(lit(" call 555-867-"),
+                lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+              .otherwise(lit("")),
+            when(col("doc_id") % 11 === 0,
+              concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+                lit(".1 today"))).otherwise(lit(""))).as("t"))
+        val cnt = inj.select(col("lang"),
+          regexp_count(col("t"), lit(EmailPat)).as("n_email"),
+          regexp_count(col("t"), lit(PhonePat)).as("n_phone"),
+          regexp_count(col("t"), lit(IpPat)).as("n_ip"),
+          (length(col("t")) - length(
+            regexp_replace(regexp_replace(regexp_replace(col("t"),
+              EmailPat, "<EMAIL>"),
+              PhonePat, "<PHONE>"),
+              IpPat, "<IP>"))).as("removed"))
+        cnt.groupBy(col("lang")).agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("n_email") + col("n_phone") + col("n_ip") > 0, 1L)
+              .otherwise(0L)).as("n_flagged"),
+            sum(col("n_email")).cast("long").as("n_emails"),
+            sum(col("n_phone")).cast("long").as("n_phones"),
+            sum(col("n_ip")).cast("long").as("n_ips"),
+            sum(col("removed")).cast("long").as("chars_removed"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH inj AS (
+         |  SELECT doc_id, lang,
+         |    text ||
+         |    CASE WHEN doc_id % 5 = 0
+         |      THEN ' contact user' || doc_id || '@example.com now' ELSE '' END ||
+         |    CASE WHEN doc_id % 7 = 0
+         |      THEN ' call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |      ELSE '' END ||
+         |    CASE WHEN doc_id % 11 = 0
+         |      THEN ' from 10.0.' || doc_id % 256 || '.1 today' ELSE '' END AS t
+         |  FROM documents),
+         |cnt AS (
+         |  SELECT lang,
+         |    length(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+         |    length(regexp_extract_all(t, '\d{3}[-.]\d{3}[-.]\d{4}')) AS n_phone,
+         |    length(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+         |    length(t) - length(
+         |      regexp_replace(regexp_replace(regexp_replace(t,
+         |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |        '\d{3}[-.]\d{3}[-.]\d{4}', '<PHONE>', 'g'),
+         |        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS removed
+         |  FROM inj)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN n_email + n_phone + n_ip > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+         |  CAST(sum(n_email) AS BIGINT) AS n_emails,
+         |  CAST(sum(n_phone) AS BIGINT) AS n_phones,
+         |  CAST(sum(n_ip) AS BIGINT) AS n_ips,
+         |  CAST(sum(removed) AS BIGINT) AS chars_removed
+         |FROM cnt GROUP BY lang ORDER BY lang""".stripMargin))
   )
 }

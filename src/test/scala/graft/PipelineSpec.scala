@@ -94,6 +94,25 @@ class PipelineSpec extends SparkSpec {
     assert(r.getAs[Long]("n_true_contaminated") == 5L)
   }
 
+  test("pii redaction: injection rates honored, every flagged doc removed chars") {
+    val rows = SparkEntry.queries("q_pii_redact")(spark, sf001).collect()
+    val (docs, flagged, emails, phones, ips, removed) = rows.map(r =>
+      (r.getAs[Long]("n_docs"), r.getAs[Long]("n_flagged"),
+        r.getAs[Long]("n_emails"), r.getAs[Long]("n_phones"),
+        r.getAs[Long]("n_ips"), r.getAs[Long]("chars_removed")))
+      .reduce((a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3,
+        a._4 + b._4, a._5 + b._5, a._6 + b._6))
+    assert(docs == 500L)
+    // injection is doc_id-modular: exactly one PII item per qualifying
+    // doc_id in 0..499 => 100 emails (%5), 72 phones (%7), 46 IPs (%11)
+    assert(emails == 100L)
+    assert(phones == 72L)
+    assert(ips == 46L)
+    // a doc is flagged iff it matched at least one pattern, and every
+    // match shrank the text (tokens are shorter than any injected PII)
+    assert(flagged > 0L && flagged <= docs && removed > 0L)
+  }
+
   test("keeper accounting closes against the component sizes") {
     val comps = SparkEntry.queries("q_dedup_components")(spark, sf001).collect()
       .map(r => r.getAs[Long]("component") -> r.getAs[Long]("size")).toMap
