@@ -762,6 +762,97 @@ object TextQueries {
          |SELECT bucket, new_shingles,
          |  CAST(sum(new_shingles) OVER (ORDER BY bucket
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_cum
-         |FROM b ORDER BY bucket""".stripMargin))
+         |FROM b ORDER BY bucket""".stripMargin)),
+
+    // TextRank keyword centrality — the graph-iteration twin of
+    // q_tfidf_keywords (frequency-based) and the second iterative
+    // operator beside q_dedup_components: weighted PageRank (d=0.85,
+    // 5 iterations) over the symmetric token co-occurrence graph
+    // (adjacent-token edges, weight = adjacency count). Scale shape:
+    // the graph is VOCABULARY-sized, not corpus-sized — edges come from
+    // one narrow explode + one groupBy; each iteration is one equi-join
+    // on the source token + one aggregation (the same join-agg round as
+    // label propagation), with edges+degrees cached and reused across
+    // all 5 rounds. Bit-exact oracle closure for an iterative float
+    // computation: every per-edge contribution r*w/wd is computed in
+    // the identical op order on both engines and every per-node SUM
+    // routes through the 2^43 floor/DECIMAL fold (order-independent
+    // exact integers), so each iteration's rank vector — and hence the
+    // final top-10 — hash-matches DuckDB's 5 unrolled CTE iterations
+    // exactly.
+    Q("q_textrank",
+      (s, d) => {
+        val P43 = 8796093022208.0 // 2^43
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val t = Tables.documents(s, d)
+          .select(split(col("text"), " ").as("t"))
+          .filter(size(col("t")) >= 2)
+        val pairs = t.select(explode(transform(
+            sequence(lit(0), size(col("t")) - 2),
+            i => struct(element_at(col("t"), i + 1).as("u"),
+              element_at(col("t"), i + 2).as("v")))).as("e"))
+          .select(col("e.u").as("u"), col("e.v").as("v"))
+          .filter(col("u") =!= "" && col("v") =!= "" && col("u") =!= col("v"))
+        val edges = pairs.union(pairs.select(col("v"), col("u")))
+          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+          .cache()
+        val deg = edges.groupBy(col("u")).agg(sum(col("w")).as("wd")).cache()
+        val nodes = edges.select(col("u").as("tok")).distinct()
+        val nn = nodes.agg(count(lit(1)).as("c"))
+        var rank = nodes.crossJoin(broadcast(nn))
+          .select(col("tok"), (lit(1.0) / col("c")).as("r"))
+        (1 to TextRankIters).foreach { _ =>
+          rank = edges.as("e")
+            .join(rank.as("p"), col("e.u") === col("p.tok"))
+            .join(deg.as("dg"), col("e.u") === col("dg.u"))
+            .crossJoin(broadcast(nn))
+            .groupBy(col("e.v"), col("c"))
+            .agg(sum(floor(col("p.r") * col("e.w") / col("dg.wd") * lit(P43))
+              .cast(dec)).cast("double").as("s"))
+            .select(col("v").as("tok"),
+              (lit(0.15) / col("c") + lit(0.85) * (col("s") / lit(P43))).as("r"))
+        }
+        rank.select(col("tok"), col("r").as("score"))
+          .orderBy(col("score").desc, col("tok"))
+          .limit(10)
+      },
+      Some {
+        val P = "8796093022208.0"
+        def iter(prev: String, cur: String): String =
+          s"""$cur AS (
+             |  SELECT e.v AS tok,
+             |    0.15 / nn.c + 0.85 * (CAST(sum(CAST(floor(p.r * e.w / d.wd * $P)
+             |      AS DECIMAL(38,0))) AS DOUBLE) / $P) AS r
+             |  FROM edges e JOIN $prev p ON e.u = p.tok
+             |  JOIN deg d ON e.u = d.u CROSS JOIN nn
+             |  GROUP BY e.v, nn.c)"""
+        s"""WITH t AS (
+           |  SELECT string_split(text, ' ') AS t FROM documents
+           |  WHERE len(string_split(text, ' ')) >= 2),
+           |adj AS (
+           |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+           |    i -> struct_pack(u := t[i], v := t[i+1]))) AS e FROM t),
+           |pairs AS (
+           |  SELECT e.u AS u, e.v AS v FROM adj
+           |  WHERE e.u <> '' AND e.v <> '' AND e.u <> e.v),
+           |edges AS (
+           |  SELECT u, v, CAST(count(*) AS BIGINT) AS w FROM
+           |    (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs)
+           |  GROUP BY u, v),
+           |deg AS (SELECT u, CAST(sum(w) AS BIGINT) AS wd FROM edges GROUP BY u),
+           |nodes AS (SELECT DISTINCT u AS tok FROM edges),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS c FROM nodes),
+           |r0 AS (SELECT tok, 1.0 / nn.c AS r FROM nodes CROSS JOIN nn),
+           |${iter("r0", "r1")},
+           |${iter("r1", "r2")},
+           |${iter("r2", "r3")},
+           |${iter("r3", "r4")},
+           |${iter("r4", "r5")}
+           |SELECT tok, r AS score FROM r5
+           |ORDER BY score DESC, tok LIMIT 10""".stripMargin
+      })
   )
+
+  /** q_textrank: PageRank iterations (unrolled 1:1 in the oracle SQL). */
+  final val TextRankIters = 5
 }

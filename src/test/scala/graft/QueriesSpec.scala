@@ -61,6 +61,18 @@ class QueriesSpec extends SparkSpec {
     assert(pairs == pairs.sortBy { case (c, t) => (-c, t) })
   }
 
+  test("textrank: 10 keywords, strictly ordered, scores in the PageRank range") {
+    val rows = SparkEntry.queries("q_textrank")(spark, sf001).collect()
+    assert(rows.length == 10)
+    val scores = rows.map(_.getAs[Double]("score")).toSeq
+    assert(scores == scores.sorted.reverse)
+    // with damping 0.85 every rank sits in ((1-d)/n, 1); the fixture
+    // vocabulary is ~50 tokens so the top-10 all beat the uniform 1/n
+    scores.foreach(s => assert(s > 0.0 && s < 1.0))
+    val n = rows.map(_.getAs[String]("tok")).distinct.length
+    assert(n == 10)
+  }
+
   test("every oracle name corresponds to a registered query") {
     val qnames = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qnames))
