@@ -86,6 +86,61 @@ class StreamingSpec extends SparkSpec {
       s"stream-only=${(streamed -- batch).take(5)} batch-only=${(batch -- streamed).take(5)}")
   }
 
+  test("streaming heavy hitters: exact regime equals batch counts across micro-batches") {
+    import org.apache.spark.sql.functions.col
+    // m = 128 >= per-shard vocabulary -> nothing evicts: the space-saving
+    // sketch IS the exact count map, even split across two triggers
+    val all = graft.streaming.StreamHeavyHitters
+      .runOnce(spark, sf001, "hh_exact_test", numShards = 8, m = 128)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // snapshot = each shard's max-n_seen emission (sketch is tiny: driver-side)
+    val maxSeen = all.groupBy(_._1).map { case (s, rs) => s -> rs.map(_._5).max }
+    val snap = all.filter { case (s, _, _, _, ns) => ns == maxSeen(s) }
+    val streamed = snap.map { case (_, tok, cnt, _, _) => (tok, cnt) }.toSet
+    val batch = graft.streaming.StreamHeavyHitters
+      .tokens(Tables.documents(spark, sf001), 8)
+      .groupBy("tok").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"stream-only=${(streamed -- batch).take(5)} batch-only=${(batch -- streamed).take(5)}")
+    assert(snap.forall(_._4 == 0L))
+  }
+
+  test("streaming heavy hitters: tight regime keeps the space-saving guarantees") {
+    import org.apache.spark.sql.functions.col
+    val m = 4
+    val all = graft.streaming.StreamHeavyHitters
+      .runOnce(spark, sf001, "hh_tight_test", numShards = 8, m = m)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val maxSeen = all.groupBy(_._1).map { case (s, rs) => s -> rs.map(_._5).max }
+    val snap = all.filter { case (s, _, _, _, ns) => ns == maxSeen(s) }
+      .map { case (s, tok, cnt, err, ns) => (s, tok) -> (cnt, err, ns) }.toMap
+    val exact = graft.streaming.StreamHeavyHitters
+      .tokens(Tables.documents(spark, sf001), 8)
+      .groupBy("shard", "tok").count().collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    // state is bounded at m entries per shard, and at least one shard
+    // saturates (vocab/shards > m there, so eviction was exercised)
+    val sizes = snap.keys.groupBy(_._1).map(_._2.size)
+    assert(sizes.forall(_ <= m))
+    assert(sizes.exists(_ == m), s"no shard saturated: sizes=$sizes")
+    snap.foreach { case (k, (cnt, err, _)) =>
+      val t = exact(k)
+      assert(t <= cnt, s"$k: space-saving undercounted ($cnt < true $t)")
+      assert(cnt - err <= t, s"$k: cnt-err bound broken ($cnt-$err > $t)")
+    }
+    // any token with true count > n_shard/m is IN the sketch
+    val nPerShard = exact.groupBy(_._1._1).map { case (s, m2) => s -> m2.values.sum }
+    exact.foreach { case ((s, tok), t) =>
+      if (t > nPerShard(s).toDouble / m)
+        assert(snap.contains((s, tok)),
+          s"frequent token $tok (true $t > n/m=${nPerShard(s) / m}) missing from shard $s")
+    }
+  }
+
   test("streaming near-dup state survives a checkpointed restart (no re-emission)") {
     // exactly-once across restart: run 1 ingests the first half of the
     // corpus and stops; run 2 resumes from the SAME checkpoint on the
