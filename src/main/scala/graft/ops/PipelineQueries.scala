@@ -481,6 +481,106 @@ object PipelineQueries {
          |  CAST(sum(n_phone) AS BIGINT) AS n_phones,
          |  CAST(sum(n_ip) AS BIGINT) AS n_ips,
          |  CAST(sum(removed) AS BIGINT) AS chars_removed
-         |FROM cnt GROUP BY lang ORDER BY lang""".stripMargin))
+         |FROM cnt GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Sequence packing — the shard-assembly step between curation and
+    // training: documents are concatenated in a deterministic order and
+    // split into fixed token-budget bins (B=2048), a doc landing in the
+    // bin where its running total starts. Reports bins, fill factor and
+    // the worst overflow per language. Scale shape: packing is
+    // PARTITION-LOCAL by construction (here per lang; a 100 TB run packs
+    // per (split, shard) exactly like this) — the window is partitioned,
+    // never global, and everything after the narrow token count is
+    // integer-exact, so the one double (fill) divides identically on
+    // both engines.
+    Q("q_pack_bins",
+      (s, d) => {
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val dd = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          size(filter(split(col("text"), " "), x => x =!= ""))
+            .cast("long").as("n_tok"))
+        val c = dd.withColumn("cum_prev",
+          sum(col("n_tok")).over(w) - col("n_tok"))
+        val pb = c.withColumn("bin", expr(s"cum_prev div $PackB"))
+          .groupBy(col("lang"), col("bin"))
+          .agg(sum(col("n_tok")).as("bin_toks"))
+        pb.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_bins"),
+            sum(col("bin_toks")).cast("long").as("total_tokens"),
+            max(col("bin_toks")).as("max_bin_tokens"))
+          .select(col("lang"), col("n_bins"), col("total_tokens"),
+            col("max_bin_tokens"),
+            (col("total_tokens").cast("double") /
+              (col("n_bins").cast("double") * lit(PackB.toDouble))).as("fill"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH d AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT lang, doc_id, n_tok,
+         |    sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS cum_prev
+         |  FROM d),
+         |pb AS (
+         |  SELECT lang, cum_prev // $PackB AS bin, CAST(sum(n_tok) AS BIGINT) AS bin_toks
+         |  FROM c GROUP BY lang, bin)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_bins,
+         |  CAST(sum(bin_toks) AS BIGINT) AS total_tokens,
+         |  CAST(max(bin_toks) AS BIGINT) AS max_bin_tokens,
+         |  CAST(sum(bin_toks) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * ${PackB}.0) AS fill
+         |FROM pb GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Mixture rebalancing — distribution-aware sampling to a TARGET
+    // mixture (uniform across languages) under a global 40% budget:
+    // per-lang quota = budget * total / k, keep rate = min(1, quota/n),
+    // membership by the same salted md5-mod used for splits/samples (a
+    // doc's mixture fate is independent of its split). The fixture's
+    // lang skew (en ~2.7x de at sf0.001) makes the rates genuinely
+    // non-uniform. Scale shape: one tiny per-lang aggregate broadcast
+    // back over a narrow scan — no corpus shuffle at all.
+    Q("q_mixture_rebalance",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val sct = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        val tot = sct.agg(sum(col("n")).cast("long").as("total"),
+          count(lit(1)).as("k"))
+        val r = sct.crossJoin(broadcast(tot))
+          .select(col("lang"), col("n"),
+            least(lit(1.0), lit(MixBudget) * col("total") / col("k") / col("n"))
+              .as("rate"))
+        docs.withColumn("b", bucket("mix:", 10000))
+          .join(broadcast(r), "lang")
+          .groupBy(col("lang"), col("n"), col("rate"))
+          .agg(sum(when(col("b") < floor(col("rate") * lit(10000.0)), 1L)
+            .otherwise(0L)).cast("long").as("n_kept"))
+          .select(col("lang"), col("n").as("n_docs"), col("rate"), col("n_kept"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH sct AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+         |tot AS (
+         |  SELECT CAST(sum(n) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS k
+         |  FROM sct),
+         |r AS (
+         |  SELECT sct.lang, sct.n,
+         |    LEAST(1.0, $MixBudget * tot.total / tot.k / sct.n) AS rate
+         |  FROM sct, tot),
+         |kept AS (
+         |  SELECT d.lang,
+         |    CAST(sum(CASE WHEN ${bucketSql("mix:", 10000)} < floor(r.rate * 10000.0)
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |  FROM documents d JOIN r ON d.lang = r.lang
+         |  GROUP BY d.lang)
+         |SELECT r.lang, r.n AS n_docs, r.rate, k.n_kept
+         |FROM r JOIN kept k ON r.lang = k.lang ORDER BY r.lang""".stripMargin))
   )
+
+  /** q_pack_bins: tokens per bin (a 2k training context). */
+  final val PackB = 2048
+
+  /** q_mixture_rebalance: global sampling budget (fraction of corpus). */
+  final val MixBudget = 0.4
 }

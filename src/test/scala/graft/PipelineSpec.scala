@@ -113,6 +113,49 @@ class PipelineSpec extends SparkSpec {
     assert(flagged > 0L && flagged <= docs && removed > 0L)
   }
 
+  test("pack bins: token accounting closes and fills are sane") {
+    val rows = SparkEntry.queries("q_pack_bins")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val totalPacked = rows.map(_.getAs[Long]("total_tokens")).sum
+    // packing moves every token of every doc into exactly one bin
+    val corpusToks = graft.streaming.StreamHeavyHitters
+      .tokens(Tables.documents(spark, sf001), 1).count()
+    assert(totalPacked == corpusToks)
+    rows.foreach { r =>
+      val (bins, total, maxBin, fill) = (r.getAs[Long]("n_bins"),
+        r.getAs[Long]("total_tokens"), r.getAs[Long]("max_bin_tokens"),
+        r.getAs[Double]("fill"))
+      assert(bins >= 1L && total > 0L)
+      assert(maxBin * bins >= total)
+      // fill is total/(bins*B) by construction; bins never exceed the
+      // token range they cover, so fill stays in (0, 1 + maxdoc/B)
+      assert(fill > 0.0 && fill <= 1.5)
+      assert(bins == total / ops.PipelineQueries.PackB + (
+        if (total % ops.PipelineQueries.PackB == 0) 0L else 1L) ||
+        fill <= 1.0) // overflowing docs can only reduce the bin count
+    }
+  }
+
+  test("mixture rebalance: skewed langs get skewed rates, budget roughly met") {
+    val rows = SparkEntry.queries("q_mixture_rebalance")(spark, sf001).collect()
+    val byLang = rows.map(r => r.getAs[String]("lang") ->
+      (r.getAs[Long]("n_docs"), r.getAs[Double]("rate"),
+        r.getAs[Long]("n_kept"))).toMap
+    // en dominates the fixture -> its keep rate must be the smallest
+    val enRate = byLang("en")._2
+    byLang.foreach { case (lang, (n, rate, kept)) =>
+      assert(rate > 0.0 && rate <= 1.0)
+      if (lang != "en") assert(rate > enRate, s"$lang rate $rate !> en $enRate")
+      assert(kept <= n)
+      // md5-mod sampling tracks the rate (binomial tolerance)
+      assert(math.abs(kept - rate * n) <= 0.12 * n + 5,
+        s"$lang kept $kept vs expected ${rate * n}")
+    }
+    val total = byLang.values.map(_._1).sum
+    val kept = byLang.values.map(_._3).sum
+    assert(math.abs(kept.toDouble / total - ops.PipelineQueries.MixBudget) < 0.08)
+  }
+
   test("keeper accounting closes against the component sizes") {
     val comps = SparkEntry.queries("q_dedup_components")(spark, sf001).collect()
       .map(r => r.getAs[Long]("component") -> r.getAs[Long]("size")).toMap
