@@ -70,6 +70,13 @@ object PipelineQueries {
     .select(col(s"${side}_doc"),
       graft.functions.TextOps.md5Prefix60(col("g")).as("gh"))
 
+  /** q_quality_classifier: feature buckets and the seeded integer
+    * weight table (Knuth multiplicative hash, range [-1000, 1000] =
+    * thousandths of a margin unit — integer so scoring is BIGINT-exact). */
+  final val QualityD = 64
+  final val QualityWeights: Array[Long] =
+    Array.tabulate(QualityD)(i => ((i.toLong * 2654435761L) % 2001L) - 1000L)
+
   val all: Seq[Q] = Seq(
 
     // Reproducible train/val/test split: md5(doc_id) mod 100 -> 80/10/10.
@@ -575,8 +582,121 @@ object PipelineQueries {
          |  FROM documents d JOIN r ON d.lang = r.lang
          |  GROUP BY d.lang)
          |SELECT r.lang, r.n AS n_docs, r.rate, k.n_kept
-         |FROM r JOIN kept k ON r.lang = k.lang ORDER BY r.lang""".stripMargin))
+         |FROM r JOIN kept k ON r.lang = k.lang ORDER BY r.lang""".stripMargin)),
+
+    // Overlapping chunk windows — the retrieval/embedding prep step: a
+    // doc becomes ceil-spaced windows of W=32 tokens at stride S=16
+    // (50% overlap), the chunk table every RAG/embedding pipeline
+    // materializes before batch-encoding. The chunk rows themselves are
+    // produced (doc, chunk k, start k*S, length min(W, n_tok - k*S));
+    // the registry row aggregates them per language with an exact
+    // redundancy factor (chunked tokens / raw tokens — the storage
+    // multiplier the overlap costs). Scale shape: chunking is a narrow
+    // explode over an integer sequence (no shuffle until the per-lang
+    // agg), and chunk counts are closed-form integer arithmetic —
+    // identical on both engines.
+    Q("q_chunk_windows",
+      (s, d) => {
+        val dd = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          size(filter(split(col("text"), " "), x => x =!= ""))
+            .cast("long").as("n_tok"))
+        val ch = dd.select(col("doc_id"), col("lang"), col("n_tok"),
+          explode(sequence(lit(0L),
+            expr(s"(greatest(n_tok - $ChunkS, 1) + ${ChunkS - 1}) div $ChunkS - 1")))
+            .as("k"))
+        val c2 = ch.select(col("lang"), col("n_tok"), col("k"),
+          least(lit(ChunkW.toLong), col("n_tok") - col("k") * ChunkS)
+            .as("chunk_len"))
+        c2.groupBy(col("lang")).agg(
+            sum(when(col("k") === 0, 1L).otherwise(0L)).as("n_docs"),
+            count(lit(1)).as("n_chunks"),
+            sum(col("chunk_len")).cast("long").as("sum_chunk_tokens"),
+            max(col("k") + 1).as("max_chunks_per_doc"),
+            sum(when(col("k") === 0, col("n_tok")).otherwise(0L))
+              .cast("long").as("raw_tokens"))
+          .select(col("lang"), col("n_docs"), col("n_chunks"),
+            col("sum_chunk_tokens"), col("max_chunks_per_doc"),
+            (col("sum_chunk_tokens").cast("double") /
+              col("raw_tokens").cast("double")).as("redundancy"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH d AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |ch AS (
+         |  SELECT doc_id, lang, n_tok,
+         |    unnest(generate_series(0,
+         |      (greatest(n_tok - $ChunkS, 1) + ${ChunkS - 1}) // $ChunkS - 1)) AS k
+         |  FROM d),
+         |c2 AS (
+         |  SELECT lang, n_tok, k,
+         |    least(CAST($ChunkW AS BIGINT), n_tok - k*$ChunkS) AS chunk_len
+         |  FROM ch),
+         |agg AS (
+         |  SELECT lang,
+         |    CAST(sum(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+         |    CAST(count(*) AS BIGINT) AS n_chunks,
+         |    CAST(sum(chunk_len) AS BIGINT) AS sum_chunk_tokens,
+         |    CAST(max(k + 1) AS BIGINT) AS max_chunks_per_doc,
+         |    CAST(sum(CASE WHEN k = 0 THEN n_tok ELSE 0 END) AS BIGINT) AS raw_tokens
+         |  FROM c2 GROUP BY lang)
+         |SELECT lang, n_docs, n_chunks, sum_chunk_tokens, max_chunks_per_doc,
+         |  CAST(sum_chunk_tokens AS DOUBLE) / CAST(raw_tokens AS DOUBLE) AS redundancy
+         |FROM agg ORDER BY lang""".stripMargin)),
+
+    // Model-based quality gate — a trained linear classifier (the
+    // fasttext-style quality scorer every corpus build runs) applied as
+    // PURE Catalyst arithmetic: hashed bag-of-words features (md5-mod
+    // into D=64 buckets), INTEGER weights shipped as an array literal,
+    // per-doc margin = sum of weights over token occurrences. Inference
+    // is a narrow codegen'd projection — no UDF, no model server, no
+    // shuffle before the per-doc aggregate — and because the weights
+    // are integers the whole score path is BIGINT-exact (the one
+    // division happens at reporting). The weights here are a seeded
+    // stand-in (Knuth-hash formula); a real model's quantized weights
+    // drop in without changing the plan.
+    Q("q_quality_classifier",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "")
+        val sc = toks
+          .select(col("doc_id"), col("lang"),
+            element_at(lit(QualityWeights),
+              (graft.functions.TextOps.md5Prefix60(col("tok")) % QualityD)
+                .cast("int") + 1).as("w"))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(sum(col("w")).cast("long").as("score"))
+        sc.groupBy(col("lang")).agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("score") > 0, 1L).otherwise(0L)).as("n_flagged"),
+            (sum(col("score")).cast("double") / lit(1000.0) / count(lit(1)))
+              .as("mean_margin"))
+          .orderBy(col("lang"))
+      },
+      Some {
+        val wlist = QualityWeights.mkString("[", ",", "]")
+        s"""WITH toks AS (
+           |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+           |  FROM documents),
+           |sc AS (
+           |  SELECT doc_id, lang,
+           |    CAST(sum($wlist[${graft.OracleSql.hexToLong("md5(tok)", 1, 15)}
+           |      % $QualityD + 1]) AS BIGINT) AS score
+           |  FROM toks WHERE tok <> '' GROUP BY doc_id, lang)
+           |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           |  CAST(sum(score) AS DOUBLE) / 1000.0 / count(*) AS mean_margin
+           |FROM sc GROUP BY lang ORDER BY lang""".stripMargin
+      })
   )
+
+  /** q_chunk_windows: window width / stride in tokens (50% overlap). */
+  final val ChunkW = 32
+  final val ChunkS = 16
+
 
   /** q_pack_bins: tokens per bin (a 2k training context). */
   final val PackB = 2048

@@ -156,6 +156,33 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(kept.toDouble / total - ops.PipelineQueries.MixBudget) < 0.08)
   }
 
+  test("chunk windows: 50% overlap costs 1.3-2x storage, doc accounting closes") {
+    val rows = SparkEntry.queries("q_chunk_windows")(spark, sf001).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == 500L)
+    rows.foreach { r =>
+      val red = r.getAs[Double]("redundancy")
+      // stride W/2 re-covers every token at most twice; > 1.3 means the
+      // overlap is actually happening (docs longer than one window)
+      assert(red > 1.3 && red < 2.0, s"${r.getAs[String]("lang")}: $red")
+      assert(r.getAs[Long]("n_chunks") >= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("max_chunks_per_doc") >= 2L)
+    }
+  }
+
+  test("quality classifier: deterministic margins, flags within bounds") {
+    val a = SparkEntry.queries("q_quality_classifier")(spark, sf001).collect()
+    val b = SparkEntry.queries("q_quality_classifier")(spark, sf001).collect()
+    assert(a.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3))).toSeq ==
+      b.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq)
+    a.foreach { r =>
+      assert(r.getAs[Long]("n_flagged") <= r.getAs[Long]("n_docs"))
+      assert(!r.getAs[Double]("mean_margin").isNaN)
+    }
+    assert(a.map(_.getAs[Long]("n_flagged")).sum > 0L)
+  }
+
   test("keeper accounting closes against the component sizes") {
     val comps = SparkEntry.queries("q_dedup_components")(spark, sf001).collect()
       .map(r => r.getAs[Long]("component") -> r.getAs[Long]("size")).toMap
