@@ -793,10 +793,12 @@ object TextQueries {
               element_at(col("t"), i + 2).as("v")))).as("e"))
           .select(col("e.u").as("u"), col("e.v").as("v"))
           .filter(col("u") =!= "" && col("v") =!= "" && col("u") =!= col("v"))
+        // no .cache(): the 5 iterations reference identical edge/degree
+        // subtrees, which Spark dedupes at runtime via ReusedExchange —
+        // same reuse, zero pinned blocks to evict (the labelsCache lesson)
         val edges = pairs.union(pairs.select(col("v"), col("u")))
           .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
-          .cache()
-        val deg = edges.groupBy(col("u")).agg(sum(col("w")).as("wd")).cache()
+        val deg = edges.groupBy(col("u")).agg(sum(col("w")).as("wd"))
         val nodes = edges.select(col("u").as("tok")).distinct()
         val nn = nodes.agg(count(lit(1)).as("c"))
         var rank = nodes.crossJoin(broadcast(nn))
