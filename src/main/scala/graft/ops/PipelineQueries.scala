@@ -573,7 +573,7 @@ object PipelineQueries {
          |  FROM sct),
          |r AS (
          |  SELECT sct.lang, sct.n,
-         |    LEAST(1.0, $MixBudget * tot.total / tot.k / sct.n) AS rate
+         |    LEAST(1.0, CAST($MixBudget AS DOUBLE) * tot.total / tot.k / sct.n) AS rate
          |  FROM sct, tot),
          |kept AS (
          |  SELECT d.lang,

@@ -772,8 +772,9 @@ object TextQueries {
     // the graph is VOCABULARY-sized, not corpus-sized — edges come from
     // one narrow explode + one groupBy; each iteration is one equi-join
     // on the source token + one aggregation (the same join-agg round as
-    // label propagation), with edges+degrees cached and reused across
-    // all 5 rounds. Bit-exact oracle closure for an iterative float
+    // label propagation); the edge/degree subtrees are identical across
+    // all 5 rounds, so Spark dedupes them at runtime via ReusedExchange
+    // (no pinned cache blocks). Bit-exact oracle closure for an iterative float
     // computation: every per-edge contribution r*w/wd is computed in
     // the identical op order on both engines and every per-node SUM
     // routes through the 2^43 floor/DECIMAL fold (order-independent

@@ -85,21 +85,31 @@ object StreamHeavyHitters {
     * (readers take the max-n_seen snapshot per shard). */
   def runOnce(spark: org.apache.spark.sql.SparkSession, dir: String,
       queryName: String, numShards: Int = 8, m: Int = 64): DataFrame = {
-    val inDir = java.nio.file.Files.createTempDirectory("hh-in").toString
-    val docs = spark.read.schema(StreamDedup.rawSchema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
-    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
-      .write.mode("append").parquet(inDir)
-    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
-      .write.mode("append").parquet(inDir)
-    val stream = spark.readStream.schema(StreamDedup.rawSchema)
-      .option("maxFilesPerTrigger", 1).parquet(inDir)
-    val q = sketch(stream, numShards, m)
-      .writeStream.outputMode("update")
-      .format("memory").queryName(queryName)
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    spark.table(queryName)
+    val inPath = java.nio.file.Files.createTempDirectory("hh-in")
+    val inDir = inPath.toString
+    try {
+      val docs = spark.read.schema(StreamDedup.rawSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+        .write.mode("append").parquet(inDir)
+      docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(inDir)
+      val stream = spark.readStream.schema(StreamDedup.rawSchema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val q = sketch(stream, numShards, m)
+        .writeStream.outputMode("update")
+        .format("memory").queryName(queryName)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      // the memory sink holds the full result; the staged corpus copy
+      // is dead weight from here
+      spark.table(queryName)
+    } finally {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      Files.walk(inPath).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
   }
 }
