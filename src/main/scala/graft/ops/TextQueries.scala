@@ -349,6 +349,86 @@ object TextQueries {
          |  CAST(sz - 1 AS BIGINT) AS n_dropped
          |FROM ranked WHERE rn = 1 ORDER BY component""".stripMargin)),
 
+    // Duplicated-substring SPAN detection — the span-level exact dedup
+    // between whole-doc dedup (q_dedup_exact) and near-dup (LSH): find
+    // the maximal token runs that are literally repeated across >= 2
+    // documents (the suffix-array dedup of Lee et al., "Deduplicating
+    // Training Data Makes Language Models Better", re-expressed with the
+    // distributed primitive that replaces the suffix array at 100 TB: a
+    // shuffle on positional 8-gram hashes). Positions whose 8-gram occurs
+    // in another doc are duplicated; positions within W-1 of each other
+    // cover overlapping windows, so merging at gap <= W-1 yields maximal
+    // spans whose covered-token count is exactly max-min+W (the union of
+    // overlapping windows is contiguous — no double counting). Scale
+    // shape: ONE corpus-scale shuffle (groupBy gram hash — the stand-in
+    // for the suffix sort), a semi-join back on the same key (the
+    // exchange is identical, so ReusedExchange dedupes it), then a
+    // per-doc window on doc-key partitions. Never all-pairs.
+    Q("q_substring_dedup",
+      (s, d) => {
+        val W = 8
+        val dd = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
+          .filter(size(col("t")) >= W)
+        val gp = dd.select(col("doc_id"), col("lang"),
+          posexplode(transform(sequence(lit(0), size(col("t")) - W),
+            i => concat_ws(" ",
+              (0 until W).map(o => element_at(col("t"), i + o + 1)): _*)))
+            .as(Seq("pos", "g")))
+          .select(col("doc_id"), col("lang"), col("pos"),
+            graft.functions.TextOps.md5Prefix60(col("g")).as("gh"))
+        val dup = gp.groupBy(col("gh"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2).select(col("gh"))
+        val dpos = gp.join(dup, Seq("gh"), "left_semi")
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val spans = dpos
+          .withColumn("brk",
+            when(col("pos") - lag(col("pos"), 1).over(w) <= W - 1, 0L)
+              .otherwise(1L))
+          .withColumn("sid", sum(col("brk")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("doc_id"), col("lang"), col("sid"))
+          .agg((max(col("pos")) - min(col("pos")) + W).as("span_toks"))
+        spans.groupBy(col("lang"))
+          .agg(countDistinct(col("doc_id")).as("n_docs_dup"),
+            count(lit(1)).as("n_spans"),
+            sum(col("span_toks")).cast("long").as("dup_tokens"),
+            max(col("span_toks")).cast("long").as("max_span_toks"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH d8 AS (
+         |  SELECT doc_id, lang, string_split(text, ' ') AS t
+         |  FROM documents WHERE len(string_split(text, ' ')) >= 8),
+         |grams AS (
+         |  SELECT doc_id, lang, CAST(u.pos AS INTEGER) AS pos,
+         |    ${OracleSql.hexToLong("md5(u.g)", 1, 15)} AS gh FROM (
+         |    SELECT doc_id, lang,
+         |      unnest(list_transform(generate_series(1, len(t) - 7),
+         |        i -> {'pos': i - 1, 'g': array_to_string(t[i:i+7], ' ')})) AS u
+         |    FROM d8)),
+         |dup AS (SELECT gh FROM grams GROUP BY gh
+         |        HAVING count(DISTINCT doc_id) >= 2),
+         |dp AS (SELECT g.doc_id, g.lang, g.pos
+         |       FROM grams g JOIN dup USING (gh)),
+         |sp AS (
+         |  SELECT doc_id, lang, pos, sum(brk) OVER (
+         |      PARTITION BY doc_id ORDER BY pos) AS sid
+         |  FROM (
+         |    SELECT doc_id, lang, pos,
+         |      CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+         |        ORDER BY pos) <= 7 THEN 0 ELSE 1 END AS brk
+         |    FROM dp)),
+         |spans AS (
+         |  SELECT doc_id, lang, sid, max(pos) - min(pos) + 8 AS span_toks
+         |  FROM sp GROUP BY doc_id, lang, sid)
+         |SELECT lang,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_dup,
+         |  CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(sum(span_toks) AS BIGINT) AS dup_tokens,
+         |  CAST(max(span_toks) AS BIGINT) AS max_span_toks
+         |FROM spans GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // Corpus-wide top bigrams — the frequency statistics a tokenizer/BPE
     // training run starts from. Narrow bigram projection (no window),
     // one groupBy shuffle, TakeOrderedAndProject for the top-k.

@@ -196,6 +196,36 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("substring dedup: spans are window-sized, exact-dup docs fully covered") {
+    val out = SparkEntry.queries("q_substring_dedup")(spark, sf001).collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("n_docs_dup"), r.getAs[Long]("n_spans"),
+          r.getAs[Long]("dup_tokens"), r.getAs[Long]("max_span_toks")))).toMap
+    assert(out.nonEmpty)
+    out.foreach { case (lang, (nd, ns, toks, mx)) =>
+      assert(ns >= nd, s"$lang: every dup doc has at least one span")
+      assert(toks >= 8 * ns, s"$lang: a span covers at least one 8-gram window")
+      assert(mx >= 8, lang)
+    }
+    // a whole-doc exact duplicate (>= 8 tokens) duplicates ALL its windows,
+    // so it must be flagged and its full token run is one maximal span
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"),
+        size(split(col("text"), " ")).as("n"))
+      .filter(col("n") >= 8)
+    val dupTexts = docs.groupBy(col("text")).count().filter(col("count") >= 2)
+      .select(col("text"))
+    val perLang = docs.join(dupTexts, "text").groupBy(col("lang"))
+      .agg(count(lit(1)).as("cnt"), max(col("n")).as("mxn")).collect()
+    perLang.foreach { r =>
+      val (lang, cnt, mxn) =
+        (r.getAs[String]("lang"), r.getAs[Long]("cnt"), r.getAs[Int]("mxn"))
+      assert(out(lang)._1 >= cnt, s"$lang: exact dups must be span-flagged")
+      assert(out(lang)._4 >= mxn, s"$lang: a full-doc dup is one maximal span")
+    }
+  }
+
   test("componentLabels cache: memoizes per dir, clear releases every pinned block") {
     import graft.ops.TextQueries
     TextQueries.clearComponentLabels(spark)
