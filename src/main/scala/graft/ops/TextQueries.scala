@@ -457,6 +457,90 @@ object TextQueries {
          |WHERE bigram NOT LIKE ' %' AND bigram NOT LIKE '% '
          |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin)),
 
+    // BPE merge training — the tokenizer-training loop downstream of
+    // q_top_ngrams' statistics (Sennrich et al. 2016), Spark-first. The
+    // CORPUS is touched exactly once: explode -> word-frequency groupBy,
+    // eagerly checkpointed (vocab-sized — the working set every iteration
+    // after this is invariant to corpus size, which is the whole point of
+    // training BPE on the frequency table rather than the text). Each of
+    // the 8 merge iterations is: adjacent-symbol pairs (narrow zip-explode
+    // over the space-joined symbol representation) -> one vocab-sized
+    // groupBy -> argmax pair via a 1-row TakeOrdered action (the bounded
+    // driver-side pattern bloom sizing also uses) -> a LITERAL
+    // non-overlapping left-to-right replace() of ' a b ' with ' ab '
+    // (identical strstr-loop semantics in Spark and DuckDB, so the greedy
+    // merge application is bit-identical). Ties break on (freq DESC, pair
+    // string ASC) — fully deterministic; all frequencies are integers, so
+    // the oracle (the same 8 iterations unrolled as chained CTEs)
+    // hash-matches exactly.
+    Q("q_bpe_train",
+      (s, d) => {
+        import s.implicits._
+        val merges = 8
+        val wf = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(col("w") =!= "")
+          .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+          .select(col("freq"),
+            concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("r"))
+          .localCheckpoint(true)
+        var words: DataFrame = wf
+        val out = (1 to merges).map { k =>
+          val best = words
+            .select(col("freq"), split(trim(col("r")), " ").as("sy"))
+            .select(col("freq"), explode(when(size(col("sy")) >= 2,
+              transform(sequence(lit(0), size(col("sy")) - 2),
+                i => struct(element_at(col("sy"), i + 1).as("a"),
+                  element_at(col("sy"), i + 2).as("b"))))
+              .otherwise(array().cast("array<struct<a:string,b:string>>")))
+              .as("p"))
+            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+            .agg(sum(col("freq")).as("f"))
+            .orderBy(col("f").desc, concat(col("a"), lit(" "), col("b")).asc)
+            .limit(1).collect().head
+          val (a, b, f) = (best.getAs[String]("a"), best.getAs[String]("b"),
+            best.getAs[Long]("f"))
+          words = words.select(col("freq"),
+            replace(col("r"), lit(s" $a $b "), lit(s" $a$b ")).as("r"))
+          (k, s"$a $b", f)
+        }
+        // merge table computed — release the pinned vocab blocks
+        wf.queryExecution.analyzed.foreach {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.unpersist(false)
+          case _ =>
+        }
+        out.toDF("it", "pair", "pair_freq").orderBy(col("it"))
+      },
+      Some {
+        val its = (1 to 8).map { k =>
+          s"""p$k AS (
+             |  SELECT s1 || ' ' || s2 AS pair, CAST(sum(freq) AS BIGINT) AS f
+             |  FROM (SELECT freq, unnest(sy[1:len(sy)-1]) AS s1,
+             |               unnest(sy[2:len(sy)]) AS s2
+             |        FROM (SELECT freq, string_split(trim(r), ' ') AS sy
+             |              FROM w${k - 1}))
+             |  GROUP BY pair),
+             |b$k AS (SELECT pair, f FROM p$k ORDER BY f DESC, pair ASC LIMIT 1),
+             |w$k AS (
+             |  SELECT w.freq,
+             |    replace(w.r, ' ' || b.pair || ' ',
+             |            ' ' || replace(b.pair, ' ', '') || ' ') AS r
+             |  FROM w${k - 1} w, b$k b)""".stripMargin
+        }.mkString(",\n")
+        val sel = (1 to 8).map(k =>
+          s"SELECT $k AS it, pair, f AS pair_freq FROM b$k")
+          .mkString("\nUNION ALL\n")
+        s"""WITH w0 AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS freq,
+           |    ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS r
+           |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           |  WHERE w <> '' GROUP BY w),
+           |$its
+           |$sel
+           |ORDER BY it""".stripMargin
+      }),
+
     // Exact n-gram Jaccard >= 0.8 via shingle-equality join (no all-pairs).
     // The join/aggregate key is a 60-bit md5-derived integer, not the
     // shingle string: the shuffles carry 8-byte longs instead of ~25-byte

@@ -73,6 +73,20 @@ class QueriesSpec extends SparkSpec {
     assert(n == 10)
   }
 
+  test("bpe: 8 distinct merges with non-increasing frequencies") {
+    val rows = SparkEntry.queries("q_bpe_train")(spark, sf001).collect()
+    assert(rows.map(_.getAs[Int]("it")).toSeq == (1 to 8))
+    val pairs = rows.map(_.getAs[String]("pair")).toSeq
+    assert(pairs.distinct.size == 8, "a pair can only be merged once")
+    pairs.foreach(p => assert(p.split(" ").length == 2, p))
+    // merging (a,b) only removes occurrences of existing pairs and any
+    // pair it creates occurs at most as often as (a,b) did — so the
+    // picked max frequency never increases across iterations
+    val freqs = rows.map(_.getAs[Long]("pair_freq")).toSeq
+    assert(freqs == freqs.sorted.reverse, s"not non-increasing: $freqs")
+    assert(freqs.last > 0)
+  }
+
   test("every oracle name corresponds to a registered query") {
     val qnames = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qnames))
