@@ -156,6 +156,43 @@ object RelationalQueries {
          |WHERE o_custkey < 150
          |ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
+    // Per-customer exponential smoothing (EWMA, alpha = 1/2) over the
+    // order-value time series — the time-series companion to the running
+    // total above. The recursion e_t = x_t/2 + e_{t-1}/2 is evaluated as
+    // a SEQUENTIAL per-customer left fold over the (date, key)-sorted
+    // value list: alpha = 1/2 makes every multiply an exact power-of-two
+    // scaling, and the one rounding site per step (the add) is the same
+    // IEEE double add on both engines — bit-equal without any decimal
+    // routing. Scale shape: ONE groupBy on the customer key (bounded
+    // per-group arrays — TPC-H-ish orders/customer is ~10-40 at any SF),
+    // then a narrow fold + TakeOrderedAndProject for the top-20; no
+    // window, no global sort.
+    Q("q_ewma",
+      (s, d) => {
+        val ps = transform(
+          sort_array(collect_list(struct(col("o_orderdate"), col("o_orderkey"),
+            col("o_totalprice")))),
+          e => e.getField("o_totalprice"))
+        Tables.orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"), ps.as("ps"))
+          .select(col("o_custkey"), col("n_orders"),
+            aggregate(slice(col("ps"), lit(2), size(col("ps")) - 1),
+              element_at(col("ps"), 1),
+              (acc, x) => acc * lit(0.5) + x * lit(0.5)).as("ewma"))
+          .orderBy(col("ewma").desc, col("o_custkey"))
+          .limit(20)
+      },
+      Some("""WITH ser AS (
+         |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+         |    list(o_totalprice ORDER BY o_orderdate, o_orderkey) AS ps
+         |  FROM orders GROUP BY o_custkey)
+         |SELECT o_custkey, n_orders,
+         |  list_reduce(list_prepend(ps[1], ps[2:len(ps)]),
+         |    (acc, x) -> acc * CAST(0.5 AS DOUBLE) + x * CAST(0.5 AS DOUBLE)) AS ewma
+         |FROM ser
+         |ORDER BY ewma DESC, o_custkey LIMIT 20""".stripMargin)),
+
     // Quartile bucketing + per-bucket stats, WITHOUT a global sort.
     // The previous ntile() formulation used a partitionless window, which
     // funnels the whole table through ONE task — correct at sf0.1, a
@@ -216,6 +253,60 @@ object RelationalQueries {
          |WHERE EXISTS (SELECT 1 FROM o95 WHERE o_custkey = c_custkey)
          |  AND NOT EXISTS (SELECT 1 FROM o96 WHERE o_custkey = c_custkey)
          |ORDER BY c_custkey""".stripMargin)),
+
+    // MERGE INTO / SCD1 upsert — the CDC apply step every warehouse
+    // runs: a deterministic updates batch (each customer's LATEST order,
+    // rn=1 by orderdate/orderkey desc; keys ≡ 0 mod 3 shifted past the
+    // key space to exercise the not-matched branch) merged into the
+    // customer dim via ONE full-outer join on the key: matched -> update
+    // (acctbal += latest price), source-only -> insert, target-only ->
+    // unchanged. Per-action counts + decimal-exact balance sums close the
+    // books. Scale shape: the merge IS the single key-shuffle full-outer
+    // join (both sides hash-partition on the merge key; AQE plans it) —
+    // the same plan a Delta/Iceberg MERGE compiles to after file pruning,
+    // which is the part a table format adds, not the engine.
+    Q("q_merge_upsert",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        val src = Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(
+            when(col("o_custkey") % 3 === 0, col("o_custkey") + 1000000L)
+              .otherwise(col("o_custkey")).as("key"),
+            col("o_totalprice").as("price"))
+        val tgt = Tables.customer(s, d)
+          .select(col("c_custkey").as("key"), col("c_acctbal"))
+        tgt.join(src, Seq("key"), "full_outer")
+          .select(
+            when(col("price").isNull, lit("unchanged"))
+              .when(col("c_acctbal").isNull, lit("inserted"))
+              .otherwise(lit("updated")).as("action"),
+            coalesce(col("c_acctbal"), lit(0.0))
+              .plus(coalesce(col("price"), lit(0.0))).as("bal"))
+          .groupBy(col("action"))
+          .agg(count(lit(1)).as("n"), H.dsum(col("bal")).as("total_bal"))
+          .orderBy(col("action"))
+      },
+      Some("""WITH src AS (
+         |  SELECT CASE WHEN o_custkey % 3 = 0 THEN o_custkey + 1000000
+         |              ELSE o_custkey END AS key,
+         |    o_totalprice AS price
+         |  FROM (SELECT o_custkey, o_totalprice, o_orderkey, o_orderdate,
+         |          row_number() OVER (PARTITION BY o_custkey
+         |            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+         |        FROM orders) WHERE rn = 1),
+         |tgt AS (SELECT c_custkey AS key, c_acctbal FROM customer),
+         |m AS (
+         |  SELECT
+         |    CASE WHEN s.price IS NULL THEN 'unchanged'
+         |         WHEN t.c_acctbal IS NULL THEN 'inserted'
+         |         ELSE 'updated' END AS action,
+         |    COALESCE(t.c_acctbal, 0.0) + COALESCE(s.price, 0.0) AS bal
+         |  FROM tgt t FULL OUTER JOIN src s USING (key))
+         |SELECT action, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CAST(bal AS DECIMAL(25,6))) AS DOUBLE) AS total_bal
+         |FROM m GROUP BY action ORDER BY action""".stripMargin)),
 
     // Pivot: return-flag x line-status revenue matrix (explicit pivot
     // values keep the output schema deterministic; the oracle is the

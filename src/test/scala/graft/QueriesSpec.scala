@@ -87,6 +87,42 @@ class QueriesSpec extends SparkSpec {
     assert(freqs.last > 0)
   }
 
+  test("merge upsert: actions partition target+source, books close") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q_merge_upsert")(spark, sf001).collect()
+      .map(r => r.getAs[String]("action") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("total_bal")))).toMap
+    assert(out.keySet == Set("unchanged", "updated", "inserted"))
+    val cust = spark.read.parquet(s"$sf001/customer.parquet")
+    val nCust = cust.count()
+    assert(out("unchanged")._1 + out("updated")._1 == nCust,
+      "every target row lands in exactly one matched/unmatched branch")
+    // inserted rows are exactly the mod-3-shifted latest-order keys
+    val nShift = spark.read.parquet(s"$sf001/orders.parquet")
+      .select(col("o_custkey")).distinct()
+      .filter(col("o_custkey") % 3 === 0).count()
+    assert(out("inserted")._1 == nShift)
+  }
+
+  test("ewma: bounded by the series range, equals the value for 1-order keys") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q_ewma")(spark, sf001).collect()
+    assert(out.length == 20)
+    val rng = spark.read.parquet(s"$sf001/orders.parquet")
+      .groupBy(col("o_custkey")).agg(min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    out.foreach { r =>
+      val (k, n, e) = (r.getAs[Long]("o_custkey"),
+        r.getAs[Long]("n_orders"), r.getAs[Double]("ewma"))
+      val (lo, hi, cnt) = rng(k)
+      assert(n == cnt)
+      assert(e >= lo && e <= hi, s"ewma out of range for $k")
+      if (cnt == 1L) assert(e == lo)
+    }
+  }
+
   test("every oracle name corresponds to a registered query") {
     val qnames = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qnames))
