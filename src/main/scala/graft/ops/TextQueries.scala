@@ -457,6 +457,52 @@ object TextQueries {
          |WHERE bigram NOT LIKE ' %' AND bigram NOT LIKE '% '
          |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin)),
 
+    // Pareto-frontier curation filter — multi-objective selection: keep
+    // the documents not dominated on (vocabulary richness UP, length
+    // DOWN), i.e. no other same-lang doc is at least as rich AND at most
+    // as long with one strict — the skyline operator, on all-integer
+    // coordinates. Scale shape (the reason this is NOT a doc-level
+    // window or an all-pairs join): (1) one groupBy doc for the
+    // features; (2) collapse to the (lang, n_tokens) GRID keeping max
+    // n_uniq — the grid is bounded by distinct document lengths
+    // (~10^5 even at 100 TB), independent of corpus size; (3) a prefix
+    // window over the BOUNDED grid marks frontier lengths (strictly
+    // shorter grid points must all be strictly poorer); (4) an equi-join
+    // back tags the frontier docs. The oracle is the independent
+    // brute-force NOT EXISTS dominance predicate.
+    Q("q_pareto_front",
+      (s, d) => {
+        val g = toks(s, d).filter(col("tok") =!= "")
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(count(lit(1)).as("n_tokens"),
+            countDistinct(col("tok")).as("n_uniq"))
+        val grid = g.groupBy(col("lang"), col("n_tokens"))
+          .agg(max(col("n_uniq")).as("u_max"))
+        val w = Window.partitionBy(col("lang")).orderBy(col("n_tokens"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val front = grid
+          .withColumn("prefix", max(col("u_max")).over(w))
+          .filter(col("prefix").isNull || col("u_max") > col("prefix"))
+          .select(col("lang"), col("n_tokens"), col("u_max"))
+        g.join(front, Seq("lang", "n_tokens"))
+          .filter(col("n_uniq") === col("u_max"))
+          .select(col("lang"), col("doc_id"), col("n_tokens"), col("n_uniq"))
+          .orderBy(col("lang"), col("n_tokens"), col("doc_id"))
+      },
+      Some("""WITH toks AS (
+         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(count(DISTINCT tok) AS BIGINT) AS n_uniq
+         |  FROM toks WHERE tok <> '' GROUP BY doc_id, lang)
+         |SELECT lang, doc_id, n_tokens, n_uniq FROM g b
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM g a WHERE a.lang = b.lang
+         |    AND a.n_uniq >= b.n_uniq AND a.n_tokens <= b.n_tokens
+         |    AND (a.n_uniq > b.n_uniq OR a.n_tokens < b.n_tokens))
+         |ORDER BY lang, n_tokens, doc_id""".stripMargin)),
+
     // BPE merge training — the tokenizer-training loop downstream of
     // q_top_ngrams' statistics (Sennrich et al. 2016), Spark-first. The
     // CORPUS is touched exactly once: explode -> word-frequency groupBy,

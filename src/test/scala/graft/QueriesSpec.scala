@@ -87,6 +87,18 @@ class QueriesSpec extends SparkSpec {
     assert(freqs.last > 0)
   }
 
+  test("pareto front: returned docs are mutually non-dominating") {
+    val out = SparkEntry.queries("q_pareto_front")(spark, sf001).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_uniq")))
+    assert(out.nonEmpty)
+    for {
+      a <- out; b <- out
+      if a != b && a._1 == b._1
+    } assert(!(a._3 >= b._3 && a._2 <= b._2 && (a._3 > b._3 || a._2 < b._2)),
+      s"$a dominates $b")
+  }
+
   test("merge upsert: actions partition target+source, books close") {
     import org.apache.spark.sql.functions._
     val out = SparkEntry.queries("q_merge_upsert")(spark, sf001).collect()
