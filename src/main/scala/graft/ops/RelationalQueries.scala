@@ -20,6 +20,27 @@ object RelationalQueries {
 
   private val dec = DecimalType(25, 6)
 
+  /** Per-customer EWMA (alpha = 1/2) over the (date, key)-sorted order
+    * values: one key-shuffle groupBy collecting the bounded per-customer
+    * series, then a narrow sequential fold — each multiply is an exact
+    * power-of-two scaling, so the result is bit-equal to any engine
+    * folding the same sequence (DuckDB's list_reduce, or the streaming
+    * twin's per-trigger Scala fold in StreamEwma). */
+  def ewmaPerKey(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val ps = transform(
+      sort_array(collect_list(struct(col("o_orderdate"), col("o_orderkey"),
+        col("o_totalprice")))),
+      e => e.getField("o_totalprice"))
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), ps.as("ps"))
+      .select(col("o_custkey"), col("n_orders"),
+        aggregate(slice(col("ps"), lit(2), size(col("ps")) - 1),
+          element_at(col("ps"), 1),
+          (acc, x) => acc * lit(0.5) + x * lit(0.5)).as("ewma"))
+  }
+
   val all: Seq[Q] = Seq(
     // TPC-H Q1 shape: the pricing summary scan-agg (SURVEY.md §2.4 aggregations).
     Q("q1_agg",
@@ -168,21 +189,9 @@ object RelationalQueries {
     // then a narrow fold + TakeOrderedAndProject for the top-20; no
     // window, no global sort.
     Q("q_ewma",
-      (s, d) => {
-        val ps = transform(
-          sort_array(collect_list(struct(col("o_orderdate"), col("o_orderkey"),
-            col("o_totalprice")))),
-          e => e.getField("o_totalprice"))
-        Tables.orders(s, d)
-          .groupBy(col("o_custkey"))
-          .agg(count(lit(1)).as("n_orders"), ps.as("ps"))
-          .select(col("o_custkey"), col("n_orders"),
-            aggregate(slice(col("ps"), lit(2), size(col("ps")) - 1),
-              element_at(col("ps"), 1),
-              (acc, x) => acc * lit(0.5) + x * lit(0.5)).as("ewma"))
-          .orderBy(col("ewma").desc, col("o_custkey"))
-          .limit(20)
-      },
+      (s, d) => ewmaPerKey(s, d)
+        .orderBy(col("ewma").desc, col("o_custkey"))
+        .limit(20),
       Some("""WITH ser AS (
          |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
          |    list(o_totalprice ORDER BY o_orderdate, o_orderkey) AS ps

@@ -248,6 +248,82 @@ object TextQueries {
        |  UNION SELECT a.doc_id, b.doc_id FROM bands a JOIN bands b ON a.b2 = b.b2 AND a.doc_id < b.doc_id
        |  UNION SELECT a.doc_id, b.doc_id FROM bands a JOIN bands b ON a.b3 = b.b3 AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** BPE merge count shared by q_bpe_train / q_bpe_apply. */
+  final val BpeMerges = 8
+
+  /** Run the BPE training loop: one corpus pass builds the checkpointed
+    * word-frequency table; each of the [[BpeMerges]] iterations is a
+    * vocab-sized pair aggregate + a 1-row argmax action + a literal
+    * replace() on the space-joined symbol representation. Returns the
+    * ordered merge table (it, "a b", pair_freq); the checkpoint blocks are
+    * released before returning (the result is driver-side rows, nothing
+    * distributed retains the lineage). */
+  private[graft] def trainBpeMerges(s: SparkSession, d: String)
+      : Seq[(Int, String, Long)] = {
+    val wf = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"),
+        concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("r"))
+      .localCheckpoint(true)
+    var words: DataFrame = wf
+    val out = (1 to BpeMerges).map { k =>
+      val best = words
+        .select(col("freq"), split(trim(col("r")), " ").as("sy"))
+        .select(col("freq"), explode(when(size(col("sy")) >= 2,
+          transform(sequence(lit(0), size(col("sy")) - 2),
+            i => struct(element_at(col("sy"), i + 1).as("a"),
+              element_at(col("sy"), i + 2).as("b"))))
+          .otherwise(array().cast("array<struct<a:string,b:string>>")))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("f"))
+        .orderBy(col("f").desc, concat(col("a"), lit(" "), col("b")).asc)
+        .limit(1).collect().head
+      val (a, b, f) = (best.getAs[String]("a"), best.getAs[String]("b"),
+        best.getAs[Long]("f"))
+      words = words.select(col("freq"),
+        replace(col("r"), lit(s" $a $b "), lit(s" $a$b ")).as("r"))
+      (k, s"$a $b", f)
+    }
+    // merge table computed — release the pinned vocab blocks
+    wf.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false)
+      case _ =>
+    }
+    out
+  }
+
+  /** Oracle twin of [[trainBpeMerges]]: CTEs `w0` (word-frequency table
+    * with the space-joined symbol repr) and, per iteration k, `p$k` (pair
+    * frequencies), `b$k` (the argmax merge) and `w$k` (the table after
+    * applying it). */
+  private val bpeCtes: String = {
+    val its = (1 to BpeMerges).map { k =>
+      s"""p$k AS (
+         |  SELECT s1 || ' ' || s2 AS pair, CAST(sum(freq) AS BIGINT) AS f
+         |  FROM (SELECT freq, unnest(sy[1:len(sy)-1]) AS s1,
+         |               unnest(sy[2:len(sy)]) AS s2
+         |        FROM (SELECT freq, string_split(trim(r), ' ') AS sy
+         |              FROM w${k - 1}))
+         |  GROUP BY pair),
+         |b$k AS (SELECT pair, f FROM p$k ORDER BY f DESC, pair ASC LIMIT 1),
+         |w$k AS (
+         |  SELECT w.freq,
+         |    replace(w.r, ' ' || b.pair || ' ',
+         |            ' ' || replace(b.pair, ' ', '') || ' ') AS r
+         |  FROM w${k - 1} w, b$k b)""".stripMargin
+    }.mkString(",\n")
+    s"""w0 AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS freq,
+       |    ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS r
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY w),
+       |$its""".stripMargin
+  }
+
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("table", "row", "data"),
     "en" -> Seq("the", "a", "value"),
@@ -522,69 +598,75 @@ object TextQueries {
     Q("q_bpe_train",
       (s, d) => {
         import s.implicits._
-        val merges = 8
-        val wf = Tables.documents(s, d)
-          .select(explode(split(col("text"), " ")).as("w"))
-          .filter(col("w") =!= "")
-          .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-          .select(col("freq"),
-            concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("r"))
-          .localCheckpoint(true)
-        var words: DataFrame = wf
-        val out = (1 to merges).map { k =>
-          val best = words
-            .select(col("freq"), split(trim(col("r")), " ").as("sy"))
-            .select(col("freq"), explode(when(size(col("sy")) >= 2,
-              transform(sequence(lit(0), size(col("sy")) - 2),
-                i => struct(element_at(col("sy"), i + 1).as("a"),
-                  element_at(col("sy"), i + 2).as("b"))))
-              .otherwise(array().cast("array<struct<a:string,b:string>>")))
-              .as("p"))
-            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-            .agg(sum(col("freq")).as("f"))
-            .orderBy(col("f").desc, concat(col("a"), lit(" "), col("b")).asc)
-            .limit(1).collect().head
-          val (a, b, f) = (best.getAs[String]("a"), best.getAs[String]("b"),
-            best.getAs[Long]("f"))
-          words = words.select(col("freq"),
-            replace(col("r"), lit(s" $a $b "), lit(s" $a$b ")).as("r"))
-          (k, s"$a $b", f)
-        }
-        // merge table computed — release the pinned vocab blocks
-        wf.queryExecution.analyzed.foreach {
-          case lr: org.apache.spark.sql.execution.LogicalRDD =>
-            lr.rdd.unpersist(false)
-          case _ =>
-        }
-        out.toDF("it", "pair", "pair_freq").orderBy(col("it"))
+        trainBpeMerges(s, d).toDF("it", "pair", "pair_freq")
+          .orderBy(col("it"))
       },
       Some {
-        val its = (1 to 8).map { k =>
-          s"""p$k AS (
-             |  SELECT s1 || ' ' || s2 AS pair, CAST(sum(freq) AS BIGINT) AS f
-             |  FROM (SELECT freq, unnest(sy[1:len(sy)-1]) AS s1,
-             |               unnest(sy[2:len(sy)]) AS s2
-             |        FROM (SELECT freq, string_split(trim(r), ' ') AS sy
-             |              FROM w${k - 1}))
-             |  GROUP BY pair),
-             |b$k AS (SELECT pair, f FROM p$k ORDER BY f DESC, pair ASC LIMIT 1),
-             |w$k AS (
-             |  SELECT w.freq,
-             |    replace(w.r, ' ' || b.pair || ' ',
-             |            ' ' || replace(b.pair, ' ', '') || ' ') AS r
-             |  FROM w${k - 1} w, b$k b)""".stripMargin
-        }.mkString(",\n")
-        val sel = (1 to 8).map(k =>
+        val sel = (1 to BpeMerges).map(k =>
           s"SELECT $k AS it, pair, f AS pair_freq FROM b$k")
           .mkString("\nUNION ALL\n")
-        s"""WITH w0 AS (
-           |  SELECT CAST(count(*) AS BIGINT) AS freq,
-           |    ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS r
-           |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-           |  WHERE w <> '' GROUP BY w),
-           |$its
+        s"""WITH $bpeCtes
            |$sel
            |ORDER BY it""".stripMargin
+      }),
+
+    // BPE application — the inference half: segment every (lang, word)
+    // with the 8 trained merges (the same literal replace() chain the
+    // trainer used, so segmentation is bit-identical to the trainer's
+    // final state) and report the per-language compression the merges
+    // buy: symbols-per-token falls from chars-per-token toward 1. Scale
+    // shape: training is the bounded-iteration loop above; application
+    // is ONE corpus pass -> per-(lang, word) groupBy -> a NARROW chain
+    // of 8 replaces + a length count -> 5-row aggregate. All integer
+    // sums; the one division is double-by-double on both engines.
+    Q("q_bpe_apply",
+      (s, d) => {
+        val merges = trainBpeMerges(s, d)
+        val wl = Tables.documents(s, d)
+          .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+          .filter(col("w") =!= "")
+          .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("freq"))
+        val r0 = concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 "))
+        val r8 = merges.foldLeft(r0) { case (r, (_, pair, _)) =>
+          replace(r, lit(s" $pair "), lit(" " + pair.replace(" ", "") + " "))
+        }
+        wl.select(col("lang"), col("freq"),
+            size(split(trim(r8), " ")).cast("long").as("n_sym"),
+            length(col("w")).cast("long").as("n_chr"))
+          .groupBy(col("lang"))
+          .agg(sum(col("freq")).cast("long").as("n_tokens"),
+            sum(col("freq") * col("n_chr")).cast("long").as("n_chars"),
+            sum(col("freq") * col("n_sym")).cast("long").as("n_syms"))
+          .select(col("lang"), col("n_tokens"), col("n_chars"), col("n_syms"),
+            (col("n_syms").cast("double") / col("n_tokens").cast("double"))
+              .as("syms_per_token"))
+          .orderBy(col("lang"))
+      },
+      Some {
+        val applied = (1 to BpeMerges).foldLeft("r") { (acc, k) =>
+          s"replace($acc, ' ' || b$k.pair || ' ', ' ' || replace(b$k.pair, ' ', '') || ' ')"
+        }
+        val bs = (1 to BpeMerges).map(k => s"b$k").mkString(", ")
+        s"""WITH $bpeCtes,
+           |wl AS (
+           |  SELECT lang, w, CAST(count(*) AS BIGINT) AS freq,
+           |    ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS r
+           |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+           |        FROM documents)
+           |  WHERE w <> '' GROUP BY lang, w),
+           |app AS (
+           |  SELECT lang, freq,
+           |    CAST(len(string_split(trim($applied), ' ')) AS BIGINT) AS n_sym,
+           |    CAST(strlen(w) AS BIGINT) AS n_chr
+           |  FROM wl, $bs),
+           |agg AS (
+           |  SELECT lang, CAST(sum(freq) AS BIGINT) AS n_tokens,
+           |    CAST(sum(freq * n_chr) AS BIGINT) AS n_chars,
+           |    CAST(sum(freq * n_sym) AS BIGINT) AS n_syms
+           |  FROM app GROUP BY lang)
+           |SELECT lang, n_tokens, n_chars, n_syms,
+           |  CAST(n_syms AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS syms_per_token
+           |FROM agg ORDER BY lang""".stripMargin
       }),
 
     // Exact n-gram Jaccard >= 0.8 via shingle-equality join (no all-pairs).
