@@ -203,4 +203,31 @@ class StreamingSpec extends SparkSpec {
       .collect().map(p => (p.doc_a, p.doc_b)).toSet
     assert(pairs == Set((0L, 1L), (0L, 2L), (1L, 2L)))
   }
+
+  test("streaming EWMA is bit-equal to the batch fold across micro-batches") {
+    // alpha = 1/2: every fold step is a power-of-two scaling, so the
+    // per-trigger incremental fold must reproduce the batch
+    // sort+aggregate() EXACTLY (Double bit-equality, no tolerance) —
+    // state carry-over between the two date-split triggers included.
+    val all = graft.streaming.StreamEwma.runOnce(spark, sf001, "ewma_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // Update-mode output: take each customer's max-n_orders snapshot
+    val maxN = all.groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).max }
+    val streamed = all.filter { case (k, n, _) => n == maxN(k) }
+      .map { case (k, n, e) => k -> (n, e) }.toMap
+    val batch = graft.ops.RelationalQueries.ewmaPerKey(spark, sf001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(batch.nonEmpty)
+    assert(streamed.keySet == batch.keySet,
+      s"missing=${(batch.keySet -- streamed.keySet).take(5)} " +
+        s"extra=${(streamed.keySet -- batch.keySet).take(5)}")
+    val bad = batch.collect {
+      case (k, (n, e)) if streamed(k) != ((n, e)) => (k, streamed(k), (n, e))
+    }
+    assert(bad.isEmpty, s"mismatches (stream vs batch): ${bad.take(5)}")
+    // both triggers contributed: some customer's ewma was emitted twice
+    assert(all.groupBy(_._1).exists(_._2.length > 1),
+      "no customer spanned both micro-batches — split degenerate")
+  }
 }
