@@ -317,6 +317,49 @@ object RelationalQueries {
          |  CAST(sum(CAST(bal AS DECIMAL(25,6))) AS DOUBLE) AS total_bal
          |FROM m GROUP BY action ORDER BY action""".stripMargin)),
 
+    // SCD2 dimension-history build — the companion to q_merge_upsert's
+    // SCD1 overwrite: each customer order opens a version valid
+    // [o_orderdate, next o_orderdate), the latest version stays open
+    // (valid_to NULL). This is the standard lead()-window formulation a
+    // warehouse uses to turn a change log into a type-2 history table.
+    // Scale shape: ONE key shuffle — the window partitions by o_custkey
+    // (bounded per-customer partitions, never global), and the summary
+    // groupBy reuses the same hash partitioning so no second exchange.
+    // closed_days is BIGINT-exact (date arithmetic, no floats).
+    Q("q_scd2",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            col("o_totalprice"))
+          .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w))
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_versions"),
+            sum(when(col("valid_to").isNotNull,
+              datediff(col("valid_to").cast("date"),
+                col("o_orderdate").cast("date")))
+              .otherwise(lit(0))).cast("long").as("closed_days"),
+            max(when(col("valid_to").isNull, col("o_totalprice")))
+              .as("current_price"))
+          .orderBy(col("n_versions").desc, col("o_custkey"))
+          .limit(20)
+      },
+      Some("""WITH v AS (
+         |  SELECT o_custkey, o_totalprice, o_orderdate,
+         |    lead(o_orderdate) OVER (PARTITION BY o_custkey
+         |      ORDER BY o_orderdate, o_orderkey) AS valid_to
+         |  FROM orders)
+         |SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_versions,
+         |  CAST(sum(CASE WHEN valid_to IS NOT NULL
+         |    THEN date_diff('day', CAST(o_orderdate AS DATE),
+         |                   CAST(valid_to AS DATE))
+         |    ELSE 0 END) AS BIGINT) AS closed_days,
+         |  max(CASE WHEN valid_to IS NULL THEN o_totalprice END)
+         |    AS current_price
+         |FROM v GROUP BY o_custkey
+         |ORDER BY n_versions DESC, o_custkey LIMIT 20""".stripMargin)),
+
     // Pivot: return-flag x line-status revenue matrix (explicit pivot
     // values keep the output schema deterministic; the oracle is the
     // portable FILTER-based formulation).
