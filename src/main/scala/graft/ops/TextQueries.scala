@@ -533,6 +533,91 @@ object TextQueries {
          |WHERE bigram NOT LIKE ' %' AND bigram NOT LIKE '% '
          |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin)),
 
+    // Inverted-index construction — the IR-side core operator: per-term
+    // posting statistics (df, cf, max within-doc tf) plus the posting-list
+    // HEAD (12 smallest doc_ids). Scale shape: shuffle 1 groups on
+    // (term, doc) — map-side combinable, bounded rows; shuffle 2 groups on
+    // term where the posting head comes from the bounded TopKAgg buffer
+    // (k entries per group PER PARTITION on the map side), so a stopword's
+    // full df-sized posting list is never materialized in one row — the
+    // reason this survives a stopword at 100 TB while a
+    // collect_list-then-slice or a per-term window would not. (TopKAgg
+    // scores are Double: doc_ids stay exact below 2^53.)
+    Q("q_inverted_index",
+      (s, d) => {
+        val td = toks(s, d).filter(col("tok") =!= "")
+          .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
+        td.groupBy(col("tok"))
+          .agg(count(lit(1)).as("df"),
+            sum(col("tf")).cast("long").as("cf"),
+            max(col("tf")).cast("long").as("max_tf"),
+            graft.functions.VectorOps.topK(
+              -col("doc_id").cast("double"), col("doc_id"), 12).as("hd"))
+          .select(col("tok").as("term"), col("df"), col("cf"), col("max_tf"),
+            array_join(transform(col("hd"),
+              x => x.getField("vec_id").cast("string")), ",").as("head"))
+          .orderBy(col("df").desc, col("term"))
+          .limit(10)
+      },
+      Some("""WITH tk AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |td AS (
+         |  SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tk WHERE tok <> '' GROUP BY tok, doc_id)
+         |SELECT tok AS term, CAST(count(*) AS BIGINT) AS df,
+         |  CAST(sum(tf) AS BIGINT) AS cf, CAST(max(tf) AS BIGINT) AS max_tf,
+         |  array_to_string(list_sort(list(doc_id))[1:12], ',') AS head
+         |FROM td GROUP BY tok
+         |ORDER BY df DESC, term LIMIT 10""".stripMargin)),
+
+    // Phrase search over the inverted index — the positional-postings
+    // consumer: docs containing the exact phrase "table scan", ranked by
+    // hit count. Scale shape: the term filter runs BEFORE the one doc-key
+    // shuffle, so only the two terms' postings move; per-doc position
+    // lists are bounded by doc length; the adjacency intersection is a
+    // narrow HOF projection (positions of w1 whose successor position
+    // holds w2) — no self-join, no second corpus pass. Distinct words
+    // ("table" != "scan") make overlap impossible, so hit counts are
+    // well-defined on both engines. All-integer arithmetic.
+    Q("q_phrase_search",
+      (s, d) => {
+        val t = toks(s, d).filter(col("tok").isin("table", "scan"))
+        t.groupBy(col("doc_id"), col("lang"))
+          .agg(
+            sort_array(collect_list(when(col("tok") === "table", col("i"))))
+              .as("pa"),
+            sort_array(collect_list(when(col("tok") === "scan", col("i"))))
+              .as("pb"))
+          .select(col("doc_id"), col("lang"),
+            size(filter(col("pa"), x => array_contains(col("pb"), x + 1)))
+              .cast("long").as("n_hits"),
+            element_at(filter(col("pa"),
+              x => array_contains(col("pb"), x + 1)), 1)
+              .cast("long").as("first_pos"))
+          .filter(col("n_hits") > 0)
+          .orderBy(col("n_hits").desc, col("doc_id"))
+          .limit(10)
+      },
+      Some("""WITH tk AS (
+         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok,
+         |    unnest(generate_series(1, len(string_split(text, ' ')))) AS p
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, lang,
+         |    list_sort(list(p) FILTER (WHERE tok = 'table')) AS pa,
+         |    list_sort(list(p) FILTER (WHERE tok = 'scan')) AS pb
+         |  FROM tk WHERE tok IN ('table', 'scan') GROUP BY doc_id, lang),
+         |h AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(list_filter(pa, x -> list_contains(pb, x + 1)))
+         |      AS BIGINT) AS n_hits,
+         |    CAST(list_filter(pa, x -> list_contains(pb, x + 1))[1] - 1
+         |      AS BIGINT) AS first_pos
+         |  FROM g)
+         |SELECT doc_id, lang, n_hits, first_pos FROM h WHERE n_hits > 0
+         |ORDER BY n_hits DESC, doc_id LIMIT 10""".stripMargin)),
+
     // Pareto-frontier curation filter — multi-objective selection: keep
     // the documents not dominated on (vocabulary richness UP, length
     // DOWN), i.e. no other same-lang doc is at least as rich AND at most
