@@ -131,6 +131,45 @@ object ExtendedQueries {
          |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue
          |FROM orders GROUP BY month ORDER BY month""".stripMargin)),
 
+    // Incremental materialized-view maintenance — the warehouse pattern:
+    // a stored monthly-revenue aggregate (base, orders before the
+    // mid-month cutoff) absorbs a delta batch (orders after) by MERGING
+    // PARTIALS: counts add, DECIMAL sums add (order-independent, exact),
+    // and only then does the merged sum cast to double. The cutoff sits
+    // mid-month so one month genuinely straddles both sides — the merge
+    // is exercised, not just a union of disjoint key ranges. The oracle
+    // recomputes the view from ALL orders: merged == recomputed IS the
+    // MV maintenance invariant. Scale shape: at 100 TB the base is a
+    // stored O(groups) table — the maintenance cost is O(delta + groups),
+    // never a base rescan; both aggregate sides here shrink to ~100 rows
+    // before the full-outer merge, which AQE plans as a broadcast join.
+    Q("q_incr_agg",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(25, 6)
+        val cutoff = lit("1996-06-15").cast("timestamp")
+        def part(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(dec)).as("t"))
+        val ord = Tables.orders(s, d)
+        val base = part(ord.filter(col("o_orderdate") < cutoff))
+          .select(col("month"), col("n").as("n_b"), col("t").as("t_b"))
+        val delta = part(ord.filter(col("o_orderdate") >= cutoff))
+          .select(col("month"), col("n").as("n_d"), col("t").as("t_d"))
+        base.join(delta, Seq("month"), "full_outer")
+          .select(col("month"),
+            (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L)))
+              .as("n_orders"),
+            (coalesce(col("t_b"), lit(0).cast(dec))
+              + coalesce(col("t_d"), lit(0).cast(dec)))
+              .cast("double").as("revenue"))
+          .orderBy(col("month"))
+      },
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         |  CAST(count(*) AS BIGINT) AS n_orders,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+         |FROM orders GROUP BY month ORDER BY month""".stripMargin)),
+
     // arg-max aggregation: each nation's highest-balance customer
     // (max_by / arg_max; c_acctbal is unique enough — tie-break free on
     // this data, asserted by the deterministic compare).

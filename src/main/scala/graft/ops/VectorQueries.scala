@@ -76,6 +76,39 @@ object VectorQueries {
          |SELECT qid, vec_id, score, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin),
       headline = true),
 
+    // Hard-negative mining — the contrastive-training curation step: for
+    // each query vector, the top-5 highest-scoring DIFFERENT-label
+    // neighbors (the negatives that most confuse a classifier). Same
+    // m-queries-one-corpus-pass shape as q_knn_batch; the per-query
+    // anti-label predicate is a narrow filter before the bounded TopKAgg,
+    // so the shuffle stays m x k regardless of corpus size.
+    Q("q_hard_negatives",
+      (s, d) => {
+        val qv = quantized(s, d)
+        val queries = qv.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+            col("q").as("qq"))
+        qv.crossJoin(broadcast(queries))
+          .filter(col("label") =!= col("qlabel"))
+          .select(col("qid"), col("vec_id"),
+            VectorOps.cosineInt8(col("q"), col("qq")).as("score"))
+          .groupBy(col("qid"))
+          .agg(VectorOps.topK(col("score"), col("vec_id"), 5).as("top"))
+          .select(col("qid"), posexplode(col("top")).as(Seq("i", "t")))
+          .select(col("qid"), col("t.vec_id").as("vec_id"),
+            col("t.score").as("score"), (col("i") + 1).cast("long").as("rn"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some(s"""WITH ${OracleSql.quantizeCte},
+         |qq AS (SELECT vec_id AS qid, label AS qlabel, q AS qq
+         |       FROM qv WHERE vec_id < 5),
+         |sc AS (SELECT qq.qid, v.vec_id, ${OracleSql.int8Cos("v.q", "qq.qq")} AS score
+         |       FROM qv v, qq WHERE v.label <> qq.qlabel),
+         |r AS (SELECT qid, vec_id, score,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rn
+         |      FROM sc)
+         |SELECT qid, vec_id, score, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
+
     Q("q_knn_filtered",
       (s, d) => knnInt8(s, d, qid = 0L, k = 10,
         corpus = _.filter(col("label") === 2)),
