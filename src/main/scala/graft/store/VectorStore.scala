@@ -413,6 +413,22 @@ final class VectorStore private (
     try out.write(meta.getBytes("UTF-8")) finally out.close()
     atRest = Some((path, numBuckets))
   }
+
+  /** Time travel, write side: persist this store as the NEXT immutable
+    * version under `path` (`v0`, `v1`, ... — each a complete `save`
+    * snapshot, data + sidecar). Returns the version just written. Old
+    * versions are never touched, so any historical version loads with the
+    * ordinary `load` path (and keeps its own id-bucket pruning) — the
+    * checkpoint/rollback contract a production store needs before risky
+    * reprocessing. Full snapshots are the honest trade at this layer:
+    * O(store) write cost buys zero-replay reads; a 100 TB deployment
+    * layering a table format would swap in manifest-based incremental
+    * commits without changing this API. */
+  def saveVersion(path: String, numBuckets: Int = VectorStore.DefaultSaveBuckets): Int = synchronized {
+    val next = VectorStore.versions(spark, path).lastOption.map(_ + 1).getOrElse(0)
+    save(s"$path/v$next", numBuckets)
+    next
+  }
 }
 
 object VectorStore {
@@ -447,6 +463,36 @@ object VectorStore {
     new VectorStore(spark, dim,
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema),
       emptyTombstones(spark), 0L)
+  }
+
+  /** Time travel, read side: the committed versions under `path`, sorted.
+    * A version is a `v<N>` directory holding a complete save snapshot;
+    * anything else under `path` is ignored. */
+  def versions(spark: SparkSession, path: String): Seq[Int] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.filter(_.isDirectory)
+      .flatMap(s => "^v(\\d+)$".r.findFirstMatchIn(s.getPath.getName)
+        .map(_.group(1).toInt))
+      .sorted
+  }
+
+  /** Load a specific version written by `saveVersion` (default -1 =
+    * latest). Historical versions are immutable full snapshots, so this
+    * is the plain `load` pointed at the version directory — same
+    * invariant checks, same id-bucket lookup pruning. */
+  def loadVersion(spark: SparkSession, path: String, version: Int = -1): VectorStore = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no versions under $path (expected v0, v1, ...)")
+    val v =
+      if (version < 0) vs.last
+      else {
+        require(vs.contains(version),
+          s"version $version not found under $path (have ${vs.mkString(",")})")
+        version
+      }
+    load(spark, s"$path/v$v")
   }
 
   /** T10: load with invariant assertions (pythonvectordb.py:599-630). */

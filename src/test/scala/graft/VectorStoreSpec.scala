@@ -146,6 +146,38 @@ class VectorStoreSpec extends SparkSpec {
     assert(re.count == 40)
   }
 
+  test("versioned saves time-travel: historical versions stay readable and immutable") {
+    val st = VectorStore.create(spark, 4)
+    st.addVectors(mkRows(Seq(
+      ("a", Seq(1f, 0f, 0f, 0f), Map("g" -> "0")),
+      ("b", Seq(0f, 1f, 0f, 0f), Map.empty[String, String]))))
+    val dir = java.nio.file.Files.createTempDirectory("vstore-versions").toString
+    assert(VectorStore.versions(spark, dir).isEmpty)
+    assert(st.saveVersion(dir) == 0)
+    // mutate: delete a row, add two more, commit v1
+    st.delete(Seq("b"))
+    st.addVectors(mkRows(Seq(
+      ("c", Seq(0f, 0f, 1f, 0f), Map.empty[String, String]),
+      ("d", Seq(0f, 0f, 0f, 1f), Map.empty[String, String]))))
+    assert(st.saveVersion(dir) == 1)
+    assert(VectorStore.versions(spark, dir) == Seq(0, 1))
+    // latest: post-mutation state
+    val latest = VectorStore.loadVersion(spark, dir)
+    assert(latest.count == 3)
+    assert(latest.getVector("b").isEmpty && latest.getVector("d").isDefined)
+    // time travel to v0: the deleted row is back, the later rows absent
+    val v0 = VectorStore.loadVersion(spark, dir, 0)
+    assert(v0.count == 2)
+    assert(v0.getVector("b").isDefined && v0.getVector("c").isEmpty)
+    // metadata rode along into the historical snapshot
+    assert(v0.search(Array(1f, 0f, 0f, 0f), k = 1).collect().head
+      .getAs[Map[String, String]]("meta") == Map("g" -> "0"))
+    // writing v1 must not have rewritten v0's files
+    assert(VectorStore.loadVersion(spark, dir, 0).count == 2)
+    // unknown version fails loudly
+    intercept[IllegalArgumentException](VectorStore.loadVersion(spark, dir, 7))
+  }
+
   test("mutations invalidate the at-rest lookup path (no stale disk reads)") {
     val st = VectorStore.create(spark, 4)
     st.addVectors(mkRows(Seq(("a", Seq(1f, 0f, 0f, 0f), Map.empty[String, String]))))
