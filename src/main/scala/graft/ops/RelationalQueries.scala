@@ -591,6 +591,72 @@ object RelationalQueries {
     // double division + sqrt at the end, so the score is bit-identical
     // across engines. Shape: two keyed aggregates (user-hour, then user)
     // + a broadcast-size stats join back + TakeOrderedAndProject.
+    // Hopping (overlapping) event-time windows — peak detection: 4-hour
+    // windows sliding hourly, so a traffic burst is never split by a
+    // bucket boundary the way q_events_hourly's tumbling windows split
+    // it. Spark's window(ts, 4h, 1h) assigns each event to its 4
+    // covering windows (a narrow 4x row expansion — the standard cost of
+    // hop overlap); ONE groupBy shuffle on the window start, then
+    // TakeOrderedAndProject for the 20 busiest windows. The oracle
+    // reconstructs the same slide-aligned assignment with an explicit
+    // k=0..3 unnest.
+    Q("q_hopping_windows",
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "4 hours", "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"), H.dsum(col("value")).as("sum_value"))
+        .select(unix_micros(col("w.start")).as("w_start_us"),
+          col("n"), col("sum_value"))
+        .orderBy(col("n").desc, col("w_start_us"))
+        .limit(20),
+      Some("""WITH e AS (
+         |  SELECT unnest(generate_series(0, 3)) AS k, ts, value FROM events),
+         |w AS (
+         |  SELECT CAST(epoch_us(date_trunc('hour', ts) - k * INTERVAL 1 HOUR)
+         |    AS BIGINT) AS w_start_us, value
+         |  FROM e)
+         |SELECT w_start_us, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+         |FROM w GROUP BY w_start_us
+         |ORDER BY n DESC, w_start_us LIMIT 20""".stripMargin)),
+
+    // Event-transition matrix — first-order Markov statistics over each
+    // user's event sequence: P(next event type | current). One user-key
+    // window (bounded per-user partitions) pairs each event with its
+    // successor; the (from, to) count matrix is event-type-vocabulary
+    // sized, so the normalizing per-from window runs over a BOUNDED
+    // relation (contrast the banned partitionless doc-level windows).
+    // Counts are BIGINT-exact; the one division is double-by-double.
+    Q("q_transition_matrix",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val m = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("nxt", lead(col("event_type"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("nxt").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        m.select(col("from_type"), col("to_type"), col("n"),
+            (col("n").cast("double") /
+              sum(col("n")).over(Window.partitionBy(col("from_type")))
+                .cast("double")).as("p"))
+          .orderBy(col("from_type"), col("to_type"))
+      },
+      Some("""WITH s AS (
+         |  SELECT event_type,
+         |    lead(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS nxt
+         |  FROM events),
+         |m AS (
+         |  SELECT event_type AS from_type, nxt AS to_type,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM s WHERE nxt IS NOT NULL GROUP BY from_type, nxt)
+         |SELECT from_type, to_type, n,
+         |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type)
+         |    AS DOUBLE) AS p
+         |FROM m ORDER BY from_type, to_type""".stripMargin)),
+
     Q("q_anomaly_hours",
       (s, d) => {
         val hourly = Tables.events(s, d)
