@@ -403,6 +403,56 @@ object RelationalQueries {
 
     // Exact interpolated percentiles (both engines: pos = p*(n-1),
     // v = lower + frac*(higher-lower) over the sorted values).
+    // Key-skew profiling — the diagnostic that decides WHEN to reach for
+    // q_skew_salted_join's salting (or AQE skew handling): per-key
+    // frequency distribution of a prospective join/shuffle key. Two
+    // aggregates, both bounded: per-key counts (map-side combinable),
+    // then one 1-row rollup whose exact-percentile buffer is O(distinct
+    // keys) — the key-cardinality relation, not the row count. top10n
+    // comes from the bounded TopKAgg buffer, not a global sort. The
+    // verdict ratios (max/p50, p99/p50) are single double divisions over
+    // exact interpolated percentiles (quantile_cont parity per
+    // q_percentiles).
+    Q("q_skew_report",
+      (s, d) => {
+        val perKey = Tables.events(s, d)
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        perKey.agg(
+            count(lit(1)).as("n_keys"),
+            sum(col("n")).cast("long").as("n_rows"),
+            max(col("n")).as("max_n"),
+            percentile(col("n"), array(lit(0.5), lit(0.99))).as("ps"),
+            graft.functions.VectorOps.topK(
+              col("n").cast("double"), col("user_id"), 10).as("topk"))
+          .select(col("n_keys"), col("n_rows"), col("max_n"),
+            element_at(col("ps"), 1).as("p50_n"),
+            element_at(col("ps"), 2).as("p99_n"),
+            aggregate(col("topk"), lit(0.0),
+              (acc, x) => acc + x.getField("score")).cast("long")
+              .as("top10_n"),
+            (col("max_n").cast("double") / element_at(col("ps"), 1))
+              .as("max_over_p50"),
+            (element_at(col("ps"), 2) / element_at(col("ps"), 1))
+              .as("p99_over_p50"))
+      },
+      Some("""WITH pk AS (
+         |  SELECT user_id, CAST(count(*) AS BIGINT) AS n
+         |  FROM events GROUP BY user_id),
+         |t10 AS (
+         |  SELECT CAST(sum(n) AS BIGINT) AS top10_n FROM (
+         |    SELECT n FROM pk ORDER BY n DESC, user_id LIMIT 10)),
+         |r AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         |    CAST(sum(n) AS BIGINT) AS n_rows,
+         |    CAST(max(n) AS BIGINT) AS max_n,
+         |    quantile_cont(n, [0.5, 0.99]) AS ps
+         |  FROM pk)
+         |SELECT n_keys, n_rows, max_n, ps[1] AS p50_n, ps[2] AS p99_n,
+         |  t10.top10_n,
+         |  CAST(max_n AS DOUBLE) / ps[1] AS max_over_p50,
+         |  ps[2] / ps[1] AS p99_over_p50
+         |FROM r, t10""".stripMargin)),
+
     Q("q_percentiles",
       (s, d) => Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
