@@ -120,6 +120,35 @@ class PlanGuardSpec extends SparkSpec {
     assert(broadcasts(p) >= 4, "all four dims should broadcast at this SF")
   }
 
+  test("q_scd2: one exchange — the aggregate reuses the window's partitioning") {
+    val p = finalPlan(SparkEntry.queries("q_scd2")(spark, sf001))
+    assert(shuffles(p) == 1,
+      s"history build must be one key shuffle (window + agg co-partitioned):\n${p.toString.take(1500)}")
+    assert(p.toString.contains("TakeOrderedAndProject"), "top-k pushdown lost")
+  }
+
+  test("q_phrase_search: term filter precedes the single doc-key shuffle") {
+    val p = finalPlan(SparkEntry.queries("q_phrase_search")(spark, sf001))
+    assert(shuffles(p) == 1,
+      s"postings consumer must shuffle once, post-filter:\n${p.toString.take(1500)}")
+    val s = p.toString
+    // the IN(table, scan) predicate must sit below the exchange (narrow),
+    // not above it — i.e. the filter string appears in the plan at all
+    // and no second corpus pass exists (single parquet scan)
+    assert(s.contains("tok#") && s.contains(" IN (table,scan)"),
+      s"term filter missing:\n${s.take(1500)}")
+    assert("FileScan parquet".r.findAllIn(s).size == 1,
+      "phrase search must read the corpus exactly once")
+  }
+
+  test("q_inverted_index: posting heads come from the bounded topk partial aggregate") {
+    val p = finalPlan(SparkEntry.queries("q_inverted_index")(spark, sf001))
+    assert(shuffles(p) == 2,
+      s"(term,doc) tf + per-term rollup — exactly two exchanges:\n${p.toString.take(1500)}")
+    assert(p.toString.contains("partial_topk"),
+      "posting head must be the map-side-partial TopKAgg, not a collect+slice")
+  }
+
   test("q_knn_filtered: metadata predicate reaches the parquet scan") {
     val df = SparkEntry.queries("q_knn_filtered")(spark, sf001)
     df.collect()

@@ -204,6 +204,31 @@ class StreamingSpec extends SparkSpec {
     assert(pairs == Set((0L, 1L), (0L, 2L), (1L, 2L)))
   }
 
+  test("streaming transitions changelog rolls up to the batch Markov matrix") {
+    import org.apache.spark.sql.functions.col
+    val trans = graft.streaming.StreamTransitions
+      .runOnce(spark, sf001, "trans_test")
+    val streamed = graft.streaming.StreamTransitions.matrix(trans)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val batch = SparkEntry.queries("q_transition_matrix")(spark, sf001)
+      .select(col("from_type"), col("to_type"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"stream-only=${(streamed -- batch).take(5)} batch-only=${(batch -- streamed).take(5)}")
+    // cross-batch transitions survived: the per-user emitted count must be
+    // exactly (events - 1), which only holds if no boundary pair was lost
+    val perUser = trans.groupBy(col("user_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val events = Tables.events(spark, sf001)
+      .groupBy(col("user_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(events.forall { case (u, n) => perUser.getOrElse(u, 0L) == n - 1 },
+      "a cross-micro-batch transition was lost or duplicated")
+  }
+
   test("streaming EWMA is bit-equal to the batch fold across micro-batches") {
     // alpha = 1/2: every fold step is a power-of-two scaling, so the
     // per-trigger incremental fold must reproduce the batch
