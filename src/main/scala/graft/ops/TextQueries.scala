@@ -1116,6 +1116,113 @@ object TextQueries {
     // TRIGRAM-shingle vocabulary (the unigram vocab here is 31 words, all
     // seen in the first bucket — degenerate; the n-gram vocabulary is what
     // a tokenizer/BPE merge budget actually tracks): shingles first seen
+    // Robust outlier gate — MAD (median absolute deviation) instead of
+    // the z-scores of q_anomaly_hours: the data-cleaning statistic that
+    // survives the very outliers it hunts. Two passes by nature (the MAD
+    // needs the median first): per-lang exact interpolated medians
+    // (quantile_cont parity per q_percentiles; the exact percentile
+    // buffer is O(docs-per-lang) — q_percentiles_approx documents the
+    // bounded-buffer scale path), each joined back as a BROADCAST
+    // lang-keyed 5-row table so the corpus side never shuffles. Doc
+    // features are a narrow HOF projection (no tokenize explode).
+    // Deviations are integer-minus-interpolated-median doubles with
+    // identical op order on both engines.
+    Q("q_outlier_mad",
+      (s, d) => {
+        val f = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          size(filter(split(col("text"), " "), x => x =!= ""))
+            .cast("long").as("nt"))
+        val med = f.groupBy(col("lang"))
+          .agg(percentile(col("nt"), lit(0.5)).as("med"))
+        val dev = f.join(broadcast(med), "lang")
+          .select(col("lang"), col("nt"), col("med"),
+            abs(col("nt").cast("double") - col("med")).as("dev"))
+        val mad = dev.groupBy(col("lang"))
+          .agg(percentile(col("dev"), lit(0.5)).as("mad"))
+        dev.join(broadcast(mad), "lang")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("med")).as("med_toks"),
+            min(col("mad")).as("mad_toks"),
+            sum(when(col("dev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+              .cast("long").as("n_outliers"))
+          .select(col("lang"), col("n_docs"), col("med_toks"),
+            col("mad_toks"), col("n_outliers"),
+            (col("n_outliers").cast("double") / col("n_docs").cast("double"))
+              .as("outlier_rate"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH f AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+         |      AS BIGINT) AS nt
+         |  FROM documents),
+         |m AS (SELECT lang, quantile_cont(nt, 0.5) AS med
+         |      FROM f GROUP BY lang),
+         |dv AS (
+         |  SELECT f.lang, nt, med,
+         |    abs(CAST(nt AS DOUBLE) - med) AS dev
+         |  FROM f JOIN m USING (lang)),
+         |md AS (SELECT lang, quantile_cont(dev, 0.5) AS mad
+         |       FROM dv GROUP BY lang)
+         |SELECT dv.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  min(med) AS med_toks, min(mad) AS mad_toks,
+         |  CAST(sum(CASE WHEN dev > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_outliers,
+         |  CAST(sum(CASE WHEN dev > 3.0 * mad THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS outlier_rate
+         |FROM dv JOIN md USING (lang)
+         |GROUP BY dv.lang ORDER BY dv.lang""".stripMargin)),
+
+    // Pearson correlation between doc features (length vs vocabulary
+    // richness) from BIGINT-exact moments — the q_anomaly_hours pattern
+    // extended to the cross-moment: all six sums are integer aggregates
+    // (map-side combinable, one shuffle), and the correlation is
+    // assembled in doubles with identical op order on both engines. Doc
+    // features are narrow HOFs (no explode). At 100 TB the BIGINT
+    // products approach 2^63 only when k*Sxy does — route the sums
+    // through DECIMAL(38,0) there; the shape is unchanged.
+    Q("q_feature_corr",
+      (s, d) => {
+        val tf = filter(split(col("text"), " "), x => x =!= "")
+        Tables.documents(s, d)
+          .select(col("lang"),
+            size(tf).cast("long").as("x"),
+            size(array_distinct(tf)).cast("long").as("y"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("k"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"),
+            sum(col("x") * col("y")).as("sxy"))
+          .select(col("lang"), col("k"), col("sx"), col("sy"),
+            ((col("k") * col("sxy") - col("sx") * col("sy")).cast("double")
+              / (sqrt((col("k") * col("sxx") - col("sx") * col("sx"))
+                  .cast("double"))
+                * sqrt((col("k") * col("syy") - col("sy") * col("sy"))
+                  .cast("double")))).as("corr_len_uniq"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH f AS (
+         |  SELECT lang,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+         |      AS BIGINT) AS x,
+         |    CAST(len(list_distinct(list_filter(string_split(text, ' '),
+         |      x -> x <> ''))) AS BIGINT) AS y
+         |  FROM documents),
+         |mo AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS k,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x*x) AS BIGINT) AS sxx,
+         |    CAST(sum(y*y) AS BIGINT) AS syy,
+         |    CAST(sum(x*y) AS BIGINT) AS sxy
+         |  FROM f GROUP BY lang)
+         |SELECT lang, k, sx, sy,
+         |  CAST(k*sxy - sx*sy AS DOUBLE)
+         |    / (sqrt(CAST(k*sxx - sx*sx AS DOUBLE))
+         |       * sqrt(CAST(k*syy - sy*sy AS DOUBLE))) AS corr_len_uniq
+         |FROM mo ORDER BY lang""".stripMargin)),
+
     // per 50-doc bucket + the cumulative vocabulary size. One
     // min-aggregate over (shingle, first_doc), a bucket count, and a
     // running-total window over the handful of bucket rows.
