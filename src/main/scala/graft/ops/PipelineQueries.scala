@@ -168,6 +168,93 @@ object PipelineQueries {
          |  CAST(count(*) AS BIGINT) AS n_pairs
          |FROM pairs""".stripMargin)),
 
+    // The full curation funnel — the engine's operators composed the way
+    // a real training-data build runs them, with EXACT stage-by-stage
+    // accounting the oracle recomputes end-to-end: total -> exact-dedup
+    // keepers -> quality gate (length + uniq-ratio; thresholds sit at
+    // ~p10 of the corpus so the gate is non-vacuous at every SF) ->
+    // train split -> 8-gram decontamination against the test split.
+    // Scale shape: every stage is a filter/aggregate over the previous
+    // one; the only join is the decontamination shingle-hash equi-join
+    // (q_decontaminate's shape, here restricted to the surviving train
+    // docs); the output is five 1-row aggregates unioned. Dup classes
+    // share identical text, so keeper features aggregate with min();
+    // the keeper's OWN split bucket comes from min_by (arg_min).
+    Q("q_curation_funnel",
+      (s, d) => {
+        val toksF = filter(split(col("text"), " "), t => t =!= "")
+        val f = Tables.documents(s, d).select(col("doc_id"),
+          md5(col("text")).as("th"), bucket("split:", 100).as("b"),
+          size(toksF).cast("long").as("nt"),
+          (size(array_distinct(toksF)).cast("double") / size(toksF))
+            .as("ur"))
+        val keepers = f.groupBy(col("th")).agg(
+          min(col("doc_id")).as("doc_id"),
+          min_by(col("b"), col("doc_id")).as("b"),
+          min(col("nt")).as("nt"), min(col("ur")).as("ur"))
+        val quality = keepers.filter(col("nt") >= 16 && col("ur") > 0.30)
+        val train = quality.filter(col("b") < 80)
+        val dd = decontDocs(s, d)
+        val contam = gramHashes(dd, "train")
+          .join(train.select(col("doc_id").as("train_doc")), "train_doc")
+          .join(gramHashes(dd, "test").select(col("gh")).distinct(), "gh")
+          .select(col("train_doc")).distinct()
+        val clean = train.join(
+          contam.withColumnRenamed("train_doc", "doc_id"),
+          Seq("doc_id"), "left_anti")
+        def stage(df: DataFrame, name: String) =
+          df.agg(count(lit(1)).as("n_docs"))
+            .select(lit(name).as("stage"), col("n_docs"))
+        stage(Tables.documents(s, d), "0_total")
+          .unionAll(stage(keepers, "1_dedup"))
+          .unionAll(stage(quality, "2_quality"))
+          .unionAll(stage(train, "3_train"))
+          .unionAll(stage(clean, "4_decontaminated"))
+          .orderBy(col("stage"))
+      },
+      Some(s"""WITH f AS (
+         |  SELECT doc_id, text, md5(text) AS th,
+         |    ${bucketSql("split:", 100)} AS b,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+         |      AS BIGINT) AS nt,
+         |    CAST(len(list_distinct(list_filter(string_split(text, ' '),
+         |      x -> x <> ''))) AS DOUBLE)
+         |      / CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+         |        AS BIGINT) AS ur
+         |  FROM documents),
+         |k AS (
+         |  SELECT min(doc_id) AS doc_id, arg_min(b, doc_id) AS b,
+         |    min(nt) AS nt, min(ur) AS ur
+         |  FROM f GROUP BY th),
+         |q AS (SELECT * FROM k WHERE nt >= 16 AND ur > 0.30),
+         |tr AS (SELECT * FROM q WHERE b < 80),
+         |dt AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t,
+         |    ${bucketSql("split:", 100)} AS b
+         |  FROM documents),
+         |d8 AS (SELECT * FROM dt WHERE len(t) >= 8),
+         |grams AS (
+         |  SELECT doc_id, b, ${OracleSql.hexToLong("md5(g)", 1, 15)} AS gh FROM (
+         |    SELECT DISTINCT doc_id, b,
+         |      unnest(list_transform(generate_series(1, len(t) - 7),
+         |        i -> array_to_string(t[i:i+7], ' '))) AS g
+         |    FROM d8)),
+         |contam AS (
+         |  SELECT DISTINCT g1.doc_id
+         |  FROM grams g1 JOIN grams g2 ON g1.gh = g2.gh
+         |  WHERE g2.b >= 90 AND g1.doc_id IN (SELECT doc_id FROM tr)),
+         |clean AS (
+         |  SELECT * FROM tr
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM contam))
+         |SELECT '0_total' AS stage, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM documents
+         |UNION ALL SELECT '1_dedup', CAST(count(*) AS BIGINT) FROM k
+         |UNION ALL SELECT '2_quality', CAST(count(*) AS BIGINT) FROM q
+         |UNION ALL SELECT '3_train', CAST(count(*) AS BIGINT) FROM tr
+         |UNION ALL SELECT '4_decontaminated', CAST(count(*) AS BIGINT)
+         |FROM clean
+         |ORDER BY stage""".stripMargin)),
+
     // Bloom-filter decontamination — the sketch-side formulation of the
     // same check, completing the sketch family (HLL: q_approx_distinct;
     // CMS: q_heavy_hitters; Bloom: here). The test split's 8-gram hashes
