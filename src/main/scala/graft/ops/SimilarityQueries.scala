@@ -165,6 +165,44 @@ object SimilarityQueries {
            |SELECT qid, vec_id, score, rn FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
       }),
 
+    // Filtered ANN at the index tier — the composition production vector
+    // stores call "filtered search": a metadata predicate (here a shard
+    // predicate independent of the geometry, vec_id % 3 = 0) applies
+    // INSIDE the probed cell BEFORE scoring, so the filter prunes work
+    // rather than post-filtering results (the k results are the true
+    // top-k of the filtered candidate set, not a filtered top-k). Same
+    // single-cell probe shape as q_ivf_search; the predicate is a narrow
+    // filter between the cell join and the score.
+    Q("q_ivf_filtered",
+      (s, d) => {
+        val assigned = cellAssignments(s, d)
+        val queries = assigned.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            col("cell"))
+        val wTop = Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("vec_id"))
+        queries.join(assigned.filter(col("vec_id") % 3 === 0), "cell")
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            VectorOps.cosineFloat(col("qe"), col("embedding")).as("score"))
+          .withColumn("rn", row_number().over(wTop).cast("long"))
+          .filter(col("rn") <= 3)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some {
+        s"""WITH $asgCtes,
+           |qq AS (SELECT vec_id AS qid, embedding AS qe, cell FROM asg WHERE vec_id < 5),
+           |cand AS (
+           |  SELECT qq.qid, a.vec_id, ${OracleSql.floatCos("qq.qe", "a.embedding")} AS score
+           |  FROM qq JOIN asg a USING (cell)
+           |  WHERE a.vec_id <> qq.qid AND a.vec_id % 3 = 0),
+           |r AS (
+           |  SELECT qid, vec_id, score,
+           |    CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rn
+           |  FROM cand)
+           |SELECT qid, vec_id, score, rn FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+      }),
+
     // ANN via sign-bucket LSH: per-query top-3 within the query's bucket.
     Q("q_ann_bucket",
       (s, d) => {
