@@ -155,7 +155,14 @@ object Bench {
     // dedup queries), 2 = r6+ (value = sum of per-query MINS with untimed
     // inter-query GC; total_median kept for v1 comparisons; labels build
     // reported separately). Compare like with like across rounds.
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","protocol":2,"reps":$REPS,"stat":"min","total_median":$totalMedian%.3f,"labels_build_sec":$labelsBuildSec%.3f,"queries":$qs,"ref_search_qps_50k":$refQpsLocal%.0f,"ref_batch_qps_50k":$refQpsBatch%.0f,"ref_concurrent_qps_50k":$refQpsConc%.0f,"ref_pq_qps_50k":$refQpsPq%.0f,"baseline_ref_qps_50k":1100,"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","protocol":2,"reps":$REPS,"stat":"min","total_median":$totalMedian%.3f,"labels_build_sec":$labelsBuildSec%.3f,"queries":$qs,"ref_search_qps_50k":$refQpsLocal%.0f,"ref_batch_qps_50k":$refQpsBatch%.0f,"ref_concurrent_qps_50k":$refQpsConc%.0f,"ref_pq_qps_50k":$refQpsPq%.0f,"baseline_ref_qps_50k":1100,"sf":"$sfDir"}"""
+    println(line)
+    // The stdout line outgrew the driver's capture window in r7 (the board
+    // kept only the tail, losing total/protocol/30 timings) — also persist
+    // the full object where the round artifacts live.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/bench_last.json"), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: $e") }
     spark.stop()
   }
 }

@@ -36,13 +36,30 @@ object Tables {
     * sessions set spark.sql.legacy.parquet.nanosAsLong=true and we convert
     * here via integer division (floor for positive epochs) to micros — the
     * same truncation DuckDB applies reading nanos into its micros TIMESTAMP. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = read(s, d, "events")
-    import org.apache.spark.sql.functions.{expr, timestamp_micros}
-    import org.apache.spark.sql.types.LongType
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventTs(read(s, d, "events"))
+
+  /** Normalize the events `ts` column to TimestampType (UTC micros),
+    * branching on how the fixture was read:
+    *  - LongType: parquet TIMESTAMP(NANOS) under nanosAsLong=true → integer
+    *    division to micros (floor for positive epochs — the truncation DuckDB
+    *    applies reading nanos into its micros TIMESTAMP);
+    *  - TimestampNTZType: parquet timestamp[us] without isAdjustedToUTC; the
+    *    session timezone is pinned UTC (Sessions.scala) so the cast is an
+    *    exact reinterpretation.
+    * Every consumer (batch queries, streaming twins) goes through this, so
+    * downstream epoch conversions (unix_micros, window()) see ONE type
+    * regardless of which physical representation the fixture carries. */
+  def normalizeEventTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")

@@ -12,13 +12,24 @@ object Verify {
       if (args.length > 2) Some(args(2).split(',').toSet) else None
     val spark = Sessions.fromEnv("4", appName = "graft-verify")
     new java.io.File(outDir).mkdirs()
+    // A failing query MUST leave a loud artifact: an output dir containing an
+    // _ERROR sentinel (and no parquet), plus a "failed" entry in
+    // oracle_sql.json. The driver's DuckDB compare then records an err row
+    // instead of silently dropping the query from the board (r7 postmortem:
+    // 4 broken queries vanished and the board read 107/107 green).
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[verify] $name FAILED: $msg")
+        failed(name) = msg.linesIterator.take(3).mkString(" | ")
+        val dir = Paths.get(s"$outDir/$name")
+        Files.createDirectories(dir)
+        Files.writeString(dir.resolve("_ERROR"), msg)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -36,6 +47,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Sidecar listing the failures (empty object when all green) — keeps
+    // oracle_sql.json's schema stable for the driver while making any
+    // breakage grep-able from the artifact dir.
+    val failedJson = failed
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_failed.json"), failedJson)
+    if (failed.nonEmpty)
+      System.err.println(
+        s"[verify] ${failed.size} of ${SparkEntry.queries.size} queries FAILED: " +
+          failed.keys.mkString(", "))
     spark.stop()
   }
 }

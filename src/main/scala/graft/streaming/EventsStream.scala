@@ -12,18 +12,16 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** Raw parquet schema of the events table (ts read as nanos-long under
-    * spark.sql.legacy.parquet.nanosAsLong=true, converted to micros here). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** Raw schema of the events table, read from the parquet footer — the
+    * fixture has carried both TIMESTAMP(NANOS) (→ LongType under
+    * nanosAsLong=true) and timestamp[us] (→ TimestampNTZType) across rounds,
+    * and the file stream needs an explicit schema, so derive it from the
+    * actual file rather than pinning one representation. */
+  def rawSchema(spark: SparkSession, dir: String): StructType =
+    spark.read.parquet(s"$dir/events.parquet").schema
 
-  private def normalize(df: DataFrame): DataFrame =
-    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** Type-driven ts normalization shared with the batch path. */
+  def normalize(df: DataFrame): DataFrame = graft.Tables.normalizeEventTs(df)
 
   /** The shared (stream-or-batch) transform: hourly tumbling-window counts
     * and value sums per event type, watermarked 30 minutes. */
@@ -38,7 +36,7 @@ object EventsStream {
   /** Streaming read of the events parquet. The file source wants a
     * directory, so stream the sf dir with a glob pinned to the events file. */
   def readStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(rawSchema)
+    spark.readStream.schema(rawSchema(spark, dir))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
 
@@ -56,5 +54,52 @@ object EventsStream {
 
   /** Batch twin of runOnce for equivalence checks. */
   def batch(spark: SparkSession, dir: String): DataFrame =
-    windowedAgg(spark.read.schema(rawSchema).parquet(s"$dir/events.parquet"))
+    windowedAgg(spark.read.parquet(s"$dir/events.parquet"))
+
+  /** Sliding (hopping) event-time windows — the streaming twin of
+    * q_hopping_windows (RelationalQueries): 4-hour windows hopping hourly,
+    * each event assigned to its 4 covering windows. The value sum routes
+    * through DECIMAL(25,6) exactly like the batch query's H.dsum, so the
+    * total is order-independent and the stream result is BIT-equal to the
+    * batch fold no matter how the rows split across micro-batches. */
+  def hoppingAgg(events: DataFrame): DataFrame =
+    normalize(events)
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "4 hours", "1 hour"))
+      .agg(count(lit(1)).as("n"), graft.ops.H.dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("n"), col("sum_value"))
+
+  /** Run the hopping aggregation across TWO micro-batches split on the
+    * median event time (complete mode — every window's final total is in
+    * the last emitted snapshot). */
+  def runOnceHopping(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    val inPath = java.nio.file.Files.createTempDirectory("hop-in")
+    try {
+      val raw = normalize(spark.read.parquet(s"$dir/events.parquet"))
+      val cut = raw.agg(expr("percentile_approx(unix_micros(ts), 0.5)"))
+        .collect().head.getLong(0)
+      raw.filter(unix_micros(col("ts")) <= cut).coalesce(1)
+        .write.mode("append").parquet(inPath.toString)
+      raw.filter(unix_micros(col("ts")) > cut).coalesce(1)
+        .write.mode("append").parquet(inPath.toString)
+      val stream = spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inPath.toString)
+      val q = hoppingAgg(stream)
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(queryName)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      spark.table(queryName)
+    } finally {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      Files.walk(inPath).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
+
+  /** Batch twin of runOnceHopping. */
+  def batchHopping(spark: SparkSession, dir: String): DataFrame =
+    hoppingAgg(spark.read.parquet(s"$dir/events.parquet"))
 }

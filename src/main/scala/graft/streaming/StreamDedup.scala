@@ -50,8 +50,7 @@ object StreamDedup {
     * at-least-once sources where duplicates arrive close together
     * (retransmits), trading unbounded exactness for bounded state. */
   def dedupEventsWithinWatermark(events: DataFrame): DataFrame =
-    events
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    EventsStream.normalize(events)
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 

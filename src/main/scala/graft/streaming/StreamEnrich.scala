@@ -24,8 +24,7 @@ object StreamEnrich {
     * The aggregate keeps the output bounded (#segments rows) so the memory
     * sink in tests stays tiny; `complete` mode re-emits totals. */
   def purchasesBySegment(events: DataFrame, dim: DataFrame): DataFrame =
-    events
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    EventsStream.normalize(events)
       .filter(col("event_type") === "purchase")
       .join(broadcast(dim), Seq("user_id"), "left")
       .groupBy(coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
@@ -33,9 +32,7 @@ object StreamEnrich {
 
   /** Run the streaming enrichment to completion over the static file. */
   def runOnce(spark: SparkSession, dir: String, queryName: String): DataFrame = {
-    val stream = spark.readStream.schema(EventsStream.rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val stream = EventsStream.readStream(spark, dir)
     val q = purchasesBySegment(stream, dim(spark, dir))
       .writeStream.outputMode("complete")
       .format("memory").queryName(queryName)
@@ -47,6 +44,5 @@ object StreamEnrich {
 
   def batch(spark: SparkSession, dir: String): DataFrame =
     purchasesBySegment(
-      spark.read.schema(EventsStream.rawSchema).parquet(s"$dir/events.parquet"),
-      dim(spark, dir))
+      spark.read.parquet(s"$dir/events.parquet"), dim(spark, dir))
 }

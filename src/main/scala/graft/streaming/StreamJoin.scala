@@ -13,8 +13,7 @@ object StreamJoin {
 
   /** Shared transform (works on streaming or batch inputs). */
   def purchaseClickJoin(events: DataFrame): DataFrame = {
-    val base = events
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val base = EventsStream.normalize(events)
     val clicks = base.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
       .withWatermark("c_ts", "1 hour")
@@ -32,9 +31,7 @@ object StreamJoin {
 
   /** Run the streaming join to completion on the static events file. */
   def runOnce(spark: SparkSession, dir: String, queryName: String): DataFrame = {
-    val stream = spark.readStream.schema(EventsStream.rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val stream = EventsStream.readStream(spark, dir)
     val q = purchaseClickJoin(stream)
       .writeStream.outputMode("append")
       .format("memory").queryName(queryName)
@@ -45,6 +42,5 @@ object StreamJoin {
   }
 
   def batch(spark: SparkSession, dir: String): DataFrame =
-    purchaseClickJoin(
-      spark.read.schema(EventsStream.rawSchema).parquet(s"$dir/events.parquet"))
+    purchaseClickJoin(spark.read.parquet(s"$dir/events.parquet"))
 }

@@ -27,22 +27,12 @@ object StreamTransitions {
       ts: java.sql.Timestamp, event_type: String)
   final case class TransRow(user_id: Long, from_type: String, to_type: String)
 
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // TIMESTAMP(NANOS) parquet read as long
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** Per-user transition emission: state carries the last event type
     * across triggers so a user's cross-batch transition is not lost. */
   def transitions(events: DataFrame): Dataset[TransRow] = {
     import events.sparkSession.implicits._
-    events
-      .select(col("user_id"), col("event_id"),
-        timestamp_micros(expr("ts div 1000")).as("ts"),
-        col("event_type"))
+    EventsStream.normalize(events)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
       .as[EvRow]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
@@ -70,15 +60,19 @@ object StreamTransitions {
     val inPath = java.nio.file.Files.createTempDirectory("trans-in")
     val inDir = inPath.toString
     try {
-      val raw = spark.read.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-      val cut = raw.agg(expr("percentile_approx(ts, 0.5)"))
+      // Normalize BEFORE splitting so the micro-batch files carry plain
+      // TimestampType regardless of the fixture's physical representation;
+      // the stream then reads the normalized schema and transitions()'s
+      // normalize is a no-op.
+      val raw = EventsStream.normalize(
+        spark.read.parquet(s"$dir/events.parquet"))
+      val cut = raw.agg(expr("percentile_approx(unix_micros(ts), 0.5)"))
         .collect().head.getLong(0)
-      raw.filter(col("ts") <= cut).coalesce(1)
+      raw.filter(unix_micros(col("ts")) <= cut).coalesce(1)
         .write.mode("append").parquet(inDir)
-      raw.filter(col("ts") > cut).coalesce(1)
+      raw.filter(unix_micros(col("ts")) > cut).coalesce(1)
         .write.mode("append").parquet(inDir)
-      val stream = spark.readStream.schema(rawSchema)
+      val stream = spark.readStream.schema(raw.schema)
         .option("maxFilesPerTrigger", 1).parquet(inDir)
       val q = transitions(stream)
         .toDF()

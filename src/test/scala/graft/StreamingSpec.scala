@@ -17,6 +17,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming hopping (sliding) windows are bit-equal to batch across a micro-batch split") {
+    // Two micro-batches cut on the median event time; the decimal-routed
+    // sum makes the per-window totals order-independent, so every field —
+    // including the double sum_value — must match the batch twin exactly.
+    val streamed = EventsStream.runOnceHopping(spark, sf001, "ev_hop_test")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = EventsStream.batchHopping(spark, sf001)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+    // and the twin really is q_hopping_windows' aggregation: the top-20
+    // rows by (n desc, w_start) reproduce the oracle-gated query.
+    val q = SparkEntry.queries("q_hopping_windows")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val top = streamed.toSeq
+      .map { case (w, n, s) => (w.getTime * 1000L, n, s) }
+      .sortBy { case (w, n, _) => (-n, w) }.take(20)
+    assert(top == q)
+  }
+
   test("streaming ingestion feeds the validated VectorStore insert path") {
     val st = graft.store.VectorStore.create(spark, 64)
     val n = graft.streaming.StreamIngest.ingestOnce(spark, sf001, st)
@@ -39,7 +61,8 @@ class StreamingSpec extends SparkSpec {
     java.nio.file.Files.copy(src, dir.resolve("a.parquet"))
     java.nio.file.Files.copy(src, dir.resolve("b.parquet"))
     val stream = spark.readStream
-      .schema(graft.streaming.EventsStream.rawSchema).parquet(dir.toString)
+      .schema(graft.streaming.EventsStream.rawSchema(spark, sf001))
+      .parquet(dir.toString)
     val q = graft.streaming.StreamDedup.dedupEventsWithinWatermark(stream)
       .writeStream.outputMode("append")
       .format("memory").queryName("wm_dedup_test")
@@ -47,8 +70,7 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable()
     q.stop()
     val kept = spark.table("wm_dedup_test")
-    val distinctIds = spark.read
-      .schema(graft.streaming.EventsStream.rawSchema).parquet(dir.toString)
+    val distinctIds = spark.read.parquet(dir.toString)
       .select("event_id").distinct().count()
     assert(kept.count() == distinctIds, "one event per id must survive")
     assert(kept.select("event_id").distinct().count() == kept.count())
