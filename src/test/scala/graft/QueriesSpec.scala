@@ -140,6 +140,16 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(qnames))
   }
 
+  test("every registered query carries an oracle (full board, no rows-only rows)") {
+    // the r7 postmortem: a query absent from the board read as green.
+    // Lock the denominator: |queries| == |oracleSql| == |registry|, so a
+    // query can only leave the board by an explicit registry change, and
+    // none degrade to the weaker rows-only check.
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries with no oracle: $missing")
+    assert(SparkEntry.queries.size == SparkEntry.registry.size)
+  }
+
   test("registry names are unique (a duplicate would silently drop a query)") {
     val names = SparkEntry.registry.map(_.name)
     assert(names.distinct.size == names.size,

@@ -19,8 +19,21 @@ def main(out_dir, sf_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = n_noora = 0
+    # registry<->board completeness: every oracle key must have an output
+    # dir (a query that fails at analysis time writes an _ERROR sentinel,
+    # see Verify.scala — it must show up RED here, never be absent)
+    dirs = {os.path.basename(d) for d in glob.glob(os.path.join(out_dir, "q*"))}
+    for missing in sorted(set(oracle) - dirs):
+        n_fail += 1
+        print(f"FAIL {missing}: no output dir (query never ran?)")
     for qdir in sorted(glob.glob(os.path.join(out_dir, "q*"))):
         name = os.path.basename(qdir)
+        err = os.path.join(qdir, "_ERROR")
+        if os.path.exists(err):
+            n_fail += 1
+            msg = open(err).read().splitlines()[:1]
+            print(f"FAIL {name}: _ERROR: {msg[0] if msg else '(empty)'}")
+            continue
         got = pq.read_table(qdir).to_pandas()
         got = got.reindex(sorted(got.columns), axis=1)
         if name not in oracle:
