@@ -157,4 +157,27 @@ class PlanGuardSpec extends SparkSpec {
       scans.contains("EqualTo(label,2)"),
       s"filter not pushed:\n${scans.take(1500)}")
   }
+
+  test("q_asof_join: ONE user-key shuffle (window formulation, no range self-join)") {
+    // the scalable as-of shape: union + last_value window over user
+    // partitions; a regression to a range self-join would add exchanges
+    // and explode pair volume at scale
+    val p = finalPlan(SparkEntry.queries("q_asof_join")(spark, sf001))
+    assert(shuffles(p) <= 2, s"asof must be window-shaped (user shuffle + sort):\n$p")
+    assert(p.toString.contains("RunningWindowFunction") ||
+      p.toString.contains("Window"), "window formulation lost")
+  }
+
+  test("q_hopping_windows: narrow hop expansion, one aggregate shuffle, bounded top-k") {
+    val p = finalPlan(SparkEntry.queries("q_hopping_windows")(spark, sf001))
+    assert(shuffles(p) == 1,
+      s"only the window-start aggregate may shuffle (hop expansion is narrow):\n$p")
+    assert(p.toString.contains("TakeOrderedAndProject"),
+      "top-20 must push down, not global-sort")
+  }
+
+  test("q_events_hourly: one tumbling-window aggregate exchange plus the output sort") {
+    val p = finalPlan(SparkEntry.queries("q_events_hourly")(spark, sf001))
+    assert(shuffles(p) <= 2, s"tumbling agg must be one keyed exchange + sort:\n$p")
+  }
 }
