@@ -39,6 +39,48 @@ class StreamingSpec extends SparkSpec {
     assert(top == q)
   }
 
+  test("hopping-window aggregate state survives a checkpointed restart") {
+    // run 1 consumes the first half of the events, stops; run 2 resumes
+    // from the SAME checkpoint over the full directory. The window state
+    // store must restore run-1's partial (count, decimal-sum) state so the
+    // final complete-mode snapshot equals the batch fold over EVERYTHING —
+    // any lost or doubled partial breaks the bit-equality.
+    import org.apache.spark.sql.functions.{col, unix_micros, expr}
+    val inDir = java.nio.file.Files.createTempDirectory("hop-ckpt-in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("hop-ckpt").toString
+    val raw = EventsStream.normalize(
+      spark.read.parquet(s"$sf001/events.parquet"))
+    val cut = raw.agg(expr("percentile_approx(unix_micros(ts), 0.5)"))
+      .collect().head.getLong(0)
+    raw.filter(unix_micros(col("ts")) <= cut).coalesce(1)
+      .write.mode("append").parquet(inDir)
+
+    def run(name: String): Unit = {
+      val q = EventsStream.hoppingAgg(
+        spark.readStream.schema(raw.schema).parquet(inDir))
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+
+    run("hop_ckpt_1")
+    val half = spark.table("hop_ckpt_1").count()
+    raw.filter(unix_micros(col("ts")) > cut).coalesce(1)
+      .write.mode("append").parquet(inDir)
+    run("hop_ckpt_2")
+
+    val streamed = spark.table("hop_ckpt_2").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = EventsStream.batchHopping(spark, sf001).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(half > 0 && streamed.nonEmpty)
+    assert(streamed == batch,
+      "restored window state does not reproduce the batch fold")
+  }
+
   test("streaming ingestion feeds the validated VectorStore insert path") {
     val st = graft.store.VectorStore.create(spark, 64)
     val n = graft.streaming.StreamIngest.ingestOnce(spark, sf001, st)
