@@ -7,10 +7,12 @@ import org.apache.spark.sql.SparkSession
   *
   * Session-critical flags live here so a new entry point can never miss
   * them — in particular `spark.sql.legacy.parquet.nanosAsLong`, which
-  * `Tables.events` relies on to read the fixture's TIMESTAMP(NANOS)
-  * column: without it Spark 4 fails the read outright, and with it but
-  * without the `Tables.events` micros conversion a LongType ts would
-  * silently flow into timestamp queries.
+  * lets a TIMESTAMP(NANOS) events fixture (the r<=7 vintage) read as
+  * nanos-long instead of failing outright, and the pinned UTC timezone,
+  * which makes `Tables.normalizeEventTs`'s NTZ→TIMESTAMP cast for the
+  * current timestamp[us] vintage an exact reinterpretation. Either way
+  * a raw ts must flow through `Tables.events` / `normalizeEventTs`
+  * before any timestamp query sees it.
   */
 object Sessions {
 
