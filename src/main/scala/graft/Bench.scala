@@ -161,7 +161,7 @@ object Bench {
     // kept only the tail, losing total/protocol/30 timings) — also persist
     // the full object where the round artifacts live.
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/bench_last.json"), line + "\n")
+      java.nio.file.Paths.get("bench_last.json"), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: $e") }
     spark.stop()
   }

@@ -32,10 +32,9 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = read(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = read(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = read(s, d, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark 4 won't read natively;
-    * sessions set spark.sql.legacy.parquet.nanosAsLong=true and we convert
-    * here via integer division (floor for positive epochs) to micros — the
-    * same truncation DuckDB applies reading nanos into its micros TIMESTAMP. */
+  /** The ONLY sanctioned read path for the events table: the fixture's `ts`
+    * has shipped in multiple physical vintages (see normalizeEventTs), so a
+    * raw read must never flow into a timestamp query. */
   def events(s: SparkSession, d: String): DataFrame =
     normalizeEventTs(read(s, d, "events"))
 

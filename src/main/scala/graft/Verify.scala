@@ -13,10 +13,10 @@ object Verify {
     val spark = Sessions.fromEnv("4", appName = "graft-verify")
     new java.io.File(outDir).mkdirs()
     // A failing query MUST leave a loud artifact: an output dir containing an
-    // _ERROR sentinel (and no parquet), plus a "failed" entry in
-    // oracle_sql.json. The driver's DuckDB compare then records an err row
-    // instead of silently dropping the query from the board (r7 postmortem:
-    // 4 broken queries vanished and the board read 107/107 green).
+    // _ERROR sentinel (and no parquet), plus an entry in verify_failed.json.
+    // The driver's DuckDB compare then records an err row instead of
+    // silently dropping the query from the board (r7 postmortem: 4 broken
+    // queries vanished and the board read 107/107 green).
     val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -27,9 +27,16 @@ object Verify {
         val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
         System.err.println(s"[verify] $name FAILED: $msg")
         failed(name) = msg.linesIterator.take(3).mkString(" | ")
-        val dir = Paths.get(s"$outDir/$name")
-        Files.createDirectories(dir)
-        Files.writeString(dir.resolve("_ERROR"), msg)
+        // sentinel write is best-effort: an environmental failure (disk
+        // full, unwritable outDir) must degrade THIS query's artifact,
+        // not abort the run and lose everyone else's
+        try {
+          val dir = Paths.get(s"$outDir/$name")
+          Files.createDirectories(dir)
+          Files.writeString(dir.resolve("_ERROR"), msg)
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name sentinel write failed: $e2")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -44,7 +51,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // under a local-iteration filter, restrict the oracle dump to the
+    // filtered queries so the compare tool's completeness check (every
+    // oracle key must have an output dir) stays meaningful; the driver
+    // always runs unfiltered and gets the full registry
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Sidecar listing the failures (empty object when all green) — keeps

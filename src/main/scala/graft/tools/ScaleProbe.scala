@@ -1,9 +1,7 @@
 package graft.tools
 
 import graft.{Sessions, SparkEntry, Tables}
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 
 /** Dev tool: measured GROWTH of the scale-critical queries across the three
   * driver fixtures (sf0.001 → sf0.01 → sf0.1 — two real 10x corpus steps,
@@ -16,7 +14,9 @@ import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExcha
   *
   * Wall time at small SFs is fixed-overhead dominated (query compile,
   * task dispatch floor ~0.1-0.3s) — shuffle bytes are the honest scaling
-  * signal, wall ratios are reported for completeness.
+  * signal, wall ratios are reported for completeness. NOTE the documents
+  * table is 500 rows at BOTH sf0.001 and sf0.01 (FIXTURES.md), so
+  * document-based queries have ONE real 10x step.
   *
   * Usage: runMain graft.tools.ScaleProbe [query ...]
   * (defaults to the dedup/ANN/text candidate-generation family)
@@ -34,52 +34,46 @@ object ScaleProbe {
     "/root/testdata/sf0.01" -> 0.01,
     "/root/testdata/sf0.1" -> 0.1)
 
-  private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
-    val wrapped: Seq[SparkPlan] = p match {
-      case q: QueryStageExec => Seq(q.plan)
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case r: ReusedExchangeExec => Seq(r.child)
-      case _ => Nil
-    }
-    p +: (p.children ++ p.subqueries ++ wrapped).flatMap(collectAll)
-  }
-
   def main(args: Array[String]): Unit = {
     val names = if (args.nonEmpty) args.toSeq else DefaultQueries
     val spark = Sessions.fromEnv("32", appName = "graft-scale-probe")
-    Sfs.foreach { case (dir, _) => Tables.documents(spark, dir).count() } // warm
+    try {
+      Sfs.foreach { case (dir, _) => Tables.documents(spark, dir).count() } // warm
 
-    println(f"${"query"}%-20s ${"sf"}%6s ${"wall_s"}%8s ${"shufMB"}%9s ${"wall x/step"}%12s ${"shuf x/step"}%12s")
-    names.foreach { name =>
-      val q = SparkEntry.registry.find(_.name == name).getOrElse {
-        System.err.println(s"[scale] unknown query $name"); null
-      }
-      if (q != null) {
-        var prev: Option[(Double, Double)] = None
-        Sfs.foreach { case (dir, sf) =>
-          // rep 1 warms (codegen/compile), rep 2 is the measurement
-          val wall = (1 to 2).map { _ =>
-            val t0 = System.nanoTime()
-            q.fn(spark, dir).write.format("noop").mode("overwrite").save()
-            (System.nanoTime() - t0) / 1e9
-          }.min
-          val df = q.fn(spark, dir)
-          df.collect()
-          val shufMB = collectAll(df.queryExecution.executedPlan).distinct
-            .filter(_.isInstanceOf[ShuffleExchangeLike])
-            .flatMap(_.metrics.get("dataSize").map(_.value)).sum / 1048576.0
-          spark.catalog.clearCache()
-          System.gc()
-          val (wr, sr) = prev match {
-            case Some((pw, ps)) =>
-              (f"${wall / pw}%.1f", if (ps > 0.001) f"${shufMB / ps}%.1f" else "n/a")
-            case None => ("-", "-")
-          }
-          println(f"$name%-20s $sf%6s $wall%8.2f $shufMB%9.3f $wr%12s $sr%12s")
-          prev = Some((wall, shufMB))
+      println(f"${"query"}%-20s ${"sf"}%6s ${"wall_s"}%8s ${"shufMB"}%9s ${"wall x/step"}%12s ${"shuf x/step"}%12s")
+      names.foreach { name =>
+        SparkEntry.registry.find(_.name == name) match {
+          case None => System.err.println(s"[scale] unknown query $name")
+          case Some(q) =>
+            var prev: Option[(Double, Double)] = None
+            Sfs.foreach { case (dir, sf) =>
+              try {
+                // rep 1 warms (codegen/compile), rep 2 is the measurement
+                val wall = (1 to 2).map { _ =>
+                  val t0 = System.nanoTime()
+                  q.fn(spark, dir).write.format("noop").mode("overwrite").save()
+                  (System.nanoTime() - t0) / 1e9
+                }.min
+                val df = q.fn(spark, dir)
+                df.collect()
+                val shufMB = PlanWalk.countAndBytes(df.queryExecution.executedPlan)(
+                  _.isInstanceOf[ShuffleExchangeLike])._2 / 1048576.0
+                spark.catalog.clearCache()
+                System.gc()
+                val (wr, sr) = prev match {
+                  case Some((pw, ps)) =>
+                    (f"${wall / pw}%.1f", if (ps > 0.001) f"${shufMB / ps}%.1f" else "n/a")
+                  case None => ("-", "-")
+                }
+                println(f"$name%-20s $sf%6s $wall%8.2f $shufMB%9.3f $wr%12s $sr%12s")
+                prev = Some((wall, shufMB))
+              } catch { case e: Throwable =>
+                System.err.println(s"[scale] $name @ sf$sf: $e")
+                prev = None
+              }
+            }
         }
       }
-    }
-    spark.stop()
+    } finally spark.stop()
   }
 }

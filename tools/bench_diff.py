@@ -36,14 +36,25 @@ def load(path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     thresh = 0.3
     absec = 0.4
-    for i, a in enumerate(sys.argv):
-        if a == "--thresh":
-            thresh = float(sys.argv[i + 1])
-        if a == "--abs":
-            absec = float(sys.argv[i + 1])
+    args = []
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        if argv[i] in ("--thresh", "--abs"):
+            if i + 1 >= len(argv):
+                sys.exit(f"{argv[i]} needs a value")
+            if argv[i] == "--thresh":
+                thresh = float(argv[i + 1])
+            else:
+                absec = float(argv[i + 1])
+            i += 2
+        else:
+            args.append(argv[i])
+            i += 1
+    if len(args) != 2:
+        sys.exit("usage: bench_diff.py OLD.json NEW.json [--thresh R] [--abs S]")
     old, new = load(args[0]), load(args[1])
     oq, nq = old.get("queries", {}), new.get("queries", {})
     both = sorted(set(oq) & set(nq))
@@ -57,8 +68,11 @@ def main():
         print(f"added ({len(only_new)}): {', '.join(only_new)}")
     shared_old = sum(oq[k] for k in both)
     shared_new = sum(nq[k] for k in both)
-    print(f"shared {len(both)} queries: {shared_old:.1f}s -> {shared_new:.1f}s "
-          f"({(shared_new / shared_old - 1) * 100:+.0f}%)")
+    if both and shared_old > 0:
+        print(f"shared {len(both)} queries: {shared_old:.1f}s -> {shared_new:.1f}s "
+              f"({(shared_new / shared_old - 1) * 100:+.0f}%)")
+    else:
+        print("no shared queries with nonzero old time - nothing to compare")
     movers = []
     for k in both:
         a, b = oq[k], nq[k]
