@@ -182,7 +182,7 @@ object PipelineQueries {
     // the keeper's OWN split bucket comes from min_by (arg_min).
     Q("q_curation_funnel",
       (s, d) => {
-        val toksF = filter(split(col("text"), " "), t => t =!= "")
+        val toksF = array_remove(split(col("text"), " "), "")
         val f = Tables.documents(s, d).select(col("doc_id"),
           md5(col("text")).as("th"), bucket("split:", 100).as("b"),
           size(toksF).cast("long").as("nt"),
@@ -592,7 +592,7 @@ object PipelineQueries {
         val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val dd = Tables.documents(s, d).select(col("doc_id"), col("lang"),
-          size(filter(split(col("text"), " "), x => x =!= ""))
+          size(array_remove(split(col("text"), " "), ""))
             .cast("long").as("n_tok"))
         val c = dd.withColumn("cum_prev",
           sum(col("n_tok")).over(w) - col("n_tok"))
@@ -685,7 +685,7 @@ object PipelineQueries {
     Q("q_chunk_windows",
       (s, d) => {
         val dd = Tables.documents(s, d).select(col("doc_id"), col("lang"),
-          size(filter(split(col("text"), " "), x => x =!= ""))
+          size(array_remove(split(col("text"), " "), ""))
             .cast("long").as("n_tok"))
         val ch = dd.select(col("doc_id"), col("lang"), col("n_tok"),
           explode(sequence(lit(0L),

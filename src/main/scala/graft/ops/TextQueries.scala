@@ -856,7 +856,7 @@ object TextQueries {
     // tokset CTE (which loses them at the unnest).
     Q("q_simhash",
       (s, d) => {
-        val toksArr = array_distinct(filter(split(col("text"), " "), t => t =!= ""))
+        val toksArr = array_distinct(array_remove(split(col("text"), " "), ""))
         Tables.documents(s, d)
           .select(col("doc_id"), toksArr.as("toks"))
           .filter(size(col("toks")) > 0)
@@ -969,7 +969,7 @@ object TextQueries {
     Q("q_token_count",
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"),
-          size(filter(split(col("text"), " "), t => t =!= "")).cast("long").as("ws_tokens"),
+          size(array_remove(split(col("text"), " "), "")).cast("long").as("ws_tokens"),
           size(regexp_extract_all(col("text"), lit("[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
             .cast("long").as("bpe_tokens"),
           octet_length(col("text")).cast("long").as("n_bytes"))
@@ -1130,7 +1130,7 @@ object TextQueries {
     Q("q_outlier_mad",
       (s, d) => {
         val f = Tables.documents(s, d).select(col("doc_id"), col("lang"),
-          size(filter(split(col("text"), " "), x => x =!= ""))
+          size(array_remove(split(col("text"), " "), ""))
             .cast("long").as("nt"))
         val med = f.groupBy(col("lang"))
           .agg(percentile(col("nt"), lit(0.5)).as("med"))
@@ -1184,7 +1184,7 @@ object TextQueries {
     // through DECIMAL(38,0) there; the shape is unchanged.
     Q("q_feature_corr",
       (s, d) => {
-        val tf = filter(split(col("text"), " "), x => x =!= "")
+        val tf = array_remove(split(col("text"), " "), "")
         Tables.documents(s, d)
           .select(col("lang"),
             size(tf).cast("long").as("x"),
