@@ -41,6 +41,26 @@ case class SimHash32Expr(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** array<string> -> array<string>: distinct word-trigram shingles, first-
+  * occurrence order (the codegen twin of array_distinct(transform(
+  * sequence(...), concat_ws))) — see TextKernels.shingle3). */
+case class Shingle3Expr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextTypeCheck.stringArray(child, prettyName)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle3"
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.shingle3(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.shingle3($c)")
+
+  override protected def withNewChildInternal(c: Expression): Shingle3Expr =
+    copy(child = c)
+}
+
 /** string -> bigint: first 60 bits of md5 (compact shuffle key). */
 case class Md5Prefix60Expr(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =

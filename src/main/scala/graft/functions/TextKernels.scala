@@ -45,6 +45,35 @@ object TextKernels {
     sim
   }
 
+  private val Space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  /** Distinct word-trigram shingles of a token array, order of first
+    * occurrence — exactly `array_distinct(transform(sequence(0, n-3),
+    * i -> concat_ws(' ', t[i+1], t[i+2], t[i+3])))` for n >= 3 tokens
+    * (callers filter shorter rows upstream; n < 3 yields an empty array
+    * here rather than the HOF's element_at(0) error). One pass, one
+    * LinkedHashSet; exists because ArrayTransform/ArraySequence are
+    * CodegenFallback and this is the dedup pipeline's hottest projection. */
+  def shingle3(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    if (n < 3)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    var i = 0
+    while (i <= n - 3) {
+      seen.add(org.apache.spark.unsafe.types.UTF8String.concatWs(Space,
+        toks.getUTF8String(i), toks.getUTF8String(i + 1),
+        toks.getUTF8String(i + 2)))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** First 60 bits of md5(s) as a non-negative long — exactly
     * `conv(substring(md5(s), 1, 15), 16, 10)`: 15 hex chars = 60 bits.
     * Used as a compact join key for shingle-equality joins (8-byte shuffle

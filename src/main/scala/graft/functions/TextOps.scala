@@ -15,6 +15,9 @@ object TextOps {
   /** array<string> -> bigint: 32-bit SimHash (md5 bit votes, one pass). */
   def simhash32(toks: Column): Column = c(SimHash32Expr(e(toks)))
 
+  /** array<string> -> array<string>: distinct word-trigram shingles. */
+  def shingle3(toks: Column): Column = c(Shingle3Expr(e(toks)))
+
   /** string -> bigint: first 60 bits of md5, ==
     * conv(substring(md5(s),1,15),16,10) — a compact long shuffle key. */
   def md5Prefix60(s: Column): Column = c(Md5Prefix60Expr(e(s)))

@@ -46,13 +46,14 @@ object TextQueries {
 
   /** Distinct word-trigram shingle array over a token-array column (assumes
     * >= 3 tokens upstream). Shared by the hand-rolled MinHash pipeline and
-    * the MLlib LSH twin (MLQueries). */
-  def shingleArray(t: Column): Column =
-    array_distinct(transform(sequence(lit(0), size(t) - 3),
-      i => concat_ws(" ",
-        element_at(t, i + 1),
-        element_at(t, i + 2),
-        element_at(t, i + 3))))
+    * the MLlib LSH twin (MLQueries). Backed by the codegen'd Shingle3Expr —
+    * the former array_distinct(transform(sequence(...))) formulation is
+    * semantically identical (KernelPropertiesSpec property-checks the
+    * equivalence) but ArrayTransform/ArraySequence are CodegenFallback,
+    * which dropped the dedup pipeline's hottest projection out of
+    * whole-stage codegen; the kernel took ~20% off the whole
+    * minhash/jaccard family (isolated QTime, sf0.1). */
+  def shingleArray(t: Column): Column = graft.functions.TextOps.shingle3(t)
 
   /** Oracle twin of `shingles` (shared with MLQueries' q_mllib_minhash
     * truth-set oracle). */

@@ -167,4 +167,23 @@ class KernelPropertiesSpec extends AnyFunSuite {
         VectorKernels.pqAdc(anyCodes, lutZ, k) == 0.0
     })
   }
+
+  test("shingle3 kernel equals the HOF formulation it replaced") {
+    // the codegen'd Shingle3Expr must reproduce array_distinct(transform(
+    // sequence(0, n-3), i -> concat_ws(' ', t[i+1], t[i+2], t[i+3])))
+    // exactly, including first-occurrence order
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val tokGen = Gen.listOf(Gen.oneOf("a", "b", "ab", "x", "yz", "q1"))
+    check("shingle3", Prop.forAll(tokGen) { toks =>
+      val arr = new GenericArrayData(
+        toks.map(t => UTF8String.fromString(t)).toArray[Any])
+      val got = graft.functions.TextKernels.shingle3(arr)
+      val want: Seq[String] =
+        if (toks.size < 3) Seq.empty
+        else toks.sliding(3).map(_.mkString(" ")).toSeq.distinct
+      (0 until got.numElements())
+        .map(i => got.getUTF8String(i).toString) == want
+    })
+  }
 }
