@@ -79,6 +79,28 @@ case class Md5Prefix60Expr(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** array<string> -> array<bigint> [top2, n2, dup3, n3]: token-level
+  * repetition statistics (modal-2-gram count, duplicated-3-gram position
+  * count — see TextKernels.repStats). Map-side per-row metrics: the whole
+  * repetition-quality gate needs zero shuffles before its final tiny
+  * per-language aggregate. */
+case class RepStatsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextTypeCheck.stringArray(child, prettyName)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rep_stats"
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.repStats(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.repStats($c)")
+
+  override protected def withNewChildInternal(c: Expression): RepStatsExpr =
+    copy(child = c)
+}
+
 /** bigint -> boolean: membership probe against a Bloom filter baked in as
   * a reference object (Spark's own org.apache.spark.util.sketch
   * BloomFilter — the engine-native mergeable set sketch, same family the

@@ -74,6 +74,44 @@ object TextKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  private val RepSum: java.util.function.BiFunction[Integer, Integer, Integer] =
+    (a: Integer, b: Integer) => Integer.valueOf(a.intValue() + b.intValue())
+
+  /** Token-level repetition statistics (the Gopher/Rae-et-al repetition
+    * quality rules, restated over whitespace tokens because the synthetic
+    * docs carry no line structure): returns [top2, n2, dup3, n3] where
+    *  - top2 = occurrences of the modal consecutive token 2-gram,
+    *  - n2   = total 2-gram positions (n-1),
+    *  - dup3 = 3-gram positions whose 3-gram occurs more than once,
+    *  - n3   = total 3-gram positions (n-2).
+    * top2/n2 is the "fraction in most common 2-gram" signal; dup3/n3 the
+    * "fraction in duplicated 3-grams" signal. One pass, two count maps;
+    * callers filter n < 3 upstream (shorter inputs yield zero counts, not
+    * errors). */
+  def repStats(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    val bi = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer]()
+    val tri = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer]()
+    var i = 0
+    while (i < n - 1) {
+      bi.merge(org.apache.spark.unsafe.types.UTF8String.concatWs(Space,
+        toks.getUTF8String(i), toks.getUTF8String(i + 1)), Integer.valueOf(1), RepSum)
+      if (i < n - 2)
+        tri.merge(org.apache.spark.unsafe.types.UTF8String.concatWs(Space,
+          toks.getUTF8String(i), toks.getUTF8String(i + 1),
+          toks.getUTF8String(i + 2)), Integer.valueOf(1), RepSum)
+      i += 1
+    }
+    var top2 = 0L
+    val bit = bi.values().iterator()
+    while (bit.hasNext) { val v = bit.next().longValue(); if (v > top2) top2 = v }
+    var dup3 = 0L
+    val tit = tri.values().iterator()
+    while (tit.hasNext) { val v = tit.next().longValue(); if (v > 1L) dup3 += v }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Long](top2, math.max(0, n - 1).toLong, dup3, math.max(0, n - 2).toLong))
+  }
+
   /** First 60 bits of md5(s) as a non-negative long — exactly
     * `conv(substring(md5(s), 1, 15), 16, 10)`: 15 hex chars = 60 bits.
     * Used as a compact join key for shingle-equality joins (8-byte shuffle

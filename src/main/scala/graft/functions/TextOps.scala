@@ -22,6 +22,10 @@ object TextOps {
     * conv(substring(md5(s),1,15),16,10) — a compact long shuffle key. */
   def md5Prefix60(s: Column): Column = c(Md5Prefix60Expr(e(s)))
 
+  /** array<string> -> array<bigint> [top2, n2, dup3, n3]: one-pass token
+    * repetition statistics (Gopher-style repetition quality signals). */
+  def repStats(toks: Column): Column = c(RepStatsExpr(e(toks)))
+
   /** bigint -> boolean: probe a (broadcast-sized) Bloom filter — the
     * codegen'd membership scan for sketch-side decontamination/blocklists. */
   def bloomMightContain(key: Column,

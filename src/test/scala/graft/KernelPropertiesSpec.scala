@@ -186,4 +186,26 @@ class KernelPropertiesSpec extends AnyFunSuite {
         .map(i => got.getUTF8String(i).toString) == want
     })
   }
+
+  test("repStats kernel equals the naive gram-count reference") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    // tiny alphabet so repeated grams actually occur
+    val tokGen = Gen.listOf(Gen.oneOf("a", "b", "c", "ab"))
+    check("repStats", Prop.forAll(tokGen) { toks =>
+      val arr = new GenericArrayData(
+        toks.map(t => UTF8String.fromString(t)).toArray[Any])
+      val got = graft.functions.TextKernels.repStats(arr)
+      def grams(n: Int): Seq[String] =
+        if (toks.size < n) Seq.empty
+        else toks.sliding(n).map(_.mkString(" ")).toSeq
+      val c2 = grams(2).groupBy(identity).view.mapValues(_.size)
+      val top2 = if (c2.isEmpty) 0L else c2.values.max.toLong
+      val dup3 = grams(3).groupBy(identity).values
+        .filter(_.size > 1).map(_.size.toLong).sum
+      Seq(got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3)) ==
+        Seq(top2, math.max(0, toks.size - 1).toLong, dup3,
+          math.max(0, toks.size - 2).toLong)
+    })
+  }
 }
