@@ -77,6 +77,21 @@ object PipelineQueries {
   final val QualityWeights: Array[Long] =
     Array.tabulate(QualityD)(i => ((i.toLong * 2654435761L) % 2001L) - 1000L)
 
+  /** q_rrf_fusion: five hybrid queries — qid (= the query vector's
+    * vec_id) with its own BM25 term pair, spanning the synthetic
+    * vocabulary's idf range. Declared BEFORE `all` (the registry's oracle
+    * strings interpolate it eagerly at object init). */
+  final val RrfQueries: Seq[(Int, Seq[String])] = Seq(
+    0 -> Seq("dup", "spark"), 1 -> Seq("join", "sort"),
+    2 -> Seq("stream", "window"), 3 -> Seq("hash", "merge"),
+    4 -> Seq("filter", "scan"))
+
+  /** RRF constant (the SIGIR-2009 default), per-list candidate depth,
+    * and fused rows kept per query. */
+  final val RrfK = 60
+  final val RrfDepth = 60
+  final val RrfTopN = 10
+
   val all: Seq[Q] = Seq(
 
     // Reproducible train/val/test split: md5(doc_id) mod 100 -> 80/10/10.
@@ -833,7 +848,149 @@ object PipelineQueries {
          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
          |  CAST(sum(CAST(top2_frac AS DECIMAL(25,12))) AS DOUBLE)/count(*) AS mean_top2_frac,
          |  CAST(sum(CAST(dup3_frac AS DECIMAL(25,12))) AS DOUBLE)/count(*) AS mean_dup3_frac
-         |FROM f GROUP BY lang ORDER BY lang""".stripMargin))
+         |FROM f GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Hybrid retrieval: reciprocal-rank fusion (Cormack/Clarke/Buettcher,
+    // SIGIR 2009) of a BM25 keyword ranking and an embedding-cosine
+    // ranking, per query. Five hybrid queries, each with its own term
+    // pair and its own query vector (embedding of vec_id = qid), over the
+    // universe of documents that carry an embedding (doc_id = vec_id).
+    // rrf(d) = 1/(K + rank_bm25(d)) + 1/(K + rank_vec(d)), K = 60,
+    // missing-list contributions are 0. Ranks are exact integers, so the
+    // fused score is bitwise-reproducible in both engines.
+    //
+    // Scale shape: the BM25 side is the q_bm25 plan (narrow per-term tf
+    // projection, 1-row stats broadcast, no token explode) stacked to 5
+    // queries in ONE scan; both rankings use TopKAgg (bounded per-
+    // partition state, O(depth) rows past the shuffle) — no corpus-sized
+    // window sort anywhere. The fusion join touches <= 5 x 60 rows/side.
+    Q("q_rrf_fusion",
+      (s, d) => {
+        val qterms = RrfQueries
+        val dterms = qterms.flatMap(_._2).distinct.sorted
+        val docs = Tables.documents(s, d)
+        val emb = Tables.embeddings(s, d)
+        val uni = docs.join(emb.select(col("vec_id").as("doc_id")), "doc_id")
+        val base = uni.select(col("doc_id"), split(col("text"), " ").as("t"))
+          .select(Seq(col("doc_id"), size(col("t")).cast("double").as("dl")) ++
+            dterms.map(tm =>
+              size(filter(col("t"), x => x === tm)).cast("double").as(s"tf_$tm")): _*)
+        val stats = base.agg(
+          count(lit(1)).cast("double").as("n_docs"),
+          Seq(sum(col("dl").cast("long")).as("sum_dl")) ++
+            dterms.map(tm =>
+              sum((col(s"tf_$tm") > 0).cast("long")).cast("double").as(s"df_$tm")): _*)
+        def sc(tm: String) =
+          log(lit(1.0) +
+              (col("n_docs") - col(s"df_$tm") + lit(0.5)) / (col(s"df_$tm") + lit(0.5))) *
+            ((col(s"tf_$tm") * lit(2.2)) /
+              (col(s"tf_$tm") + lit(1.2) *
+                (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") /
+                  (col("sum_dl").cast("double") / col("n_docs")))))
+        val wide = base.crossJoin(broadcast(stats))
+          .select(Seq(col("doc_id")) ++ qterms.flatMap { case (qid, ts) =>
+            val t2 = ts.sorted
+            Seq(round(t2.foldLeft(lit(0.0))((a, tm) => a + sc(tm)), 9).as(s"s_$qid"),
+              t2.map(tm => col(s"tf_$tm") > 0).reduce(_ || _).as(s"h_$qid"))
+          }: _*)
+        val bm = wide.selectExpr("doc_id",
+            s"stack(${qterms.size}, " +
+              qterms.map { case (q, _) => s"CAST($q AS BIGINT), s_$q, h_$q" }
+                .mkString(", ") + ") AS (qid, bscore, has)")
+          .filter(col("has"))
+        val br = bm.groupBy(col("qid"))
+          .agg(graft.functions.VectorOps.topK(col("bscore"), col("doc_id"), RrfDepth).as("top"))
+          .select(col("qid"), posexplode(col("top")).as(Seq("i", "t")))
+          .select(col("qid"), col("t.vec_id").as("doc_id"), (col("i") + 1).as("rb"))
+        val qv = emb.filter(col("vec_id") < qterms.size)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val ue = emb.join(uni.select(col("doc_id")), col("vec_id") === col("doc_id"))
+          .select(col("doc_id"), col("embedding"))
+        val vr = ue.join(broadcast(qv), col("doc_id") =!= col("qid"))
+          .select(col("qid"), col("doc_id"),
+            graft.functions.VectorOps.cosineFloat(col("qe"), col("embedding")).as("vscore"))
+          .groupBy(col("qid"))
+          .agg(graft.functions.VectorOps.topK(col("vscore"), col("doc_id"), RrfDepth).as("top"))
+          .select(col("qid"), posexplode(col("top")).as(Seq("i", "t")))
+          .select(col("qid"), col("t.vec_id").as("doc_id"), (col("i") + 1).as("rv"))
+        val fused = br.join(vr, Seq("qid", "doc_id"), "full_outer")
+          .select(col("qid"), col("doc_id"),
+            coalesce(col("rb"), lit(0)).cast("long").as("bm25_rank"),
+            coalesce(col("rv"), lit(0)).cast("long").as("vec_rank"),
+            (coalesce(lit(1.0) / (lit(RrfK) + col("rb")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(RrfK) + col("rv")), lit(0.0))).as("rrf"))
+        val wf = Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("doc_id"))
+        fused.withColumn("rn", row_number().over(wf)).filter(col("rn") <= RrfTopN)
+          .select(col("qid"), col("doc_id"), col("bm25_rank"), col("vec_rank"), col("rrf"))
+          .orderBy(col("qid"), col("rrf").desc, col("doc_id"))
+      },
+      Some {
+        val qtVals = RrfQueries.flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }
+          .mkString(", ")
+        s"""WITH qt(qid, tok) AS (VALUES $qtVals),
+           |u AS (
+           |  SELECT d.doc_id, string_split(d.text, ' ') AS t
+           |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+           |stats AS (
+           |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+           |    CAST(sum(len(t)) AS BIGINT) AS sum_dl FROM u),
+           |tf AS (
+           |  SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+           |  FROM (SELECT doc_id, unnest(t) AS tok FROM u)
+           |  WHERE tok IN (SELECT DISTINCT tok FROM qt) GROUP BY doc_id, tok),
+           |df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+           |scored AS (
+           |  SELECT q.qid, f.doc_id, f.tok,
+           |    ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+           |      ((f.tf * 2.2) /
+           |        (f.tf + 1.2 * (1.0 - 0.75 + 0.75 * CAST(len(u.t) AS DOUBLE) /
+           |          (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))) AS sc
+           |  FROM qt q
+           |  JOIN tf f ON f.tok = q.tok
+           |  JOIN df ON f.tok = df.tok
+           |  JOIN u ON f.doc_id = u.doc_id
+           |  CROSS JOIN stats s),
+           |bm AS (
+           |  SELECT qid, doc_id,
+           |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(sc ORDER BY tok)),
+           |      (a, b) -> a + b), 9) AS bscore
+           |  FROM scored GROUP BY qid, doc_id),
+           |br AS (
+           |  SELECT qid, doc_id, rn AS rb FROM (
+           |    SELECT qid, doc_id,
+           |      row_number() OVER (PARTITION BY qid ORDER BY bscore DESC, doc_id) AS rn
+           |    FROM bm) WHERE rn <= $RrfDepth),
+           |qq AS (
+           |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           |  WHERE vec_id < ${RrfQueries.size}),
+           |ue AS (
+           |  SELECT e.vec_id AS doc_id, e.embedding
+           |  FROM embeddings e JOIN u ON u.doc_id = e.vec_id),
+           |vsc AS (
+           |  SELECT qq.qid, ue.doc_id,
+           |    ${OracleSql.floatCos("qq.qe", "ue.embedding")} AS vscore
+           |  FROM qq JOIN ue ON ue.doc_id <> qq.qid),
+           |vr AS (
+           |  SELECT qid, doc_id, rn AS rv FROM (
+           |    SELECT qid, doc_id,
+           |      row_number() OVER (PARTITION BY qid ORDER BY vscore DESC, doc_id) AS rn
+           |    FROM vsc) WHERE rn <= $RrfDepth),
+           |fused AS (
+           |  SELECT COALESCE(br.qid, vr.qid) AS qid,
+           |    COALESCE(br.doc_id, vr.doc_id) AS doc_id,
+           |    COALESCE(br.rb, 0) AS bm25_rank, COALESCE(vr.rv, 0) AS vec_rank,
+           |    COALESCE(1.0/($RrfK + br.rb), 0.0) +
+           |      COALESCE(1.0/($RrfK + vr.rv), 0.0) AS rrf
+           |  FROM br FULL OUTER JOIN vr
+           |    ON br.qid = vr.qid AND br.doc_id = vr.doc_id)
+           |SELECT CAST(qid AS BIGINT) AS qid, CAST(doc_id AS BIGINT) AS doc_id,
+           |  CAST(bm25_rank AS BIGINT) AS bm25_rank,
+           |  CAST(vec_rank AS BIGINT) AS vec_rank, rrf
+           |FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS rn
+           |  FROM fused) WHERE rn <= $RrfTopN
+           |ORDER BY qid, rrf DESC, doc_id""".stripMargin
+      })
   )
 
   /** q_repetition_filter thresholds: a doc is flagged when its modal
