@@ -303,3 +303,83 @@ case class PqAdcExpr(left: Expression, right: Expression, k: Int)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcExpr =
     copy(left = l, right = r)
 }
+
+/** array<float> -> array<float>: y = x . R for a baked-in row-major
+  * dim x dim rotation (OPQ's learned orthogonal transform — see
+  * VectorKernels.rotateFloat). Codegen'd so the rotate+encode pipeline
+  * stays inside WholeStageCodegen. */
+case class RotateMatExpr(child: Expression, rotation: Array[Double])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeCheck.floatArray(child, prettyName)
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rotate_mat"
+
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(VectorKernels.rotateFloat(
+      v.asInstanceOf[ArrayData].toFloatArray(), rotation))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val rRef = ctx.addReferenceObj("rotation", rotation, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.VectorKernels.rotateFloat($c.toFloatArray(), $rRef))")
+  }
+
+  override protected def withNewChildInternal(c: Expression): RotateMatExpr =
+    copy(child = c)
+}
+
+/** array<float> -> array<double>: PQ reconstruction (decode of the
+  * row's nearest codes) — the Procrustes correlation's right factor. */
+case class PqReconstructExpr(child: Expression, codebook: Array[Double],
+    m: Int, k: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeCheck.floatArray(child, prettyName)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_reconstruct"
+
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(VectorKernels.pqReconstruct(
+      v.asInstanceOf[ArrayData].toFloatArray(), codebook, m, k))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", codebook, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.VectorKernels.pqReconstruct($c.toFloatArray(), " +
+        s"$cbRef, $m, $k))")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqReconstructExpr =
+    copy(child = c)
+}
+
+/** array<float> -> double: squared PQ quantization error of the row
+  * under a baked-in codebook — OPQ's training objective, aggregated to
+  * compare rotations at equal budget. */
+case class PqErrorExpr(child: Expression, codebook: Array[Double],
+    m: Int, k: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeCheck.floatArray(child, prettyName)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_error"
+
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.pqError(
+      v.asInstanceOf[ArrayData].toFloatArray(), codebook, m, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", codebook, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorKernels.pqError($c.toFloatArray(), $cbRef, $m, $k)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqErrorExpr =
+    copy(child = c)
+}

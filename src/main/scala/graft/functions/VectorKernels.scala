@@ -327,4 +327,66 @@ object VectorKernels {
     }
     acc
   }
+
+  // ---------------------------------------------------------------------
+  // OPQ (Ge et al., "Optimized Product Quantization", CVPR 2013): a
+  // learned orthogonal rotation applied before PQ so the subspace split
+  // aligns with the data's principal structure. The rotation is a flat
+  // row-major dim x dim double[] baked into codegen'd expressions; the
+  // kernels below are the per-row pieces (rotate; decode; residual error)
+  // — training's Procrustes step lives driver-side (64x64 SVD).
+  // ---------------------------------------------------------------------
+
+  /** y = x . R (row-vector convention: y_j = sum_i x_i R[i*dim+j]),
+    * accumulated in double, emitted as float so every downstream PQ
+    * kernel (which re-normalizes internally) sees the same physical type
+    * as an unrotated embedding. Rotation preserves the L2 norm, so
+    * normalize-then-rotate and rotate-then-normalize agree to float
+    * rounding. */
+  def rotateFloat(v: Array[Float], r: Array[Double]): Array[Float] = {
+    val d = v.length
+    require(r.length == d * d, s"rotation ${r.length} != $d*$d")
+    val out = new Array[Float](d)
+    var j = 0
+    while (j < d) {
+      var acc = 0.0
+      var i = 0
+      while (i < d) { acc += v(i).toDouble * r(i * d + j); i += 1 }
+      out(j) = acc.toFloat
+      j += 1
+    }
+    out
+  }
+
+  /** PQ reconstruction x^ = concat(centroid_code_sub): the decoded
+    * approximation of the normalized input under the codebook. The
+    * Procrustes correlation matrix X^T X^ is accumulated from this. */
+  def pqReconstruct(v: Array[Float], codebook: Array[Double], m: Int, k: Int): Array[Double] = {
+    val dim = v.length
+    val subdim = dim / m
+    val codes = pqCodes(v, codebook, m, k)
+    val out = new Array[Double](dim)
+    var sub = 0
+    while (sub < m) {
+      System.arraycopy(codebook, (sub * k + codes(sub)) * subdim, out, sub * subdim, subdim)
+      sub += 1
+    }
+    out
+  }
+
+  /** Squared quantization error ||normalize(v) - reconstruct(v)||^2 —
+    * the objective OPQ minimizes; measured per row, averaged by the
+    * caller to compare rotations at equal codebook budget. */
+  def pqError(v: Array[Float], codebook: Array[Double], m: Int, k: Int): Double = {
+    val nv = normalizeD(v)
+    val rec = pqReconstruct(v, codebook, m, k)
+    var acc = 0.0
+    var i = 0
+    while (i < nv.length) {
+      val diff = nv(i) - rec(i)
+      acc += diff * diff
+      i += 1
+    }
+    acc
+  }
 }

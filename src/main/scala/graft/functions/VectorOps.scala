@@ -73,6 +73,19 @@ object VectorOps {
   def pqAdc(codes: Column, lut: Column, k: Int): Column =
     c(PqAdcExpr(e(codes), e(lut), k))
 
+  /** array<float> -> array<float>: y = x . R for a row-major dim x dim
+    * rotation (OPQ's learned orthogonal transform). */
+  def rotateMat(v: Column, rotation: Array[Double]): Column =
+    c(RotateMatExpr(e(v), rotation))
+
+  /** array<float> -> array<double>: PQ reconstruction (decoded codes). */
+  def pqReconstruct(v: Column, codebook: Array[Double], m: Int, k: Int): Column =
+    c(PqReconstructExpr(e(v), codebook, m, k))
+
+  /** array<float> -> double: squared PQ quantization error of the row. */
+  def pqError(v: Column, codebook: Array[Double], m: Int, k: Int): Column =
+    c(PqErrorExpr(e(v), codebook, m, k))
+
   /** Bounded top-k aggregate: array<struct<vec_id,score>> of the k best
     * (score DESC, id ASC) pairs per group; partial-aggregates map-side so a
     * batched kNN shuffles only k rows per (group x partition). */

@@ -70,8 +70,16 @@ object PqQueries {
     trainCodebookOn(Tables.embeddings(spark, dir))
 
   /** As trainCodebook, over any (vec_id, embedding) DataFrame — shared
-    * with the at-rest IVF-PQ index (store/IvfPqIndex.scala). */
-  def trainCodebookOn(emb: DataFrame): Array[Double] = {
+    * with the at-rest IVF-PQ index (store/IvfPqIndex.scala). `iters`
+    * overrides the Lloyd's iteration count; `init` warm-starts from an
+    * existing codebook (the OPQ outer loop re-trains a few iterations
+    * after each rotation update instead of re-seeding — Ge et al.'s
+    * non-parametric alternation). */
+  def trainCodebookOn(emb: DataFrame): Array[Double] =
+    trainCodebookOn(emb, Iters, None)
+
+  def trainCodebookOn(emb: DataFrame, iters: Int,
+      init: Option[Array[Double]]): Array[Double] = {
     require(!emb.isEmpty, "PQ training requires a non-empty embeddings corpus")
     val dim = emb.select(size(col("embedding")).as("n")).head().getInt(0)
     require(dim % M == 0, s"dim $dim not divisible by M=$M")
@@ -85,22 +93,30 @@ object PqQueries {
 
     // init: the first K sampled vectors' normalized subvectors seed every
     // subspace (deterministic — hash order, not a random seed).
-    val seedRows = sample.limit(K).collect()
-    require(seedRows.length == K,
-      s"PQ training needs at least $K vectors, got ${seedRows.length}")
-    var cb = new Array[Double](M * K * subdim)
-    seedRows.zipWithIndex.foreach { case (r, c) =>
-      val nv = VectorKernels.normalizeD(
-        r.getSeq[Float](0).toArray)
-      var sub = 0
-      while (sub < M) {
-        System.arraycopy(nv, sub * subdim, cb, (sub * K + c) * subdim, subdim)
-        sub += 1
-      }
+    var cb = init match {
+      case Some(c0) =>
+        require(c0.length == M * K * subdim,
+          s"init codebook ${c0.length} != $M*$K*$subdim")
+        c0.clone()
+      case None =>
+        val seedRows = sample.limit(K).collect()
+        require(seedRows.length == K,
+          s"PQ training needs at least $K vectors, got ${seedRows.length}")
+        val c0 = new Array[Double](M * K * subdim)
+        seedRows.zipWithIndex.foreach { case (r, c) =>
+          val nv = VectorKernels.normalizeD(
+            r.getSeq[Float](0).toArray)
+          var sub = 0
+          while (sub < M) {
+            System.arraycopy(nv, sub * subdim, c0, (sub * K + c) * subdim, subdim)
+            sub += 1
+          }
+        }
+        c0
     }
 
     var it = 0
-    while (it < Iters) {
+    while (it < iters) {
       // one job: every (subspace, centroid, component) mean at once
       val means = sample
         .select(
@@ -142,14 +158,21 @@ object PqQueries {
     pqTop3WithCodebook(spark, dir, cb)
   }
 
-  private[ops] def pqTop3WithCodebook(
-      spark: SparkSession, dir: String, cb: Array[Double]): DataFrame = {
+  private[graft] def pqTop3WithCodebook(
+      spark: SparkSession, dir: String, cb: Array[Double],
+      rot: Option[Array[Double]] = None): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
+    // Under OPQ the stored codes and the query LUT both live in the
+    // rotated space; the exact rescore below stays on the ORIGINAL
+    // embeddings (cosine is rotation-invariant, and rescoring must be
+    // bit-identical to the brute-force oracle).
+    def inSpace(c: org.apache.spark.sql.Column) =
+      rot.map(r => VectorOps.rotateMat(c, r)).getOrElse(c)
     val codes = emb.select(col("vec_id"),
-      VectorOps.pqEncode(col("embedding"), cb, M, K).as("codes"))
+      VectorOps.pqEncode(inSpace(col("embedding")), cb, M, K).as("codes"))
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"),
-        VectorOps.pqLut(col("embedding"), cb, M, K).as("lut"))
+        VectorOps.pqLut(inSpace(col("embedding")), cb, M, K).as("lut"))
     val cand = codes
       .join(broadcast(queries), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
@@ -169,6 +192,142 @@ object PqQueries {
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
     rescored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
       .select(col("qid"), col("vec_id"), col("score"))
+  }
+
+  // ---------------------------------------------------------------------
+  // OPQ (Ge et al., "Optimized Product Quantization", CVPR 2013,
+  // non-parametric variant; the same alternation FAISS's OPQMatrix runs):
+  // learn an orthogonal dim x dim rotation R so the PQ subspace split
+  // aligns with the data, alternating
+  //   (1) fix R: a few distributed Lloyd's iterations on X.R (warm-
+  //       started from the previous codebook),
+  //   (2) fix the codebook: R <- Procrustes(X^T X^), the closed-form
+  //       orthogonal minimizer of ||X.R - X^||_F via SVD of the d x d
+  //       correlation matrix.
+  // Every data-sized step is a Spark job (rotate/encode/reconstruct are
+  // codegen'd row kernels; the correlation is an exact decimal-routed
+  // groupBy over TrainCap rows); the driver only ever holds d x d
+  // doubles (32 KiB at dim 64) and runs the 64x64 SVD — the MLlib-KMeans
+  // driver-footprint pattern. Constant-cost at 100 TB by the same
+  // TrainCap argument as PQ training.
+  // ---------------------------------------------------------------------
+
+  final val OpqOuter = 3
+  final val OpqInnerFirst = 4
+  final val OpqInner = 2
+
+  /** Total Lloyd's budget of the OPQ schedule — the plain-PQ baseline in
+    * q_opq_recall trains with the SAME budget so the error comparison
+    * isolates the rotation's contribution. */
+  final val OpqTotalIters: Int = OpqInnerFirst + (OpqOuter - 1) * OpqInner + OpqInner
+
+  /** q_opq_recall recall@3 floor. Measured (tools/OpqProbe, deterministic
+    * training): OPQ 0.967 / 1.000 / 0.800 at sf0.001 / 0.01 / 0.1 — at or
+    * above the equal-budget plain-PQ 0.900 / 0.933 / 0.767 at every SF.
+    * The floor sits >= 9 hits (of 30) below the weakest measurement. */
+  final val OpqRecallFloor = 0.5
+
+  /** OPQ must not *hurt* quantization error vs the equal-budget PQ
+    * baseline. Measured error ratio (tools/OpqProbe): 0.879 / 0.880 /
+    * 0.961 across the three SFs — the rotation genuinely helps even on
+    * this near-isotropic fixture. The invariant allows a hair of float
+    * noise rather than demanding strict improvement. */
+  final val OpqErrTol = 1.001
+
+  private val P43 = 8796093022208.0 // 2^43
+  private def dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+
+  private[ops] def identityRotation(dim: Int): Array[Double] = {
+    val r = new Array[Double](dim * dim)
+    var i = 0
+    while (i < dim) { r(i * dim + i) = 1.0; i += 1 }
+    r
+  }
+
+  /** Closed-form Procrustes step: for correlation M = X^T X^ (row-major),
+    * the orthogonal R maximizing tr(R^T M) is U V^T from M = U S V^T. */
+  private[ops] def procrustes(corr: Array[Double], dim: Int): Array[Double] = {
+    val mm = breeze.linalg.DenseMatrix.zeros[Double](dim, dim)
+    var i = 0
+    while (i < dim) {
+      var j = 0
+      while (j < dim) { mm(i, j) = corr(i * dim + j); j += 1 }
+      i += 1
+    }
+    val res = breeze.linalg.svd(mm)
+    val rm = res.U * res.Vt
+    val out = new Array[Double](dim * dim)
+    i = 0
+    while (i < dim) {
+      var j = 0
+      while (j < dim) { out(i * dim + j) = rm(i, j); j += 1 }
+      i += 1
+    }
+    out
+  }
+
+  /** Exact (decimal-routed, order-independent) correlation X^T X^ over the
+    * training sample: X = normalized originals, X^ = PQ reconstructions of
+    * the rotated rows. Two chained posexplodes fan each row into d^2
+    * (i, j, x_i * y_j) terms; the groupBy holds d^2 keys with map-side
+    * partials, and the collect is the d x d matrix itself. */
+  private def corrMatrix(sample: DataFrame, rot: Array[Double],
+      cb: Array[Double], dim: Int): Array[Double] = {
+    val rows = sample
+      .select(
+        posexplode(VectorOps.normalize(col("embedding"))).as(Seq("i", "x")),
+        VectorOps.pqReconstruct(
+          VectorOps.rotateMat(col("embedding"), rot), cb, M, K).as("y"))
+      .select(col("i"), col("x"), posexplode(col("y")).as(Seq("j", "yj")))
+      .groupBy(col("i"), col("j"))
+      .agg((sum(floor(col("x") * col("yj") * lit(P43)).cast(dec38))
+        .cast("double") / lit(P43)).as("s"))
+      .collect() // bounded: dim*dim rows (4096 at dim 64)
+    val out = new Array[Double](dim * dim)
+    rows.foreach(r => out(r.getInt(0) * dim + r.getInt(1)) = r.getDouble(2))
+    out
+  }
+
+  /** Train (rotation, codebook) with the non-parametric OPQ alternation.
+    * Deterministic end-to-end: hash-ordered sample, decimal-routed means
+    * and correlations, and a driver-side LAPACK SVD on one machine. */
+  def trainOpq(spark: SparkSession, dir: String): (Array[Double], Array[Double]) = {
+    val emb = Tables.embeddings(spark, dir)
+    val dim = emb.select(size(col("embedding")).as("n")).head().getInt(0)
+    val sample = emb
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(TrainCap)
+      .select(col("vec_id"), col("embedding"))
+      .cache()
+    var rot = identityRotation(dim)
+    var cb: Array[Double] = null
+    var outer = 0
+    while (outer < OpqOuter) {
+      val rotated = sample.select(col("vec_id"),
+        VectorOps.rotateMat(col("embedding"), rot).as("embedding"))
+      cb = trainCodebookOn(rotated,
+        if (outer == 0) OpqInnerFirst else OpqInner, Option(cb))
+      rot = procrustes(corrMatrix(sample, rot, cb, dim), dim)
+      outer += 1
+    }
+    // final codebook in the final rotation's space
+    val rotatedF = sample.select(col("vec_id"),
+      VectorOps.rotateMat(col("embedding"), rot).as("embedding"))
+    cb = trainCodebookOn(rotatedF, OpqInner, Option(cb))
+    sample.unpersist()
+    (rot, cb)
+  }
+
+  /** Mean squared quantization error over the training sample for a
+    * (rotation, codebook) pair — decimal-routed exact mean. */
+  private[graft] def meanPqError(emb: DataFrame, rot: Option[Array[Double]],
+      cb: Array[Double]): DataFrame = {
+    val v = rot.map(r => VectorOps.rotateMat(col("embedding"), r))
+      .getOrElse(col("embedding"))
+    emb.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(TrainCap)
+      .select(VectorOps.pqError(v, cb, M, K).as("e"))
+      .agg((sum(floor(col("e") * lit(P43)).cast(dec38))
+        .cast("double") / lit(P43) / count(lit(1))).as("mean_err"))
   }
 
   val all: Seq[Q] = Seq(
@@ -218,6 +377,73 @@ object PqQueries {
            |SELECT CAST(10 AS BIGINT) AS n_queries,
            |  CAST(1 AS BIGINT) AS results_complete,
            |  CAST(1 AS BIGINT) AS recall_ok,
+           |  CAST((SELECT len(embedding) FROM embeddings LIMIT 1) * 4 / $M AS BIGINT)
+           |    AS compression_x,
+           |  CAST(sum(CAST(floor(score * 8796093022208.0) AS DECIMAL(38,0))) AS DOUBLE)
+           |    / 8796093022208.0 / count(*) AS exact_mean_top3
+           |FROM exact""".stripMargin
+      }),
+
+    // OPQ: rotation-optimized PQ (Ge et al. 2013). Same invariant-reduced
+    // oracle as q_pq_recall, plus the published property the rotation is
+    // FOR: quantization error at equal Lloyd's budget must not regress vs
+    // plain PQ (opq_err_ok). The recall/completeness invariants gate the
+    // whole rotate->train->encode->ADC->rescore path; a broken Procrustes
+    // step or mis-applied rotation collapses recall or blows the error
+    // bound and fails the hash-match.
+    Q("q_opq_recall",
+      (s, d) => {
+        val (rot, opqCb) = trainOpq(s, d)
+        val approx = pqTop3WithCodebook(s, d, opqCb, Some(rot))
+          .select(col("qid"), col("vec_id"))
+        val emb = Tables.embeddings(s, d)
+        val dim = emb.select(size(col("embedding")).as("n")).head().getInt(0)
+        // equal-budget plain-PQ baseline for the error invariant
+        val pqCb = trainCodebookOn(emb, OpqTotalIters, None)
+        val q = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val sc = q.join(emb.select(col("vec_id"), col("embedding")),
+            col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            VectorOps.cosineFloat(col("qe"), col("embedding")).as("score"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+        val exact = sc.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        val exactAgg = exact.agg(
+          count(lit(1)).as("n_exact"),
+          (sum(floor(col("score") * lit(P43)).cast(dec38))
+            .cast("double") / lit(P43) / count(lit(1))).as("exact_mean_top3"))
+        val hits = exact.select(col("qid"), col("vec_id"))
+          .join(approx, Seq("qid", "vec_id"), "left_semi")
+          .agg(count(lit(1)).as("nhit"))
+        val nres = approx.agg(
+          countDistinct(col("qid")).as("n_queries"),
+          count(lit(1)).as("n_results"))
+        val errs = meanPqError(emb, None, pqCb).select(col("mean_err").as("pq_e"))
+          .crossJoin(meanPqError(emb, Some(rot), opqCb)
+            .select(col("mean_err").as("opq_e")))
+        nres.crossJoin(hits).crossJoin(exactAgg).crossJoin(errs)
+          .select(col("n_queries"),
+            (col("n_results") === col("n_exact")).cast("long").as("results_complete"),
+            (col("nhit").cast("double") / col("n_exact").cast("double")
+              >= lit(OpqRecallFloor)).cast("long").as("recall_ok"),
+            (col("opq_e") <= col("pq_e") * lit(OpqErrTol)).cast("long").as("opq_err_ok"),
+            lit(dim * 4L / M).as("compression_x"),
+            col("exact_mean_top3"))
+      },
+      Some {
+        val w = "row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id)"
+        s"""WITH qq AS (
+           |  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+           |sc AS (
+           |  SELECT qq.qid, e.vec_id, ${OracleSql.floatCos("qq.qe", "e.embedding")} AS score
+           |  FROM qq JOIN embeddings e ON e.vec_id <> qq.qid),
+           |exact AS (
+           |  SELECT qid, vec_id, score FROM (
+           |    SELECT qid, vec_id, score, $w AS rn FROM sc) t WHERE rn <= 3)
+           |SELECT CAST(10 AS BIGINT) AS n_queries,
+           |  CAST(1 AS BIGINT) AS results_complete,
+           |  CAST(1 AS BIGINT) AS recall_ok,
+           |  CAST(1 AS BIGINT) AS opq_err_ok,
            |  CAST((SELECT len(embedding) FROM embeddings LIMIT 1) * 4 / $M AS BIGINT)
            |    AS compression_x,
            |  CAST(sum(CAST(floor(score * 8796093022208.0) AS DECIMAL(38,0))) AS DOUBLE)

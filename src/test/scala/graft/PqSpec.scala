@@ -125,4 +125,52 @@ class PqSpec extends SparkSpec {
       .select(length(col("c")).as("n")).distinct().collect()
     assert(bytes.map(_.getInt(0)).toSeq == Seq(M))
   }
+
+  test("OPQ: learned rotation is orthogonal and norm-preserving") {
+    val (rot, _) = PqQueries.trainOpq(spark, sf001)
+    val dim = math.sqrt(rot.length).toInt
+    // R R^T = I to machine precision
+    for (i <- 0 until dim; j <- 0 until dim) {
+      var acc = 0.0
+      for (t <- 0 until dim) acc += rot(i * dim + t) * rot(j * dim + t)
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(acc - expect) < 1e-12, s"RR^T[$i,$j] = $acc")
+    }
+    // and the codegen'd rotate kernel preserves L2 norms (float rounding)
+    val v = Array.tabulate(dim)(i => (math.sin(i + 1) * 2).toFloat)
+    val rv = VectorKernels.rotateFloat(v, rot)
+    assert(math.abs(VectorKernels.l2norm(rv) - VectorKernels.l2norm(v)) < 1e-4)
+  }
+
+  test("OPQ training is bit-deterministic across runs") {
+    val (r1, c1) = PqQueries.trainOpq(spark, sf001)
+    val (r2, c2) = PqQueries.trainOpq(spark, sf001)
+    assert(r1.toSeq == r2.toSeq)
+    assert(c1.toSeq == c2.toSeq)
+  }
+
+  test("q_opq_recall registry invariants all hold (incl. error no-regress)") {
+    val r = SparkEntry.queries("q_opq_recall")(spark, sf001).collect().head
+    assert(r.getAs[Long]("n_queries") == 10L)
+    assert(r.getAs[Long]("results_complete") == 1L)
+    assert(r.getAs[Long]("recall_ok") == 1L)
+    assert(r.getAs[Long]("opq_err_ok") == 1L)
+    assert(r.getAs[Long]("compression_x") == 32L)
+    assert(r.getAs[Double]("exact_mean_top3") > 0.0)
+  }
+
+  test("pqReconstruct concatenates the coded centroids; pqError is its residual") {
+    val rnd = new scala.util.Random(7)
+    val dim = 64
+    val subdim = dim / M
+    val cb = Array.fill(M * K * subdim)(rnd.nextGaussian())
+    val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val codes = VectorKernels.pqCodes(v, cb, M, K)
+    val rec = VectorKernels.pqReconstruct(v, cb, M, K)
+    for (sub <- 0 until M; i <- 0 until subdim)
+      assert(rec(sub * subdim + i) == cb((sub * K + codes(sub)) * subdim + i))
+    val nv = VectorKernels.normalizeD(v)
+    val manual = nv.zip(rec).map { case (a, b) => (a - b) * (a - b) }.sum
+    assert(math.abs(VectorKernels.pqError(v, cb, M, K) - manual) < 1e-12)
+  }
 }
