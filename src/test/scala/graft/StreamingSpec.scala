@@ -81,6 +81,106 @@ class StreamingSpec extends SparkSpec {
       "restored window state does not reproduce the batch fold")
   }
 
+  test("transformWithState sessionizer emits exactly the watermark-sealed batch sessions") {
+    import graft.streaming.StreamSessions
+    val emitted = StreamSessions.runOnce(spark, sf001, "sess_tws_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val batchAll = StreamSessions.batchSessions(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(emitted.nonEmpty)
+    // every emitted session is a real batch session, bit-equal fields
+    assert(emitted.subsetOf(batchAll),
+      s"stream emitted ${emitted.diff(batchAll).take(3)} not in batch")
+    // the stream's contract: emit exactly the sessions the final
+    // watermark sealed (timer <= watermark; measured rule, see below) —
+    // the remainder is the still-open tail, bounded by the watermark lag
+    val maxTsUs = graft.Tables.events(spark, sf001)
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts")))).head().getLong(0)
+    val wmMs = maxTsUs / 1000L - 30L * 60 * 1000
+    def timerMs(sEndUs: Long): Long = (sEndUs + 999L) / 1000L
+    val sealedLe = batchAll.filter(s => timerMs(s._3) <= wmMs)
+    val sealedLt = batchAll.filter(s => timerMs(s._3) < wmMs)
+    assert(emitted == sealedLe || emitted == sealedLt,
+      s"emitted ${emitted.size} sessions; sealed(<=) ${sealedLe.size}, " +
+        s"sealed(<) ${sealedLt.size}; batch total ${batchAll.size}")
+    // and the tail the watermark could not seal is small and open-only
+    val open = batchAll.diff(emitted)
+    assert(open.forall(s => timerMs(s._3) >= wmMs))
+  }
+
+  test("transformWithState sessionizer state+timers survive a checkpointed restart") {
+    import graft.streaming.StreamSessions
+    import org.apache.spark.sql.functions._
+    val inPath = java.nio.file.Files.createTempDirectory("sess-restart-in")
+    val ckpt = java.nio.file.Files.createTempDirectory("sess-restart-ckpt").toString
+    try {
+      val raw = graft.Tables.events(spark, sf001)
+      val cut = raw.agg(expr("percentile_approx(unix_micros(ts), 0.5)"))
+        .collect().head.getLong(0)
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // append-mode recovery needs a replayable sink: the exactly-once
+      // file sink (the memory sink only recovers in complete mode)
+      val outDir = java.nio.file.Files.createTempDirectory("sess-restart-out")
+      try {
+        // run 1: first half only, checkpointed
+        raw.filter(unix_micros(col("ts")) <= cut).coalesce(1)
+          .write.mode("append").parquet(inPath.toString)
+        val schema = spark.read.parquet(inPath.toString).schema
+        val q1 = StreamSessions.sessions(
+            spark.readStream.schema(schema).parquet(inPath.toString)).toDF()
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .format("parquet").option("path", outDir.toString).start()
+        q1.processAllAvailable(); q1.stop()
+        val run1 = spark.read.parquet(outDir.toString).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        // run 2: resume from the same checkpoint over the full directory
+        raw.filter(unix_micros(col("ts")) > cut).coalesce(1)
+          .write.mode("append").parquet(inPath.toString)
+        val q2 = StreamSessions.sessions(
+            spark.readStream.schema(schema).parquet(inPath.toString)).toDF()
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .format("parquet").option("path", outDir.toString).start()
+        q2.processAllAvailable(); q2.stop()
+        val combined = spark.read.parquet(outDir.toString).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+        // exactly-once: no session row emitted twice across the restart
+        assert(combined.size == combined.toSet.size,
+          s"duplicate emissions after restart: ${combined.diff(combined.distinct).take(3)}")
+        assert(run1.subsetOf(combined.toSet))
+        // the restarted run's total output equals a single uninterrupted
+        // run over the same two-file split
+        val single = StreamSessions.runOnce(spark, sf001, "sess_rs_single")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toSet
+        assert(combined.toSet == single)
+        java.nio.file.Files.walk(outDir)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      } finally {
+        prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+      }
+    } finally {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      Seq(inPath, java.nio.file.Paths.get(ckpt)).foreach { p =>
+        Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+      }
+    }
+  }
+
   test("streaming ingestion feeds the validated VectorStore insert path") {
     val st = graft.store.VectorStore.create(spark, 64)
     val n = graft.streaming.StreamIngest.ingestOnce(spark, sf001, st)
