@@ -86,6 +86,17 @@ object VectorOps {
   def pqError(v: Column, codebook: Array[Double], m: Int, k: Int): Column =
     c(PqErrorExpr(e(v), codebook, m, k))
 
+  /** Exact dim x dim outer-product-sum aggregate (floor-scaled longs) —
+    * OPQ's Procrustes correlation in one bounded buffer per partition. */
+  def outerSumFloor(x: Column, y: Column, dim: Int): Column =
+    c(OuterSumAgg(e(x), e(y), dim).toAggregateExpression())
+
+  /** One Lloyd's iteration's (sums, counts) sufficient statistics in one
+    * bounded buffer per partition — PQ training without the per-iteration
+    * posexplode shuffle. */
+  def kmeansSumFloor(v: Column, codebook: Array[Double], m: Int, k: Int): Column =
+    c(KMeansSumAgg(e(v), codebook, m, k).toAggregateExpression())
+
   /** Bounded top-k aggregate: array<struct<vec_id,score>> of the k best
     * (score DESC, id ASC) pairs per group; partial-aggregates map-side so a
     * batched kNN shuffles only k rows per (group x partition). */

@@ -18,13 +18,15 @@ import org.apache.spark.sql.functions._
   * TPAMI 2011; same structure as FAISS's IndexPQ).
   *
   * Spark-first training: Lloyd's iterations run as ONE distributed job per
-  * iteration covering ALL M subspaces — `posexplode` of the normalized
-  * vector keyed by (subspace, component) + a codegen'd `PqAssignExpr` pass
-  * for assignments, then a single groupBy((sub, code, component)).avg
-  * shuffle yields every centroid component at once. No M-sequential
-  * model fits; the per-iteration collect is the M*K*subdim centroid matrix
-  * (2 KiB here), the same driver-side footprint MLlib KMeans uses for its
-  * centers. Training reads a deterministic hash-ordered sample capped at
+  * iteration covering ALL M subspaces — a bounded KMeansSumAgg buffer
+  * per partition accumulates every (subspace, code, component) floor-
+  * scaled sum and count in a single pass (no per-iteration explode or
+  * wide shuffle; the partial is ~18 KiB regardless of sample size; the
+  * superseded posexplode formulation is kept as lloydStepExplode for the
+  * bit-parity assertion in PqSpec). No M-sequential model fits; the
+  * per-iteration collect is the M*K*subdim centroid matrix (2 KiB here),
+  * the same driver-side footprint MLlib KMeans uses for its centers.
+  * Training reads a deterministic hash-ordered sample capped at
   * `TrainCap` rows — at 100 TB codebooks are trained on a sample by
   * design, never the full corpus.
   *
@@ -117,35 +119,72 @@ object PqQueries {
 
     var it = 0
     while (it < iters) {
-      // one job: every (subspace, centroid, component) mean at once
-      val means = sample
-        .select(
-          posexplode(VectorOps.normalize(col("embedding"))).as(Seq("i", "x")),
-          VectorOps.pqAssign(col("embedding"), cb, M, K).as("cs"))
-        .select(
-          (col("i") / subdim).cast("int").as("sub"),
-          (col("i") % subdim).cast("int").as("d"),
-          col("x"),
-          col("cs").getItem((col("i") / subdim).cast("int")).as("c"))
-        .groupBy(col("sub"), col("c"), col("d"))
-        // order-independent exact mean (the 2^43 floor trick, see Q.scala
-        // parity rules): plain avg(double) depends on partial-merge
-        // arrival order, which would make the trained codebook — and so
-        // the oracle-gated recall — wobble across runs.
-        .agg((sum(floor(col("x") * lit(8796093022208.0))
-          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-          .cast("double") / lit(8796093022208.0) / count(lit(1))).as("mu"))
-        .collect() // bounded: <= M*K*subdim rows (2048 here)
-      val next = cb.clone()
-      means.foreach { r =>
-        next((r.getInt(0) * K + r.getInt(1)) * subdim + r.getInt(2)) =
-          r.getDouble(3)
-      }
-      cb = next
+      cb = lloydStep(sample, cb, subdim)
       it += 1
     }
     sample.unpersist()
     cb
+  }
+
+  /** One Lloyd's update: the KMeansSumAgg sufficient statistics reduced
+    * to new centroids — order-independent exact means (the 2^43 floor
+    * trick, see Q.scala parity rules: plain avg(double) depends on
+    * partial-merge arrival order, which would make the trained codebook —
+    * and so the oracle-gated recall — wobble across runs). Empty clusters
+    * keep their previous centroid (the standard guard). Bit-identical to
+    * the posexplode + groupBy formulation it replaced (lloydStepExplode,
+    * kept for the PqSpec parity assertion). */
+  private[graft] def lloydStep(sample: DataFrame, cb: Array[Double],
+      subdim: Int): Array[Double] = {
+    val flat = sample
+      .agg(VectorOps.kmeansSumFloor(col("embedding"), cb, M, K).as("s"))
+      .head().getSeq[Long](0) // bounded: M*K*subdim + M*K longs (~18 KiB)
+    val next = cb.clone()
+    var sub = 0
+    while (sub < M) {
+      var c = 0
+      while (c < K) {
+        val cnt = flat(M * K * subdim + sub * K + c)
+        if (cnt > 0L) {
+          var i = 0
+          while (i < subdim) {
+            next((sub * K + c) * subdim + i) =
+              flat((sub * K + c) * subdim + i).toDouble / P43 / cnt
+            i += 1
+          }
+        }
+        c += 1
+      }
+      sub += 1
+    }
+    next
+  }
+
+  /** The original one-job-per-iteration formulation (posexplode keyed by
+    * (subspace, component) + decimal-routed groupBy means) — superseded by
+    * lloydStep's bounded-buffer aggregate, retained so PqSpec can assert
+    * the two produce BIT-IDENTICAL centroids on real data. */
+  private[graft] def lloydStepExplode(sample: DataFrame, cb: Array[Double],
+      subdim: Int): Array[Double] = {
+    val means = sample
+      .select(
+        posexplode(VectorOps.normalize(col("embedding"))).as(Seq("i", "x")),
+        VectorOps.pqAssign(col("embedding"), cb, M, K).as("cs"))
+      .select(
+        (col("i") / subdim).cast("int").as("sub"),
+        (col("i") % subdim).cast("int").as("d"),
+        col("x"),
+        col("cs").getItem((col("i") / subdim).cast("int")).as("c"))
+      .groupBy(col("sub"), col("c"), col("d"))
+      .agg((sum(floor(col("x") * lit(P43)).cast(dec38))
+        .cast("double") / lit(P43) / count(lit(1))).as("mu"))
+      .collect()
+    val next = cb.clone()
+    means.foreach { r =>
+      next((r.getInt(0) * K + r.getInt(1)) * subdim + r.getInt(2)) =
+        r.getDouble(3)
+    }
+    next
   }
 
   /** ADC top-CandK candidates per query (vec_id < 10), exact-rescored,
@@ -212,7 +251,7 @@ object PqQueries {
   // TrainCap argument as PQ training.
   // ---------------------------------------------------------------------
 
-  final val OpqOuter = 3
+  final val OpqOuter = 2
   final val OpqInnerFirst = 4
   final val OpqInner = 2
 
@@ -222,14 +261,15 @@ object PqQueries {
   final val OpqTotalIters: Int = OpqInnerFirst + (OpqOuter - 1) * OpqInner + OpqInner
 
   /** q_opq_recall recall@3 floor. Measured (tools/OpqProbe, deterministic
-    * training): OPQ 0.967 / 1.000 / 0.800 at sf0.001 / 0.01 / 0.1 — at or
-    * above the equal-budget plain-PQ 0.900 / 0.933 / 0.767 at every SF.
-    * The floor sits >= 9 hits (of 30) below the weakest measurement. */
+    * training, 8-iteration schedule): OPQ 0.967 / 0.967 / 0.800 at
+    * sf0.001 / 0.01 / 0.1 — above the equal-budget plain-PQ
+    * 0.933 / 0.933 / 0.700 at every SF. The floor sits >= 9 hits (of 30)
+    * below the weakest measurement. */
   final val OpqRecallFloor = 0.5
 
   /** OPQ must not *hurt* quantization error vs the equal-budget PQ
-    * baseline. Measured error ratio (tools/OpqProbe): 0.879 / 0.880 /
-    * 0.961 across the three SFs — the rotation genuinely helps even on
+    * baseline. Measured error ratio (tools/OpqProbe): 0.891 / 0.896 /
+    * 0.968 across the three SFs — the rotation genuinely helps even on
     * this near-isotropic fixture. The invariant allows a hair of float
     * noise rather than demanding strict improvement. */
   final val OpqErrTol = 1.001
@@ -266,25 +306,24 @@ object PqQueries {
     out
   }
 
-  /** Exact (decimal-routed, order-independent) correlation X^T X^ over the
+  /** Exact (floor-scaled, order-independent) correlation X^T X^ over the
     * training sample: X = normalized originals, X^ = PQ reconstructions of
-    * the rotated rows. Two chained posexplodes fan each row into d^2
-    * (i, j, x_i * y_j) terms; the groupBy holds d^2 keys with map-side
-    * partials, and the collect is the d x d matrix itself. */
+    * the rotated rows. One OuterSumAgg pass — each partition accumulates a
+    * single d x d long buffer of floor(x_i*y_j*2^43) terms and ships 32 KiB
+    * of partials; the d^2 matrix never exists as rows (the posexplode
+    * formulation fanned 4096 rows per vector through a d^2-key shuffle). */
   private def corrMatrix(sample: DataFrame, rot: Array[Double],
       cb: Array[Double], dim: Int): Array[Double] = {
-    val rows = sample
+    val flat = sample
       .select(
-        posexplode(VectorOps.normalize(col("embedding"))).as(Seq("i", "x")),
+        VectorOps.normalize(col("embedding")).as("x"),
         VectorOps.pqReconstruct(
           VectorOps.rotateMat(col("embedding"), rot), cb, M, K).as("y"))
-      .select(col("i"), col("x"), posexplode(col("y")).as(Seq("j", "yj")))
-      .groupBy(col("i"), col("j"))
-      .agg((sum(floor(col("x") * col("yj") * lit(P43)).cast(dec38))
-        .cast("double") / lit(P43)).as("s"))
-      .collect() // bounded: dim*dim rows (4096 at dim 64)
+      .agg(VectorOps.outerSumFloor(col("x"), col("y"), dim).as("s"))
+      .head().getSeq[Long](0)
     val out = new Array[Double](dim * dim)
-    rows.foreach(r => out(r.getInt(0) * dim + r.getInt(1)) = r.getDouble(2))
+    var i = 0
+    while (i < out.length) { out(i) = flat(i).toDouble / P43; i += 1 }
     out
   }
 

@@ -126,6 +126,22 @@ class PqSpec extends SparkSpec {
     assert(bytes.map(_.getInt(0)).toSeq == Seq(M))
   }
 
+  test("lloydStep aggregate is bit-identical to the posexplode formulation") {
+    val emb = Tables.embeddings(spark, sf001)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val subdim = dim / M
+    // seed codebook (iters=0 returns the init), then one step both ways
+    val seed = PqQueries.trainCodebookOn(emb, 0, None)
+    val sample = emb.select(col("embedding"))
+    val viaAgg = PqQueries.lloydStep(sample, seed, subdim)
+    val viaExplode = PqQueries.lloydStepExplode(sample, seed, subdim)
+    assert(viaAgg.toSeq == viaExplode.toSeq)
+    // and a second step from the updated codebook (exercises warm state)
+    val viaAgg2 = PqQueries.lloydStep(sample, viaAgg, subdim)
+    val viaExplode2 = PqQueries.lloydStepExplode(sample, viaExplode, subdim)
+    assert(viaAgg2.toSeq == viaExplode2.toSeq)
+  }
+
   test("OPQ: learned rotation is orthogonal and norm-preserving") {
     val (rot, _) = PqQueries.trainOpq(spark, sf001)
     val dim = math.sqrt(rot.length).toInt
