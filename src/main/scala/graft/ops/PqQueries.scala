@@ -328,10 +328,14 @@ object PqQueries {
   }
 
   /** Train (rotation, codebook) with the non-parametric OPQ alternation.
-    * Deterministic end-to-end: hash-ordered sample, decimal-routed means
-    * and correlations, and a driver-side LAPACK SVD on one machine. */
-  def trainOpq(spark: SparkSession, dir: String): (Array[Double], Array[Double]) = {
-    val emb = Tables.embeddings(spark, dir)
+    * Deterministic end-to-end: hash-ordered sample, floor-scaled exact
+    * means and correlations, and a driver-side LAPACK SVD on one machine. */
+  def trainOpq(spark: SparkSession, dir: String): (Array[Double], Array[Double]) =
+    trainOpqOn(Tables.embeddings(spark, dir))
+
+  /** As trainOpq, over any (vec_id, embedding) DataFrame — shared with
+    * the at-rest OPQ index build (store/IvfPqIndex.buildOpq). */
+  def trainOpqOn(emb: DataFrame): (Array[Double], Array[Double]) = {
     val dim = emb.select(size(col("embedding")).as("n")).head().getInt(0)
     val sample = emb
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))

@@ -43,12 +43,30 @@ object IvfPqIndex {
     // coarse quantizer + null guard shared with the float index
     val cent = IvfIndex.labelCentroids(emb, "IvfPqIndex.build")
     cent.write.mode("overwrite").parquet(s"$path/centroids")
-    assignEncodeWrite(emb, cent, cb, path, SaveMode.Overwrite)
+    assignEncodeWrite(emb, cent, cb, None, path, SaveMode.Overwrite)
   }
 
-  /** Incremental append: encode against the FROZEN saved codebook, assign
-    * against the frozen centroids, append to cell partitions (existing
-    * files untouched — same contract as IvfIndex.append). */
+  /** As build, with the OPQ rotation (Ge et al. 2013 — see PqQueries.
+    * trainOpq) learned at build time and FROZEN in a third sidecar.
+    * Only the PQ coding space rotates: coarse cell assignment stays on
+    * the original floats (cosine cell ranking is rotation-invariant, so
+    * the centroids sidecar remains shared with the float IvfIndex and
+    * existing cells stay comparable). Probes rotate the query before the
+    * LUT; everything else — pruning, ADC, rescore — is unchanged. */
+  def buildOpq(emb: DataFrame, path: String): Unit = {
+    val spark = emb.sparkSession
+    val (rot, cb) = PqQueries.trainOpqOn(emb)
+    writeCodebook(spark, cb, path)
+    writeRotation(spark, rot, path)
+    val cent = IvfIndex.labelCentroids(emb, "IvfPqIndex.buildOpq")
+    cent.write.mode("overwrite").parquet(s"$path/centroids")
+    assignEncodeWrite(emb, cent, cb, Some(rot), path, SaveMode.Overwrite)
+  }
+
+  /** Incremental append: encode against the FROZEN saved codebook (and
+    * rotation, if the index is OPQ-built), assign against the frozen
+    * centroids, append to cell partitions (existing files untouched —
+    * same contract as IvfIndex.append). */
   def append(emb: DataFrame, path: String): Unit = {
     if (emb.isEmpty) return
     val spark = emb.sparkSession
@@ -62,17 +80,25 @@ object IvfPqIndex {
   def append(emb: DataFrame, path: String,
              cent: DataFrame, cb: Array[Double]): Unit = {
     if (emb.isEmpty) return
-    assignEncodeWrite(emb, cent, cb, path, SaveMode.Append)
+    assignEncodeWrite(emb, cent, cb, readRotation(emb.sparkSession, path),
+      path, SaveMode.Append)
   }
 
   /** ADC probe: rank centroids, scan ONLY the top-`nprobe` cells' code
     * files (partition filter), score each row via the broadcast LUT —
-    * approximate top-k, no float vector ever read. */
+    * approximate top-k, no float vector ever read. An OPQ-built index
+    * rotates the query into coding space first; cell ranking stays on the
+    * original query (the cells were assigned in original space). */
   def probe(spark: SparkSession, path: String, query: Array[Float],
             k: Int, nprobe: Int): DataFrame = {
     val cb = readCodebook(spark, path)
     val cells = probedCells(spark, path, query, nprobe)
-    val lut = graft.functions.VectorKernels.pqLut(query, cb, PqQueries.M, PqQueries.K)
+    val codingQuery = readRotation(spark, path) match {
+      case Some(rot) => graft.functions.VectorKernels.rotateFloat(query, rot)
+      case None => query
+    }
+    val lut = graft.functions.VectorKernels.pqLut(codingQuery, cb,
+      PqQueries.M, PqQueries.K)
     spark.read.parquet(s"$path/data")
       .filter(col("cell").isin(cells: _*))
       .select(col("vec_id"),
@@ -101,22 +127,45 @@ object IvfPqIndex {
                   nprobe: Int): Seq[Int] =
     IvfIndex.probedCells(spark, path, query, nprobe)
 
-  /** IvfIndex's shared nearest-centroid assignment, then the PQ encode
-    * projection before the partitioned write — codes at rest, no floats. */
+  /** IvfIndex's shared nearest-centroid assignment, then the (optionally
+    * rotated) PQ encode projection before the partitioned write — codes
+    * at rest, no floats. Cell assignment uses the ORIGINAL embedding
+    * either way. */
   private def assignEncodeWrite(emb: DataFrame, cent: DataFrame,
-                                cb: Array[Double], path: String,
-                                mode: SaveMode): Unit =
+                                cb: Array[Double], rot: Option[Array[Double]],
+                                path: String, mode: SaveMode): Unit = {
+    val coding = rot.map(r => VectorOps.rotateMat(col("embedding"), r))
+      .getOrElse(col("embedding"))
     IvfIndex.assignCells(emb, cent)
       .select(col("vec_id"),
-        VectorOps.pqEncode(col("embedding"), cb, PqQueries.M, PqQueries.K).as("codes"),
+        VectorOps.pqEncode(coding, cb, PqQueries.M, PqQueries.K).as("codes"),
         col("cell"))
       .write.mode(mode).partitionBy("cell").parquet(s"$path/data")
+  }
 
   private def writeCodebook(spark: SparkSession, cb: Array[Double], path: String): Unit = {
     import spark.implicits._
     cb.toSeq.zipWithIndex.map { case (v, i) => (i, v) }
       .toDF("idx", "v")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+  }
+
+  private def writeRotation(spark: SparkSession, rot: Array[Double], path: String): Unit = {
+    import spark.implicits._
+    rot.toSeq.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("idx", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/rotation")
+  }
+
+  /** The frozen OPQ rotation sidecar; None for a plain-PQ index (the
+    * presence of `rotation/` IS the format flag — old indexes read
+    * unchanged). */
+  def readRotation(spark: SparkSession, path: String): Option[Array[Double]] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/rotation")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    Some(spark.read.parquet(s"$path/rotation")
+      .orderBy(col("idx")).collect().map(_.getDouble(1))) // dim^2 rows — sidecar-sized
   }
 
   /** The flat codebook sidecar (public: streaming maintenance loads it

@@ -147,4 +147,57 @@ class IvfPqSpec extends SparkSpec {
       .select("codes").collect().head.getAs[Array[Byte]](0).toSeq
     assert(stored == expected)
   }
+
+  test("OPQ build: rotation sidecar roundtrips; codes and probe live in coding space") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-opq").toString
+    val emb = Tables.embeddings(spark, sf001)
+    IvfPqIndex.buildOpq(emb, dir)
+    // sidecar roundtrip: the saved rotation equals the trained one
+    val rot = IvfPqIndex.readRotation(spark, dir)
+      .getOrElse(fail("OPQ index missing rotation sidecar"))
+    val (trained, cb) = PqQueries.trainOpqOn(emb)
+    assert(rot.toSeq == trained.toSeq)
+    // stored codes are the ROTATED encodes against the frozen codebook
+    val v0 = query0
+    val expected = VectorKernels.pqEncode(
+      VectorKernels.rotateFloat(v0, rot), cb, M, K).toSeq
+    val stored = spark.read.parquet(s"$dir/data")
+      .filter(col("vec_id") === 0)
+      .select("codes").collect().head.getAs[Array[Byte]](0).toSeq
+    assert(stored == expected)
+    // ADC probe replay: rotate the query, LUT against the saved codebook,
+    // score the probed cells' stored codes driver-side
+    val nprobe = 2
+    val got = IvfPqIndex.probe(spark, dir, v0, 10, nprobe)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val cells = IvfPqIndex.probedCells(spark, dir, v0, nprobe)
+    val lut = VectorKernels.pqLut(
+      VectorKernels.rotateFloat(v0, rot), IvfPqIndex.readCodebook(spark, dir), M, K)
+    val replay = spark.read.parquet(s"$dir/data")
+      .filter(col("cell").isin(cells: _*))
+      .select("vec_id", "codes").collect()
+      .map(r => (r.getLong(0), VectorKernels.pqAdc(r.getAs[Array[Byte]](1), lut, K)))
+      .sortBy { case (id, s) => (-s, id) }.take(10).toSeq
+    assert(got == replay)
+    // a plain-PQ index has no rotation sidecar (format flag is absence)
+    assert(IvfPqIndex.readRotation(spark, indexPath).isEmpty)
+  }
+
+  test("OPQ append encodes against the frozen rotation + codebook") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-opq-app").toString
+    val emb = Tables.embeddings(spark, sf001)
+    IvfPqIndex.buildOpq(emb.filter(col("vec_id") < 300), dir)
+    val rot = IvfPqIndex.readRotation(spark, dir).get
+    val cb = IvfPqIndex.readCodebook(spark, dir)
+    IvfPqIndex.append(emb.filter(col("vec_id") >= 300), dir)
+    val data = spark.read.parquet(s"$dir/data")
+    assert(data.count() == emb.count())
+    val v300 = emb.filter(col("vec_id") === 300)
+      .select("embedding").collect().head.getSeq[Float](0).toArray
+    val expected = VectorKernels.pqEncode(
+      VectorKernels.rotateFloat(v300, rot), cb, M, K).toSeq
+    val stored = data.filter(col("vec_id") === 300)
+      .select("codes").collect().head.getAs[Array[Byte]](0).toSeq
+    assert(stored == expected)
+  }
 }
