@@ -78,10 +78,16 @@ object IvfPqIndex {
     * maintenance path (StreamIndexIngest) reads them ONCE per stream, not
     * per micro-batch. */
   def append(emb: DataFrame, path: String,
-             cent: DataFrame, cb: Array[Double]): Unit = {
+             cent: DataFrame, cb: Array[Double]): Unit =
+    append(emb, path, cent, cb, readRotation(emb.sparkSession, path))
+
+  /** As above with the rotation sidecar also pre-loaded (None for a
+    * plain-PQ index) — keeps the once-per-stream contract when the
+    * caller holds all three frozen sidecars. */
+  def append(emb: DataFrame, path: String, cent: DataFrame,
+             cb: Array[Double], rot: Option[Array[Double]]): Unit = {
     if (emb.isEmpty) return
-    assignEncodeWrite(emb, cent, cb, readRotation(emb.sparkSession, path),
-      path, SaveMode.Append)
+    assignEncodeWrite(emb, cent, cb, rot, path, SaveMode.Append)
   }
 
   /** ADC probe: rank centroids, scan ONLY the top-`nprobe` cells' code

@@ -24,7 +24,7 @@ object StreamIndexIngest {
 
   /** Drain `stream` (vec_id, embedding[, ...]) into the index at `path`;
     * one IvfPqIndex.append per micro-batch. The frozen sidecars
-    * (centroids + codebook) are read ONCE for the stream's lifetime —
+    * (centroids + codebook + OPQ rotation, if any) are read ONCE for the stream's lifetime —
     * they are immutable by the append contract, and re-reading them per
     * micro-batch would pay a driver-side parquet read + codebook collect
     * on every batch of a continuous feed. Returns the batch count for
@@ -34,11 +34,12 @@ object StreamIndexIngest {
     val spark = stream.sparkSession
     val cent = spark.read.parquet(s"$path/centroids").localCheckpoint(true)
     val cb = IvfPqIndex.readCodebook(spark, path)
+    val rot = IvfPqIndex.readRotation(spark, path)
     val batches = new java.util.concurrent.atomic.AtomicLong(0)
     val q = stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        IvfPqIndex.append(batch.select("vec_id", "embedding"), path, cent, cb)
+        IvfPqIndex.append(batch.select("vec_id", "embedding"), path, cent, cb, rot)
         batches.incrementAndGet()
         ()
       }
