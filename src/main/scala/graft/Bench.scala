@@ -155,6 +155,48 @@ object Bench {
     // dedup queries), 2 = r6+ (value = sum of per-query MINS with untimed
     // inter-query GC; total_median kept for v1 comparisons; labels build
     // reported separately). Compare like with like across rounds.
+    // Cross-run mover flagging (the bench_diff.py analysis, automated in
+    // the run itself): before overwriting the sidecar, diff this run's
+    // per-query mins against the previous one and report board shrink —
+    // a DROPPED query is a finding — plus queries past the
+    // relative+absolute threshold. Printed to STDERR before the JSON
+    // line so the driver's stdout tail capture still ends with the
+    // machine-readable object.
+    val minsNow = results.map { case (k, (v, _)) => k -> v }.toMap
+    try {
+      val prevPath = java.nio.file.Paths.get("bench_last.json")
+      if (java.nio.file.Files.exists(prevPath)) {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val prev = om.readTree(java.nio.file.Files.readString(prevPath))
+        val pq = prev.get("queries")
+        if (pq != null) {
+          val prevMins = pq.properties().iterator()
+          val pm = scala.collection.mutable.Map.empty[String, Double]
+          while (prevMins.hasNext) {
+            val e = prevMins.next(); pm(e.getKey) = e.getValue.asDouble()
+          }
+          val dropped = pm.keySet.diff(minsNow.keySet).toSeq.sorted
+          val added = minsNow.keySet.diff(pm.keySet).toSeq.sorted
+          if (dropped.nonEmpty)
+            System.err.println(s"[bench-diff] DROPPED from board: ${dropped.mkString(", ")}")
+          if (added.nonEmpty)
+            System.err.println(s"[bench-diff] added: ${added.mkString(", ")}")
+          val shared = pm.keySet.intersect(minsNow.keySet)
+          val os = shared.toSeq.map(pm).sum
+          val ns = shared.toSeq.map(minsNow).sum
+          System.err.println(
+            f"[bench-diff] shared ${shared.size} queries: $os%.1fs -> $ns%.1fs (${(ns / math.max(os, 1e-9) - 1) * 100}%+.0f%%)")
+          shared.toSeq
+            .map(k => (k, pm(k), minsNow(k)))
+            .filter { case (_, o, n) => math.abs(n - o) > 0.4 && n / math.max(o, 1e-9) > 1.3 || o / math.max(n, 1e-9) > 1.3 && math.abs(n - o) > 0.4 }
+            .sortBy { case (_, o, n) => -(math.abs(n - o)) }
+            .take(10)
+            .foreach { case (k, o, n) =>
+              System.err.println(f"[bench-diff]   MOVER $k%-28s $o%.3f -> $n%.3f (${n - o}%+.2fs)")
+            }
+        }
+      }
+    } catch { case e: Throwable => System.err.println(s"[bench-diff] skipped: $e") }
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","protocol":2,"reps":$REPS,"stat":"min","total_median":$totalMedian%.3f,"labels_build_sec":$labelsBuildSec%.3f,"queries":$qs,"ref_search_qps_50k":$refQpsLocal%.0f,"ref_batch_qps_50k":$refQpsBatch%.0f,"ref_concurrent_qps_50k":$refQpsConc%.0f,"ref_pq_qps_50k":$refQpsPq%.0f,"baseline_ref_qps_50k":1100,"sf":"$sfDir"}"""
     println(line)
     // The stdout line outgrew the driver's capture window in r7 (the board
