@@ -313,8 +313,126 @@ object SimilarityQueries {
            |  UNION ALL
            |  SELECT * FROM e WHERE rn <= 2) u
            |ORDER BY cell, kind, rn""".stripMargin
+      }),
+
+    // MMR diversity rerank (Carbonell & Goldstein, SIGIR 1998) — the
+    // standard diversification step after kNN/RRF retrieval: greedily
+    // select MmrSel results maximizing
+    //   lambda * rel(d) - (1-lambda) * max_{s in selected} sim(d, s),
+    // so near-duplicate hits don't crowd the result list. Per query
+    // (vec_id < 5): exact top-MmrCand cosine candidates via the bounded
+    // TopKAgg (ONE corpus scan, no per-query window over the corpus),
+    // then the greedy unrolls as MmrSel windowed-argmax steps over the
+    // <= queries x MmrCand candidate relation — all the diversification
+    // math happens on broadcast-sized data, so the rerank costs nothing
+    // beyond candidate generation at any corpus size. Both engines
+    // compute 0.7*rel - 0.3*sim in identical order on bitwise-equal
+    // cosines, so the full result hash-matches exactly.
+    Q("q_mmr_rerank",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = emb.filter(col("vec_id") < MmrQueries)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val cand = emb.join(broadcast(q), col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            VectorOps.cosineFloat(col("qe"), col("embedding")).as("rel"))
+          .groupBy(col("qid"))
+          .agg(VectorOps.topK(col("rel"), col("vec_id"), MmrCand).as("top"))
+          .select(col("qid"), explode(col("top")).as("t"))
+          .select(col("qid"), col("t.vec_id").as("vec_id"), col("t.score").as("rel"))
+        val c = cand
+          .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+          .select(col("qid"), col("vec_id"), col("rel"), col("embedding"))
+          .localCheckpoint(true) // <= queries x MmrCand rows; 3 greedy steps reuse it
+        val w1 = Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("vec_id"))
+        val s1 = c.withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
+          .select(col("qid"), col("vec_id").as("s1"),
+            col("embedding").as("s1e"), col("rel").as("score1"))
+        val m2 = c.join(broadcast(s1), "qid")
+          .filter(col("vec_id") =!= col("s1"))
+          .withColumn("mmr2", lit(MmrLambda) * col("rel") -
+            lit(MmrOneMinus) * VectorOps.cosineFloat(col("embedding"), col("s1e")))
+        val w2 = Window.partitionBy(col("qid")).orderBy(col("mmr2").desc, col("vec_id"))
+        val s2 = m2.withColumn("rn", row_number().over(w2)).filter(col("rn") === 1)
+          .select(col("qid"), col("vec_id").as("s2"),
+            col("embedding").as("s2e"), col("mmr2").as("score2"))
+        val m3 = c.join(broadcast(s1.select(col("qid"), col("s1"), col("s1e"))), "qid")
+          .join(broadcast(s2.select(col("qid"), col("s2"), col("s2e"))), "qid")
+          .filter(col("vec_id") =!= col("s1") && col("vec_id") =!= col("s2"))
+          .withColumn("mmr3", lit(MmrLambda) * col("rel") -
+            lit(MmrOneMinus) * greatest(
+              VectorOps.cosineFloat(col("embedding"), col("s1e")),
+              VectorOps.cosineFloat(col("embedding"), col("s2e"))))
+        val w3 = Window.partitionBy(col("qid")).orderBy(col("mmr3").desc, col("vec_id"))
+        val s3 = m3.withColumn("rn", row_number().over(w3)).filter(col("rn") === 1)
+          .select(col("qid"), col("vec_id").as("s3"), col("mmr3").as("score3"))
+        s1.select(col("qid"), lit(1L).as("rank"),
+            col("s1").as("vec_id"), col("score1").as("score"))
+          .unionAll(s2.select(col("qid"), lit(2L).as("rank"),
+            col("s2").as("vec_id"), col("score2").as("score")))
+          .unionAll(s3.select(col("qid"), lit(3L).as("rank"),
+            col("s3").as("vec_id"), col("score3").as("score")))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some {
+        val cosC1 = OracleSql.floatCos("c.embedding", "s1.s1e")
+        val cosC2 = OracleSql.floatCos("c.embedding", "s2.s2e")
+        s"""WITH qq AS (
+           |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           |  WHERE vec_id < $MmrQueries),
+           |r AS (
+           |  SELECT qq.qid, e.vec_id, e.embedding,
+           |    ${OracleSql.floatCos("qq.qe", "e.embedding")} AS rel
+           |  FROM qq JOIN embeddings e ON e.vec_id <> qq.qid),
+           |c AS (
+           |  SELECT qid, vec_id, embedding, rel FROM (
+           |    SELECT r.*, row_number() OVER (
+           |      PARTITION BY qid ORDER BY rel DESC, vec_id) AS rn FROM r)
+           |  WHERE rn <= $MmrCand),
+           |s1 AS (
+           |  SELECT qid, vec_id AS s1, embedding AS s1e, rel AS score1 FROM (
+           |    SELECT c.*, row_number() OVER (
+           |      PARTITION BY qid ORDER BY rel DESC, vec_id) AS rn FROM c)
+           |  WHERE rn = 1),
+           |m2 AS (
+           |  SELECT c.qid, c.vec_id, c.embedding, c.rel,
+           |    $MmrLambda*c.rel - $MmrOneMinus*($cosC1) AS mmr2
+           |  FROM c JOIN s1 USING (qid) WHERE c.vec_id <> s1.s1),
+           |s2 AS (
+           |  SELECT qid, vec_id AS s2, embedding AS s2e, mmr2 AS score2 FROM (
+           |    SELECT m2.*, row_number() OVER (
+           |      PARTITION BY qid ORDER BY mmr2 DESC, vec_id) AS rn FROM m2)
+           |  WHERE rn = 1),
+           |m3 AS (
+           |  SELECT c.qid, c.vec_id,
+           |    $MmrLambda*c.rel - $MmrOneMinus*greatest(($cosC1), ($cosC2)) AS mmr3
+           |  FROM c JOIN s1 USING (qid) JOIN s2 USING (qid)
+           |  WHERE c.vec_id <> s1.s1 AND c.vec_id <> s2.s2),
+           |s3 AS (
+           |  SELECT qid, vec_id AS s3, mmr3 AS score3 FROM (
+           |    SELECT m3.*, row_number() OVER (
+           |      PARTITION BY qid ORDER BY mmr3 DESC, vec_id) AS rn FROM m3)
+           |  WHERE rn = 1)
+           |SELECT qid, rank, vec_id, score FROM (
+           |  SELECT qid, CAST(1 AS BIGINT) AS rank, s1 AS vec_id, score1 AS score FROM s1
+           |  UNION ALL
+           |  SELECT qid, CAST(2 AS BIGINT), s2, score2 FROM s2
+           |  UNION ALL
+           |  SELECT qid, CAST(3 AS BIGINT), s3, score3 FROM s3) u
+           |ORDER BY qid, rank""".stripMargin
       })
   )
+
+  /** q_mmr_rerank: queries, candidate depth, selections, and the MMR
+    * relevance/diversity trade-off. MmrOneMinus is a SEPARATE literal
+    * (not 1 - MmrLambda computed at runtime): 1.0 - 0.7 in IEEE is
+    * 0.30000000000000004 while both engines parse "0.3" identically, so
+    * the shared literal keeps the scores bitwise-equal. */
+  final val MmrQueries = 5
+  final val MmrCand = 10
+  final val MmrSel = 3
+  final val MmrLambda = 0.7
+  final val MmrOneMinus = 0.3
 
   /** q_semdedup cosine cutoff. On the near-random fixture within-cell
     * pairs this high are scarce, which is fine — the result is an exact
