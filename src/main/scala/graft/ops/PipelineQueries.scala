@@ -92,6 +92,9 @@ object PipelineQueries {
   final val RrfDepth = 60
   final val RrfTopN = 10
 
+  /** q_best_passage window width in tokens. */
+  final val PassW = 16
+
   val all: Seq[Q] = Seq(
 
     // Reproducible train/val/test split: md5(doc_id) mod 100 -> 80/10/10.
@@ -990,7 +993,62 @@ object PipelineQueries {
            |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS rn
            |  FROM fused) WHERE rn <= $RrfTopN
            |ORDER BY qid, rrf DESC, doc_id""".stripMargin
-      })
+      }),
+
+    // Best-passage extraction (the RAG snippet step downstream of
+    // BM25/RRF document ranking): per document, the PassW-token window
+    // with the most query-term hits, scored with a RANGE-frame count
+    // over term-hit positions — two-pointer window density as one
+    // declarative window spec. The generator's output is filtered to
+    // MATCHING tokens before the only doc-key shuffle, so the exchange
+    // carries hits (3 terms' occurrences), never the token stream; the
+    // best-window argmax reuses the same doc-key partitioning, and the
+    // snippet materializes from a final doc-key join on the <= 20
+    // winners. All-integer scores + list slicing keep both engines
+    // hash-exact.
+    Q("q_best_passage",
+      (s, d) => {
+        val ts = terms
+        val dd = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+        val hits = dd
+          .select(col("doc_id"), posexplode(col("t")).as(Seq("p0", "tok")))
+          .filter(col("tok").isin(ts: _*))
+          .select(col("doc_id"), (col("p0") + 1).as("pos"))
+        val wRange = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+          .rangeBetween(Window.currentRow, PassW - 1)
+        val win = hits.withColumn("n_hits", count(lit(1)).over(wRange))
+        val wBest = Window.partitionBy(col("doc_id"))
+          .orderBy(col("n_hits").desc, col("pos"))
+        val best = win.withColumn("rn", row_number().over(wBest))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("pos").as("win_start"), col("n_hits"))
+        best.join(dd, "doc_id")
+          .select(col("doc_id"), col("win_start"), col("n_hits"),
+            array_join(slice(col("t"), col("win_start"), lit(PassW)), " ").as("snippet"))
+          .orderBy(col("n_hits").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some(s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |hits AS (
+         |  SELECT doc_id, i AS pos
+         |  FROM (SELECT doc_id, unnest(generate_series(1, len(t))) AS i, t FROM d)
+         |  WHERE t[i] IN $termsSql),
+         |win AS (
+         |  SELECT doc_id, pos,
+         |    CAST(count(*) OVER (PARTITION BY doc_id ORDER BY pos
+         |      RANGE BETWEEN CURRENT ROW AND ${PassW - 1} FOLLOWING) AS BIGINT) AS n_hits
+         |  FROM hits),
+         |best AS (
+         |  SELECT doc_id, pos AS win_start, n_hits FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY doc_id ORDER BY n_hits DESC, pos) AS rn
+         |    FROM win) WHERE rn = 1)
+         |SELECT b.doc_id, b.win_start, b.n_hits,
+         |  array_to_string(d.t[b.win_start : b.win_start + ${PassW - 1}], ' ') AS snippet
+         |FROM best b JOIN d USING (doc_id)
+         |ORDER BY n_hits DESC, doc_id LIMIT 20""".stripMargin))
   )
 
   /** q_repetition_filter thresholds: a doc is flagged when its modal
