@@ -1,0 +1,246 @@
+package graft.ops
+
+import graft.{OracleSql, Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Data-SELECTION operators — the published designs a training-data build
+  * uses to pick WHICH rows survive, complementing the dedup/quality tiers:
+  *
+  *  - q_priority_sample — priority sampling (Duffield, Lund, Thorup,
+  *    JACM 2007): weight-proportional sampling WITHOUT replacement with an
+  *    unbiased subset-sum estimator, from one narrow projection + one
+  *    bounded top-(N+1). The production answer to "estimate corpus mass
+  *    from a fixed-size sample" at 100 TB.
+  *  - q_prefix_join — exact set-similarity join with PREFIX FILTERING
+  *    (Bayardo et al. WWW 2007 / Xiao et al. PPJoin WWW 2008): a LOSSLESS
+  *    candidate bound — unlike LSH there are no false negatives to argue
+  *    about, the result set IS the brute-force result set, but candidates
+  *    come from an equi-join on each document's rarest shingles only.
+  *  - q_dsir_select — data selection with importance resampling (DSIR,
+  *    Xie et al. NeurIPS 2023): hashed-bigram bag-of-ngrams likelihood
+  *    ratio between a target domain and the raw corpus; the model is
+  *    2xB counters, scoring is one narrow corpus pass, selection is a
+  *    bounded top-k.
+  *
+  * Float parity (Q.scala rules): priorities and Jaccards are single
+  * IEEE divisions of exactly-cast integers (bitwise-equal across engines);
+  * the only transcendental (DSIR's ln) is rounded to 9 decimals per bucket
+  * to absorb the 1-ulp JVM-vs-DuckDB ln() divergence (the q_tfidf pattern)
+  * and per-doc sums route through DECIMAL(25,12).
+  */
+object SelectionQueries {
+
+  /** Sample size for priority sampling. */
+  final val PrioN = 50
+
+  /** 2^60 — the md5Prefix60 range, exactly representable as a double. */
+  private final val Two60 = 1152921504606846976.0
+
+  /** Shingle width and Jaccard threshold for the prefix-filtered join.
+    * 5-gram shingles are discriminative on the fixture (28/25/256
+    * qualifying pairs at the three SFs vs a near-complete pair graph for
+    * raw tokens); T=0.5 keeps genuine near-dups only. */
+  final val PjK = 5
+  final val PjT = 0.5
+
+  /** DSIR: hashed-feature buckets and selection size. */
+  final val DsirB = 1024
+  final val DsirN = 25
+
+  private def md5p60(c: org.apache.spark.sql.Column) =
+    graft.functions.TextOps.md5Prefix60(c)
+
+  /** Distinct 60-bit 5-gram shingle hashes per document (docs with >= 5
+    * tokens). Set elements are the HASHES on both engines, so a collision
+    * merges the same pair of shingles on both sides. */
+  private def shingleSets(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= PjK)
+      .select(col("doc_id"),
+        array_distinct(transform(sequence(lit(0), size(col("t")) - PjK),
+          i => md5p60(concat_ws(" ",
+            (0 until PjK).map(o => element_at(col("t"), i + o + 1)): _*))))
+          .as("g"))
+
+  private val shingleSetsSql: String =
+    s"""d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $PjK),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(generate_series(1, len(t) - ${PjK - 1}),
+       |      i -> ${OracleSql.hexToLong(s"md5(array_to_string(t[i:i+${PjK - 1}], ' '))", 1, 15)})) AS g
+       |  FROM d)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // Priority sampling (Duffield-Lund-Thorup): each row gets priority
+    // q_i = w_i / u_i with u_i a deterministic hash-uniform in (0, 1];
+    // the sample is the top-N priorities, tau the (N+1)-th, and
+    // sum(max(w_i, tau)) over the sample is an UNBIASED estimator of the
+    // corpus weight total. Scale shape: one narrow projection + a
+    // TakeOrderedAndProject bounded at N+1 rows — the window/aggregates
+    // below run on the 51 surviving rows only. No transcendentals: the
+    // priority is (exact double) * 2^60 / (exact-cast double), the same
+    // two IEEE ops on both engines.
+    Q("q_priority_sample",
+      (s, d) => {
+        val base = Tables.documents(s, d).select(
+          col("doc_id"), col("lang"), col("n_chars").as("w"),
+          (col("n_chars").cast("double") * lit(Two60) /
+            (md5p60(concat(lit("prio:"), col("doc_id").cast("string"))) + 1)
+              .cast("double")).as("priority"))
+        val top = base
+          .orderBy(col("priority").desc, col("doc_id")).limit(PrioN + 1)
+        // Window over the 51 bounded rows (post-limit), not the corpus.
+        val ranked = top.withColumn("rn",
+          row_number().over(Window.orderBy(col("priority").desc, col("doc_id"))))
+        val tau = ranked.filter(col("rn") === PrioN + 1)
+          .select(col("priority").as("tau"))
+        val samp = ranked.filter(col("rn") <= PrioN).crossJoin(tau)
+          .withColumn("est_w", greatest(col("w").cast("double"), col("tau")))
+        val est = samp.agg(
+          sum(col("est_w").cast(DecimalType(25, 6))).cast("double").as("est_total"))
+        val tot = base.agg(sum(col("w")).cast("long").as("true_total"))
+        samp.crossJoin(est).crossJoin(tot)
+          .select(col("doc_id"), col("lang"), col("w"), col("priority"),
+            col("est_w"), col("tau"), col("est_total"), col("true_total"))
+          .orderBy(col("priority").desc, col("doc_id"))
+      },
+      Some(s"""WITH p AS (
+         |  SELECT doc_id, lang, n_chars AS w,
+         |    CAST(n_chars AS DOUBLE) * $Two60 /
+         |      CAST(${OracleSql.hexToLong("md5('prio:' || CAST(doc_id AS VARCHAR))", 1, 15)} + 1 AS DOUBLE) AS priority
+         |  FROM documents),
+         |r AS (SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id) AS rn FROM p),
+         |tau AS (SELECT priority AS tau FROM r WHERE rn = ${PrioN + 1}),
+         |samp AS (
+         |  SELECT doc_id, lang, w, priority,
+         |    GREATEST(CAST(w AS DOUBLE), tau) AS est_w, tau
+         |  FROM r, tau WHERE rn <= $PrioN),
+         |est AS (SELECT CAST(sum(CAST(est_w AS DECIMAL(25,6))) AS DOUBLE) AS est_total FROM samp),
+         |tot AS (SELECT CAST(sum(w) AS BIGINT) AS true_total FROM p)
+         |SELECT doc_id, lang, w, priority, est_w, tau, est_total, true_total
+         |FROM samp, est, tot ORDER BY priority DESC, doc_id""".stripMargin)),
+
+    // Prefix-filtered EXACT Jaccard similarity join over 5-gram shingle
+    // sets: every pair with J >= 0.5, no false negatives. Each document
+    // keeps only its |g| - ceil(T*|g|) + 1 globally-RAREST shingles
+    // (ascending document frequency, hash tiebreak) as its prefix; the
+    // prefix-filtering principle guarantees any qualifying pair shares a
+    // prefix shingle, so candidates come from an equi-join on rare keys —
+    // never the all-pairs product, and never a hot frequent-shingle key
+    // (prefixes prefer rare shingles BY CONSTRUCTION, the anti-skew
+    // property that makes this shape survive 100 TB). Candidates are then
+    // verified exactly against the full shingle sets. The oracle is the
+    // brute-force formulation — equality IS the losslessness proof.
+    Q("q_prefix_join",
+      (s, d) => {
+        val sh = shingleSets(s, d)
+        val ex = sh.select(col("doc_id"), size(col("g")).cast("long").as("s"),
+          explode(col("g")).as("gh"))
+        val dfTab = ex.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+        // Per-doc shingles sorted by (global df asc, hash asc); prefix
+        // length for T=0.5 via exact integer arithmetic: s - ceil(s/2) + 1.
+        val prefix = ex.join(dfTab, "gh")
+          .groupBy(col("doc_id"), col("s"))
+          .agg(array_sort(collect_list(struct(col("df"), col("gh")))).as("sorted"))
+          .select(col("doc_id"),
+            explode(slice(transform(col("sorted"), p => p("gh")),
+              lit(1), expr("s - ((s + 1) div 2) + 1").cast("int"))).as("gh"))
+        val cand = prefix.select(col("gh"), col("doc_id").as("doc_a"))
+          .join(prefix.select(col("gh"), col("doc_id").as("doc_b")), "gh")
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b")).distinct()
+        cand
+          .join(sh.select(col("doc_id").as("doc_a"), col("g").as("ga")), "doc_a")
+          .join(sh.select(col("doc_id").as("doc_b"), col("g").as("gb")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            size(array_intersect(col("ga"), col("gb"))).cast("long").as("n_inter"),
+            (size(col("ga")) + size(col("gb"))).cast("long").as("s_ab"))
+          .select(col("doc_a"), col("doc_b"), col("n_inter"),
+            (col("s_ab") - col("n_inter")).as("n_union"),
+            (col("n_inter").cast("double") /
+              (col("s_ab") - col("n_inter")).cast("double")).as("jacc"))
+          .filter(col("jacc") >= PjT)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""WITH $shingleSetsSql,
+         |tok AS (SELECT doc_id, len(g) AS s, unnest(g) AS gh FROM sh),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(a.s AS BIGINT) AS sa, CAST(b.s AS BIGINT) AS sb,
+         |    CAST(count(*) AS BIGINT) AS n_inter
+         |  FROM tok a JOIN tok b ON a.gh = b.gh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT doc_a, doc_b, n_inter,
+         |  CAST(sa + sb - n_inter AS BIGINT) AS n_union,
+         |  CAST(n_inter AS DOUBLE) / CAST(sa + sb - n_inter AS DOUBLE) AS jacc
+         |FROM inter
+         |WHERE CAST(n_inter AS DOUBLE) / CAST(sa + sb - n_inter AS DOUBLE) >= $PjT
+         |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // DSIR importance selection: score every document by the hashed-bigram
+    // log-likelihood ratio between the TARGET domain (lang='en') and the
+    // raw corpus (add-1 smoothing over B=1024 buckets), keep the top-25.
+    // Scale shape: ONE corpus bigram pass folds into a B-row count table
+    // (the entire "model" is 2x1024 counters), the llr table broadcasts
+    // back for scoring, and selection is a bounded TakeOrderedAndProject.
+    // ln() operands are exact doubles (integer products < 2^53); each
+    // bucket's llr is rounded to 9 decimals and per-doc sums are
+    // decimal-routed, so the score hash-matches bit-for-bit.
+    Q("q_dsir_select",
+      (s, d) => {
+        val big = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
+          .filter(size(col("t")) >= 2)
+          .select(col("doc_id"), col("lang"),
+            explode(transform(sequence(lit(0), size(col("t")) - 2),
+              i => concat_ws(" ", element_at(col("t"), i + 1),
+                element_at(col("t"), i + 2)))).as("bg"))
+          .select(col("doc_id"), col("lang"), (md5p60(col("bg")) % DsirB).as("b"))
+        val cnt = big.groupBy(col("b")).agg(
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"),
+          count(lit(1)).as("cr"))
+        val tot = cnt.agg(sum(col("ct")).as("tct"), sum(col("cr")).as("tcr"))
+        val llr = cnt.crossJoin(tot).select(col("b"),
+          round(log(((col("ct") + 1) * (col("tcr") + DsirB)).cast("double")) -
+            log(((col("cr") + 1) * (col("tct") + DsirB)).cast("double")), 9)
+            .as("llr"))
+        // llr is structurally B=1024 rows — broadcast it at ANY corpus size
+        big.join(broadcast(llr), "b")
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(count(lit(1)).as("n_bigrams"), H.dsum12(col("llr")).as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(DsirN)
+      },
+      Some(s"""WITH tt AS (
+         |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 2),
+         |big AS (
+         |  SELECT doc_id, lang, ${OracleSql.hexToLong("md5(bg)", 1, 15)} % $DsirB AS b
+         |  FROM (
+         |    SELECT doc_id, lang,
+         |      unnest(list_transform(generate_series(1, len(t) - 1),
+         |        i -> t[i] || ' ' || t[i+1])) AS bg
+         |    FROM tt)),
+         |cnt AS (
+         |  SELECT b, CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         |    CAST(count(*) AS BIGINT) AS cr
+         |  FROM big GROUP BY b),
+         |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tct, CAST(sum(cr) AS BIGINT) AS tcr FROM cnt),
+         |llr AS (
+         |  SELECT b, round(ln(CAST((ct + 1) * (tcr + $DsirB) AS DOUBLE)) -
+         |    ln(CAST((cr + 1) * (tct + $DsirB) AS DOUBLE)), 9) AS llr
+         |  FROM cnt, tot)
+         |SELECT big.doc_id, big.lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(CAST(llr AS DECIMAL(25,12))) AS DOUBLE) AS score
+         |FROM big JOIN llr USING (b)
+         |GROUP BY 1, 2
+         |ORDER BY score DESC, doc_id LIMIT $DsirN""".stripMargin))
+  )
+}

