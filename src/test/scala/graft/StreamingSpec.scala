@@ -419,4 +419,112 @@ class StreamingSpec extends SparkSpec {
     assert(all.groupBy(_._1).exists(_._2.length > 1),
       "no customer spanned both micro-batches — split degenerate")
   }
+
+  /** Run StreamDedupTtl as one checkpointed run PER batch (RocksDB store —
+    * the state-v2 requirement), with an optional wall-clock pause between
+    * runs; returns all emitted (doc_id, h) rows. A PROCESSING-time
+    * stateful operator reports shouldRunAnotherBatch=true on every
+    * trigger (non-data batches evaluate TTL/timers), so neither
+    * processAllAvailable nor Trigger.AvailableNow ever quiesces — the
+    * harness instead polls the file source's committed endOffset for the
+    * run's expected logOffset and stops the query itself. The
+    * run-per-batch shape also proves TTL'd state survives a checkpointed
+    * restart. */
+  private def runDedupTtl(batches: Seq[org.apache.spark.sql.DataFrame],
+      ttlMs: Option[Long], pauseMs: Long, queryName: String) = {
+    import java.nio.file.{Files, Path}
+    import java.util.Comparator
+    val inDir = Files.createTempDirectory("dedupttl-in")
+    val outDir = Files.createTempDirectory("dedupttl-out")
+    val ckpt = Files.createTempDirectory("dedupttl-ckpt")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      batches.zipWithIndex.foreach { case (b, i) =>
+        if (i > 0 && pauseMs > 0) Thread.sleep(pauseMs)
+        b.coalesce(1).write.mode("append").parquet(inDir.toString)
+        val stream = spark.readStream
+          .schema(graft.streaming.StreamDedup.rawSchema).parquet(inDir.toString)
+        val q = graft.streaming.StreamDedupTtl.dedup(stream, ttlMs)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt.toString)
+          // spaced trigger: the processing-time operator re-batches
+          // forever (TTL evaluation), so leave idle gaps for a clean stop
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+          .format("parquet").option("path", outDir.toString)
+          .start()
+        // each run discovers exactly ONE new file => one FileStreamSource
+        // log entry; committed endOffset {"logOffset":i} means this run's
+        // data batch is fully processed and sunk
+        val deadline = System.currentTimeMillis + 120000
+        var caughtUp = false
+        while (!caughtUp && System.currentTimeMillis < deadline) {
+          Thread.sleep(200)
+          val p = q.lastProgress
+          caughtUp = p != null && p.sources.nonEmpty &&
+            Option(p.sources.head.endOffset)
+              .exists(_.contains(s""""logOffset":$i"""))
+        }
+        q.stop()
+        assert(caughtUp, s"run $i never consumed its input file")
+      }
+      spark.read.parquet(outDir.toString).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("h")))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      Seq(inDir, outDir, ckpt).foreach { p =>
+        Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+      }
+    }
+  }
+
+  test("state-v2 TTL dedup: un-expired state suppresses duplicates exactly like batch") {
+    import org.apache.spark.sql.functions._
+    // TTL far beyond the test's runtime => semantics must equal the
+    // unbounded StreamDedup / batch first-per-hash set, across a
+    // doc_id-split two-trigger run. The sf0.001 fixture has no EXACT
+    // duplicate texts (near-dups only), so a cross-trigger retransmit is
+    // injected: doc 0's text re-arrives in trigger 2 under a new id.
+    val docs = Tables.documents(spark, sf001)
+    val retransmit = docs.filter(col("doc_id") === 0)
+      .withColumn("doc_id", lit(100000L))
+    val emitted = runDedupTtl(
+      Seq(docs.filter(col("doc_id") < 250),
+        docs.filter(col("doc_id") >= 250).unionByName(retransmit)),
+      ttlMs = Some(3600L * 1000), pauseMs = 0, queryName = "dedup_ttl_eq")
+    val batch = docs.unionByName(retransmit)
+      .select(md5(col("text")).as("h"), col("doc_id"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      .collect().map(r => (r.getLong(1), r.getString(0))).toSet
+    assert(emitted.length == emitted.toSet.size, "a hash was emitted twice")
+    assert(emitted.toSet == batch,
+      s"missing=${(batch -- emitted.toSet).take(3)} extra=${(emitted.toSet -- batch).take(3)}")
+    // the retransmit's hash was seen in trigger 1, so trigger 2 suppressed it
+    assert(!emitted.map(_._1).contains(100000L),
+      "cross-trigger duplicate was not suppressed")
+  }
+
+  test("state-v2 TTL dedup: an expired hash re-emits (bounded-state semantics)") {
+    import spark.implicits._
+    val mk = (ids: Seq[Long]) => ids
+      .map(i => (i, "ttl expiry probe text", "en", "t", 21L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // same content in both triggers, 3s apart, TTL 500ms: the state entry
+    // must be gone by trigger 2 and the content re-emits under the new id
+    val emitted = runDedupTtl(Seq(mk(Seq(1L)), mk(Seq(2L))),
+      ttlMs = Some(500L), pauseMs = 3000, queryName = "dedup_ttl_exp")
+    assert(emitted.map(_._1).sorted.toSeq == Seq(1L, 2L),
+      s"expected re-emission after TTL expiry, got ${emitted.toSeq}")
+    // control: without a pause past the TTL the duplicate is suppressed
+    val suppressed = runDedupTtl(Seq(mk(Seq(3L)), mk(Seq(4L))),
+      ttlMs = Some(3600L * 1000), pauseMs = 0, queryName = "dedup_ttl_ctl")
+    assert(suppressed.map(_._1).toSeq == Seq(3L),
+      s"expected suppression within TTL, got ${suppressed.toSeq}")
+  }
 }
