@@ -50,6 +50,9 @@ object SelectionQueries {
   final val DsirB = 1024
   final val DsirN = 25
 
+  /** k-center coreset size. */
+  final val KcK = 5
+
   private def md5p60(c: org.apache.spark.sql.Column) =
     graft.functions.TextOps.md5Prefix60(c)
 
@@ -241,6 +244,63 @@ object SelectionQueries {
          |  CAST(sum(CAST(llr AS DECIMAL(25,12))) AS DOUBLE) AS score
          |FROM big JOIN llr USING (b)
          |GROUP BY 1, 2
-         |ORDER BY score DESC, doc_id LIMIT $DsirN""".stripMargin))
+         |ORDER BY score DESC, doc_id LIMIT $DsirN""".stripMargin)),
+
+    // Greedy k-center coreset (Gonzalez 1985; the Sener-Savarese ICLR
+    // 2018 data-selection shape): pick the min-id seed, then K-1 times
+    // add the point FARTHEST (int8-cosine distance) from the chosen set
+    // — a 2-approximation of the optimal K-cover whose selection
+    // distances bound the coverage radius. Scale shape: K corpus scans,
+    // each a narrow least()/cosine projection + a 1-row argmax
+    // (TakeOrderedAndProject(1)); the only driver traffic is K center
+    // vectors (the MLlib-KMeans collect pattern, bounded by K x dim
+    // bytes at ANY corpus size). Distances are exact-integer int8
+    // cosines, so every double is bit-equal across engines and the
+    // oracle can replay the greedy chain as K unrolled CTEs (the
+    // q_bpe_train pattern).
+    Q("q_kcenter_coreset",
+      (s, d) => {
+        val qv = Tables.embeddings(s, d).select(col("vec_id"),
+          graft.functions.VectorOps.quantizeInt8(col("embedding")).as("q"))
+        val seed = qv.orderBy(col("vec_id")).limit(1).collect()(0)
+        var picks = List((1L, seed.getLong(0), Option.empty[Double]))
+        var cur = qv.select(col("vec_id"), col("q"),
+          (lit(1.0) - graft.functions.VectorOps.cosineInt8(col("q"),
+            lit(seed.getAs[Array[Byte]]("q")))).as("dmin"))
+        (2 to KcK).foreach { t =>
+          val p = cur.orderBy(col("dmin").desc, col("vec_id")).limit(1)
+            .collect()(0)
+          picks ::= ((t.toLong, p.getLong(0), Some(p.getDouble(2))))
+          cur = cur.select(col("vec_id"), col("q"),
+            least(col("dmin"), lit(1.0) -
+              graft.functions.VectorOps.cosineInt8(col("q"),
+                lit(p.getAs[Array[Byte]]("q")))).as("dmin"))
+        }
+        import s.implicits._
+        val sel = picks.reverse.toDF("t", "vec_id", "pick_dist")
+        sel.crossJoin(cur.agg(max(col("dmin")).as("final_radius")))
+          .orderBy(col("t"))
+      },
+      Some {
+        val steps = (2 to KcK).map { t =>
+          val prev = t - 1
+          s"""p$t AS (SELECT vec_id AS id, q, dmin FROM d$prev ORDER BY dmin DESC, vec_id LIMIT 1),
+             |d$t AS (SELECT v.vec_id, v.q, LEAST(v.dmin, 1.0 - ${OracleSql.int8Cos("v.q", s"p$t.q")}) AS dmin FROM d$prev v, p$t)"""
+            .stripMargin
+        }.mkString(",\n")
+        val sel = (2 to KcK)
+          .map(t => s"SELECT $t AS t, id AS vec_id, dmin AS pick_dist FROM p$t")
+          .mkString("\n  UNION ALL ")
+        s"""WITH ${OracleSql.quantizeCte},
+           |p1 AS (SELECT vec_id AS id, q FROM qv ORDER BY vec_id LIMIT 1),
+           |d1 AS (SELECT v.vec_id, v.q, 1.0 - ${OracleSql.int8Cos("v.q", "p1.q")} AS dmin FROM qv v, p1),
+           |$steps,
+           |rad AS (SELECT max(dmin) AS final_radius FROM d$KcK),
+           |sel AS (
+           |  SELECT 1 AS t, id AS vec_id, CAST(NULL AS DOUBLE) AS pick_dist FROM p1
+           |  UNION ALL $sel)
+           |SELECT CAST(t AS BIGINT) AS t, vec_id, pick_dist, final_radius
+           |FROM sel, rad ORDER BY t""".stripMargin
+      })
   )
 }

@@ -75,6 +75,25 @@ class SelectionSpec extends SparkSpec {
       "selection must be deterministic across runs")
   }
 
+  test("q_kcenter_coreset: greedy invariants (distinct, non-increasing, radius bound)") {
+    val rows = SparkEntry.queries("q_kcenter_coreset")(spark, sf001).collect()
+    assert(rows.length == SelectionQueries.KcK)
+    val ids = rows.map(_.getAs[Long]("vec_id"))
+    assert(ids.distinct.length == ids.length, "centers must be distinct")
+    // greedy selection distances are non-increasing: each pick is the
+    // farthest point from a SUPERSET of the previous pick's center set
+    val dists = rows.sortBy(_.getAs[Long]("t")).drop(1)
+      .map(_.getAs[Double]("pick_dist"))
+    assert(dists.zip(dists.tail).forall { case (a, b) => a >= b },
+      s"selection distances must be non-increasing: ${dists.toSeq}")
+    assert(dists.forall(d => d >= 0.0 && d <= 2.0), "cosine distance range")
+    // after K picks every point is within final_radius of a center, and
+    // the next pick would be at exactly final_radius <= the last pick
+    val radius = rows.head.getAs[Double]("final_radius")
+    assert(radius <= dists.last, s"radius $radius > last pick ${dists.last}")
+    assert(radius > 0.0, "degenerate coreset: radius 0")
+  }
+
   test("prefix filter actually prunes: prefix tokens are a strict subset of shingles") {
     // structural sanity on the fixture: candidate generation reads fewer
     // (doc, shingle) rows than the full shingle relation would
