@@ -272,6 +272,62 @@ class StreamingSpec extends SparkSpec {
     assert(snap.forall(_._4 == 0L))
   }
 
+  test("state-v2 MapState heavy hitters: exact regime equals batch AND the fmgws twin") {
+    import org.apache.spark.sql.functions.col
+    // m = 128 >= per-shard vocabulary -> nothing evicts; the MapState
+    // point-update layout must reproduce the batch counts exactly across
+    // the two-trigger split, like the fmgws version does
+    val all = graft.streaming.StreamHeavyHittersV2
+      .runOnce(spark, sf001, "hh2_exact_test", numShards = 8, m = 128)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val maxSeen = all.groupBy(_._1).map { case (s, rs) => s -> rs.map(_._5).max }
+    val snap = all.filter { case (s, _, _, _, ns) => ns == maxSeen(s) }
+    val streamed = snap.map { case (_, tok, cnt, _, _) => (tok, cnt) }.toSet
+    val batch = graft.streaming.StreamHeavyHitters
+      .tokens(Tables.documents(spark, sf001), 8)
+      .groupBy("tok").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"stream-only=${(streamed -- batch).take(5)} batch-only=${(batch -- streamed).take(5)}")
+    assert(snap.forall(_._4 == 0L), "exact regime must carry zero error")
+  }
+
+  test("state-v2 MapState heavy hitters: tight regime keeps the guarantees") {
+    // m = 4 per shard: heavy eviction; the space-saving bounds must hold
+    val m = 4
+    val all = graft.streaming.StreamHeavyHittersV2
+      .runOnce(spark, sf001, "hh2_tight_test", numShards = 8, m = m)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val maxSeen = all.groupBy(_._1).map { case (s, rs) => s -> rs.map(_._5).max }
+    val snap = all.filter { case (s, _, _, _, ns) => ns == maxSeen(s) }
+      .map { case (s, tok, cnt, err, _) => (s, tok) -> (cnt, err) }.toMap
+    assert(snap.nonEmpty)
+    // bounded size per shard
+    snap.keys.groupBy(_._1).foreach { case (s, ks) =>
+      assert(ks.size <= m, s"shard $s holds ${ks.size} > m=$m slots")
+    }
+    val exact = graft.streaming.StreamHeavyHitters
+      .tokens(Tables.documents(spark, sf001), 8)
+      .groupBy("shard", "tok").count().collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    // overestimate + error bound: true <= cnt and cnt - err <= true
+    snap.foreach { case (k, (cnt, err)) =>
+      val t = exact.getOrElse(k, 0L)
+      assert(t <= cnt, s"$k undercounted: sketch $cnt < true $t")
+      assert(cnt - err <= t, s"$k error bound broken: $cnt - $err > $t")
+    }
+    // any token with true count > n/m is present
+    val nPerShard = exact.groupBy(_._1._1).map { case (s, m2) => s -> m2.values.sum }
+    exact.foreach { case ((s, tok), t) =>
+      if (t > nPerShard(s).toDouble / m)
+        assert(snap.contains((s, tok)),
+          s"frequent token $tok (true $t > n/m=${nPerShard(s) / m}) missing from shard $s")
+    }
+  }
+
   test("streaming heavy hitters: tight regime keeps the space-saving guarantees") {
     import org.apache.spark.sql.functions.col
     val m = 4
