@@ -69,6 +69,45 @@ object SelectionQueries {
             (0 until PjK).map(o => element_at(col("t"), i + o + 1)): _*))))
           .as("g"))
 
+  /** Prefix-filtered exact Jaccard join over a (doc_id, g: array<long>)
+    * set relation: all pairs with J >= PjT, candidates bounded by the
+    * AllPairs/PPJoin prefix principle (each set's s - ceil(T*s) + 1
+    * RAREST elements under the global (df, element) order). Exposed for
+    * property testing: losslessness must hold on ARBITRARY set corpora,
+    * not just the fixture. */
+  private[graft] def prefixJoin(sh0: DataFrame): DataFrame = {
+    // materialize the hashed set relation ONCE: it feeds four subtrees
+    // (df table, prefix build, both verify sides) and recomputing the
+    // per-element md5 hashing four times dominated the wall clock
+    val sh = sh0.localCheckpoint()
+    val ex = sh.select(col("doc_id"), size(col("g")).cast("long").as("s"),
+      explode(col("g")).as("gh"))
+    val dfTab = ex.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+    // Per-doc elements sorted by (global df asc, element asc); prefix
+    // length for T=0.5 via exact integer arithmetic: s - ceil(s/2) + 1.
+    val prefix = ex.join(dfTab, "gh")
+      .groupBy(col("doc_id"), col("s"))
+      .agg(array_sort(collect_list(struct(col("df"), col("gh")))).as("sorted"))
+      .select(col("doc_id"),
+        explode(slice(transform(col("sorted"), p => p("gh")),
+          lit(1), expr("s - ((s + 1) div 2) + 1").cast("int"))).as("gh"))
+    val cand = prefix.select(col("gh"), col("doc_id").as("doc_a"))
+      .join(prefix.select(col("gh"), col("doc_id").as("doc_b")), "gh")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("g").as("ga")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("g").as("gb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ga"), col("gb"))).cast("long").as("n_inter"),
+        (size(col("ga")) + size(col("gb"))).cast("long").as("s_ab"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        (col("s_ab") - col("n_inter")).as("n_union"),
+        (col("n_inter").cast("double") /
+          (col("s_ab") - col("n_inter")).cast("double")).as("jacc"))
+      .filter(col("jacc") >= PjT)
+  }
+
   private val shingleSetsSql: String =
     s"""d AS (
        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -142,36 +181,8 @@ object SelectionQueries {
     // verified exactly against the full shingle sets. The oracle is the
     // brute-force formulation — equality IS the losslessness proof.
     Q("q_prefix_join",
-      (s, d) => {
-        val sh = shingleSets(s, d)
-        val ex = sh.select(col("doc_id"), size(col("g")).cast("long").as("s"),
-          explode(col("g")).as("gh"))
-        val dfTab = ex.groupBy(col("gh")).agg(count(lit(1)).as("df"))
-        // Per-doc shingles sorted by (global df asc, hash asc); prefix
-        // length for T=0.5 via exact integer arithmetic: s - ceil(s/2) + 1.
-        val prefix = ex.join(dfTab, "gh")
-          .groupBy(col("doc_id"), col("s"))
-          .agg(array_sort(collect_list(struct(col("df"), col("gh")))).as("sorted"))
-          .select(col("doc_id"),
-            explode(slice(transform(col("sorted"), p => p("gh")),
-              lit(1), expr("s - ((s + 1) div 2) + 1").cast("int"))).as("gh"))
-        val cand = prefix.select(col("gh"), col("doc_id").as("doc_a"))
-          .join(prefix.select(col("gh"), col("doc_id").as("doc_b")), "gh")
-          .filter(col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b")).distinct()
-        cand
-          .join(sh.select(col("doc_id").as("doc_a"), col("g").as("ga")), "doc_a")
-          .join(sh.select(col("doc_id").as("doc_b"), col("g").as("gb")), "doc_b")
-          .select(col("doc_a"), col("doc_b"),
-            size(array_intersect(col("ga"), col("gb"))).cast("long").as("n_inter"),
-            (size(col("ga")) + size(col("gb"))).cast("long").as("s_ab"))
-          .select(col("doc_a"), col("doc_b"), col("n_inter"),
-            (col("s_ab") - col("n_inter")).as("n_union"),
-            (col("n_inter").cast("double") /
-              (col("s_ab") - col("n_inter")).cast("double")).as("jacc"))
-          .filter(col("jacc") >= PjT)
-          .orderBy(col("doc_a"), col("doc_b"))
-      },
+      (s, d) => prefixJoin(shingleSets(s, d))
+        .orderBy(col("doc_a"), col("doc_b")),
       Some(s"""WITH $shingleSetsSql,
          |tok AS (SELECT doc_id, len(g) AS s, unnest(g) AS gh FROM sh),
          |inter AS (

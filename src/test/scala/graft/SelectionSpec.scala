@@ -75,6 +75,36 @@ class SelectionSpec extends SparkSpec {
       "selection must be deterministic across runs")
   }
 
+  test("prefix-join losslessness holds on random set corpora (seeded property sweep)") {
+    import spark.implicits._
+    // the fixture exercises one data shape; the prefix-length bound
+    // (s - ceil(T*s) + 1) must hold for ARBITRARY sets — especially tiny
+    // ones where the ceil arithmetic has edge cases (s = 1, 2, 3...),
+    // identical sets, subsets, and high-collision universes
+    val rnd = new scala.util.Random(20260814L)
+    (1 to 10).foreach { trial =>
+      val universe = 1 + rnd.nextInt(30)
+      val nDocs = 5 + rnd.nextInt(25)
+      val docs = (0 until nDocs).map { i =>
+        val sz = 1 + rnd.nextInt(12)
+        (i.toLong, Seq.fill(sz)(rnd.nextInt(universe).toLong).distinct)
+      }
+      val got = graft.ops.SelectionQueries.prefixJoin(docs.toDF("doc_id", "g"))
+        .select(col("doc_a"), col("doc_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sets = docs.map { case (id, g) => id -> g.toSet }.toMap
+      val brute = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        inter = (sets(a) & sets(b)).size
+        uni = sets(a).size + sets(b).size - inter
+        if inter.toDouble / uni >= SelectionQueries.PjT
+      } yield (a, b)).toSet
+      assert(got == brute,
+        s"trial $trial (universe=$universe, docs=$nDocs): " +
+          s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+    }
+  }
+
   test("q_kcenter_coreset: greedy invariants (distinct, non-increasing, radius bound)") {
     val rows = SparkEntry.queries("q_kcenter_coreset")(spark, sf001).collect()
     assert(rows.length == SelectionQueries.KcK)
