@@ -53,6 +53,13 @@ object SelectionQueries {
   /** k-center coreset size. */
   final val KcK = 5
 
+  /** q_group_sample: rows kept per stratum, and the 2^52 modulus that
+    * keeps hash priorities exactly representable as doubles (TopKAgg
+    * compares doubles; 60-bit longs would round and could disagree with
+    * the oracle's exact BIGINT ordering near ties). */
+  final val GsK = 20
+  final val GsMod = 4503599627370496L
+
   private def md5p60(c: org.apache.spark.sql.Column) =
     graft.functions.TextOps.md5Prefix60(c)
 
@@ -312,6 +319,45 @@ object SelectionQueries {
            |  UNION ALL $sel)
            |SELECT CAST(t AS BIGINT) AS t, vec_id, pick_dist, final_radius
            |FROM sel, rad ORDER BY t""".stripMargin
-      })
+      }),
+
+    // Fixed-size-per-stratum uniform sample — the eval-set builder
+    // (exactly k docs per language) completing the sampling trio next to
+    // rate-based q_stratified_sample and weighted-global
+    // q_priority_sample. The engine keeps each stratum's k SMALLEST hash
+    // priorities with the bounded TopKAgg (map-side partial heaps, the
+    // shuffle is groups x k rows), where the oracle's row_number window
+    // sorts the whole stratum — the plan divergence IS the scale story:
+    // a fixed-size sample at 100 TB must never imply a corpus sort.
+    // Priorities are the 60-bit md5 reduced mod 2^52 so the aggregate's
+    // double comparisons are exact (see GsMod).
+    Q("q_group_sample",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val picked = docs.select(col("lang"), col("doc_id"),
+            (md5p60(concat(lit("gsamp:"), col("doc_id").cast("string")))
+              % GsMod).as("pr"))
+          .groupBy(col("lang"))
+          .agg(graft.functions.VectorOps.topK(
+            -col("pr").cast("double"), col("doc_id"), GsK).as("top"))
+          .select(col("lang"), posexplode(col("top")).as(Seq("i", "t")))
+          .select(col("lang"), (col("i") + 1).cast("long").as("rn"),
+            col("t.vec_id").as("doc_id"),
+            (-col("t.score")).cast("long").as("pr"))
+        picked.join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+          .select(col("lang"), col("rn"), col("doc_id"), col("pr"),
+            col("n_chars"))
+          .orderBy(col("lang"), col("rn"))
+      },
+      Some(s"""WITH p AS (
+         |  SELECT lang, doc_id, n_chars,
+         |    ${OracleSql.hexToLong("md5('gsamp:' || CAST(doc_id AS VARCHAR))", 1, 15)} % $GsMod AS pr
+         |  FROM documents),
+         |r AS (
+         |  SELECT lang, doc_id, n_chars, pr,
+         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY pr, doc_id) AS BIGINT) AS rn
+         |  FROM p)
+         |SELECT lang, rn, doc_id, pr, CAST(n_chars AS BIGINT) AS n_chars
+         |FROM r WHERE rn <= $GsK ORDER BY lang, rn""".stripMargin))
   )
 }

@@ -124,6 +124,37 @@ class SelectionSpec extends SparkSpec {
     assert(radius > 0.0, "degenerate coreset: radius 0")
   }
 
+  test("q_group_sample: exactly k per stratum, the k smallest priorities, no corpus sort") {
+    import org.apache.spark.sql.functions.{col, min => smin}
+    val rows = SparkEntry.queries("q_group_sample")(spark, sf001).collect()
+    val perLang = rows.groupBy(_.getAs[String]("lang"))
+    assert(perLang.size == 5)
+    perLang.foreach { case (l, rs) =>
+      assert(rs.length == SelectionQueries.GsK, s"$l: ${rs.length} rows")
+      val prs = rs.sortBy(_.getAs[Long]("rn")).map(_.getAs[Long]("pr"))
+      assert(prs.zip(prs.tail).forall { case (a, b) => a <= b },
+        s"$l: priorities not ascending with rank")
+    }
+    // the kept set really is the k smallest per stratum: no unsampled doc
+    // may have a smaller priority than its stratum's max kept priority
+    val kept = perLang.map { case (l, rs) => l -> rs.map(_.getAs[Long]("pr")).max }
+    val docs = Tables.documents(spark, sf001)
+      .select(col("lang"), col("doc_id"),
+        (graft.functions.TextOps.md5Prefix60(org.apache.spark.sql.functions
+          .concat(org.apache.spark.sql.functions.lit("gsamp:"),
+            col("doc_id").cast("string"))) % SelectionQueries.GsMod).as("pr"))
+    val keptIds = rows.map(_.getAs[Long]("doc_id")).toSet
+    val violations = docs.collect().filter { r =>
+      !keptIds.contains(r.getAs[Long]("doc_id")) &&
+        r.getAs[Long]("pr") < kept(r.getAs[String]("lang"))
+    }
+    assert(violations.isEmpty, s"unsampled docs beat the kept set: ${violations.take(3).toSeq}")
+    // plan: the aggregate path must not sort the corpus (no Window/global Sort below the agg)
+    val plan = SparkEntry.queries("q_group_sample")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec"), "per-group sampling must not use a corpus window")
+  }
+
   test("prefix filter actually prunes: prefix tokens are a strict subset of shingles") {
     // structural sanity on the fixture: candidate generation reads fewer
     // (doc, shingle) rows than the full shingle relation would
