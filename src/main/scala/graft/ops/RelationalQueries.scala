@@ -554,6 +554,44 @@ object RelationalQueries {
     // the only broadcast hint (the scale-factor-growing sides are AQE's
     // call, per the r5 verdict). Profit sums route through DECIMAL for
     // order-independent bit-exactness.
+    // TPC-H Q18 shape — "large orders": a HAVING pre-aggregation over the
+    // fact table (map-side partials on the join key, so the filter runs
+    // BEFORE any join and the surviving keys are ~1.5% of orders at
+    // T=200) drives a semi-join-like reduction of orders + customer,
+    // then a global top-100. The having-aggregate replaces what a naive
+    // formulation would do with a window over the joined relation; at
+    // 100 TB the big-orders key set is small enough to broadcast into
+    // the orders join (AQE decides), and lineitem shuffles once on
+    // l_orderkey — the same exchange a bucketed layout would eliminate.
+    Q("q18_big_orders",
+      (s, d) => {
+        val big = Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey"))
+          .agg(H.dsum(col("l_quantity")).as("sum_qty"))
+          .filter(col("sum_qty") > 200.0)
+        val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d)
+        o.join(big, o("o_orderkey") === big("l_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderdate"),
+            col("o_orderkey"))
+          .limit(100)
+      },
+      Some("""WITH big AS (
+         |  SELECT l_orderkey,
+         |    CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+         |  FROM lineitem GROUP BY 1
+         |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) > 200.0)
+         |SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+         |  o.o_totalprice, b.sum_qty
+         |FROM big b
+         |JOIN orders o ON o.o_orderkey = b.l_orderkey
+         |JOIN customer c ON c.c_custkey = o.o_custkey
+         |ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+         |LIMIT 100""".stripMargin)),
+
     Q("q9_profit",
       (s, d) => {
         val li = Tables.lineitem(s, d)
