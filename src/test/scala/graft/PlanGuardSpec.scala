@@ -180,4 +180,60 @@ class PlanGuardSpec extends SparkSpec {
     val p = finalPlan(SparkEntry.queries("q_events_hourly")(spark, sf001))
     assert(shuffles(p) <= 2, s"tumbling agg must be one keyed exchange + sort:\n$p")
   }
+
+  test("q_priority_sample: the corpus never shuffles; sample comes from a bounded top-(N+1)") {
+    val p = finalPlan(SparkEntry.queries("q_priority_sample")(spark, sf001))
+    assert(shuffles(p) <= 1, s"only the post-limit window may exchange:\n$p")
+    assert(p.toString.contains("TakeOrderedAndProject"),
+      "the sample must come from a bounded top-k, not a corpus sort")
+  }
+
+  test("q_dsir_select: the llr model joins as a BROADCAST at any corpus size") {
+    val p = finalPlan(SparkEntry.queries("q_dsir_select")(spark, sf001))
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    assert(collectAll(p).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      s"scoring must probe the broadcast B-bucket model:\n${p.toString.take(1500)}")
+    assert(p.toString.contains("TakeOrderedAndProject"),
+      "selection must be a bounded top-k")
+  }
+
+  test("q_group_sample: bounded per-group aggregate, no corpus window or sort") {
+    val p = finalPlan(SparkEntry.queries("q_group_sample")(spark, sf001))
+    assert(p.toString.contains("ObjectHashAggregate"),
+      "per-stratum sampling must run through the bounded TopKAgg")
+    assert(!p.toString.contains("WindowExec"),
+      "a window formulation would sort every stratum")
+  }
+
+  test("q18_big_orders: the HAVING aggregate runs below the joins") {
+    val p = finalPlan(SparkEntry.queries("q18_big_orders")(spark, sf001))
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    val nodes = collectAll(p)
+    def depth(cls: Class[_]): Int = {
+      // max distance from root at which a node of this class appears —
+      // expanding AQE stage / reused-exchange wrappers like collectAll
+      def walk(q: org.apache.spark.sql.execution.SparkPlan, d: Int): Seq[Int] = {
+        val wrapped: Seq[org.apache.spark.sql.execution.SparkPlan] = q match {
+          case s: QueryStageExec => Seq(s.plan)
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case r: ReusedExchangeExec => Seq(r.child)
+          case _ => Nil
+        }
+        val here = if (cls.isInstance(q)) Seq(d) else Nil
+        here ++ (q.children ++ q.subqueries ++ wrapped).flatMap(walk(_, d + 1))
+      }
+      walk(p, 0).foldLeft(-1)(math.max)
+    }
+    assert(nodes.exists(_.isInstanceOf[HashAggregateExec]), "having aggregate missing")
+    val hasJoin = nodes.exists(n => n.isInstanceOf[BroadcastHashJoinExec] ||
+      n.isInstanceOf[ShuffledHashJoinExec] || n.isInstanceOf[SortMergeJoinExec])
+    assert(hasJoin, "orders/customer joins missing")
+    // the quantity aggregate must be DEEPER than every join (pre-join filter)
+    assert(depth(classOf[HashAggregateExec]) >
+      Seq(classOf[BroadcastHashJoinExec], classOf[ShuffledHashJoinExec],
+        classOf[SortMergeJoinExec]).map(depth).max,
+      s"HAVING aggregate must sit below the joins:\n${p.toString.take(1500)}")
+    assert(p.toString.contains("TakeOrderedAndProject"), "top-100 must push down")
+  }
 }
