@@ -24,6 +24,13 @@ import org.apache.spark.sql.types.DecimalType
   *    ratio between a target domain and the raw corpus; the model is
   *    2xB counters, scoring is one narrow corpus pass, selection is a
   *    bounded top-k.
+  *  - q_kcenter_coreset — greedy k-center (Gonzalez 1985; the
+  *    Sener-Savarese ICLR 2018 data-selection shape): K corpus scans,
+  *    each a narrow distance projection into a 1-row argmax.
+  *  - q_group_sample — fixed-size per-stratum uniform sampling via the
+  *    bounded TopKAgg (no corpus window/sort), completing the sampling
+  *    trio with rate-based q_stratified_sample and the weighted-global
+  *    estimator above.
   *
   * Float parity (Q.scala rules): priorities and Jaccards are single
   * IEEE divisions of exactly-cast integers (bitwise-equal across engines);
@@ -92,6 +99,9 @@ object SelectionQueries {
     val dfTab = ex.groupBy(col("gh")).agg(count(lit(1)).as("df"))
     // Per-doc elements sorted by (global df asc, element asc); prefix
     // length for T=0.5 via exact integer arithmetic: s - ceil(s/2) + 1.
+    // NOTE: this integer formula encodes PjT = 0.5 — changing PjT
+    // requires changing it (and the random-corpus property sweep in
+    // SelectionSpec will catch a mismatch).
     val prefix = ex.join(dfTab, "gh")
       .groupBy(col("doc_id"), col("s"))
       .agg(array_sort(collect_list(struct(col("df"), col("gh")))).as("sorted"))
