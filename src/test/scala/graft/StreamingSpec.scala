@@ -424,6 +424,42 @@ class StreamingSpec extends SparkSpec {
     assert(pairs == Set((0L, 1L), (0L, 2L), (1L, 2L)))
   }
 
+  test("state-v2 ListState near-dup: distinct pairs equal the batch minhash pipeline") {
+    import org.apache.spark.sql.functions.col
+    val streamed = graft.streaming.StreamNearDupV2
+      .runOnce(spark, sf001, "neardup2_test")
+      .select(col("doc_a"), col("doc_b")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.ops.TextQueries.minhashPairs(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"missing=${(batch -- streamed).take(5)} extra=${(streamed -- batch).take(5)}")
+    // and the two-trigger split genuinely carried bucket state across
+    // triggers: a cross-half pair exists in the batch truth
+    assert(batch.exists { case (a, b) => a < 250 && b >= 250 },
+      "split degenerate: no cross-trigger pair to prove state carry-over")
+  }
+
+  test("state-v2 ListState near-dup: bucket cap bounds state (degenerate-bucket guard)") {
+    import spark.implicits._
+    val docs = (0L until 6L)
+      .map(i => (i, "alpha beta gamma delta epsilon zeta", "en", "t", 34L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val pairs = graft.streaming.StreamNearDupV2.candidates(docs, maxBucket = 3)
+        .collect().map(p => (p.doc_a, p.doc_b)).toSet
+      assert(pairs == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("streaming transitions changelog rolls up to the batch Markov matrix") {
     import org.apache.spark.sql.functions.col
     val trans = graft.streaming.StreamTransitions
