@@ -31,6 +31,11 @@ object Bench {
     // protocols — the A/B lever for attributing sweep-wide shifts to
     // serving-side state (broadcast blocks, heap pressure) vs the queries.
     val skipServing = sys.env.get("SPARK_GRAFT_SKIP_SERVING").contains("1")
+    // per-rep serving times, kept so the emitted JSON can carry a
+    // variance annotation (serving QPS has measured ±2x cross-session
+    // drift — the artifact should say so itself instead of forcing each
+    // round's review to reconcile prose numbers)
+    var servingReps: Map[String, Seq[Double]] = Map.empty
     val (refQpsLocal, refQpsBatch, refQpsConc, refQpsPq) =
       if (skipServing) (0.0, 0.0, 0.0, 0.0) else {
       import spark.implicits._
@@ -45,22 +50,24 @@ object Bench {
         graft.functions.VectorKernels.quantize(Array.fill(dim)(qrnd.nextGaussian().toFloat)))).toArray
       val local = index.toLocal
       (0 until 10).foreach(i => local.search(queries(i)._2, 10)) // warm-ups (benchmark_suite.py:109)
-      val bestLocal = (0 until 5).map { _ =>
+      val repsLocal = (0 until 5).map { _ =>
         val t = System.nanoTime()
         queries.foreach(q => local.search(q._2, 10))
         (System.nanoTime() - t) / 1e9
-      }.min
+      }
+      val bestLocal = repsLocal.min
       index.search(queries, 10) // warm-up
-      val bestBatch = (0 until 5).map { _ =>
+      val repsBatch = (0 until 5).map { _ =>
         val t = System.nanoTime()
         index.search(queries, 10)
         (System.nanoTime() - t) / 1e9
-      }.min
+      }
+      val bestBatch = repsBatch.min
       // concurrent serving: 10 threads x 50 queries against the shared
       // local replica (benchmark_suite.py:197-224 protocol at 50k) —
       // overlapping callers scan on their own threads (LocalIndex
       // concurrency model), so this measures scaling, not lock queueing
-      val bestConc = (0 until 3).map { _ =>
+      val repsConc = (0 until 3).map { _ =>
         val t = System.nanoTime()
         val ths = (0 until 10).map { w =>
           val th = new Thread(() =>
@@ -69,7 +76,8 @@ object Bench {
         }
         ths.foreach(_.join())
         (System.nanoTime() - t) / 1e9
-      }.min
+      }
+      val bestConc = repsConc.min
       // PQ ADC serving twin (LocalPqIndex): same 50k corpus compressed to
       // M bytes/row, scored via LUT reads — the residency tier's scan
       // throughput next to the int8 SIMD number. Float queries regenerate
@@ -94,12 +102,17 @@ object Bench {
         (0 until 100).map(_ => Array.fill(dim)(r.nextGaussian().toFloat)).toArray
       }
       (0 until 10).foreach(i => pq.search(qFloats(i), 10))
-      val bestPq = (0 until 5).map { _ =>
+      val repsPq = (0 until 5).map { _ =>
         val t = System.nanoTime()
         qFloats.foreach(q => pq.search(q, 10))
         (System.nanoTime() - t) / 1e9
-      }.min
+      }
+      val bestPq = repsPq.min
       index.unpersist()
+      servingReps = Map("search" -> repsLocal.map(100.0 / _),
+        "batch" -> repsBatch.map(100.0 / _),
+        "concurrent" -> repsConc.map(500.0 / _),
+        "pq" -> repsPq.map(100.0 / _))
       (100.0 / bestLocal, 100.0 / bestBatch, 500.0 / bestConc, 100.0 / bestPq)
     }
     // decouple the sweep from serving-section heap state: drop dangling
@@ -197,8 +210,28 @@ object Bench {
         }
       }
     } catch { case e: Throwable => System.err.println(s"[bench-diff] skipped: $e") }
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","protocol":2,"reps":$REPS,"stat":"min","total_median":$totalMedian%.3f,"labels_build_sec":$labelsBuildSec%.3f,"queries":$qs,"ref_search_qps_50k":$refQpsLocal%.0f,"ref_batch_qps_50k":$refQpsBatch%.0f,"ref_concurrent_qps_50k":$refQpsConc%.0f,"ref_pq_qps_50k":$refQpsPq%.0f,"baseline_ref_qps_50k":1100,"sf":"$sfDir"}"""
+    // variance-annotated serving block: per-protocol QPS range across the
+    // in-process reps ([min, max], best = the published number). Serving
+    // QPS has measured ±2x cross-SESSION drift (r7: 4,254; r8 sessions:
+    // 6,297-10,298) — the artifact carries its own in-run spread so
+    // cross-round comparison doesn't need prose reconciliation.
+    val servingVar =
+      if (servingReps.isEmpty) """"serving_variance":null"""
+      else servingReps.toSeq.sortBy(_._1).map { case (k, reps) =>
+        f""""$k":[${reps.min}%.0f,${reps.max}%.0f]"""
+      }.mkString(""""serving_variance":{""", ",", "}")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","protocol":2,"reps":$REPS,"stat":"min","n_queries":${results.size},"total_median":$totalMedian%.3f,"labels_build_sec":$labelsBuildSec%.3f,"queries":$qs,"ref_search_qps_50k":$refQpsLocal%.0f,"ref_batch_qps_50k":$refQpsBatch%.0f,"ref_concurrent_qps_50k":$refQpsConc%.0f,"ref_pq_qps_50k":$refQpsPq%.0f,"baseline_ref_qps_50k":1100,$servingVar,"sf":"$sfDir"}"""
+    // Compact headline (no per-query map): same schema minus "queries",
+    // printed BEFORE and AFTER the full object. The driver's capture
+    // window keeps a bounded TAIL of stdout (r7 and r8 both lost the full
+    // line's head, leaving an unparseable artifact) — the trailing
+    // headline is small enough to always survive whole, so the round
+    // artifact is self-healing; the leading copy covers head-keeping
+    // captures. bench_last.json still holds the complete object.
+    val headline = f"""{"metric":"total","value":$total%.3f,"unit":"sec","protocol":2,"reps":$REPS,"stat":"min","n_queries":${results.size},"headline":true,"labels_build_sec":$labelsBuildSec%.3f,"ref_search_qps_50k":$refQpsLocal%.0f,"ref_batch_qps_50k":$refQpsBatch%.0f,"ref_concurrent_qps_50k":$refQpsConc%.0f,"ref_pq_qps_50k":$refQpsPq%.0f,"baseline_ref_qps_50k":1100,$servingVar,"sf":"$sfDir"}"""
+    println(headline)
     println(line)
+    println(headline)
     // The stdout line outgrew the driver's capture window in r7 (the board
     // kept only the tail, losing total/protocol/30 timings) — also persist
     // the full object where the round artifacts live.

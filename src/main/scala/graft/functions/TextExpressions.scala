@@ -61,6 +61,54 @@ case class Shingle3Expr(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** array<string> -> array<bigint>: 60-bit md5 k-gram hashes — the codegen
+  * twin of `transform(sequence(0, n-k), i -> md5_prefix60(concat_ws(' ',
+  * t[i+1..i+k])))`, optionally wrapped in array_distinct (dedup BY HASH,
+  * first-occurrence order). The parametric generalization of the
+  * Shingle3Expr repair to every corpus-wide gram builder (decontamination
+  * 8-grams, prefix-join 5-grams, DSIR/substring-dedup grams). */
+case class GramHashExpr(child: Expression, k: Int, distinct: Boolean)
+    extends UnaryExpression {
+  require(k >= 1, s"gram width must be >= 1, got $k")
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextTypeCheck.stringArray(child, prettyName)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String =
+    if (distinct) s"gram_hash${k}_distinct" else s"gram_hash$k"
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.gramHash(v.asInstanceOf[ArrayData], k, distinct)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernels.gramHash($c, $k, $distinct)")
+
+  override protected def withNewChildInternal(c: Expression): GramHashExpr =
+    copy(child = c)
+}
+
+/** array<string> -> array<string>: all-position space-joined k-grams — the
+  * codegen twin of `transform(sequence(0, n-k), i -> concat_ws(' ',
+  * t[i+1..i+k]))`, for consumers whose OUTPUT is the gram text. */
+case class GramsExpr(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"gram width must be >= 1, got $k")
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextTypeCheck.stringArray(child, prettyName)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = s"grams$k"
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.grams(v.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.grams($c, $k)")
+
+  override protected def withNewChildInternal(c: Expression): GramsExpr =
+    copy(child = c)
+}
+
 /** string -> bigint: first 60 bits of md5 (compact shuffle key). */
 case class Md5Prefix60Expr(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =

@@ -120,10 +120,90 @@ object TextKernels {
     val md = md5Local.get()
     md.reset()
     val dig = md.digest(s.getBytes)
-    // 7.5 bytes: bytes 0-6 fully, high nibble of byte 7
+    first60(dig)
+  }
+
+  /** Bytes 0-6 fully + high nibble of byte 7 of an md5 digest — the same
+    * 60-bit reduction md5Prefix60 applies. */
+  private def first60(dig: Array[Byte]): Long = {
     var v = 0L
     var i = 0
     while (i < 7) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }
     (v << 4) | ((dig(7) & 0xf0L) >>> 4)
+  }
+
+  private final val SpaceByte = ' '.toByte
+
+  /** md5Prefix60 of the space-joined k-gram starting at token i — the md5
+    * is fed token bytes + single-space separators incrementally, so the
+    * digest is bit-identical to md5Prefix60(concat_ws(' ', toks[i..i+k-1]))
+    * without ever building the joined string. */
+  private def hashGramAt(md: java.security.MessageDigest, toks: ArrayData,
+      i: Int, k: Int): Long = {
+    md.reset()
+    var j = 0
+    while (j < k) {
+      if (j > 0) md.update(SpaceByte)
+      md.update(toks.getUTF8String(i + j).getBytes)
+      j += 1
+    }
+    first60(md.digest())
+  }
+
+  /** 60-bit k-gram hashes of a token array. Non-distinct: element i is the
+    * hash of the gram at position i — exactly `transform(sequence(0, n-k),
+    * i -> md5Prefix60(concat_ws(' ', t[i+1..i+k])))`. Distinct: dedup BY
+    * HASH in first-occurrence order — exactly `array_distinct(` the same
+    * `)` (a 60-bit collision merges the same grams on both engines, the
+    * set-of-hashes contract every consumer joins/intersects on). n < k
+    * yields an empty array (callers filter shorter rows upstream). Exists
+    * because ArrayTransform/ArraySequence are CodegenFallback and the
+    * corpus-wide gram builders are the hottest projections in the
+    * dedup/decontamination/selection tiers (the Shingle3Expr lesson,
+    * generalized to parametric k). Tokens are assumed non-null (split()
+    * output), matching shingle3. */
+  def gramHash(toks: ArrayData, k: Int, distinct: Boolean): ArrayData = {
+    val n = toks.numElements()
+    if (n < k)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Long])
+    val md = md5Local.get()
+    val m = n - k + 1
+    if (distinct) {
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      var i = 0
+      while (i < m) { seen.add(hashGramAt(md, toks, i, k)); i += 1 }
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator()
+      var j = 0
+      while (it.hasNext) { out(j) = it.next(); j += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    } else {
+      val out = new Array[Long](m)
+      var i = 0
+      while (i < m) { out(i) = hashGramAt(md, toks, i, k); i += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
+  /** All-position space-joined k-gram STRINGS of a token array — exactly
+    * `transform(sequence(0, n-k), i -> concat_ws(' ', t[i+1..i+k]))`; the
+    * string twin of gramHash for consumers whose OUTPUT is the gram text
+    * (top-ngrams, collocations). n < k yields an empty array. */
+  def grams(toks: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < k)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val out = new Array[Any](n - k + 1)
+    val buf = new Array[org.apache.spark.unsafe.types.UTF8String](k)
+    var i = 0
+    while (i <= n - k) {
+      var j = 0
+      while (j < k) { buf(j) = toks.getUTF8String(i + j); j += 1 }
+      out(i) = org.apache.spark.unsafe.types.UTF8String.concatWs(Space, buf: _*)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }

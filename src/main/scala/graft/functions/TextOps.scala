@@ -18,6 +18,19 @@ object TextOps {
   /** array<string> -> array<string>: distinct word-trigram shingles. */
   def shingle3(toks: Column): Column = c(Shingle3Expr(e(toks)))
 
+  /** array<string> -> array<bigint>: 60-bit k-gram hashes, all positions
+    * in order (== transform(sequence(0, n-k), i -> md5Prefix60(gram_i))). */
+  def gramHashes(toks: Column, k: Int): Column =
+    c(GramHashExpr(e(toks), k, distinct = false))
+
+  /** array<string> -> array<bigint>: DISTINCT 60-bit k-gram hashes,
+    * first-occurrence order (== array_distinct of gramHashes). */
+  def gramHashesDistinct(toks: Column, k: Int): Column =
+    c(GramHashExpr(e(toks), k, distinct = true))
+
+  /** array<string> -> array<string>: all-position space-joined k-grams. */
+  def grams(toks: Column, k: Int): Column = c(GramsExpr(e(toks), k))
+
   /** string -> bigint: first 60 bits of md5, ==
     * conv(substring(md5(s),1,15),16,10) — a compact long shuffle key. */
   def md5Prefix60(s: Column): Column = c(Md5Prefix60Expr(e(s)))

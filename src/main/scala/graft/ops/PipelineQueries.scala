@@ -60,15 +60,15 @@ object PipelineQueries {
       .filter(size(col("t")) >= 8)
 
   /** Distinct 8-gram 60-bit hashes per doc for one split side
-    * (train: b < 80; test: b >= 90). */
+    * (train: b < 80; test: b >= 90). One codegen'd kernel call per doc
+    * (GramHashExpr — dedup BY HASH == array_distinct over md5Prefix60 of
+    * the grams, set-identical to the former distinct-gram-string HOF
+    * formulation; every consumer joins/intersects/blooms on the hash SET,
+    * and the former transform(sequence(...)) was CodegenFallback). */
   private[graft] def gramHashes(docs: DataFrame, side: String): DataFrame = docs
     .filter(if (side == "train") col("b") < 80 else col("b") >= 90)
     .select(col("doc_id").as(s"${side}_doc"),
-      explode(array_distinct(transform(sequence(lit(0), size(col("t")) - 8),
-        i => concat_ws(" ", (0 until 8).map(o => element_at(col("t"), i + o + 1)): _*))))
-        .as("g"))
-    .select(col(s"${side}_doc"),
-      graft.functions.TextOps.md5Prefix60(col("g")).as("gh"))
+      explode(graft.functions.TextOps.gramHashesDistinct(col("t"), 8)).as("gh"))
 
   /** q_quality_classifier: feature buckets and the seeded integer
     * weight table (Knuth multiplicative hash, range [-1000, 1000] =

@@ -72,16 +72,15 @@ object SelectionQueries {
 
   /** Distinct 60-bit 5-gram shingle hashes per document (docs with >= 5
     * tokens). Set elements are the HASHES on both engines, so a collision
-    * merges the same pair of shingles on both sides. */
+    * merges the same pair of shingles on both sides. One codegen'd kernel
+    * call per doc (GramHashExpr == the former array_distinct(transform(
+    * sequence(...))) HOF, which was CodegenFallback). */
   private def shingleSets(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= PjK)
       .select(col("doc_id"),
-        array_distinct(transform(sequence(lit(0), size(col("t")) - PjK),
-          i => md5p60(concat_ws(" ",
-            (0 until PjK).map(o => element_at(col("t"), i + o + 1)): _*))))
-          .as("g"))
+        graft.functions.TextOps.gramHashesDistinct(col("t"), PjK).as("g"))
 
   /** Prefix-filtered exact Jaccard join over a (doc_id, g: array<long>)
     * set relation: all pairs with J >= PjT, candidates bounded by the
@@ -93,6 +92,13 @@ object SelectionQueries {
     // materialize the hashed set relation ONCE: it feeds four subtrees
     // (df table, prefix build, both verify sides) and recomputing the
     // per-element md5 hashing four times dominated the wall clock
+    // (12.2s -> 1.7s). Durability tradeoff: localCheckpoint truncates
+    // lineage into EXECUTOR-local blocks — a lost executor can't
+    // recompute them and fails the job (acceptable single-JVM, where
+    // executor loss == driver loss). On a real 1000-executor run, stage
+    // this relation durably instead: reliable checkpoint() against the
+    // cluster FS, or write/read a staging parquet — same plan shape,
+    // executor-loss-safe. See SCALE.md.
     val sh = sh0.localCheckpoint()
     val ex = sh.select(col("doc_id"), size(col("g")).cast("long").as("s"),
       explode(col("g")).as("gh"))
@@ -158,8 +164,14 @@ object SelectionQueries {
         // Window over the 51 bounded rows (post-limit), not the corpus.
         val ranked = top.withColumn("rn",
           row_number().over(Window.orderBy(col("priority").desc, col("doc_id"))))
-        val tau = ranked.filter(col("rn") === PrioN + 1)
-          .select(col("priority").as("tau"))
+        // DLT small-corpus fallback: with <= PrioN rows there is no
+        // (N+1)-th priority — tau = 0 and the "sample" is the whole
+        // corpus with est_w = w (the estimator is then exact). The
+        // aggregate form yields EXACTLY ONE row either way, so the
+        // cross join can never annihilate the sample.
+        val tau = ranked.agg(coalesce(
+          max(when(col("rn") === PrioN + 1, col("priority"))), lit(0.0))
+          .as("tau"))
         val samp = ranked.filter(col("rn") <= PrioN).crossJoin(tau)
           .withColumn("est_w", greatest(col("w").cast("double"), col("tau")))
         val est = samp.agg(
@@ -176,7 +188,7 @@ object SelectionQueries {
          |      CAST(${OracleSql.hexToLong("md5('prio:' || CAST(doc_id AS VARCHAR))", 1, 15)} + 1 AS DOUBLE) AS priority
          |  FROM documents),
          |r AS (SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id) AS rn FROM p),
-         |tau AS (SELECT priority AS tau FROM r WHERE rn = ${PrioN + 1}),
+         |tau AS (SELECT COALESCE(max(CASE WHEN rn = ${PrioN + 1} THEN priority END), 0.0) AS tau FROM r),
          |samp AS (
          |  SELECT doc_id, lang, w, priority,
          |    GREATEST(CAST(w AS DOUBLE), tau) AS est_w, tau
@@ -221,26 +233,35 @@ object SelectionQueries {
     // Scale shape: ONE corpus bigram pass folds into a B-row count table
     // (the entire "model" is 2x1024 counters), the llr table broadcasts
     // back for scoring, and selection is a bounded TakeOrderedAndProject.
-    // ln() operands are exact doubles (integer products < 2^53); each
-    // bucket's llr is rounded to 9 decimals and per-doc sums are
-    // decimal-routed, so the score hash-matches bit-for-bit.
+    // ln() operands are single counts (+smoothing) — exact doubles while
+    // counts stay < 2^53, at ANY achievable corpus size; each bucket's
+    // llr is rounded to 9 decimals and per-doc sums are decimal-routed,
+    // so the score hash-matches bit-for-bit.
     Q("q_dsir_select",
       (s, d) => {
         val big = Tables.documents(s, d)
           .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
           .filter(size(col("t")) >= 2)
+          // codegen'd bigram-hash kernel (GramHashExpr): identical hash
+          // per position to md5p60(concat_ws(' ', t[i], t[i+1]))
           .select(col("doc_id"), col("lang"),
-            explode(transform(sequence(lit(0), size(col("t")) - 2),
-              i => concat_ws(" ", element_at(col("t"), i + 1),
-                element_at(col("t"), i + 2)))).as("bg"))
-          .select(col("doc_id"), col("lang"), (md5p60(col("bg")) % DsirB).as("b"))
+            explode(graft.functions.TextOps.gramHashes(col("t"), 2)).as("h"))
+          .select(col("doc_id"), col("lang"), (col("h") % DsirB).as("b"))
         val cnt = big.groupBy(col("b")).agg(
           sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"),
           count(lit(1)).as("cr"))
         val tot = cnt.agg(sum(col("ct")).as("tct"), sum(col("cr")).as("tcr"))
+        // 4-term form: each ln() operand is a single count (+smoothing),
+        // exact as a double while counts stay < 2^53 — the factored
+        // 2-term form multiplied two counts first, which overflows Long
+        // (and loses double exactness) at corpus scales far below 100 TB.
+        // round(, 9) absorbs the few-ulp JVM-vs-DuckDB ln() divergence
+        // (the q_tfidf pattern).
         val llr = cnt.crossJoin(tot).select(col("b"),
-          round(log(((col("ct") + 1) * (col("tcr") + DsirB)).cast("double")) -
-            log(((col("cr") + 1) * (col("tct") + DsirB)).cast("double")), 9)
+          round(log((col("ct") + 1).cast("double")) +
+              log((col("tcr") + DsirB).cast("double")) -
+              log((col("cr") + 1).cast("double")) -
+              log((col("tct") + DsirB).cast("double")), 9)
             .as("llr"))
         // llr is structurally B=1024 rows — broadcast it at ANY corpus size
         big.join(broadcast(llr), "b")
@@ -265,8 +286,8 @@ object SelectionQueries {
          |  FROM big GROUP BY b),
          |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tct, CAST(sum(cr) AS BIGINT) AS tcr FROM cnt),
          |llr AS (
-         |  SELECT b, round(ln(CAST((ct + 1) * (tcr + $DsirB) AS DOUBLE)) -
-         |    ln(CAST((cr + 1) * (tct + $DsirB) AS DOUBLE)), 9) AS llr
+         |  SELECT b, round(ln(CAST(ct + 1 AS DOUBLE)) + ln(CAST(tcr + $DsirB AS DOUBLE)) -
+         |    ln(CAST(cr + 1 AS DOUBLE)) - ln(CAST(tct + $DsirB AS DOUBLE)), 9) AS llr
          |  FROM cnt, tot)
          |SELECT big.doc_id, big.lang, CAST(count(*) AS BIGINT) AS n_bigrams,
          |  CAST(sum(CAST(llr AS DECIMAL(25,12))) AS DOUBLE) AS score

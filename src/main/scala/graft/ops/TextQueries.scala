@@ -447,13 +447,12 @@ object TextQueries {
         val dd = Tables.documents(s, d)
           .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
           .filter(size(col("t")) >= W)
+        // codegen'd positional 8-gram hashes (GramHashExpr, non-distinct):
+        // posexplode index IS the gram position, hash identical to
+        // md5Prefix60 of the space-joined gram the HOF used to build
         val gp = dd.select(col("doc_id"), col("lang"),
-          posexplode(transform(sequence(lit(0), size(col("t")) - W),
-            i => concat_ws(" ",
-              (0 until W).map(o => element_at(col("t"), i + o + 1)): _*)))
-            .as(Seq("pos", "g")))
-          .select(col("doc_id"), col("lang"), col("pos"),
-            graft.functions.TextOps.md5Prefix60(col("g")).as("gh"))
+          posexplode(graft.functions.TextOps.gramHashes(col("t"), W))
+            .as(Seq("pos", "gh")))
         val dup = gp.groupBy(col("gh"))
           .agg(countDistinct(col("doc_id")).as("nd"))
           .filter(col("nd") >= 2).select(col("gh"))
@@ -514,8 +513,7 @@ object TextQueries {
         val t = Tables.documents(s, d)
           .select(split(col("text"), " ").as("t"))
           .filter(size(col("t")) >= 2)
-        t.select(explode(transform(sequence(lit(0), size(col("t")) - 2),
-            i => concat_ws(" ", element_at(col("t"), i + 1), element_at(col("t"), i + 2))))
+        t.select(explode(graft.functions.TextOps.grams(col("t"), 2))
             .as("bigram"))
           .filter(!col("bigram").startsWith(" ") && !col("bigram").endsWith(" "))
           .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
@@ -1074,10 +1072,14 @@ object TextQueries {
         val t = Tables.documents(s, d)
           .select(split(col("text"), " ").as("t"))
           .filter(size(col("t")) >= 2)
-        val bi = t.select(explode(transform(sequence(lit(0), size(col("t")) - 2),
-            i => struct(element_at(col("t"), i + 1).as("x"),
-              element_at(col("t"), i + 2).as("y")))).as("b"))
-          .select(col("b.x"), col("b.y"))
+        // codegen'd bigram strings (GramsExpr) split back into (x, y):
+        // tokens come from split(' ') so they contain no spaces, making
+        // substring_index exact — and empty tokens round-trip ('' ++ ' b'
+        // -> x='', y='b'), then fall to the same non-empty filter
+        val bi = t.select(explode(graft.functions.TextOps.grams(col("t"), 2))
+            .as("g"))
+          .select(substring_index(col("g"), " ", 1).as("x"),
+            substring_index(col("g"), " ", -1).as("y"))
           .filter(col("x") =!= "" && col("y") =!= "")
         val cxy = bi.groupBy(col("x"), col("y")).agg(count(lit(1)).as("cxy"))
         val nBi = bi.agg(count(lit(1)).as("n_bi"))

@@ -12,7 +12,10 @@ import org.apache.spark.sql.streaming._
   * bounds state by EVENT time but needs a watermarkable timestamp. This
   * operator is the third point in that design space: `transformWithState`
   * with a `TTLConfig`'d ValueState — the state store itself expires a
-  * content hash TTL after its last update (processing time), so state is
+  * content hash TTL after its last SIGHTING (processing time; duplicate
+  * hits refresh the entry, so suppression is a sliding window over the
+  * retransmit train, not a fixed window from the first sighting), so
+  * state is
   * bounded by the arrival-rate x TTL product with no timestamp column
   * required. That is the right contract for at-least-once ingestion where
   * duplicates are RETRANSMITS (arrive close together): suppression within
@@ -42,8 +45,12 @@ object StreamDedupTtl {
 
     override def handleInputRows(key: String, rows: Iterator[DocIn],
         timerValues: TimerValues): Iterator[DocKept] = {
-      // an expired "seen" reads as absent — that IS the TTL semantics
-      if (seen.exists()) Iterator.empty
+      // an expired "seen" reads as absent — that IS the TTL semantics.
+      // Duplicates REFRESH the entry (sliding-window suppression, "TTL
+      // after its LAST sighting"): a retransmit train spaced < TTL stays
+      // suppressed for as long as it keeps arriving, instead of re-
+      // emitting once the FIRST sighting's TTL lapses mid-train.
+      if (seen.exists()) { seen.update(true); Iterator.empty }
       else {
         seen.update(true)
         Iterator.single(DocKept(rows.minBy(_.doc_id).doc_id, key))

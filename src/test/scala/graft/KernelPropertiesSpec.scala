@@ -187,6 +187,45 @@ class KernelPropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("gramHash kernel equals md5Prefix60 over joined grams, both modes, k=1..9") {
+    // the codegen'd GramHashExpr must reproduce, per position, exactly
+    // md5Prefix60(concat_ws(' ', t[i..i+k-1])) — and in distinct mode the
+    // array_distinct of that (dedup BY HASH, first-occurrence order)
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val tokGen = Gen.listOf(Gen.oneOf("a", "b", "ab", "x", "yz", "q1", ""))
+    val kGen = Gen.chooseNum(1, 9)
+    check("gramHash", Prop.forAll(tokGen, kGen) { (toks, k) =>
+      val arr = new GenericArrayData(
+        toks.map(t => UTF8String.fromString(t)).toArray[Any])
+      val wantAll: Seq[Long] =
+        if (toks.size < k) Seq.empty
+        else toks.sliding(k).map(g => graft.functions.TextKernels
+          .md5Prefix60(UTF8String.fromString(g.mkString(" ")))).toSeq
+      val gotAll = graft.functions.TextKernels.gramHash(arr, k, distinct = false)
+      val gotDist = graft.functions.TextKernels.gramHash(arr, k, distinct = true)
+      gotAll.toLongArray().toSeq == wantAll &&
+        gotDist.toLongArray().toSeq == wantAll.distinct
+    })
+  }
+
+  test("grams kernel equals the sliding-window join reference") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val tokGen = Gen.listOf(Gen.oneOf("a", "b", "ab", "x", "yz", ""))
+    val kGen = Gen.chooseNum(1, 5)
+    check("grams", Prop.forAll(tokGen, kGen) { (toks, k) =>
+      val arr = new GenericArrayData(
+        toks.map(t => UTF8String.fromString(t)).toArray[Any])
+      val got = graft.functions.TextKernels.grams(arr, k)
+      val want: Seq[String] =
+        if (toks.size < k) Seq.empty
+        else toks.sliding(k).map(_.mkString(" ")).toSeq
+      (0 until got.numElements())
+        .map(i => got.getUTF8String(i).toString) == want
+    })
+  }
+
   test("repStats kernel equals the naive gram-count reference") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import org.apache.spark.unsafe.types.UTF8String

@@ -61,6 +61,29 @@ class PlanGuardSpec extends SparkSpec {
     assert(broadcasts(p) >= 3, s"dims must broadcast:\n${p.toString.take(1500)}")
   }
 
+  test("q_priority_sample: every window consumes the bounded top-(N+1) relation") {
+    // the rank window is correct ONLY because it runs post-limit on 51
+    // rows (SelectionQueries.scala); a refactor hoisting it above the
+    // limit would silently turn it into a corpus-wide single-partition
+    // sort — pin the shape: each WindowExec must have the bounded
+    // TakeOrderedAndProject/GlobalLimit(PrioN+1) below it
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.{GlobalLimitExec, TakeOrderedAndProjectExec}
+    val n1 = graft.ops.SelectionQueries.PrioN + 1
+    val p = finalPlan(SparkEntry.queries("q_priority_sample")(spark, sf001))
+    val wins = collectAll(p).collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, s"expected the rank window in the plan:\n${p.toString.take(1200)}")
+    wins.foreach { w =>
+      val bounded = collectAll(w).exists {
+        case t: TakeOrderedAndProjectExec => t.limit == n1
+        case g: GlobalLimitExec => g.limit == n1
+        case _ => false
+      }
+      assert(bounded,
+        s"window must run on the post-limit($n1) relation, not the corpus:\n${w.toString.take(1200)}")
+    }
+  }
+
   test("no CartesianProduct in ANY registry plan; BNLJ broadcast sides are query-sized") {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     import org.apache.spark.sql.execution.adaptive.BroadcastQueryStageExec

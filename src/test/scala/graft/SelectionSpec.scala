@@ -63,6 +63,27 @@ class SelectionSpec extends SparkSpec {
     assert(ratio > 0.7 && ratio < 1.3, s"estimator ratio $ratio out of range")
   }
 
+  test("q_priority_sample small-corpus fallback: <= N rows -> tau=0, full sample, exact estimator") {
+    // with fewer than PrioN+1 rows there is no (N+1)-th priority; the DLT
+    // fallback is tau=0, the "sample" is the whole corpus, est_w = w, and
+    // the estimator is EXACT (ADVICE r8: the former 0-or-1-row tau
+    // relation annihilated the sample via the cross join)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("prio-small").toString
+    (1L to 10L).map(i => (i, s"tok$i text", "en", "t", 10L + i))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q_priority_sample")(spark, dir).collect()
+    assert(rows.length == 10, s"expected the whole 10-row corpus, got ${rows.length}")
+    assert(rows.forall(_.getAs[Double]("tau") == 0.0), "tau must fall back to 0")
+    rows.foreach(r => assert(r.getAs[Double]("est_w") ==
+      r.getAs[Long]("w").toDouble, "est_w must equal w when tau=0"))
+    val est = rows.head.getAs[Double]("est_total")
+    val truth = rows.head.getAs[Long]("true_total")
+    assert(est == truth.toDouble,
+      s"estimator must be exact on a full sample: $est vs $truth")
+  }
+
   test("q_dsir_select enriches the target domain and is deterministic") {
     val rows = SparkEntry.queries("q_dsir_select")(spark, sf001).collect()
     assert(rows.length == SelectionQueries.DsirN)
