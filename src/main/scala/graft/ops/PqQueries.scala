@@ -274,6 +274,24 @@ object PqQueries {
     * noise rather than demanding strict improvement. */
   final val OpqErrTol = 1.001
 
+  /** q_opqp_recall floors/tolerances. Measured (tools/OpqProbe, same
+    * deterministic protocol): parametric recall@3 0.900 / 0.900 / 0.800
+    * across the three SFs — at or below the non-parametric
+    * 0.967/0.967/0.800 (tying it at sf0.1) — and the Gaussian closed
+    * form does not beat plain PQ's error here
+    * (ratio vs PQ 1.014 / 1.007 / 1.008). That is Ge et al.'s own
+    * finding (OPQ_NP >= OPQ_P; Table 2): on near-isotropic data the
+    * covariance spectrum is flat, PCA directions are noise, and the
+    * closed form buys nothing — its value is TRAINING COST (one
+    * covariance pass + one eigendecomposition, no alternation; half the
+    * distributed work of OPQ_NP), worth it only when the data is
+    * actually anisotropic. The invariants gate what the math does
+    * guarantee: an orthogonal rotation (recall stays well above the
+    * random-candidate floor) and error within a small band of plain PQ
+    * (the rotation cannot blow the codebook up). */
+  final val OpqpRecallFloor = 0.5
+  final val OpqpErrTol = 1.10
+
   private val P43 = 8796093022208.0 // 2^43
   private def dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
 
@@ -357,6 +375,99 @@ object PqQueries {
     val rotatedF = sample.select(col("vec_id"),
       VectorOps.rotateMat(col("embedding"), rot).as("embedding"))
     cb = trainCodebookOn(rotatedF, OpqInner, Option(cb))
+    sample.unpersist()
+    (rot, cb)
+  }
+
+  // ---------------------------------------------------------------------
+  // Parametric OPQ (Ge et al. CVPR 2013 §4, "OPQ_P"): under a Gaussian
+  // data assumption the distortion-minimizing rotation is CLOSED-FORM —
+  // PCA-decorrelate, then EIGENVALUE ALLOCATION: hand principal
+  // directions to the M subspaces greedily balancing the PRODUCT of
+  // eigenvalues per subspace (the paper's independence + balanced-
+  // variance conditions). No alternation: ONE covariance pass (the same
+  // bounded OuterSumAgg the Procrustes step uses, plus an exact per-dim
+  // mean) and one driver-side d x d symmetric eigendecomposition; the
+  // codebook then trains in the rotated space with the SAME total
+  // Lloyd's budget as OPQ_NP / plain PQ, so the three-way comparison
+  // isolates the rotation policy. Constant-cost at any corpus size by
+  // the TrainCap argument.
+  // ---------------------------------------------------------------------
+
+  /** Train (rotation, codebook) with the parametric (Gaussian-assumption)
+    * OPQ rotation. Deterministic: floor-scaled exact covariance inputs
+    * and a driver-side LAPACK eigendecomposition (the trainOpq SVD
+    * argument); allocation ties break on the lowest bucket index. */
+  def trainOpqParametric(spark: SparkSession, dir: String): (Array[Double], Array[Double]) =
+    trainOpqParametricOn(Tables.embeddings(spark, dir))
+
+  def trainOpqParametricOn(emb: DataFrame): (Array[Double], Array[Double]) = {
+    val dim = emb.select(size(col("embedding")).as("n")).head().getInt(0)
+    val subdim = dim / M
+    val sample = emb
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(TrainCap)
+      .select(col("vec_id"), col("embedding"))
+      .cache()
+    val n = sample.count().toDouble
+    // exact per-dim mean of the normalized sample (dim groups, the
+    // floor-scaled decimal route — order-independent)
+    val mu = new Array[Double](dim)
+    sample
+      .select(posexplode(VectorOps.normalize(col("embedding"))).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg((sum(floor(col("x") * lit(P43)).cast(dec38))
+        .cast("double") / lit(P43) / count(lit(1))).as("mu"))
+      .collect()
+      .foreach(r => mu(r.getInt(0)) = r.getDouble(1))
+    // exact second moment E[x x^T] via the bounded d x d outer-sum
+    // aggregate (32 KiB of long partials per partition)
+    val s2 = sample.select(VectorOps.normalize(col("embedding")).as("x"))
+      .agg(VectorOps.outerSumFloor(col("x"), col("x"), dim).as("s"))
+      .head().getSeq[Long](0)
+    val cov = breeze.linalg.DenseMatrix.zeros[Double](dim, dim)
+    var i = 0
+    while (i < dim) {
+      var j = 0
+      while (j < dim) {
+        cov(i, j) = s2(i * dim + j).toDouble / P43 / n - mu(i) * mu(j)
+        j += 1
+      }
+      i += 1
+    }
+    val es = breeze.linalg.eigSym(cov) // eigenvalues ascending, vectors in columns
+    // eigenvalue allocation: descending eigenvalues, each to the
+    // non-full bucket with the smallest log-product so far
+    val order = (0 until dim).sortBy(k => -es.eigenvalues(k))
+    val bucketLog = new Array[Double](M)
+    val bucketCnt = new Array[Int](M)
+    val buckets = Array.fill(M)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    order.foreach { k =>
+      val open = (0 until M).filter(b => bucketCnt(b) < subdim)
+      val b = open.minBy(bucketLog(_))
+      buckets(b) += k
+      bucketCnt(b) += 1
+      // clamp: float-noise eigenvalues of the near-isotropic fixture can
+      // graze <= 0; the log only steers allocation, never the math
+      bucketLog(b) += math.log(math.max(es.eigenvalues(k), 1e-12))
+    }
+    val perm = buckets.flatMap(_.toSeq)
+    // row-vector convention (rotateFloat): output j = <x, column j of R>,
+    // so column j is the eigenvector assigned to output position j
+    val rot = new Array[Double](dim * dim)
+    var j2 = 0
+    while (j2 < dim) {
+      var i2 = 0
+      while (i2 < dim) {
+        rot(i2 * dim + j2) = es.eigenvectors(i2, perm(j2))
+        i2 += 1
+      }
+      j2 += 1
+    }
+    // codebook at the SAME total Lloyd's budget, in the rotated space
+    val rotated = sample.select(col("vec_id"),
+      VectorOps.rotateMat(col("embedding"), rot).as("embedding"))
+    val cb = trainCodebookOn(rotated, OpqTotalIters, None)
     sample.unpersist()
     (rot, cb)
   }
@@ -487,6 +598,78 @@ object PqQueries {
            |  CAST(1 AS BIGINT) AS results_complete,
            |  CAST(1 AS BIGINT) AS recall_ok,
            |  CAST(1 AS BIGINT) AS opq_err_ok,
+           |  CAST((SELECT len(embedding) FROM embeddings LIMIT 1) * 4 / $M AS BIGINT)
+           |    AS compression_x,
+           |  CAST(sum(CAST(floor(score * 8796093022208.0) AS DECIMAL(38,0))) AS DOUBLE)
+           |    / 8796093022208.0 / count(*) AS exact_mean_top3
+           |FROM exact""".stripMargin
+      }),
+
+    // Parametric OPQ (Ge et al. CVPR 2013 §4, OPQ_P): the CLOSED-FORM
+    // rotation — PCA + balanced eigenvalue allocation — at the same
+    // total Lloyd's budget. Same invariant-reduced oracle as
+    // q_opq_recall. Measured honestly (see OpqpRecallFloor scaladoc):
+    // on this near-isotropic fixture the Gaussian assumption buys
+    // nothing over plain PQ (its published advantage is TRAINING COST —
+    // one covariance pass + one eigendecomposition vs the alternation —
+    // on data that is actually anisotropic), and OPQ_NP >= OPQ_P, the
+    // paper's own Table-2 ordering. The invariants gate what the math
+    // guarantees: orthogonality (recall above floor through the full
+    // rotate->train->encode->ADC->rescore path) and error within a
+    // small band of plain PQ.
+    Q("q_opqp_recall",
+      (s, d) => {
+        val (rot, cbP) = trainOpqParametric(s, d)
+        val approx = pqTop3WithCodebook(s, d, cbP, Some(rot))
+          .select(col("qid"), col("vec_id"))
+        val emb = Tables.embeddings(s, d)
+        val dim = emb.select(size(col("embedding")).as("n")).head().getInt(0)
+        // equal-budget plain-PQ baseline for the error band
+        val pqCb = trainCodebookOn(emb, OpqTotalIters, None)
+        val q = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val sc = q.join(emb.select(col("vec_id"), col("embedding")),
+            col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            VectorOps.cosineFloat(col("qe"), col("embedding")).as("score"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+        val exact = sc.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        val exactAgg = exact.agg(
+          count(lit(1)).as("n_exact"),
+          (sum(floor(col("score") * lit(P43)).cast(dec38))
+            .cast("double") / lit(P43) / count(lit(1))).as("exact_mean_top3"))
+        val hits = exact.select(col("qid"), col("vec_id"))
+          .join(approx, Seq("qid", "vec_id"), "left_semi")
+          .agg(count(lit(1)).as("nhit"))
+        val nres = approx.agg(
+          countDistinct(col("qid")).as("n_queries"),
+          count(lit(1)).as("n_results"))
+        val errs = meanPqError(emb, None, pqCb).select(col("mean_err").as("pq_e"))
+          .crossJoin(meanPqError(emb, Some(rot), cbP)
+            .select(col("mean_err").as("opqp_e")))
+        nres.crossJoin(hits).crossJoin(exactAgg).crossJoin(errs)
+          .select(col("n_queries"),
+            (col("n_results") === col("n_exact")).cast("long").as("results_complete"),
+            (col("nhit").cast("double") / col("n_exact").cast("double")
+              >= lit(OpqpRecallFloor)).cast("long").as("recall_ok"),
+            (col("opqp_e") <= col("pq_e") * lit(OpqpErrTol)).cast("long").as("opqp_err_ok"),
+            lit(dim * 4L / M).as("compression_x"),
+            col("exact_mean_top3"))
+      },
+      Some {
+        val w = "row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id)"
+        s"""WITH qq AS (
+           |  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+           |sc AS (
+           |  SELECT qq.qid, e.vec_id, ${OracleSql.floatCos("qq.qe", "e.embedding")} AS score
+           |  FROM qq JOIN embeddings e ON e.vec_id <> qq.qid),
+           |exact AS (
+           |  SELECT qid, vec_id, score FROM (
+           |    SELECT qid, vec_id, score, $w AS rn FROM sc) t WHERE rn <= 3)
+           |SELECT CAST(10 AS BIGINT) AS n_queries,
+           |  CAST(1 AS BIGINT) AS results_complete,
+           |  CAST(1 AS BIGINT) AS recall_ok,
+           |  CAST(1 AS BIGINT) AS opqp_err_ok,
            |  CAST((SELECT len(embedding) FROM embeddings LIMIT 1) * 4 / $M AS BIGINT)
            |    AS compression_x,
            |  CAST(sum(CAST(floor(score * 8796093022208.0) AS DECIMAL(38,0))) AS DOUBLE)

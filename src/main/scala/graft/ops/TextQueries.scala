@@ -270,20 +270,22 @@ object TextQueries {
       .localCheckpoint(true)
     var words: DataFrame = wf
     val out = (1 to BpeMerges).map { k =>
+      // codegen'd adjacent-pair build (GramsExpr, k=2): the gram string
+      // "a b" IS the pair key and the tie-break the struct formulation
+      // spelled as concat(a, ' ', b); symbols are split(' ') tokens so
+      // the first space is the a/b boundary. n<2 symbol rows yield an
+      // empty gram array (the former when(size>=2) guard, built in).
       val best = words
         .select(col("freq"), split(trim(col("r")), " ").as("sy"))
-        .select(col("freq"), explode(when(size(col("sy")) >= 2,
-          transform(sequence(lit(0), size(col("sy")) - 2),
-            i => struct(element_at(col("sy"), i + 1).as("a"),
-              element_at(col("sy"), i + 2).as("b"))))
-          .otherwise(array().cast("array<struct<a:string,b:string>>")))
-          .as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .select(col("freq"),
+          explode(graft.functions.TextOps.grams(col("sy"), 2)).as("g"))
+        .groupBy(col("g"))
         .agg(sum(col("freq")).as("f"))
-        .orderBy(col("f").desc, concat(col("a"), lit(" "), col("b")).asc)
+        .orderBy(col("f").desc, col("g").asc)
         .limit(1).collect().head
-      val (a, b, f) = (best.getAs[String]("a"), best.getAs[String]("b"),
-        best.getAs[Long]("f"))
+      val g = best.getAs[String]("g")
+      val (a, b, f) = (g.substring(0, g.indexOf(' ')),
+        g.substring(g.indexOf(' ') + 1), best.getAs[Long]("f"))
       words = words.select(col("freq"),
         replace(col("r"), lit(s" $a $b "), lit(s" $a$b ")).as("r"))
       (k, s"$a $b", f)

@@ -62,11 +62,34 @@ object OpqProbe {
     val pqErr = PqQueries.meanPqError(emb, None, pqCb).head().getDouble(0)
     val opqErr = PqQueries.meanPqError(emb, Some(rot), opqCb).head().getDouble(0)
 
+    // parametric (closed-form, Gaussian-assumption) variant at the same budget
+    val (rotP, cbP) = PqQueries.trainOpqParametric(s, d)
+    var maxDevP = 0.0
+    i = 0
+    while (i < dim) {
+      var j = 0
+      while (j < dim) {
+        var acc = 0.0
+        var t = 0
+        while (t < dim) { acc += rotP(i * dim + t) * rotP(j * dim + t); t += 1 }
+        val dev = math.abs(acc - (if (i == j) 1.0 else 0.0))
+        if (dev > maxDevP) maxDevP = dev
+        j += 1
+      }
+      i += 1
+    }
+    val (opqpHit, _) = recallOf(
+      PqQueries.pqTop3WithCodebook(s, d, cbP, Some(rotP))
+        .select(col("qid"), col("vec_id")))
+    val opqpErr = PqQueries.meanPqError(emb, Some(rotP), cbP).head().getDouble(0)
+
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"OPQ_PROBE dir=$d M=${PqQueries.M} K=${PqQueries.K} " +
-      f"iters=${PqQueries.OpqTotalIters} orthoDev=$maxDev%.2e " +
+      f"iters=${PqQueries.OpqTotalIters} orthoDev=$maxDev%.2e orthoDevP=$maxDevP%.2e " +
       f"pq_recall=${pqHit.toDouble / n}%.3f opq_recall=${opqHit.toDouble / n}%.3f " +
-      f"pq_err=$pqErr%.6f opq_err=$opqErr%.6f ratio=${opqErr / pqErr}%.4f " +
+      f"opqp_recall=${opqpHit.toDouble / n}%.3f " +
+      f"pq_err=$pqErr%.6f opq_err=$opqErr%.6f opqp_err=$opqpErr%.6f " +
+      f"ratio=${opqErr / pqErr}%.4f ratioP=${opqpErr / pqErr}%.4f " +
       f"sec=$sec%.1f")
     s.stop()
   }

@@ -175,6 +175,29 @@ class PqSpec extends SparkSpec {
     assert(r.getAs[Double]("exact_mean_top3") > 0.0)
   }
 
+  test("parametric OPQ: orthogonal rotation, deterministic, invariants hold") {
+    val (rot, cb) = PqQueries.trainOpqParametric(spark, sf001)
+    val dim = math.sqrt(rot.length).toInt
+    // permuted-eigenvector matrix is orthogonal to machine precision
+    for (i <- 0 until dim; j <- 0 until dim) {
+      var acc = 0.0
+      for (t <- 0 until dim) acc += rot(i * dim + t) * rot(j * dim + t)
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(acc - expect) < 1e-12, s"RR^T[$i,$j] = $acc")
+    }
+    // closed-form training is bit-deterministic (exact covariance inputs
+    // + LAPACK on the same matrix)
+    val (r2, c2) = PqQueries.trainOpqParametric(spark, sf001)
+    assert(rot.toSeq == r2.toSeq)
+    assert(cb.toSeq == c2.toSeq)
+    val r = SparkEntry.queries("q_opqp_recall")(spark, sf001).collect().head
+    assert(r.getAs[Long]("n_queries") == 10L)
+    assert(r.getAs[Long]("results_complete") == 1L)
+    assert(r.getAs[Long]("recall_ok") == 1L)
+    assert(r.getAs[Long]("opqp_err_ok") == 1L)
+    assert(r.getAs[Long]("compression_x") == 32L)
+  }
+
   test("pqReconstruct concatenates the coded centroids; pqError is its residual") {
     val rnd = new scala.util.Random(7)
     val dim = 64

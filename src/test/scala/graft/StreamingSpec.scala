@@ -512,6 +512,47 @@ class StreamingSpec extends SparkSpec {
       "no customer spanned both micro-batches — split degenerate")
   }
 
+  test("state-v2 settled EWMA: timer emissions bit-equal the batch fold up to each snapshot") {
+    // StreamEwmaV2: transformWithState + ValueState + a MOVING event-time
+    // settle timer; snapshots emit from handleExpiredTimer only. Each
+    // emitted (key, n, ewma, last_us) must BIT-equal the batch alpha=1/2
+    // fold over that customer's orders with o_orderdate <= last_us — the
+    // timer fired at a point where the fold-so-far was exactly that
+    // prefix. Exactly-once per settle: no duplicate (key, n) rows.
+    val rows = graft.streaming.StreamEwmaV2.runOnce(spark, sf001, "ewma_v2_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.nonEmpty, "no key settled — watermark/timer plumbing broken")
+    assert(rows.groupBy(r => (r._1, r._2)).values.forall(_.length == 1),
+      "duplicate settled snapshot for the same (key, n)")
+    // batch replay: fold each snapshot's prefix (orders up to last_us)
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    // NTZ-vintage fixture: cast under the pinned-UTC session is the same
+    // reinterpretation the stream side's schema-pinned TimestampType read
+    // applies (the Tables.normalizeEventTs argument)
+    val orders = Tables.orders(spark, sf001)
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("ts_us"),
+        col("o_totalprice"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    val bad = rows.filter { case (k, n, e, last) =>
+      val prefix = orders(k).filter(_._3 <= last).sortBy(r => (r._3, r._2))
+      val folded = prefix.foldLeft((0.0, 0L)) { case ((ew, cnt), r) =>
+        if (cnt == 0L) (r._4, 1L) else (ew * 0.5 + r._4 * 0.5, cnt + 1L)
+      }
+      folded != ((e, n))
+    }
+    assert(bad.isEmpty, s"snapshot != batch prefix fold: ${bad.take(5).toSeq}")
+    // the settle horizon really gates emission: every settled key's last
+    // order precedes the final watermark minus the horizon
+    val maxUs = orders.values.flatten.map(_._3).max
+    val wmUs = maxUs - 24L * 3600 * 1000000L
+    assert(rows.forall { case (_, _, _, last) =>
+      last + graft.streaming.StreamEwmaV2.SettleMicros <= wmUs + 1000000L },
+      "a key emitted before its settle horizon passed")
+  }
+
   /** Run StreamDedupTtl as one checkpointed run PER batch (RocksDB store —
     * the state-v2 requirement), with an optional wall-clock pause between
     * runs; returns all emitted (doc_id, h) rows. A PROCESSING-time
