@@ -336,6 +336,78 @@ object PipelineQueries {
          |  CAST(1 AS BIGINT) AS no_false_negatives,
          |  CAST(1 AS BIGINT) AS fp_ok""".stripMargin)),
 
+    // Overlap-FRACTION decontamination (the GPT-3 appendix-C / PaLM
+    // eval-contamination policy shape): the binary any-shared-gram flag
+    // (q_decontaminate) treats one boilerplate 8-gram the same as
+    // wholesale leakage. Here every TEST doc gets the FRACTION of its
+    // distinct 8-grams that appear anywhere in the train split, banded
+    // into clean / trace(<=10%) / partial(<=50%) / heavy with exact
+    // counts and a decimal-exact fraction mass per band — the report a
+    // curation run uses to pick its removal threshold. Scale shape: the
+    // same shingle-hash equi-join as the dedup family (left-semi against
+    // the distinct train-gram relation, never doc x doc), two per-doc
+    // aggregates, a 4-row band aggregate. frac is ONE double division of
+    // exact longs (bit-equal across engines) and band edges compare that
+    // double to literals, so banding is bit-deterministic too.
+    Q("q_overlap_frac",
+      (s, d) => {
+        val docs = decontDocs(s, d)
+        val test = gramHashes(docs, "test")
+        val trainG = gramHashes(docs, "train").select(col("gh")).distinct()
+        val tot = test.groupBy(col("test_doc")).agg(count(lit(1)).as("n_grams"))
+        val hit = test.join(trainG, Seq("gh"), "left_semi")
+          .groupBy(col("test_doc")).agg(count(lit(1)).as("n_hit"))
+        val frac = tot.join(hit, Seq("test_doc"), "left")
+          .select(col("test_doc"), col("n_grams"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+          .withColumn("frac",
+            col("n_hit").cast("double") / col("n_grams").cast("double"))
+          .withColumn("band",
+            when(col("frac") === 0.0, "0_clean")
+              .when(col("frac") <= 0.1, "1_trace")
+              .when(col("frac") <= 0.5, "2_partial")
+              .otherwise("3_heavy"))
+        frac.groupBy(col("band"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_hit")).cast("long").as("sum_hit"),
+            sum(col("n_grams")).cast("long").as("sum_grams"),
+            H.dsum12(col("frac")).as("sum_frac"))
+          .orderBy(col("band"))
+      },
+      Some(s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t,
+         |    ${bucketSql("split:", 100)} AS b
+         |  FROM documents),
+         |d8 AS (SELECT * FROM d WHERE len(t) >= 8),
+         |grams AS (
+         |  SELECT DISTINCT doc_id, b, ${OracleSql.hexToLong("md5(g)", 1, 15)} AS gh FROM (
+         |    SELECT doc_id, b,
+         |      unnest(list_transform(generate_series(1, len(t) - 7),
+         |        i -> array_to_string(t[i:i+7], ' '))) AS g
+         |    FROM d8)),
+         |te AS (SELECT doc_id, gh FROM grams WHERE b >= 90),
+         |tr AS (SELECT DISTINCT gh FROM grams WHERE b < 80),
+         |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM te GROUP BY doc_id),
+         |hit AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit FROM te
+         |  WHERE gh IN (SELECT gh FROM tr) GROUP BY doc_id),
+         |fr AS (
+         |  SELECT t.doc_id, t.n_grams,
+         |    CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |    CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / CAST(t.n_grams AS DOUBLE) AS frac
+         |  FROM tot t LEFT JOIN hit h USING (doc_id)),
+         |bd AS (
+         |  SELECT *, CASE WHEN frac = 0.0 THEN '0_clean'
+         |                 WHEN frac <= 0.1 THEN '1_trace'
+         |                 WHEN frac <= 0.5 THEN '2_partial'
+         |                 ELSE '3_heavy' END AS band
+         |  FROM fr)
+         |SELECT band, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_hit) AS BIGINT) AS sum_hit,
+         |  CAST(sum(n_grams) AS BIGINT) AS sum_grams,
+         |  CAST(sum(CAST(frac AS DECIMAL(25,12))) AS DOUBLE) AS sum_frac
+         |FROM bd GROUP BY band ORDER BY band""".stripMargin)),
+
     // BM25 keyword ranking (k1=1.2, b=0.75, Lucene idf): top-10 documents
     // for a fixed 3-term query. Because the term set is a compile-time
     // constant, per-doc tf is a NARROW array-filter projection — no token
