@@ -109,6 +109,27 @@ case class GramsExpr(child: Expression, k: Int) extends UnaryExpression {
     copy(child = c)
 }
 
+/** array<string> -> string: md5 hex of the space-joined sorted-distinct
+  * token SET — the codegen twin of md5(concat_ws(' ',
+  * array_sort(array_distinct(t)))), the order-insensitive document
+  * fingerprint (set-semantics dedup). */
+case class SetFpExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextTypeCheck.stringArray(child, prettyName)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "set_fp"
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.setFp(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.setFp($c)")
+
+  override protected def withNewChildInternal(c: Expression): SetFpExpr =
+    copy(child = c)
+}
+
 /** string -> bigint: first 60 bits of md5 (compact shuffle key). */
 case class Md5Prefix60Expr(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =

@@ -186,6 +186,40 @@ object TextKernels {
     }
   }
 
+  private final val HexChars = "0123456789abcdef".toCharArray
+
+  /** md5 HEX (lowercase) of the space-joined SORTED-DISTINCT token set —
+    * exactly `md5(concat_ws(' ', array_sort(array_distinct(toks))))`:
+    * TreeSet ordering is UTF8String's byte-wise comparison, the same
+    * ordering array_sort applies to strings, and the digest is fed
+    * token bytes + single-space separators incrementally. The codegen
+    * twin of the set-fingerprint projection (ArraySort/ArrayDistinct are
+    * CodegenFallback and q_dedup_set runs this over the whole corpus). */
+  def setFp(toks: ArrayData): org.apache.spark.unsafe.types.UTF8String = {
+    val n = toks.numElements()
+    val set = new java.util.TreeSet[org.apache.spark.unsafe.types.UTF8String]()
+    var i = 0
+    while (i < n) { set.add(toks.getUTF8String(i)); i += 1 }
+    val md = md5Local.get()
+    md.reset()
+    val it = set.iterator()
+    var first = true
+    while (it.hasNext) {
+      if (!first) md.update(SpaceByte)
+      md.update(it.next().getBytes)
+      first = false
+    }
+    val dig = md.digest()
+    val hex = new Array[Char](32)
+    i = 0
+    while (i < 16) {
+      hex(2 * i) = HexChars((dig(i) >> 4) & 0xf)
+      hex(2 * i + 1) = HexChars(dig(i) & 0xf)
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(new String(hex))
+  }
+
   /** All-position space-joined k-gram STRINGS of a token array — exactly
     * `transform(sequence(0, n-k), i -> concat_ws(' ', t[i+1..i+k]))`; the
     * string twin of gramHash for consumers whose OUTPUT is the gram text

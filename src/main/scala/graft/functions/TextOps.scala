@@ -31,6 +31,10 @@ object TextOps {
   /** array<string> -> array<string>: all-position space-joined k-grams. */
   def grams(toks: Column, k: Int): Column = c(GramsExpr(e(toks), k))
 
+  /** array<string> -> string: md5 hex of the sorted-distinct token SET
+    * (order-insensitive document fingerprint). */
+  def setFp(toks: Column): Column = c(SetFpExpr(e(toks)))
+
   /** string -> bigint: first 60 bits of md5, ==
     * conv(substring(md5(s),1,15),16,10) — a compact long shuffle key. */
   def md5Prefix60(s: Column): Column = c(Md5Prefix60Expr(e(s)))

@@ -55,6 +55,27 @@ case class QuantizeInt8Expr(child: Expression)
     copy(child = c)
 }
 
+/** array<float> -> double: max absolute per-component int8 quantization
+  * error of the row (zero-norm guard -> 0.0) — the codegen twin of the
+  * when/zip_with/aggregate(greatest) HOF. */
+case class QuantErrRowExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeCheck.floatArray(child, prettyName)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "quant_err_row"
+
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.quantErr(v.asInstanceOf[ArrayData].toFloatArray())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorKernels.quantErr($c.toFloatArray())")
+
+  override protected def withNewChildInternal(c: Expression): QuantErrRowExpr =
+    copy(child = c)
+}
+
 /** binary x binary -> double: cosine over int8-quantized vectors. */
 case class CosineInt8Expr(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -47,6 +47,27 @@ object VectorKernels {
     out
   }
 
+  /** Max absolute per-component quantization error of a row:
+    * max_i |v_i/nrm - q_i/127.0| over the row's own int8 quantization,
+    * with the < 1e-10 zero-norm guard -> 0.0 — exactly the
+    * when/zip_with/aggregate(greatest) HOF it replaces (q_quant_error's
+    * corpus-wide projection; ArrayAggregate/ZipWith are CodegenFallback).
+    * The greatest-fold from 0.0 equals a plain max because every
+    * summand is non-negative. */
+  def quantErr(v: Array[Float]): Double = {
+    val nrm = l2norm(v)
+    if (nrm < ZeroNormEps) return 0.0
+    val q = quantize(v)
+    var m = 0.0
+    var i = 0
+    while (i < v.length) {
+      val d = math.abs(v(i).toDouble / nrm - q(i).toDouble / 127.0)
+      if (d > m) m = d
+      i += 1
+    }
+    m
+  }
+
   /** Truncation toward zero (matches numpy int8 cast and SQL TRUNC). */
   @inline private def trunc(d: Double): Double =
     if (d < 0) math.ceil(d) else math.floor(d)

@@ -40,6 +40,10 @@ object VectorOps {
   /** array<float> -> double L2 norm. */
   def l2norm(v: Column): Column = c(L2NormExpr(e(v)))
 
+  /** array<float> -> double: max abs per-component int8 quantization
+    * error of the row (zero-norm guard -> 0.0). */
+  def quantErrRow(v: Column): Column = c(QuantErrRowExpr(e(v)))
+
   /** array<float> -> array<int>: sign-LSH bucket per table against a
     * flattened [(t*bits+j)*dim+i] plane matrix (one codegen'd pass). */
   def signBuckets(v: Column, planes: Array[Double], tables: Int, bits: Int): Column =

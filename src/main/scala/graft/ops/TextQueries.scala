@@ -355,8 +355,11 @@ object TextQueries {
     // Canonical token-SET dedup: md5 over the sorted distinct token bag.
     Q("q_dedup_set",
       (s, d) => Tables.documents(s, d)
+        // codegen'd set fingerprint (SetFpExpr == md5(concat_ws(' ',
+        // array_sort(array_distinct(t)))) — TreeSet order is the same
+        // byte-wise string comparison array_sort applies)
         .select(col("doc_id"),
-          md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))).as("fp"))
+          graft.functions.TextOps.setFp(split(col("text"), " ")).as("fp"))
         .groupBy(col("fp"))
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep_id"))
         .filter(col("n") > 1)

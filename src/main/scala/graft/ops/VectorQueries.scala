@@ -223,17 +223,12 @@ object VectorQueries {
 
     Q("q_quant_error",
       (s, d) => {
+        // one codegen'd kernel call per row (QuantErrRowExpr == the
+        // when/zip_with/aggregate(greatest) HOF it replaces, which was
+        // CodegenFallback on this corpus-wide projection)
         val emb = Tables.embeddings(s, d)
-        val withErr = emb
-          .select(col("vec_id"), col("embedding"),
-            VectorOps.l2norm(col("embedding")).as("nrm"),
-            VectorOps.quantizeInt8(col("embedding")).as("q"))
-          .select(col("vec_id"),
-            when(col("nrm") < lit(1e-10), lit(0.0)).otherwise(
-              aggregate(
-                zip_with(col("embedding"), VectorOps.dequantize(col("q")),
-                  (x, qd) => abs(x.cast("double") / col("nrm") - qd)),
-                lit(0.0), (acc, e) => greatest(acc, e))).as("row_err"))
+        val withErr = emb.select(col("vec_id"),
+          VectorOps.quantErrRow(col("embedding")).as("row_err"))
         withErr.agg(
           max(col("row_err")).as("max_err"),
           H.dmean(col("row_err")).as("avg_err"))

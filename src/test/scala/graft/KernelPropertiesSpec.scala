@@ -226,6 +226,41 @@ class KernelPropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("setFp kernel equals md5 of the sorted-distinct join") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val tokGen = Gen.listOf(Gen.oneOf("a", "b", "ab", "x", "yz", "q1", ""))
+    check("setFp", Prop.forAll(tokGen) { toks =>
+      val arr = new GenericArrayData(
+        toks.map(t => UTF8String.fromString(t)).toArray[Any])
+      val got = graft.functions.TextKernels.setFp(arr).toString
+      val joined = toks.distinct.sorted.mkString(" ")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val want = md.digest(joined.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      got == want
+    })
+  }
+
+  test("quantErr kernel equals the zip/abs/max reference") {
+    val gen = Gen.listOf(Gen.chooseNum(-5.0f, 5.0f))
+    check("quantErr", Prop.forAll(gen) { vs =>
+      val v = vs.toArray
+      val got = VectorKernels.quantErr(v)
+      val nrm = VectorKernels.l2norm(v)
+      val want =
+        if (nrm < VectorKernels.ZeroNormEps) 0.0
+        else {
+          val q = VectorKernels.quantize(v)
+          v.indices.foldLeft(0.0) { (acc, i) =>
+            math.max(acc, math.abs(v(i).toDouble / nrm - q(i).toDouble / 127.0))
+          }
+        }
+      java.lang.Double.doubleToLongBits(got) ==
+        java.lang.Double.doubleToLongBits(want)
+    })
+  }
+
   test("repStats kernel equals the naive gram-count reference") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import org.apache.spark.unsafe.types.UTF8String
