@@ -109,6 +109,34 @@ case class GramsExpr(child: Expression, k: Int) extends UnaryExpression {
     copy(child = c)
 }
 
+/** array<string> -> array<bigint>: occurrence count of each literal term
+  * (element i == size(filter(t, x -> x = terms(i)))) — one pass over the
+  * token array instead of k interpreted ArrayFilter projections. */
+case class TermCountsExpr(child: Expression, terms: Seq[String])
+    extends UnaryExpression {
+  require(terms.nonEmpty, "termCounts requires at least one term")
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextTypeCheck.stringArray(child, prettyName)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = s"term_counts${terms.size}"
+
+  @transient private lazy val termU8: Array[UTF8String] =
+    terms.map(UTF8String.fromString).toArray
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.termCounts(v.asInstanceOf[ArrayData], termU8)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("terms", termU8,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.termCounts($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): TermCountsExpr =
+    copy(child = c)
+}
+
 /** array<string> -> string: md5 hex of the space-joined sorted-distinct
   * token SET — the codegen twin of md5(concat_ws(' ',
   * array_sort(array_distinct(t)))), the order-insensitive document

@@ -186,6 +186,27 @@ object TextKernels {
     }
   }
 
+  /** Occurrence counts of each literal term in a token array — one pass,
+    * k counters: element i == `size(filter(toks, x -> x = terms[i]))`.
+    * The codegen twin of the per-term tf projections (ArrayFilter is
+    * CodegenFallback and the BM25 family runs k of them per corpus row). */
+  def termCounts(toks: ArrayData,
+      terms: Array[org.apache.spark.unsafe.types.UTF8String]): ArrayData = {
+    val out = new Array[Long](terms.length)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      var j = 0
+      while (j < terms.length) {
+        if (terms(j).equals(t)) out(j) += 1L
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   private final val HexChars = "0123456789abcdef".toCharArray
 
   /** md5 HEX (lowercase) of the space-joined SORTED-DISTINCT token set —

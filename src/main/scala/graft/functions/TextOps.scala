@@ -35,6 +35,11 @@ object TextOps {
     * (order-insensitive document fingerprint). */
   def setFp(toks: Column): Column = c(SetFpExpr(e(toks)))
 
+  /** array<string> -> array<bigint>: per-literal-term occurrence counts
+    * (one pass; element i counts terms(i)). */
+  def termCounts(toks: Column, terms: Seq[String]): Column =
+    c(TermCountsExpr(e(toks), terms))
+
   /** string -> bigint: first 60 bits of md5, ==
     * conv(substring(md5(s),1,15),16,10) — a compact long shuffle key. */
   def md5Prefix60(s: Column): Column = c(Md5Prefix60Expr(e(s)))

@@ -420,11 +420,16 @@ object PipelineQueries {
     Q("q_bm25",
       (s, d) => {
         val ts = terms.sorted
+        // one codegen'd pass for all per-term tfs (TermCountsExpr ==
+        // size(filter(t, x -> x = term)) per term, which was k
+        // interpreted ArrayFilter projections per corpus row)
         val base = Tables.documents(s, d)
           .select(col("doc_id"), split(col("text"), " ").as("t"))
-          .select(Seq(col("doc_id"), size(col("t")).cast("double").as("dl")) ++
-            ts.map(tm =>
-              size(filter(col("t"), x => x === tm)).cast("double").as(s"tf_$tm")): _*)
+          .select(col("doc_id"), size(col("t")).cast("double").as("dl"),
+            graft.functions.TextOps.termCounts(col("t"), ts).as("tc"))
+          .select(Seq(col("doc_id"), col("dl")) ++
+            ts.zipWithIndex.map { case (tm, i) =>
+              element_at(col("tc"), i + 1).cast("double").as(s"tf_$tm") }: _*)
         val stats = base.agg(
           count(lit(1)).cast("double").as("n_docs"),
           Seq(sum(col("dl").cast("long")).as("sum_dl")) ++
@@ -946,10 +951,13 @@ object PipelineQueries {
         val docs = Tables.documents(s, d)
         val emb = Tables.embeddings(s, d)
         val uni = docs.join(emb.select(col("vec_id").as("doc_id")), "doc_id")
+        // one codegen'd pass for all 10 per-term tfs (see q_bm25)
         val base = uni.select(col("doc_id"), split(col("text"), " ").as("t"))
-          .select(Seq(col("doc_id"), size(col("t")).cast("double").as("dl")) ++
-            dterms.map(tm =>
-              size(filter(col("t"), x => x === tm)).cast("double").as(s"tf_$tm")): _*)
+          .select(col("doc_id"), size(col("t")).cast("double").as("dl"),
+            graft.functions.TextOps.termCounts(col("t"), dterms).as("tc"))
+          .select(Seq(col("doc_id"), col("dl")) ++
+            dterms.zipWithIndex.map { case (tm, i) =>
+              element_at(col("tc"), i + 1).cast("double").as(s"tf_$tm") }: _*)
         val stats = base.agg(
           count(lit(1)).cast("double").as("n_docs"),
           Seq(sum(col("dl").cast("long")).as("sum_dl")) ++

@@ -226,6 +226,22 @@ class KernelPropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("termCounts kernel equals per-term filter counts") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val vocab = Seq("a", "b", "ab", "x", "yz", "")
+    val tokGen = Gen.listOf(Gen.oneOf(vocab))
+    val termsGen = Gen.nonEmptyListOf(Gen.oneOf(vocab ++ Seq("zz")))
+    check("termCounts", Prop.forAll(tokGen, termsGen) { (toks, terms) =>
+      val arr = new GenericArrayData(
+        toks.map(t => UTF8String.fromString(t)).toArray[Any])
+      val got = graft.functions.TextKernels.termCounts(arr,
+        terms.map(UTF8String.fromString).toArray)
+      got.toLongArray().toSeq ==
+        terms.map(tm => toks.count(_ == tm).toLong)
+    })
+  }
+
   test("setFp kernel equals md5 of the sorted-distinct join") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import org.apache.spark.unsafe.types.UTF8String
