@@ -512,6 +512,96 @@ class StreamingSpec extends SparkSpec {
       "no customer spanned both micro-batches — split degenerate")
   }
 
+  test("state-v2 settled EWMA: fold state + moving timer survive a checkpointed restart") {
+    import graft.streaming.{StreamEwma, StreamEwmaV2}
+    import org.apache.spark.sql.functions._
+    val inPath = java.nio.file.Files.createTempDirectory("ewma-rs-in")
+    val ckpt = java.nio.file.Files.createTempDirectory("ewma-rs-ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("ewma-rs-out")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val orders = spark.read.schema(StreamEwma.rawSchema)
+        .option("pathGlobFilter", "orders.parquet").parquet(sf001)
+      val cut = orders.agg(expr("percentile_approx(o_orderdate, 0.5)"))
+        .collect().head.getTimestamp(0)
+      def run(): Unit = {
+        val q = StreamEwmaV2.settled(
+            spark.readStream.schema(StreamEwma.rawSchema).parquet(inPath.toString))
+          .toDF()
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .format("parquet").option("path", outDir.toString).start()
+        q.processAllAvailable(); q.stop()
+      }
+      // run 1: first half only, checkpointed; run 2 resumes over the full dir
+      orders.filter(col("o_orderdate") <= lit(cut)).coalesce(1)
+        .write.mode("append").parquet(inPath.toString)
+      run()
+      val run1 = spark.read.parquet(outDir.toString).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      orders.filter(col("o_orderdate") > lit(cut)).coalesce(1)
+        .write.mode("append").parquet(inPath.toString)
+      run()
+      val combined = spark.read.parquet(outDir.toString).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+      assert(combined.size == combined.toSet.size,
+        s"duplicate settled snapshots after restart: ${combined.diff(combined.distinct).take(3)}")
+      assert(run1.subsetOf(combined.toSet), "run-1 emissions lost on restart")
+      // the restarted pair must emit a SUPERSET of the uninterrupted run:
+      // stopping between the files lets the advanced watermark fire settle
+      // timers in run 1's trailing empty batches (extra intermediate
+      // snapshots), where back-to-back triggers extend the fold first and
+      // the stale-timer guard suppresses them — but nothing the single
+      // run emits may be lost or altered by the restart
+      val single = StreamEwmaV2.runOnce(spark, sf001, "ewma_rs_single")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+      assert(single.nonEmpty)
+      assert(single.subsetOf(combined.toSet),
+        s"restart lost uninterrupted-run snapshots: ${(single -- combined.toSet).take(3)}")
+      // EVERY restart emission (including the intermediate settles) must
+      // bit-equal the batch alpha=1/2 fold over exactly that key's order
+      // prefix — restored ValueState folding wrong would break this
+      val byKey = orders
+        .select(col("o_custkey"), col("o_orderkey"),
+          unix_micros(col("o_orderdate")).as("ts_us"), col("o_totalprice"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .groupBy(_._1)
+      val badFold = combined.filter { case (k, n, e, last) =>
+        val prefix = byKey(k).filter(_._3 <= last).sortBy(r => (r._3, r._2))
+        val folded = prefix.foldLeft((0.0, 0L)) { case ((ew, cnt), r) =>
+          if (cnt == 0L) (r._4, 1L) else (ew * 0.5 + r._4 * 0.5, cnt + 1L)
+        }
+        folded != ((e, n))
+      }
+      assert(badFold.isEmpty,
+        s"restart emission != batch prefix fold: ${badFold.take(3)}")
+      // and the fold genuinely CONTINUED across the restart: some run-2
+      // snapshot covers more orders than arrived after the cut (its count
+      // includes restored batch-1 state)
+      val cutUs = cut.getTime * 1000L
+      val crossed = combined.toSet.diff(run1).exists { case (k, n, _, last) =>
+        last > cutUs && n > byKey(k).count(_._3 > cutUs)
+      }
+      assert(crossed, "no snapshot proves the fold resumed from restored state")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      Seq(inPath, outDir, java.nio.file.Paths.get(ckpt)).foreach { p =>
+        Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+      }
+    }
+  }
+
   test("state-v2 settled EWMA: timer emissions bit-equal the batch fold up to each snapshot") {
     // StreamEwmaV2: transformWithState + ValueState + a MOVING event-time
     // settle timer; snapshots emit from handleExpiredTimer only. Each
