@@ -50,6 +50,10 @@ object Bench {
         graft.functions.VectorKernels.quantize(Array.fill(dim)(qrnd.nextGaussian().toFloat)))).toArray
       val local = index.toLocal
       (0 until 10).foreach(i => local.search(queries(i)._2, 10)) // warm-ups (benchmark_suite.py:109)
+      // untimed: pay the 50k index-build/broadcast allocation debt here —
+      // otherwise one timed rep absorbs a full GC and the variance block
+      // reports a 911-QPS floor that is heap history, not scan cost
+      System.gc()
       val repsLocal = (0 until 5).map { _ =>
         val t = System.nanoTime()
         queries.foreach(q => local.search(q._2, 10))

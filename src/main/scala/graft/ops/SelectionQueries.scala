@@ -131,6 +131,55 @@ object SelectionQueries {
       .filter(col("jacc") >= PjT)
   }
 
+  /** Containment threshold for the asymmetric join. 0.6 keeps the prefix
+    * arithmetic exactly integral: ceil(0.6*s) == (3*s + 4) div 5. */
+  final val CjT = 0.6
+
+  /** Asymmetric CONTAINMENT join (Broder 1997's containment coefficient;
+    * the quote/subset-duplication policy): all DIRECTED pairs (a, b),
+    * a != b, with C(a->b) = |g_a ∩ g_b| / |g_a| >= CjT — "most of A's
+    * shingles appear in B". Symmetric Jaccard misses exactly this case:
+    * a snippet quoted inside a much larger doc has low Jaccard but
+    * containment ~1. LOSSLESS prefix bound, asymmetric form: if none of
+    * a's s - ceil(T*s) + 1 globally-RAREST shingles occurs in g_b, then
+    * |g_a ∩ g_b| <= ceil(T*s) - 1 < T*s, so the pair cannot qualify —
+    * candidates come from an equi-join of A-prefixes against the FULL
+    * posting relation (the b side must be complete: b's own prefix says
+    * nothing about containment OF a). Shuffle = one corpus-scale gram
+    * exchange (the substring-dedup shape); frequent grams have high df,
+    * land in nobody's prefix, and join to nothing — dead weight in the
+    * exchange, never a hot join key. Exposed for the random-corpus
+    * losslessness sweep. */
+  private[graft] def containmentJoin(sh0: DataFrame): DataFrame = {
+    val sh = sh0.localCheckpoint()
+    val ex = sh.select(col("doc_id"), size(col("g")).cast("long").as("s"),
+      explode(col("g")).as("gh"))
+    val dfTab = ex.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+    // NOTE: the integer prefix formula encodes CjT = 0.6 — changing CjT
+    // requires changing it (the SelectionSpec random-corpus sweep will
+    // catch a mismatch).
+    val prefix = ex.join(dfTab, "gh")
+      .groupBy(col("doc_id"), col("s"))
+      .agg(array_sort(collect_list(struct(col("df"), col("gh")))).as("sorted"))
+      .select(col("doc_id"),
+        explode(slice(transform(col("sorted"), p => p("gh")),
+          lit(1), expr("s - ((3*s + 4) div 5) + 1").cast("int"))).as("gh"))
+    val cand = prefix.select(col("gh"), col("doc_id").as("doc_a"))
+      .join(ex.select(col("gh"), col("doc_id").as("doc_b")), "gh")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("g").as("ga")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("g").as("gb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ga"), col("gb"))).cast("long").as("n_inter"),
+        size(col("ga")).cast("long").as("s_a"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("s_a"),
+        (col("n_inter").cast("double") / col("s_a").cast("double"))
+          .as("containment"))
+      .filter(col("containment") >= CjT)
+  }
+
   private val shingleSetsSql: String =
     s"""d AS (
        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -225,6 +274,28 @@ object SelectionQueries {
          |  CAST(n_inter AS DOUBLE) / CAST(sa + sb - n_inter AS DOUBLE) AS jacc
          |FROM inter
          |WHERE CAST(n_inter AS DOUBLE) / CAST(sa + sb - n_inter AS DOUBLE) >= $PjT
+         |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Asymmetric containment join over the same 5-gram shingle sets: all
+    // DIRECTED pairs with |g_a ∩ g_b| / |g_a| >= 0.6 (see containmentJoin
+    // — the quote/subset-dup policy symmetric Jaccard misses). The oracle
+    // is the brute-force directed formulation; equality proves the
+    // asymmetric prefix bound lossless on the fixture, and the
+    // SelectionSpec random-corpus sweep proves it on arbitrary sets.
+    Q("q_containment_join",
+      (s, d) => containmentJoin(shingleSets(s, d))
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""WITH $shingleSetsSql,
+         |tok AS (SELECT doc_id, len(g) AS s, unnest(g) AS gh FROM sh),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(a.s AS BIGINT) AS s_a, CAST(count(*) AS BIGINT) AS n_inter
+         |  FROM tok a JOIN tok b ON a.gh = b.gh AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2, 3)
+         |SELECT doc_a, doc_b, n_inter, s_a,
+         |  CAST(n_inter AS DOUBLE) / CAST(s_a AS DOUBLE) AS containment
+         |FROM inter
+         |WHERE CAST(n_inter AS DOUBLE) / CAST(s_a AS DOUBLE) >= $CjT
          |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // DSIR importance selection: score every document by the hashed-bigram

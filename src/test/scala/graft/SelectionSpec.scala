@@ -126,6 +126,35 @@ class SelectionSpec extends SparkSpec {
     }
   }
 
+  test("containment-join losslessness holds on random set corpora (seeded property sweep)") {
+    import spark.implicits._
+    // the asymmetric prefix bound (s - ceil(T*s) + 1 rarest shingles of
+    // the CONTAINED side vs the full posting relation) must be lossless
+    // for arbitrary sets — subsets, identical sets, singletons, and
+    // high-collision universes where the rarity order is degenerate
+    val rnd = new scala.util.Random(20260814L)
+    (1 to 10).foreach { trial =>
+      val universe = 1 + rnd.nextInt(30)
+      val nDocs = 5 + rnd.nextInt(25)
+      val docs = (0 until nDocs).map { i =>
+        val sz = 1 + rnd.nextInt(12)
+        (i.toLong, Seq.fill(sz)(rnd.nextInt(universe).toLong).distinct)
+      }
+      val got = graft.ops.SelectionQueries.containmentJoin(docs.toDF("doc_id", "g"))
+        .select(col("doc_a"), col("doc_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sets = docs.map { case (id, g) => id -> g.toSet }.toMap
+      val brute = (for {
+        a <- sets.keys; b <- sets.keys if a != b
+        inter = (sets(a) & sets(b)).size
+        if inter.toDouble / sets(a).size >= SelectionQueries.CjT
+      } yield (a, b)).toSet
+      assert(got == brute,
+        s"trial $trial (universe=$universe, docs=$nDocs): " +
+          s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+    }
+  }
+
   test("q_kcenter_coreset: greedy invariants (distinct, non-increasing, radius bound)") {
     val rows = SparkEntry.queries("q_kcenter_coreset")(spark, sf001).collect()
     assert(rows.length == SelectionQueries.KcK)
