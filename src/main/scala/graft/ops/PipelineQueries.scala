@@ -352,7 +352,11 @@ object PipelineQueries {
     Q("q_overlap_frac",
       (s, d) => {
         val docs = decontDocs(s, d)
-        val test = gramHashes(docs, "test")
+        // materialized once: `test` feeds two differently-partitioned
+        // subtrees (per-doc total vs the gh join), so the exchange can't
+        // be reused and the tokenize + per-gram md5 would run twice
+        // (the q_bloom_decontaminate pattern)
+        val test = gramHashes(docs, "test").localCheckpoint(true)
         val trainG = gramHashes(docs, "train").select(col("gh")).distinct()
         val tot = test.groupBy(col("test_doc")).agg(count(lit(1)).as("n_grams"))
         val hit = test.join(trainG, Seq("gh"), "left_semi")

@@ -403,6 +403,10 @@ object PqQueries {
 
   def trainOpqParametricOn(emb: DataFrame): (Array[Double], Array[Double]) = {
     val dim = emb.select(size(col("embedding")).as("n")).head().getInt(0)
+    // fail here with the clear message — without it, a non-divisible dim
+    // truncates subdim and the allocation loop dies on empty.minBy once
+    // all buckets fill early (and the cached sample would leak)
+    require(dim % M == 0, s"dim $dim not divisible by M=$M")
     val subdim = dim / M
     val sample = emb
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
@@ -484,59 +488,76 @@ object PqQueries {
         .cast("double") / lit(P43) / count(lit(1))).as("mean_err"))
   }
 
+  /** The shared invariant scaffold of the three recall queries
+    * (q_pq_recall / q_opq_recall / q_opqp_recall): exact brute-force
+    * top-3 per query (vec_id < 10), completeness + recall-floor
+    * booleans, an optional 1-row / 1-boolean-column error-band
+    * invariant inserted after recall_ok, the compression constant, and
+    * the decimal-exact mean-top3 companion that anchors the hash. One
+    * copy — a fix to the exact oracle (the P43 route, the tie-break)
+    * lands in all three queries at once. */
+  private def recallInvariants(s: SparkSession, d: String, approx: DataFrame,
+      recallFloor: Double, errInvariant: Option[DataFrame]): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val dim = emb.select(size(col("embedding")).as("n")).head().getInt(0)
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val sc = q.join(emb.select(col("vec_id"), col("embedding")),
+        col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        VectorOps.cosineFloat(col("qe"), col("embedding")).as("score"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+    val exact = sc.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+    val exactAgg = exact.agg(
+      count(lit(1)).as("n_exact"),
+      (sum(floor(col("score") * lit(P43)).cast(dec38))
+        .cast("double") / lit(P43) / count(lit(1))).as("exact_mean_top3"))
+    val hits = exact.select(col("qid"), col("vec_id"))
+      .join(approx, Seq("qid", "vec_id"), "left_semi")
+      .agg(count(lit(1)).as("nhit"))
+    val nres = approx.agg(
+      countDistinct(col("qid")).as("n_queries"),
+      count(lit(1)).as("n_results"))
+    val joined0 = nres.crossJoin(hits).crossJoin(exactAgg)
+    val joined = errInvariant.map(joined0.crossJoin).getOrElse(joined0)
+    joined.select(Seq(
+      col("n_queries"),
+      (col("n_results") === col("n_exact")).cast("long").as("results_complete"),
+      (col("nhit").cast("double") / col("n_exact").cast("double")
+        >= lit(recallFloor)).cast("long").as("recall_ok")) ++
+      errInvariant.toSeq.map(e => col(e.columns.head)) ++ Seq(
+      lit(dim * 4L / M).as("compression_x"),
+      col("exact_mean_top3")): _*)
+  }
+
+  /** Oracle twin of [[recallInvariants]] (constant-1 invariants + the
+    * exact companions DuckDB recomputes). */
+  private def recallOracleSql(extraInvariant: Option[String]): String = {
+    val w = "row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id)"
+    val cols = Seq(
+      "CAST(10 AS BIGINT) AS n_queries",
+      "CAST(1 AS BIGINT) AS results_complete",
+      "CAST(1 AS BIGINT) AS recall_ok") ++
+      extraInvariant.map(n => s"CAST(1 AS BIGINT) AS $n") ++ Seq(
+      s"CAST((SELECT len(embedding) FROM embeddings LIMIT 1) * 4 / $M AS BIGINT) AS compression_x",
+      "CAST(sum(CAST(floor(score * 8796093022208.0) AS DECIMAL(38,0))) AS DOUBLE) / 8796093022208.0 / count(*) AS exact_mean_top3")
+    s"""WITH qq AS (
+       |  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+       |sc AS (
+       |  SELECT qq.qid, e.vec_id, ${OracleSql.floatCos("qq.qe", "e.embedding")} AS score
+       |  FROM qq JOIN embeddings e ON e.vec_id <> qq.qid),
+       |exact AS (
+       |  SELECT qid, vec_id, score FROM (
+       |    SELECT qid, vec_id, score, $w AS rn FROM sc) t WHERE rn <= 3)
+       |SELECT ${cols.mkString(",\n       |  ")}
+       |FROM exact""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_pq_recall",
-      (s, d) => {
-        val approx = pqTop3(s, d).select(col("qid"), col("vec_id"))
-        val emb = Tables.embeddings(s, d)
-        val dim = emb.select(size(col("embedding")).as("n")).head().getInt(0)
-        val q = emb.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-        val sc = q.join(emb.select(col("vec_id"), col("embedding")),
-            col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id"),
-            VectorOps.cosineFloat(col("qe"), col("embedding")).as("score"))
-        val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
-        val exact = sc.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
-        val P43 = 8796093022208.0 // 2^43
-        val exactAgg = exact.agg(
-          count(lit(1)).as("n_exact"),
-          (sum(floor(col("score") * lit(P43))
-            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-            .cast("double") / lit(P43) / count(lit(1))).as("exact_mean_top3"))
-        val hits = exact.select(col("qid"), col("vec_id"))
-          .join(approx, Seq("qid", "vec_id"), "left_semi")
-          .agg(count(lit(1)).as("nhit"))
-        val nres = approx.agg(
-          countDistinct(col("qid")).as("n_queries"),
-          count(lit(1)).as("n_results"))
-        nres.crossJoin(hits).crossJoin(exactAgg)
-          .select(col("n_queries"),
-            (col("n_results") === col("n_exact")).cast("long").as("results_complete"),
-            (col("nhit").cast("double") / col("n_exact").cast("double")
-              >= lit(PqRecallFloor)).cast("long").as("recall_ok"),
-            lit(dim * 4L / M).as("compression_x"),
-            col("exact_mean_top3"))
-      },
-      Some {
-        val w = "row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id)"
-        s"""WITH qq AS (
-           |  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
-           |sc AS (
-           |  SELECT qq.qid, e.vec_id, ${OracleSql.floatCos("qq.qe", "e.embedding")} AS score
-           |  FROM qq JOIN embeddings e ON e.vec_id <> qq.qid),
-           |exact AS (
-           |  SELECT qid, vec_id, score FROM (
-           |    SELECT qid, vec_id, score, $w AS rn FROM sc) t WHERE rn <= 3)
-           |SELECT CAST(10 AS BIGINT) AS n_queries,
-           |  CAST(1 AS BIGINT) AS results_complete,
-           |  CAST(1 AS BIGINT) AS recall_ok,
-           |  CAST((SELECT len(embedding) FROM embeddings LIMIT 1) * 4 / $M AS BIGINT)
-           |    AS compression_x,
-           |  CAST(sum(CAST(floor(score * 8796093022208.0) AS DECIMAL(38,0))) AS DOUBLE)
-           |    / 8796093022208.0 / count(*) AS exact_mean_top3
-           |FROM exact""".stripMargin
-      }),
+      (s, d) => recallInvariants(s, d,
+        pqTop3(s, d).select(col("qid"), col("vec_id")), PqRecallFloor, None),
+      Some(recallOracleSql(None))),
 
     // OPQ: rotation-optimized PQ (Ge et al. 2013). Same invariant-reduced
     // oracle as q_pq_recall, plus the published property the rotation is
@@ -550,60 +571,17 @@ object PqQueries {
         val (rot, opqCb) = trainOpq(s, d)
         val approx = pqTop3WithCodebook(s, d, opqCb, Some(rot))
           .select(col("qid"), col("vec_id"))
-        val emb = Tables.embeddings(s, d)
-        val dim = emb.select(size(col("embedding")).as("n")).head().getInt(0)
         // equal-budget plain-PQ baseline for the error invariant
+        val emb = Tables.embeddings(s, d)
         val pqCb = trainCodebookOn(emb, OpqTotalIters, None)
-        val q = emb.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-        val sc = q.join(emb.select(col("vec_id"), col("embedding")),
-            col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id"),
-            VectorOps.cosineFloat(col("qe"), col("embedding")).as("score"))
-        val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
-        val exact = sc.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
-        val exactAgg = exact.agg(
-          count(lit(1)).as("n_exact"),
-          (sum(floor(col("score") * lit(P43)).cast(dec38))
-            .cast("double") / lit(P43) / count(lit(1))).as("exact_mean_top3"))
-        val hits = exact.select(col("qid"), col("vec_id"))
-          .join(approx, Seq("qid", "vec_id"), "left_semi")
-          .agg(count(lit(1)).as("nhit"))
-        val nres = approx.agg(
-          countDistinct(col("qid")).as("n_queries"),
-          count(lit(1)).as("n_results"))
-        val errs = meanPqError(emb, None, pqCb).select(col("mean_err").as("pq_e"))
+        val errOk = meanPqError(emb, None, pqCb).select(col("mean_err").as("pq_e"))
           .crossJoin(meanPqError(emb, Some(rot), opqCb)
             .select(col("mean_err").as("opq_e")))
-        nres.crossJoin(hits).crossJoin(exactAgg).crossJoin(errs)
-          .select(col("n_queries"),
-            (col("n_results") === col("n_exact")).cast("long").as("results_complete"),
-            (col("nhit").cast("double") / col("n_exact").cast("double")
-              >= lit(OpqRecallFloor)).cast("long").as("recall_ok"),
-            (col("opq_e") <= col("pq_e") * lit(OpqErrTol)).cast("long").as("opq_err_ok"),
-            lit(dim * 4L / M).as("compression_x"),
-            col("exact_mean_top3"))
+          .select((col("opq_e") <= col("pq_e") * lit(OpqErrTol))
+            .cast("long").as("opq_err_ok"))
+        recallInvariants(s, d, approx, OpqRecallFloor, Some(errOk))
       },
-      Some {
-        val w = "row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id)"
-        s"""WITH qq AS (
-           |  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
-           |sc AS (
-           |  SELECT qq.qid, e.vec_id, ${OracleSql.floatCos("qq.qe", "e.embedding")} AS score
-           |  FROM qq JOIN embeddings e ON e.vec_id <> qq.qid),
-           |exact AS (
-           |  SELECT qid, vec_id, score FROM (
-           |    SELECT qid, vec_id, score, $w AS rn FROM sc) t WHERE rn <= 3)
-           |SELECT CAST(10 AS BIGINT) AS n_queries,
-           |  CAST(1 AS BIGINT) AS results_complete,
-           |  CAST(1 AS BIGINT) AS recall_ok,
-           |  CAST(1 AS BIGINT) AS opq_err_ok,
-           |  CAST((SELECT len(embedding) FROM embeddings LIMIT 1) * 4 / $M AS BIGINT)
-           |    AS compression_x,
-           |  CAST(sum(CAST(floor(score * 8796093022208.0) AS DECIMAL(38,0))) AS DOUBLE)
-           |    / 8796093022208.0 / count(*) AS exact_mean_top3
-           |FROM exact""".stripMargin
-      }),
+      Some(recallOracleSql(Some("opq_err_ok")))),
 
     // Parametric OPQ (Ge et al. CVPR 2013 §4, OPQ_P): the CLOSED-FORM
     // rotation — PCA + balanced eigenvalue allocation — at the same
@@ -622,58 +600,15 @@ object PqQueries {
         val (rot, cbP) = trainOpqParametric(s, d)
         val approx = pqTop3WithCodebook(s, d, cbP, Some(rot))
           .select(col("qid"), col("vec_id"))
-        val emb = Tables.embeddings(s, d)
-        val dim = emb.select(size(col("embedding")).as("n")).head().getInt(0)
         // equal-budget plain-PQ baseline for the error band
+        val emb = Tables.embeddings(s, d)
         val pqCb = trainCodebookOn(emb, OpqTotalIters, None)
-        val q = emb.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-        val sc = q.join(emb.select(col("vec_id"), col("embedding")),
-            col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id"),
-            VectorOps.cosineFloat(col("qe"), col("embedding")).as("score"))
-        val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
-        val exact = sc.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
-        val exactAgg = exact.agg(
-          count(lit(1)).as("n_exact"),
-          (sum(floor(col("score") * lit(P43)).cast(dec38))
-            .cast("double") / lit(P43) / count(lit(1))).as("exact_mean_top3"))
-        val hits = exact.select(col("qid"), col("vec_id"))
-          .join(approx, Seq("qid", "vec_id"), "left_semi")
-          .agg(count(lit(1)).as("nhit"))
-        val nres = approx.agg(
-          countDistinct(col("qid")).as("n_queries"),
-          count(lit(1)).as("n_results"))
-        val errs = meanPqError(emb, None, pqCb).select(col("mean_err").as("pq_e"))
+        val errOk = meanPqError(emb, None, pqCb).select(col("mean_err").as("pq_e"))
           .crossJoin(meanPqError(emb, Some(rot), cbP)
             .select(col("mean_err").as("opqp_e")))
-        nres.crossJoin(hits).crossJoin(exactAgg).crossJoin(errs)
-          .select(col("n_queries"),
-            (col("n_results") === col("n_exact")).cast("long").as("results_complete"),
-            (col("nhit").cast("double") / col("n_exact").cast("double")
-              >= lit(OpqpRecallFloor)).cast("long").as("recall_ok"),
-            (col("opqp_e") <= col("pq_e") * lit(OpqpErrTol)).cast("long").as("opqp_err_ok"),
-            lit(dim * 4L / M).as("compression_x"),
-            col("exact_mean_top3"))
+          .select((col("opqp_e") <= col("pq_e") * lit(OpqpErrTol))
+            .cast("long").as("opqp_err_ok"))
+        recallInvariants(s, d, approx, OpqpRecallFloor, Some(errOk))
       },
-      Some {
-        val w = "row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id)"
-        s"""WITH qq AS (
-           |  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
-           |sc AS (
-           |  SELECT qq.qid, e.vec_id, ${OracleSql.floatCos("qq.qe", "e.embedding")} AS score
-           |  FROM qq JOIN embeddings e ON e.vec_id <> qq.qid),
-           |exact AS (
-           |  SELECT qid, vec_id, score FROM (
-           |    SELECT qid, vec_id, score, $w AS rn FROM sc) t WHERE rn <= 3)
-           |SELECT CAST(10 AS BIGINT) AS n_queries,
-           |  CAST(1 AS BIGINT) AS results_complete,
-           |  CAST(1 AS BIGINT) AS recall_ok,
-           |  CAST(1 AS BIGINT) AS opqp_err_ok,
-           |  CAST((SELECT len(embedding) FROM embeddings LIMIT 1) * 4 / $M AS BIGINT)
-           |    AS compression_x,
-           |  CAST(sum(CAST(floor(score * 8796093022208.0) AS DECIMAL(38,0))) AS DOUBLE)
-           |    / 8796093022208.0 / count(*) AS exact_mean_top3
-           |FROM exact""".stripMargin
-      }))
+      Some(recallOracleSql(Some("opqp_err_ok")))))
 }

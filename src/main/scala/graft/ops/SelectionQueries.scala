@@ -88,32 +88,43 @@ object SelectionQueries {
     * RAREST elements under the global (df, element) order). Exposed for
     * property testing: losslessness must hold on ARBITRARY set corpora,
     * not just the fixture. */
-  private[graft] def prefixJoin(sh0: DataFrame): DataFrame = {
-    // materialize the hashed set relation ONCE: it feeds four subtrees
-    // (df table, prefix build, both verify sides) and recomputing the
-    // per-element md5 hashing four times dominated the wall clock
-    // (12.2s -> 1.7s). Durability tradeoff: localCheckpoint truncates
-    // lineage into EXECUTOR-local blocks — a lost executor can't
-    // recompute them and fails the job (acceptable single-JVM, where
-    // executor loss == driver loss). On a real 1000-executor run, stage
-    // this relation durably instead: reliable checkpoint() against the
-    // cluster FS, or write/read a staging parquet — same plan shape,
-    // executor-loss-safe. See SCALE.md.
+  /** Shared scaffolding of the two prefix-filtered joins: the
+    * materialized hashed set relation, the exploded (doc, s, gh) posting
+    * relation, and each doc's RAREST-prefix relation — elements sorted by
+    * (global df asc, element asc), prefix length given by `prefixLen`
+    * (an integer SQL expression over `s`, the set size; each caller's
+    * formula encodes ITS threshold, and the random-corpus property
+    * sweeps in SelectionSpec catch a mismatch).
+    *
+    * Materialization: the set relation feeds four subtrees (df table,
+    * prefix build, both verify sides) and recomputing the per-element
+    * md5 hashing four times dominated the wall clock (12.2s -> 1.7s).
+    * Durability tradeoff: localCheckpoint truncates lineage into
+    * EXECUTOR-local blocks — a lost executor can't recompute them and
+    * fails the job (acceptable single-JVM, where executor loss == driver
+    * loss). On a real 1000-executor run, stage this relation durably
+    * instead: reliable checkpoint() against the cluster FS, or
+    * write/read a staging parquet — same plan shape, executor-loss-safe.
+    * See SCALE.md. */
+  private def prefixRelation(sh0: DataFrame, prefixLen: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val sh = sh0.localCheckpoint()
     val ex = sh.select(col("doc_id"), size(col("g")).cast("long").as("s"),
       explode(col("g")).as("gh"))
     val dfTab = ex.groupBy(col("gh")).agg(count(lit(1)).as("df"))
-    // Per-doc elements sorted by (global df asc, element asc); prefix
-    // length for T=0.5 via exact integer arithmetic: s - ceil(s/2) + 1.
-    // NOTE: this integer formula encodes PjT = 0.5 — changing PjT
-    // requires changing it (and the random-corpus property sweep in
-    // SelectionSpec will catch a mismatch).
     val prefix = ex.join(dfTab, "gh")
       .groupBy(col("doc_id"), col("s"))
       .agg(array_sort(collect_list(struct(col("df"), col("gh")))).as("sorted"))
       .select(col("doc_id"),
         explode(slice(transform(col("sorted"), p => p("gh")),
-          lit(1), expr("s - ((s + 1) div 2) + 1").cast("int"))).as("gh"))
+          lit(1), expr(prefixLen).cast("int"))).as("gh"))
+    (sh, ex, prefix)
+  }
+
+  private[graft] def prefixJoin(sh0: DataFrame): DataFrame = {
+    // prefix length for T=0.5 via exact integer arithmetic:
+    // s - ceil(s/2) + 1 (the formula encodes PjT = 0.5)
+    val (sh, _, prefix) = prefixRelation(sh0, "s - ((s + 1) div 2) + 1")
     val cand = prefix.select(col("gh"), col("doc_id").as("doc_a"))
       .join(prefix.select(col("gh"), col("doc_id").as("doc_b")), "gh")
       .filter(col("doc_a") < col("doc_b"))
@@ -151,19 +162,9 @@ object SelectionQueries {
     * exchange, never a hot join key. Exposed for the random-corpus
     * losslessness sweep. */
   private[graft] def containmentJoin(sh0: DataFrame): DataFrame = {
-    val sh = sh0.localCheckpoint()
-    val ex = sh.select(col("doc_id"), size(col("g")).cast("long").as("s"),
-      explode(col("g")).as("gh"))
-    val dfTab = ex.groupBy(col("gh")).agg(count(lit(1)).as("df"))
-    // NOTE: the integer prefix formula encodes CjT = 0.6 — changing CjT
-    // requires changing it (the SelectionSpec random-corpus sweep will
-    // catch a mismatch).
-    val prefix = ex.join(dfTab, "gh")
-      .groupBy(col("doc_id"), col("s"))
-      .agg(array_sort(collect_list(struct(col("df"), col("gh")))).as("sorted"))
-      .select(col("doc_id"),
-        explode(slice(transform(col("sorted"), p => p("gh")),
-          lit(1), expr("s - ((3*s + 4) div 5) + 1").cast("int"))).as("gh"))
+    // prefix length for T=0.6 via exact integer arithmetic:
+    // s - ceil(3s/5) + 1 (the formula encodes CjT = 0.6)
+    val (sh, ex, prefix) = prefixRelation(sh0, "s - ((3*s + 4) div 5) + 1")
     val cand = prefix.select(col("gh"), col("doc_id").as("doc_a"))
       .join(ex.select(col("gh"), col("doc_id").as("doc_b")), "gh")
       .filter(col("doc_a") =!= col("doc_b"))
