@@ -592,6 +592,72 @@ object RelationalQueries {
          |ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
          |LIMIT 100""".stripMargin)),
 
+    // TPC-H Q21's join STRUCTURE (the fixture carries no receipt/commit
+    // dates, so "kept waiting" is restated on shipdate): per finished
+    // multi-supplier order, the supplier whose line shipped STRICTLY
+    // after every other supplier's — the same correlated EXISTS (another
+    // supplier in the order) + NOT EXISTS (another supplier shipped
+    // at-or-after) pair, compiled Spark-first: one left_semi + one
+    // left_anti against the SAME (orderkey, supplier, shipdate)
+    // projection, then a broadcast supplier⋈nation dim and a bounded
+    // top-k. The semi/anti sides carry NO broadcast hint — plan
+    // selection is size-based on purpose: at fixture scale AQE
+    // broadcasts the compact projection (runtime stats under the
+    // threshold); past it, both joins become order-key SORT-MERGE
+    // exchanges — column pruning makes them distinct subtrees (the semi
+    // probe keeps 2 columns, the anti 3, so no ReusedExchange — two
+    // NARROW keyed exchanges instead, and the left side re-partitions
+    // once for the whole semi→anti→orders chain on the same key). The
+    // 100 TB regime is exercised, not assumed: PlanGuardSpec re-runs the
+    // query with broadcasts disabled and asserts all-sort-merge, bounded
+    // exchange count, and an unchanged result. No per-order max window
+    // over the corpus, no cartesian; counts are per qualifying LINE,
+    // exactly like Q21's numwait. Same-supplier extra lines never block
+    // the anti-join (the <> supplier condition), matching the
+    // original's semantics.
+    Q("q21_last_shipper",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        val others = li.select(col("l_orderkey").as("k2"),
+          col("l_suppkey").as("s2"), col("l_shipdate").as("d2"))
+        val multi = li.join(others,
+          col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"),
+          "left_semi")
+        val last = multi.join(others,
+          col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2") &&
+            col("d2") >= col("l_shipdate"),
+          "left_anti")
+        val fOrders = Tables.orders(s, d)
+          .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+        val sup = Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+        val nat = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+        last.join(fOrders, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(sup.join(nat,
+            col("s_nationkey") === col("n_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("n_name"), col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("n_name"), col("s_name"))
+          .limit(10)
+      },
+      Some("""SELECT n.n_name, s.s_name, CAST(count(*) AS BIGINT) AS numwait
+         |FROM lineitem l1
+         |JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+         |JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+         |JOIN nation n ON n.n_nationkey = s.s_nationkey
+         |WHERE EXISTS (
+         |    SELECT 1 FROM lineitem l2
+         |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+         |  AND NOT EXISTS (
+         |    SELECT 1 FROM lineitem l3
+         |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+         |      AND l3.l_shipdate >= l1.l_shipdate)
+         |GROUP BY 1, 2
+         |ORDER BY numwait DESC, n_name, s_name
+         |LIMIT 10""".stripMargin)),
+
     Q("q9_profit",
       (s, d) => {
         val li = Tables.lineitem(s, d)

@@ -84,6 +84,43 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("q21_last_shipper: the 100 TB regime is all sort-merge, narrow keyed exchanges") {
+    // at fixture scale AQE broadcasts the compact lineitem projection
+    // (size-based, unhinted); at 100 TB both correlated joins fall back
+    // to order-key sort-merge. Exercise that regime by disabling
+    // broadcasts: the result must not change, every lineitem-side join
+    // must be SortMergeJoin (no nested loop, no cartesian), and the
+    // exchange count stays bounded (the pruned semi/anti probe
+    // projections + the left chain + orders + the final agg — never a
+    // per-row or per-order blowup).
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec, SortMergeJoinExec}
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    val withBc = SparkEntry.queries("q21_last_shipper")(spark, sf001)
+      .collect().map(_.toString).toSeq
+    try {
+      spark.conf.set(key, "-1")
+      val df = SparkEntry.queries("q21_last_shipper")(spark, sf001)
+      val noBc = df.collect().map(_.toString).toSeq
+      assert(noBc == withBc, "plan regime must not change the result")
+      val p = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+      val all = collectAll(p)
+      assert(all.exists(_.isInstanceOf[SortMergeJoinExec]),
+        s"expected the sort-merge regime:\n${p.toString.take(1200)}")
+      assert(!all.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]) &&
+        !all.exists(_.isInstanceOf[CartesianProductExec]),
+        "correlated EXISTS/NOT EXISTS must stay equi-joins")
+      // fixed-count regime: left chain + semi probe + anti probe +
+      // orders + final agg (5) plus the dim-side supplier⋈nation
+      // pre-join's own two exchanges once broadcasts are off
+      val nShuf = shuffles(p)
+      assert(nShuf <= 8, s"exchange count blew up: $nShuf\n${p.toString.take(1200)}")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("no CartesianProduct in ANY registry plan; BNLJ broadcast sides are query-sized") {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     import org.apache.spark.sql.execution.adaptive.BroadcastQueryStageExec
