@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked app's stdout straight through instead of routing it via
+// sbt's logger: every round's driver-captured bench artifact has
+// `parsed: null` because each output line arrives prefixed with "[info] ",
+// which defeats line-wise JSON parsing. With StdoutOutput the JSON lines
+// Bench/Verify print start at column 0 and parse as-is.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -232,7 +232,11 @@ object Bench {
     // headline is small enough to always survive whole, so the round
     // artifact is self-healing; the leading copy covers head-keeping
     // captures. bench_last.json still holds the complete object.
-    val headline = f"""{"metric":"total","value":$total%.3f,"unit":"sec","protocol":2,"reps":$REPS,"stat":"min","n_queries":${results.size},"headline":true,"labels_build_sec":$labelsBuildSec%.3f,"ref_search_qps_50k":$refQpsLocal%.0f,"ref_batch_qps_50k":$refQpsBatch%.0f,"ref_concurrent_qps_50k":$refQpsConc%.0f,"ref_pq_qps_50k":$refQpsPq%.0f,"baseline_ref_qps_50k":1100,$servingVar,"sf":"$sfDir"}"""
+    // The headline carries metric "total_headline" (plus "headline":true)
+    // so exactly ONE emitted line has "metric":"total" — a consumer
+    // grepping the metric key can no longer pick up a field-reduced
+    // headline copy in place of the full object.
+    val headline = f"""{"metric":"total_headline","value":$total%.3f,"unit":"sec","protocol":2,"reps":$REPS,"stat":"min","n_queries":${results.size},"headline":true,"labels_build_sec":$labelsBuildSec%.3f,"ref_search_qps_50k":$refQpsLocal%.0f,"ref_batch_qps_50k":$refQpsBatch%.0f,"ref_concurrent_qps_50k":$refQpsConc%.0f,"ref_pq_qps_50k":$refQpsPq%.0f,"baseline_ref_qps_50k":1100,$servingVar,"sf":"$sfDir"}"""
     println(headline)
     println(line)
     println(headline)

@@ -599,12 +599,14 @@ object RelationalQueries {
     // supplier in the order) + NOT EXISTS (another supplier shipped
     // at-or-after) pair, compiled Spark-first: one left_semi + one
     // left_anti against the SAME (orderkey, supplier, shipdate)
-    // projection, then a broadcast supplier⋈nation dim and a bounded
-    // top-k. The semi/anti sides carry NO broadcast hint — plan
-    // selection is size-based on purpose: at fixture scale AQE
-    // broadcasts the compact projection (runtime stats under the
-    // threshold); past it, both joins become order-key SORT-MERGE
-    // exchanges — column pruning makes them distinct subtrees (the semi
+    // projection, then the supplier⋈nation dims and a bounded top-k.
+    // Broadcast-hint policy (SCALE.md round-6): ONLY nation carries the
+    // hint — it is 25 rows at every scale factor. Supplier GROWS with
+    // SF (~1B rows in the 100 TB regime), so it stays unhinted like the
+    // semi/anti sides and plan selection is size-based on purpose: at
+    // fixture scale AQE broadcasts the compact projections (runtime
+    // stats under the threshold); past it, the supplier join and both
+    // correlated joins become key-partitioned SORT-MERGE exchanges — column pruning makes them distinct subtrees (the semi
     // probe keeps 2 columns, the anti 3, so no ReusedExchange — two
     // NARROW keyed exchanges instead, and the left side re-partitions
     // once for the whole semi→anti→orders chain on the same key). The
@@ -634,8 +636,8 @@ object RelationalQueries {
           .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
         val nat = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
         last.join(fOrders, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(sup.join(nat,
-            col("s_nationkey") === col("n_nationkey"))),
+          .join(sup.join(broadcast(nat),
+            col("s_nationkey") === col("n_nationkey")),
             col("l_suppkey") === col("s_suppkey"))
           .groupBy(col("n_name"), col("s_name"))
           .agg(count(lit(1)).as("numwait"))

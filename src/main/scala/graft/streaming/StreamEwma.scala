@@ -79,10 +79,9 @@ object StreamEwma {
         .option("pathGlobFilter", "orders.parquet").parquet(dir)
       val cut = orders.agg(expr("percentile_approx(o_orderdate, 0.5)"))
         .collect().head.getTimestamp(0)
-      orders.filter(col("o_orderdate") <= lit(cut)).coalesce(1)
-        .write.mode("append").parquet(inDir)
-      orders.filter(col("o_orderdate") > lit(cut)).coalesce(1)
-        .write.mode("append").parquet(inDir)
+      Staged.appendOrdered(inDir,
+        orders.filter(col("o_orderdate") <= lit(cut)),
+        orders.filter(col("o_orderdate") > lit(cut)))
       val stream = spark.readStream.schema(rawSchema)
         .option("maxFilesPerTrigger", 1).parquet(inDir)
       val q = ewma(stream)

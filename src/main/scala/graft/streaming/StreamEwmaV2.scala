@@ -119,10 +119,9 @@ object StreamEwmaV2 {
         .option("pathGlobFilter", "orders.parquet").parquet(dir)
       val cut = orders.agg(expr("percentile_approx(o_orderdate, 0.5)"))
         .collect().head.getTimestamp(0)
-      orders.filter(col("o_orderdate") <= lit(cut)).coalesce(1)
-        .write.mode("append").parquet(inPath.toString)
-      orders.filter(col("o_orderdate") > lit(cut)).coalesce(1)
-        .write.mode("append").parquet(inPath.toString)
+      Staged.appendOrdered(inPath.toString,
+        orders.filter(col("o_orderdate") <= lit(cut)),
+        orders.filter(col("o_orderdate") > lit(cut)))
       val stream = spark.readStream.schema(StreamEwma.rawSchema)
         .option("maxFilesPerTrigger", 1).parquet(inPath.toString)
       val q = settled(stream).toDF()

@@ -90,10 +90,9 @@ object StreamHeavyHitters {
     try {
       val docs = spark.read.schema(StreamDedup.rawSchema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
-      docs.filter(col("doc_id") % 2 === 0).coalesce(1)
-        .write.mode("append").parquet(inDir)
-      docs.filter(col("doc_id") % 2 === 1).coalesce(1)
-        .write.mode("append").parquet(inDir)
+      Staged.appendOrdered(inDir,
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1))
       val stream = spark.readStream.schema(StreamDedup.rawSchema)
         .option("maxFilesPerTrigger", 1).parquet(inDir)
       val q = sketch(stream, numShards, m)

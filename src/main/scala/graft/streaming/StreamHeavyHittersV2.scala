@@ -107,10 +107,9 @@ object StreamHeavyHittersV2 {
     try {
       val docs = spark.read.schema(StreamDedup.rawSchema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
-      docs.filter(col("doc_id") % 2 === 0).coalesce(1)
-        .write.mode("append").parquet(inPath.toString)
-      docs.filter(col("doc_id") % 2 === 1).coalesce(1)
-        .write.mode("append").parquet(inPath.toString)
+      Staged.appendOrdered(inPath.toString,
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1))
       val stream = spark.readStream.schema(StreamDedup.rawSchema)
         .option("maxFilesPerTrigger", 1).parquet(inPath.toString)
       val q = sketch(stream, numShards, m)

@@ -78,10 +78,9 @@ object StreamNearDupV2 {
     try {
       val docs = spark.read.schema(StreamDedup.rawSchema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
-      docs.filter(col("doc_id") < 250).coalesce(1)
-        .write.mode("append").parquet(inPath.toString)
-      docs.filter(col("doc_id") >= 250).coalesce(1)
-        .write.mode("append").parquet(inPath.toString)
+      Staged.appendOrdered(inPath.toString,
+        docs.filter(col("doc_id") < 250),
+        docs.filter(col("doc_id") >= 250))
       val stream = spark.readStream.schema(StreamDedup.rawSchema)
         .option("maxFilesPerTrigger", 1).parquet(inPath.toString)
       val q = candidates(stream)

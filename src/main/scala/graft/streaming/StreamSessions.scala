@@ -137,10 +137,9 @@ object StreamSessions {
           spark.read.parquet(s"$dir/events.parquet"))
         val cut = raw.agg(expr("percentile_approx(unix_micros(ts), 0.5)"))
           .collect().head.getLong(0)
-        raw.filter(unix_micros(col("ts")) <= cut).coalesce(1)
-          .write.mode("append").parquet(inPath.toString)
-        raw.filter(unix_micros(col("ts")) > cut).coalesce(1)
-          .write.mode("append").parquet(inPath.toString)
+        Staged.appendOrdered(inPath.toString,
+          raw.filter(unix_micros(col("ts")) <= cut),
+          raw.filter(unix_micros(col("ts")) > cut))
         val stream = spark.readStream
           .schema(spark.read.parquet(inPath.toString).schema)
           .option("maxFilesPerTrigger", 1).parquet(inPath.toString)
