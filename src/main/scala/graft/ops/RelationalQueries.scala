@@ -660,6 +660,124 @@ object RelationalQueries {
          |ORDER BY numwait DESC, n_name, s_name
          |LIMIT 10""".stripMargin)),
 
+    // TPC-H Q13's outer-join count-distribution shape (the fixture carries
+    // no o_comment, so the excluded class is restated on priority). The
+    // Spark plan is deliberately NOT the classic formulation: orders
+    // pre-aggregate to one (custkey, n) row BEFORE the join (map-side
+    // combinable count), so the custkey-keyed left join carries one row
+    // per customer — never one per order — and the histogram groupBy runs
+    // over distinct counts (vocabulary-sized). At 100 TB that is one
+    // orders shuffle at per-customer granularity + one bounded aggregate;
+    // the oracle states the classic left-outer-then-count formulation, so
+    // hash equality PROVES the aggregate-below-join rewrite, including the
+    // zero-order customers the left join must preserve.
+    Q("q13_custdist",
+      (s, d) => {
+        val perCust = Tables.orders(s, d)
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+        Tables.customer(s, d).select(col("c_custkey"))
+          .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+          .select(coalesce(col("n"), lit(0L)).as("c_count"))
+          .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+         |FROM (
+         |  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+         |  FROM customer c
+         |  LEFT OUTER JOIN orders o
+         |    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+         |  GROUP BY 1) t
+         |GROUP BY c_count
+         |ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // TPC-H Q17's correlated-scalar-subquery shape (no p_container in the
+    // fixture, so the part class is a brand set; the 0.2 factor and the
+    // /7.0 "avg yearly" output are Q17's). The correlated
+    // `avg(l_quantity) WHERE l2.l_partkey = p_partkey` decorrelates into a
+    // per-part aggregate JOINED BACK — both relations already restricted
+    // to the brand's parts by the same semi-filtering join, so the
+    // partkey-keyed avg relation is small (parts of 3 brands) and joins
+    // broadcast at fixture scale / sort-merge past it, never a per-row
+    // subquery. avg routes through the DECIMAL sum / count so the 0.2*avg
+    // threshold is the same bit pattern on both engines — the float
+    // comparison below it is then deterministic.
+    Q("q17_small_qty",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        val bParts = Tables.part(s, d)
+          .filter(col("p_brand").isin("Brand#7", "Brand#11", "Brand#22"))
+          .select(col("p_partkey"), col("p_brand"))
+        val branded = li.join(bParts, col("l_partkey") === col("p_partkey"))
+        val avgq = branded.groupBy(col("p_partkey").as("ap"))
+          .agg((H.dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+        branded.join(avgq, col("l_partkey") === col("ap"))
+          .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+          .groupBy(col("p_brand"))
+          .agg((H.dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
+            count(lit(1)).as("n_lines"))
+          .orderBy(col("p_brand"))
+      },
+      Some("""WITH branded AS (
+         |  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice, p.p_brand
+         |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         |  WHERE p.p_brand IN ('Brand#7','Brand#11','Brand#22')),
+         |avgq AS (
+         |  SELECT l_partkey,
+         |    CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)/count(*) AS avg_qty
+         |  FROM branded GROUP BY 1)
+         |SELECT b.p_brand,
+         |  CAST(sum(CAST(b.l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)/7.0 AS avg_yearly,
+         |  CAST(count(*) AS BIGINT) AS n_lines
+         |FROM branded b JOIN avgq a ON a.l_partkey = b.l_partkey
+         |WHERE b.l_quantity < 0.2*a.avg_qty
+         |GROUP BY 1
+         |ORDER BY 1""".stripMargin)),
+
+    // TPC-H Q22's shape: a scalar subquery threshold (global average of
+    // the positive balances) + a NOT EXISTS anti-join, grouped by a
+    // country code (restated on c_nationkey — the fixture has no c_phone;
+    // and every fixture customer has orders, so "no orders at all" is
+    // restated as "no urgent order since 1997", which is non-trivial at
+    // every SF: 35 / 331 / 3,399 qualifying customers). The threshold is
+    // a 1-row aggregate cross-joined in (a 1-row broadcast nested loop —
+    // the query-sized BNLJ class PlanGuardSpec allows); the anti-join
+    // shuffles on custkey against the FILTERED orders projection, which
+    // grows with SF and therefore carries no broadcast hint.
+    Q("q22_idle_balance",
+      (s, d) => {
+        val cust = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+        val avgBal = cust.filter(col("c_acctbal") > 0.0)
+          .agg((H.dsum(col("c_acctbal")) / count(lit(1))).as("avg_bal"))
+        val urgent = Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT" &&
+            col("o_orderdate") >= to_timestamp(lit("1997-01-01 00:00:00")))
+          .select(col("o_custkey"))
+        cust.join(avgBal)
+          .filter(col("c_acctbal") > col("avg_bal"))
+          .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("numcust"),
+            H.dsum(col("c_acctbal")).as("totacctbal"))
+          .orderBy(col("c_nationkey"))
+      },
+      Some("""WITH ab AS (
+         |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE)/count(*) AS avg_bal
+         |  FROM customer WHERE c_acctbal > 0.0)
+         |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+         |  CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS totacctbal
+         |FROM customer, ab
+         |WHERE c_acctbal > ab.avg_bal
+         |  AND NOT EXISTS (SELECT 1 FROM orders o
+         |    WHERE o.o_custkey = c_custkey
+         |      AND o.o_orderpriority = '1-URGENT'
+         |      AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00')
+         |GROUP BY 1
+         |ORDER BY 1""".stripMargin)),
+
     Q("q9_profit",
       (s, d) => {
         val li = Tables.lineitem(s, d)
