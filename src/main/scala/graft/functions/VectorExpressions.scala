@@ -404,3 +404,55 @@ case class PqErrorExpr(child: Expression, codebook: Array[Double],
   override protected def withNewChildInternal(c: Expression): PqErrorExpr =
     copy(child = c)
 }
+/** array<float> -> array<bigint>: packed sign bits (binary quantization).
+  * One codegen'd pass replaces the interpreted transform/aggregate HOF
+  * formulation; see VectorKernels.signPack for the bit layout. */
+case class SignPackExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeCheck.floatArray(child, prettyName)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sign_pack"
+
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(VectorKernels.signPack(
+      v.asInstanceOf[ArrayData].toFloatArray()))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.VectorKernels.signPack($c.toFloatArray()))")
+
+  override protected def withNewChildInternal(c: Expression): SignPackExpr =
+    copy(child = c)
+}
+
+/** (array<bigint>, array<bigint>) -> bigint: Hamming distance between two
+  * packed sign codes (codegen'd XOR+popcount loop). */
+case class HammingExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def longArray(e: Expression) = e.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint> (packed sign code), got ${other.catalogString}")
+    }
+    VecTypeCheck.both(longArray(left), longArray(right))
+  }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hamming_packed"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.hammingPacked(
+      a.asInstanceOf[ArrayData].toLongArray(),
+      b.asInstanceOf[ArrayData].toLongArray())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorKernels.hammingPacked($a.toLongArray(), $b.toLongArray())")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HammingExpr =
+    copy(left = newLeft, right = newRight)
+}

@@ -410,4 +410,33 @@ object VectorKernels {
     }
     acc
   }
+  /** Binary (1-bit) sign quantization: bit (w*64 + j) of output word w is
+    * set iff component w*64+j is STRICTLY positive (zeros and negatives
+    * clear) — ceil(dim/64) longs, i.e. dim bits vs dim*32 for float32.
+    * The sign of a component is invariant under L2 normalization, so the
+    * packed code of a vector equals the packed code of its normalization
+    * and sign-bit Hamming distance approximates angular distance (the
+    * 1-bit LSH bound of Charikar, STOC 2002, with the coordinate axes as
+    * hyperplanes). */
+  def signPack(v: Array[Float]): Array[Long] = {
+    val words = new Array[Long]((v.length + 63) >>> 6)
+    var i = 0
+    while (i < v.length) {
+      if (v(i) > 0f) words(i >>> 6) |= 1L << (i & 63)
+      i += 1
+    }
+    words
+  }
+
+  /** Hamming distance between two equal-length packed sign codes: exact
+    * integer popcount of the XOR, so scores are deterministic. */
+  def hammingPacked(a: Array[Long], b: Array[Long]): Long = {
+    var s = 0L
+    var i = 0
+    while (i < a.length) {
+      s += java.lang.Long.bitCount(a(i) ^ b(i))
+      i += 1
+    }
+    s
+  }
 }

@@ -111,4 +111,10 @@ object VectorOps {
     * UDF): true if any element is NaN or +/-Inf. */
   def hasNonFinite(v: Column): Column =
     exists(v, x => isnan(x) || abs(x) === lit(Float.PositiveInfinity))
+
+  /** Binary quantization: packed sign bits, array<bigint> of ceil(dim/64). */
+  def signPack(v: Column): Column = c(SignPackExpr(e(v)))
+
+  /** Hamming distance between two packed sign codes. */
+  def hamming(a: Column, b: Column): Column = c(HammingExpr(e(a), e(b)))
 }

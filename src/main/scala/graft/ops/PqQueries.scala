@@ -65,6 +65,15 @@ object PqQueries {
     * recalls far higher. */
   final val PqRecallFloor = 0.5
 
+  /** q_bq_recall recall@3 floor. Measured (tools/BqProbe, CandK=128,
+    * training-free so fully deterministic): 0.967 / 0.967 / 0.733 at
+    * sf0.001 / 0.01 / 0.1 — at-or-above the trained PQ codebook's
+    * 0.933 / 0.933 / 0.700 at every SF, the expected result on
+    * near-isotropic Gaussian data where sign bits are as informative as
+    * trained subspace centroids. The floor sits >= 7 hits (of 30) below
+    * the weakest measurement. */
+  final val BqRecallFloor = 0.5
+
   /** Train the flat [(sub*K + c)*subdim + i] codebook with distributed
     * Lloyd's over a deterministic sample. Empty clusters keep their
     * previous centroid (the standard guard). */
@@ -221,6 +230,44 @@ object PqQueries {
       .select(col("qid"), explode(col("top")).as("t"))
       .select(col("qid"), col("t.vec_id").as("vec_id"))
     // exact rescore of the candidate set only
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val rescored = cand
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("vec_id"),
+        VectorOps.cosineFloat(col("qe"), col("embedding")).as("score"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+    rescored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("qid"), col("vec_id"), col("score"))
+  }
+
+  /** Binary-quantization candidate generation + exact rescore — the
+    * 1-bit end of the quantization family (int8 -> PQ/OPQ -> sign bits).
+    * Codes are dim BITS (32x smaller than float32 at any dim; 8 bytes at
+    * dim 64), distances are XOR+popcount — the cheap first-pass filter
+    * RaBitQ/BQ serving stacks use before exact rescoring. Pipeline shape
+    * is pqTop3's: the 10 query codes broadcast, ONE corpus scan computes
+    * codegen'd Hamming per (row, query), the bounded TopKAgg keeps CandK
+    * candidates per query (shuffle = queries x CandK, never corpus-sized),
+    * then the exact float-cosine rescore runs on the bounded candidate
+    * relation only. Hamming ties at the CandK boundary cut by vec_id ASC,
+    * so candidates are deterministic. */
+  def bqTop3(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val codes = emb.select(col("vec_id"),
+      VectorOps.signPack(col("embedding")).as("code"))
+    val queries = codes.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("code").as("qcode"))
+    val cand = codes
+      .join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        -VectorOps.hamming(col("code"), col("qcode")).cast("double"))
+      .toDF("qid", "vec_id", "nham")
+      .groupBy(col("qid"))
+      .agg(VectorOps.topK(col("nham"), col("vec_id"), CandK).as("top"))
+      .select(col("qid"), explode(col("top")).as("t"))
+      .select(col("qid"), col("t.vec_id").as("vec_id"))
     val q = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val rescored = cand
@@ -497,7 +544,8 @@ object PqQueries {
     * copy — a fix to the exact oracle (the P43 route, the tie-break)
     * lands in all three queries at once. */
   private def recallInvariants(s: SparkSession, d: String, approx: DataFrame,
-      recallFloor: Double, errInvariant: Option[DataFrame]): DataFrame = {
+      recallFloor: Double, errInvariant: Option[DataFrame],
+      codeBytes: Int => Long = _ => M.toLong): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val dim = emb.select(size(col("embedding")).as("n")).head().getInt(0)
     val q = emb.filter(col("vec_id") < 10)
@@ -526,20 +574,21 @@ object PqQueries {
       (col("nhit").cast("double") / col("n_exact").cast("double")
         >= lit(recallFloor)).cast("long").as("recall_ok")) ++
       errInvariant.toSeq.map(e => col(e.columns.head)) ++ Seq(
-      lit(dim * 4L / M).as("compression_x"),
+      lit(dim * 4L / codeBytes(dim)).as("compression_x"),
       col("exact_mean_top3")): _*)
   }
 
   /** Oracle twin of [[recallInvariants]] (constant-1 invariants + the
     * exact companions DuckDB recomputes). */
-  private def recallOracleSql(extraInvariant: Option[String]): String = {
+  private def recallOracleSql(extraInvariant: Option[String],
+      codeBytesSql: String = M.toString): String = {
     val w = "row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id)"
     val cols = Seq(
       "CAST(10 AS BIGINT) AS n_queries",
       "CAST(1 AS BIGINT) AS results_complete",
       "CAST(1 AS BIGINT) AS recall_ok") ++
       extraInvariant.map(n => s"CAST(1 AS BIGINT) AS $n") ++ Seq(
-      s"CAST((SELECT len(embedding) FROM embeddings LIMIT 1) * 4 / $M AS BIGINT) AS compression_x",
+      s"CAST((SELECT len(embedding) * 4 / ($codeBytesSql) FROM embeddings LIMIT 1) AS BIGINT) AS compression_x",
       "CAST(sum(CAST(floor(score * 8796093022208.0) AS DECIMAL(38,0))) AS DOUBLE) / 8796093022208.0 / count(*) AS exact_mean_top3")
     s"""WITH qq AS (
        |  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
@@ -610,5 +659,20 @@ object PqQueries {
             .cast("long").as("opqp_err_ok"))
         recallInvariants(s, d, approx, OpqpRecallFloor, Some(errOk))
       },
-      Some(recallOracleSql(Some("opqp_err_ok")))))
+      Some(recallOracleSql(Some("opqp_err_ok")))),
+
+    // Binary quantization (1-bit sign codes + Hamming candidate scan +
+    // exact rescore): the extreme end of the compression/recall tradeoff
+    // the PQ family spans — dim bits per vector, 32x over float32,
+    // scan arithmetic a single XOR+popcount per word. No training at
+    // all (the code of a vector is data-independent), so unlike
+    // PQ/OPQ the oracle gates a deterministic, parameter-free path.
+    // Same invariant-reduced oracle as q_pq_recall with the
+    // compression constant restated for 1-bit codes.
+    Q("q_bq_recall",
+      (s, d) => recallInvariants(s, d,
+        bqTop3(s, d).select(col("qid"), col("vec_id")), BqRecallFloor, None,
+        codeBytes = dim => 8L * ((dim + 63) / 64)),
+      Some(recallOracleSql(None,
+        codeBytesSql = "8 * CAST(ceil(len(embedding)/64.0) AS BIGINT)"))))
 }

@@ -298,4 +298,37 @@ class KernelPropertiesSpec extends AnyFunSuite {
           math.max(0, toks.size - 2).toLong)
     })
   }
+
+  test("signPack kernel equals the bit-per-component reference; norm-invariant") {
+    val gen = Gen.listOf(Gen.chooseNum(-5.0f, 5.0f))
+    check("signPack", Prop.forAll(gen) { vs =>
+      val v = vs.toArray
+      val got = VectorKernels.signPack(v)
+      val wantWords = (v.length + 63) / 64
+      val want = new Array[Long](wantWords)
+      v.indices.foreach { i =>
+        if (v(i) > 0f) want(i / 64) |= 1L << (i % 64)
+      }
+      // sign of a component is invariant under positive scaling, so the
+      // code of 2*v equals the code of v (the normalize-free property the
+      // query relies on)
+      val scaled = VectorKernels.signPack(v.map(_ * 2f))
+      got.sameElements(want) && scaled.sameElements(want) &&
+        got.length == wantWords
+    })
+  }
+
+  test("hammingPacked equals the per-component sign-disagreement count") {
+    val gen = for {
+      n <- Gen.chooseNum(0, 200)
+      a <- Gen.listOfN(n, Gen.chooseNum(-5.0f, 5.0f))
+      b <- Gen.listOfN(n, Gen.chooseNum(-5.0f, 5.0f))
+    } yield (a.toArray, b.toArray)
+    check("hamming", Prop.forAll(gen) { case (a, b) =>
+      val got = VectorKernels.hammingPacked(
+        VectorKernels.signPack(a), VectorKernels.signPack(b))
+      val want = a.indices.count(i => (a(i) > 0f) != (b(i) > 0f)).toLong
+      got == want
+    })
+  }
 }

@@ -212,4 +212,27 @@ class PqSpec extends SparkSpec {
     val manual = nv.zip(rec).map { case (a, b) => (a - b) * (a - b) }.sum
     assert(math.abs(VectorKernels.pqError(v, cb, M, K) - manual) < 1e-12)
   }
+
+  test("bqTop3 is deterministic, top-3 per query, descending exact scores") {
+    val rows = PqQueries.bqTop3(spark, sf001).collect()
+    assert(rows.length == 30) // 10 queries x 3
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.length == 3)
+      val scores = rs.map(_.getDouble(2)).toSeq
+      assert(scores == scores.sorted.reverse)
+    }
+    // training-free path: a second run must be bit-identical
+    val again = PqQueries.bqTop3(spark, sf001).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("q_bq_recall registry invariants all hold (1-bit compression = 32x at dim 64)") {
+    val r = SparkEntry.queries("q_bq_recall")(spark, sf001).collect().head
+    assert(r.getAs[Long]("n_queries") == 10L)
+    assert(r.getAs[Long]("results_complete") == 1L)
+    assert(r.getAs[Long]("recall_ok") == 1L)
+    // dim 64 floats = 256 bytes -> one 8-byte sign word = 32x
+    assert(r.getAs[Long]("compression_x") == 32L)
+    assert(r.getAs[Double]("exact_mean_top3") > 0.0)
+  }
 }
