@@ -778,6 +778,150 @@ object RelationalQueries {
          |GROUP BY 1
          |ORDER BY 1""".stripMargin)),
 
+    // TPC-H Q14's conditional-aggregation share: one month of lineitem
+    // joined to part, promo revenue as a CASE inside the sum, expressed
+    // as a share of total revenue. Both sums route through DECIMAL so the
+    // final division is one double op on exact operands — bit-equal on
+    // both engines. Scale shape: the date filter reaches the lineitem
+    // scan (PushedFilters), part joins on partkey (sort-merge past
+    // fixture scale; no hint — part grows with SF), and the two sums are
+    // ONE partial aggregate, not two scans.
+    Q("q14_promo_share",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= to_timestamp(lit("1995-09-01 00:00:00")) &&
+            col("l_shipdate") < to_timestamp(lit("1995-10-01 00:00:00")))
+        val p = Tables.part(s, d).select(col("p_partkey"), col("p_type"))
+        val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        li.join(p, col("l_partkey") === col("p_partkey"))
+          .agg(
+            (lit(100.0) * H.dsum(when(col("p_type") === "PROMO", disc)
+              .otherwise(lit(0.0))) / H.dsum(disc)).as("promo_share"),
+            count(lit(1)).as("n_lines"))
+      },
+      Some("""SELECT
+         |  100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+         |      THEN l_extendedprice*(1.0-l_discount) ELSE 0.0 END AS DECIMAL(25,6))) AS DOUBLE)
+         |    / CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+         |    AS promo_share,
+         |  CAST(count(*) AS BIGINT) AS n_lines
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'""".stripMargin)),
+
+    // TPC-H Q15's argmax-over-aggregated-view shape: quarterly revenue
+    // per supplier, then the supplier(s) achieving the MAXIMUM. The max
+    // is a 1-ROW aggregate cross-joined back (broadcast nested loop over
+    // one row) — NOT an unpartitioned window over the supplier relation,
+    // which would single-partition a corpus that grows with SF. Equality
+    // against the max is exact: both sides are the same decimal-routed
+    // sum, so the double bit patterns match or don't, identically on
+    // both engines (ties all surface, like Q15's spec requires).
+    Q("q15_top_supplier",
+      (s, d) => {
+        val rev = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+            col("l_shipdate") < to_timestamp(lit("1996-04-01 00:00:00")))
+          .groupBy(col("l_suppkey"))
+          .agg(H.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("total_revenue"))
+        val mx = rev.agg(max(col("total_revenue")).as("max_revenue"))
+        val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))
+        rev.join(mx).filter(col("total_revenue") === col("max_revenue"))
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""WITH rev AS (
+         |  SELECT l_suppkey,
+         |    CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+         |      AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+         |  GROUP BY 1)
+         |SELECT s.s_suppkey, s.s_name, r.total_revenue
+         |FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+         |WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+         |ORDER BY s.s_suppkey""".stripMargin)),
+
+    // TPC-H Q16's distinct-count-with-exclusion shape. The fixture has no
+    // partsupp table, so the part-supplier relation is the DISTINCT
+    // (l_partkey, l_suppkey) projection of lineitem (what partsupp
+    // records); the excluded supplier class ("customer complaints" in the
+    // original) is restated as negative account balance. Scale shape: the
+    // excluded-supplier relation is filter-pruned and joins as a
+    // left_anti on suppkey; the pair-distinct and the per-attribute
+    // countDistinct are partial aggregates on bounded attribute combos
+    // (brand x type x size — vocabulary-sized at any SF).
+    Q("q16_supplier_cnt",
+      (s, d) => {
+        val pairs = Tables.lineitem(s, d)
+          .select(col("l_partkey"), col("l_suppkey")).distinct()
+        val badSup = Tables.supplier(s, d)
+          .filter(col("s_acctbal") < 0.0).select(col("s_suppkey"))
+        val p = Tables.part(s, d)
+          .filter(col("p_brand") =!= "Brand#13" && col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34))
+          .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+        pairs.join(badSup, col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .join(p, col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+            col("p_size"))
+      },
+      Some("""SELECT p.p_brand, p.p_type, p.p_size,
+         |  CAST(count(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+         |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+         |JOIN part p ON p.p_partkey = ps.l_partkey
+         |WHERE p.p_brand <> 'Brand#13' AND p.p_type <> 'PROMO'
+         |  AND p.p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+         |  AND ps.l_suppkey NOT IN (
+         |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+         |GROUP BY 1, 2, 3
+         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)),
+
+    // TPC-H Q19's disjunctive-predicate join: revenue over an OR of three
+    // (brand, size-range, quantity-range) conjunctions (the original's
+    // container/shipmode legs restated on the fixture's columns). The
+    // interesting plan property is what Catalyst does with the
+    // disjunction (verified via ExplainOne): each side's PROJECTION of
+    // the OR is pushed to its scan — lineitem gets the quantity-range
+    // OR, part gets the brand/size OR plus the factored p_size >= 1 —
+    // both all the way into PushedFilters, while the join stays a
+    // partkey equi-join with the full cross-side OR as its residual
+    // condition. Never a nested-loop over the disjunction.
+    Q("q19_disjunctive",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_partkey"), col("l_quantity"),
+            col("l_extendedprice"), col("l_discount"))
+        val p = Tables.part(s, d)
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))
+        val legs =
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#24" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30))
+        li.join(p, col("l_partkey") === col("p_partkey") && legs)
+          .agg(H.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"),
+            count(lit(1)).as("n_lines"))
+      },
+      Some("""SELECT
+         |  CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+         |  CAST(count(*) AS BIGINT) AS n_lines
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+         |       AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+         |       AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
+         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
+
     Q("q9_profit",
       (s, d) => {
         val li = Tables.lineitem(s, d)
