@@ -1132,8 +1132,120 @@ object PipelineQueries {
          |SELECT b.doc_id, b.win_start, b.n_hits,
          |  array_to_string(d.t[b.win_start : b.win_start + ${PassW - 1}], ' ') AS snippet
          |FROM best b JOIN d USING (doc_id)
-         |ORDER BY n_hits DESC, doc_id LIMIT 20""".stripMargin))
+         |ORDER BY n_hits DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // CCNet-style language-model quality banding (Wenzek et al., LREC
+    // 2020): score every document's perplexity proxy under a reference
+    // LM, then band the corpus head / middle / tail for curation. The
+    // "LM" is restated at fixture scale as a hashed token-bigram add-one
+    // model trained on the clean reference slice (lang='en', the DSIR
+    // target convention): P(cur|prev) ~ (c[h2(prev,cur) % B] + 1) /
+    // (c[h1(prev) % B] + B) over B=2048 buckets, per-doc score = mean
+    // -ln P over bigram positions. Scale shape (the q_dsir_select
+    // pattern): the corpus bigram stream is ONE narrow codegen'd pass
+    // (GramHashExpr k=1/k=2 + posexplode; the context hash is an
+    // element_at on the position, no (doc,pos) join); the entire model
+    // is 2xB counters that BROADCAST back for scoring at any corpus
+    // size; the reference mean is a 1-row broadcast; banding thresholds
+    // derive from it (head <= rm, middle <= 1.03*rm), so no corpus-wide
+    // sort or percentile pass. ln() operands are single counts —
+    // round(,9) absorbs the few-ulp engine divergence, per-doc and
+    // per-band means are decimal-routed, so every band and mean
+    // hash-matches bit-for-bit.
+    Q("q_lm_score",
+      (s, d) => {
+        import graft.functions.TextOps
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
+          .filter(size(col("t")) >= 2)
+        // zip (context, bigram) hash arrays BEFORE exploding so each
+        // exploded row carries two longs — carrying the full h1 array
+        // through the Generate and element_at-ing per position was
+        // O(len^2) bytes per doc (measured 5.8s -> the staged zip runs
+        // the family at DSIR speed). The stream feeds three subtrees
+        // (two model counts + scoring), so stage it once
+        // (localCheckpoint, the prefixJoin pattern; at 1000 executors a
+        // reliable checkpoint/staging write is the durable variant).
+        val pos = toks.select(col("doc_id"), col("lang"),
+            explode(arrays_zip(
+              slice(TextOps.gramHashes(col("t"), 1), lit(1), size(col("t")) - 1),
+              TextOps.gramHashes(col("t"), 2))).as("u"))
+          .select(col("doc_id"), col("lang"),
+            (col("u.0") % LmB).as("bc"),
+            (col("u.1") % LmB).as("bb"))
+          .localCheckpoint()
+        val ref = pos.filter(col("lang") === "en")
+        val cb = ref.groupBy(col("bb")).agg(count(lit(1)).as("cbc"))
+        val cu = ref.groupBy(col("bc")).agg(count(lit(1)).as("cuc"))
+        val sc = pos.join(broadcast(cb), Seq("bb"), "left")
+          .join(broadcast(cu), Seq("bc"), "left")
+          .select(col("doc_id"), col("lang"),
+            round(log((coalesce(col("cuc"), lit(0L)) + LmB).cast("double")) -
+              log((coalesce(col("cbc"), lit(0L)) + 1).cast("double")), 9)
+              .as("term"))
+        // per-doc and reference means are re-aggregated at the next
+        // level, so both snap to a 1e-9 grid the DECIMAL(25,12) cast is
+        // exact on. The snap is FLOOR-scaling (the P43 pattern), not
+        // round(,9): a grid-sum/count quotient can land exactly on a
+        // .5e-9 rounding tie, where Spark's exact-expansion HALF_UP and
+        // DuckDB's float rounding go opposite ways — floor of the same
+        // double bits is tie-free and identical on both engines.
+        val doc = sc.groupBy(col("doc_id"), col("lang"))
+          .agg((floor(H.dsum12(col("term")) / count(lit(1)) * lit(1e9))
+            .cast("double") / lit(1e9)).as("nll"))
+        val rm = doc.filter(col("lang") === "en")
+          .agg((floor(H.dsum12(col("nll")) / count(lit(1)) * lit(1e9))
+            .cast("double") / lit(1e9)).as("rm"))
+        doc.join(rm)
+          .select(col("lang"),
+            when(col("nll") <= col("rm"), "head")
+              .when(col("nll") <= col("rm") * lit(1.03), "middle")
+              .otherwise("tail").as("band"),
+            col("nll"))
+          .groupBy(col("lang"), col("band"))
+          .agg(count(lit(1)).as("n_docs"),
+            (H.dsum12(col("nll")) / count(lit(1))).as("mean_nll"))
+          .orderBy(col("lang"), col("band"))
+      },
+      Some(s"""WITH tt AS (
+         |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 2),
+         |upos AS (
+         |  SELECT doc_id, lang,
+         |    unnest(list_transform(generate_series(1, len(t) - 1),
+         |      i -> struct_pack(bc := (CAST((strpos('0123456789abcdef', substr(md5(t[i]), 1, 1)) - 1) * 72057594037927936 AS BIGINT) + CAST((strpos('0123456789abcdef', substr(md5(t[i]), 2, 1)) - 1) * 4503599627370496 AS BIGINT) + CAST((strpos('0123456789abcdef', substr(md5(t[i]), 3, 1)) - 1) * 281474976710656 AS BIGINT) + CAST((strpos('0123456789abcdef', substr(md5(t[i]), 4, 1)) - 1) * 17592186044416 AS BIGINT) + CAST((strpos('0123456789abcdef', substr(md5(t[i]), 5, 1)) - 1) * 1099511627776 AS BIGINT) + CAST((strpos('0123456789abcdef', substr(md5(t[i]), 6, 1)) - 1) * 68719476736 AS BIGINT) + CAST((strpos('0123456789abcdef', substr(md5(t[i]), 7, 1)) - 1) * 4294967296 AS BIGINT) + CAST((strpos('0123456789abcdef', substr(md5(t[i]), 8, 1)) - 1) * 268435456 AS BIGINT) + CAST((strpos('0123456789abcdef', substr(md5(t[i]), 9, 1)) - 1) * 16777216 AS BIGINT) + CAST((strpos('0123456789abcdef', substr(md5(t[i]), 10, 1)) - 1) * 1048576 AS BIGINT) + CAST((strpos('0123456789abcdef', substr(md5(t[i]), 11, 1)) - 1) * 65536 AS BIGINT) + CAST((strpos('0123456789abcdef', substr(md5(t[i]), 12, 1)) - 1) * 4096 AS BIGINT) + CAST((strpos('0123456789abcdef', substr(md5(t[i]), 13, 1)) - 1) * 256 AS BIGINT) + CAST((strpos('0123456789abcdef', substr(md5(t[i]), 14, 1)) - 1) * 16 AS BIGINT) + CAST((strpos('0123456789abcdef', substr(md5(t[i]), 15, 1)) - 1) * 1 AS BIGINT)) % $LmB,
+         |                       bb := (CAST((strpos('0123456789abcdef', substr(md5(t[i] || ' ' || t[i+1]), 1, 1)) - 1) * 72057594037927936 AS BIGINT) + CAST((strpos('0123456789abcdef', substr(md5(t[i] || ' ' || t[i+1]), 2, 1)) - 1) * 4503599627370496 AS BIGINT) + CAST((strpos('0123456789abcdef', substr(md5(t[i] || ' ' || t[i+1]), 3, 1)) - 1) * 281474976710656 AS BIGINT) + CAST((strpos('0123456789abcdef', substr(md5(t[i] || ' ' || t[i+1]), 4, 1)) - 1) * 17592186044416 AS BIGINT) + CAST((strpos('0123456789abcdef', substr(md5(t[i] || ' ' || t[i+1]), 5, 1)) - 1) * 1099511627776 AS BIGINT) + CAST((strpos('0123456789abcdef', substr(md5(t[i] || ' ' || t[i+1]), 6, 1)) - 1) * 68719476736 AS BIGINT) + CAST((strpos('0123456789abcdef', substr(md5(t[i] || ' ' || t[i+1]), 7, 1)) - 1) * 4294967296 AS BIGINT) + CAST((strpos('0123456789abcdef', substr(md5(t[i] || ' ' || t[i+1]), 8, 1)) - 1) * 268435456 AS BIGINT) + CAST((strpos('0123456789abcdef', substr(md5(t[i] || ' ' || t[i+1]), 9, 1)) - 1) * 16777216 AS BIGINT) + CAST((strpos('0123456789abcdef', substr(md5(t[i] || ' ' || t[i+1]), 10, 1)) - 1) * 1048576 AS BIGINT) + CAST((strpos('0123456789abcdef', substr(md5(t[i] || ' ' || t[i+1]), 11, 1)) - 1) * 65536 AS BIGINT) + CAST((strpos('0123456789abcdef', substr(md5(t[i] || ' ' || t[i+1]), 12, 1)) - 1) * 4096 AS BIGINT) + CAST((strpos('0123456789abcdef', substr(md5(t[i] || ' ' || t[i+1]), 13, 1)) - 1) * 256 AS BIGINT) + CAST((strpos('0123456789abcdef', substr(md5(t[i] || ' ' || t[i+1]), 14, 1)) - 1) * 16 AS BIGINT) + CAST((strpos('0123456789abcdef', substr(md5(t[i] || ' ' || t[i+1]), 15, 1)) - 1) * 1 AS BIGINT)) % $LmB))) AS u
+         |  FROM tt),
+         |pos AS (SELECT doc_id, lang, u.bc AS bc, u.bb AS bb FROM upos),
+         |cb AS (SELECT bb, CAST(count(*) AS BIGINT) AS cbc FROM pos WHERE lang = 'en' GROUP BY 1),
+         |cu AS (SELECT bc, CAST(count(*) AS BIGINT) AS cuc FROM pos WHERE lang = 'en' GROUP BY 1),
+         |sc AS (
+         |  SELECT pos.doc_id, pos.lang,
+         |    round(ln(CAST(COALESCE(cu.cuc, 0) + $LmB AS DOUBLE)) -
+         |          ln(CAST(COALESCE(cb.cbc, 0) + 1 AS DOUBLE)), 9) AS term
+         |  FROM pos LEFT JOIN cb ON cb.bb = pos.bb LEFT JOIN cu ON cu.bc = pos.bc),
+         |doc AS (
+         |  SELECT doc_id, lang,
+         |    floor(CAST(sum(CAST(term AS DECIMAL(25,12))) AS DOUBLE)/count(*) * 1e9)/1e9 AS nll
+         |  FROM sc GROUP BY 1, 2),
+         |rm AS (
+         |  SELECT floor(CAST(sum(CAST(nll AS DECIMAL(25,12))) AS DOUBLE)/count(*) * 1e9)/1e9 AS rm
+         |  FROM doc WHERE lang = 'en')
+         |SELECT lang,
+         |  CASE WHEN nll <= rm THEN 'head'
+         |       WHEN nll <= rm * 1.03 THEN 'middle'
+         |       ELSE 'tail' END AS band,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CAST(nll AS DECIMAL(25,12))) AS DOUBLE)/count(*) AS mean_nll
+         |FROM doc, rm
+         |GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin))
   )
+
+  /** q_lm_score: hashed-bigram LM bucket count (the whole model is 2 x
+    * LmB counters) and the middle/tail band threshold multiplier on the
+    * reference mean nll. */
+  final val LmB = 2048
 
   /** q_repetition_filter thresholds: a doc is flagged when its modal
     * consecutive 2-gram covers more than RepTop2Max of 2-gram positions,
