@@ -36,8 +36,8 @@ object Bench {
     // drift — the artifact should say so itself instead of forcing each
     // round's review to reconcile prose numbers)
     var servingReps: Map[String, Seq[Double]] = Map.empty
-    val (refQpsLocal, refQpsBatch, refQpsConc, refQpsPq) =
-      if (skipServing) (0.0, 0.0, 0.0, 0.0) else {
+    val (refQpsLocal, refQpsBatch, refQpsConc, refQpsPq, refQpsBq) =
+      if (skipServing) (0.0, 0.0, 0.0, 0.0, 0.0) else {
       import spark.implicits._
       val dim = 128
       val rnd = new scala.util.Random(42)
@@ -112,12 +112,31 @@ object Bench {
         (System.nanoTime() - t) / 1e9
       }
       val bestPq = repsPq.min
+      // Binary-quantization serving twin (LocalBqIndex): same 50k corpus
+      // as ONE sign-bit word pair per row (16 B at dim 128 — 800 KB
+      // total, L2-resident), scored by XOR+popcount. Queries pre-pack
+      // outside the timed loop (packing is per-query constant work the
+      // int8 tier also does untimed via its quantized query set).
+      val bqVecRows = embDf.collect() // bounded serving replica, like toLocal
+      val bqIds = bqVecRows.map(_.getLong(0))
+      val bqVecs = bqVecRows.map(_.getSeq[Float](1).toArray)
+      val bq = graft.store.LocalBqIndex.build(bqIds, bqVecs)
+      val qCodes = qFloats.map(graft.functions.VectorKernels.signPack)
+      (0 until 10).foreach(i => bq.search(qCodes(i), 10))
+      val repsBq = (0 until 5).map { _ =>
+        val t = System.nanoTime()
+        qCodes.foreach(q => bq.search(q, 10))
+        (System.nanoTime() - t) / 1e9
+      }
+      val bestBq = repsBq.min
       index.unpersist()
       servingReps = Map("search" -> repsLocal.map(100.0 / _),
         "batch" -> repsBatch.map(100.0 / _),
         "concurrent" -> repsConc.map(500.0 / _),
-        "pq" -> repsPq.map(100.0 / _))
-      (100.0 / bestLocal, 100.0 / bestBatch, 500.0 / bestConc, 100.0 / bestPq)
+        "pq" -> repsPq.map(100.0 / _),
+        "bq" -> repsBq.map(100.0 / _))
+      (100.0 / bestLocal, 100.0 / bestBatch, 500.0 / bestConc, 100.0 / bestPq,
+        100.0 / bestBq)
     }
     // decouple the sweep from serving-section heap state: drop dangling
     // broadcast/block refs before the first measured query (untimed)
@@ -224,7 +243,7 @@ object Bench {
       else servingReps.toSeq.sortBy(_._1).map { case (k, reps) =>
         f""""$k":[${reps.min}%.0f,${reps.max}%.0f]"""
       }.mkString(""""serving_variance":{""", ",", "}")
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","protocol":2,"reps":$REPS,"stat":"min","n_queries":${results.size},"total_median":$totalMedian%.3f,"labels_build_sec":$labelsBuildSec%.3f,"queries":$qs,"ref_search_qps_50k":$refQpsLocal%.0f,"ref_batch_qps_50k":$refQpsBatch%.0f,"ref_concurrent_qps_50k":$refQpsConc%.0f,"ref_pq_qps_50k":$refQpsPq%.0f,"baseline_ref_qps_50k":1100,$servingVar,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","protocol":2,"reps":$REPS,"stat":"min","n_queries":${results.size},"total_median":$totalMedian%.3f,"labels_build_sec":$labelsBuildSec%.3f,"queries":$qs,"ref_search_qps_50k":$refQpsLocal%.0f,"ref_batch_qps_50k":$refQpsBatch%.0f,"ref_concurrent_qps_50k":$refQpsConc%.0f,"ref_pq_qps_50k":$refQpsPq%.0f,"ref_bq_qps_50k":$refQpsBq%.0f,"baseline_ref_qps_50k":1100,$servingVar,"sf":"$sfDir"}"""
     // Compact headline (no per-query map): same schema minus "queries",
     // printed BEFORE and AFTER the full object. The driver's capture
     // window keeps a bounded TAIL of stdout (r7 and r8 both lost the full
@@ -236,7 +255,7 @@ object Bench {
     // so exactly ONE emitted line has "metric":"total" — a consumer
     // grepping the metric key can no longer pick up a field-reduced
     // headline copy in place of the full object.
-    val headline = f"""{"metric":"total_headline","value":$total%.3f,"unit":"sec","protocol":2,"reps":$REPS,"stat":"min","n_queries":${results.size},"headline":true,"labels_build_sec":$labelsBuildSec%.3f,"ref_search_qps_50k":$refQpsLocal%.0f,"ref_batch_qps_50k":$refQpsBatch%.0f,"ref_concurrent_qps_50k":$refQpsConc%.0f,"ref_pq_qps_50k":$refQpsPq%.0f,"baseline_ref_qps_50k":1100,$servingVar,"sf":"$sfDir"}"""
+    val headline = f"""{"metric":"total_headline","value":$total%.3f,"unit":"sec","protocol":2,"reps":$REPS,"stat":"min","n_queries":${results.size},"headline":true,"labels_build_sec":$labelsBuildSec%.3f,"ref_search_qps_50k":$refQpsLocal%.0f,"ref_batch_qps_50k":$refQpsBatch%.0f,"ref_concurrent_qps_50k":$refQpsConc%.0f,"ref_pq_qps_50k":$refQpsPq%.0f,"ref_bq_qps_50k":$refQpsBq%.0f,"baseline_ref_qps_50k":1100,$servingVar,"sf":"$sfDir"}"""
     println(headline)
     println(line)
     println(headline)

@@ -36,6 +36,17 @@ class PlanGuardSpec extends SparkSpec {
   private def broadcasts(p: SparkPlan): Int =
     collectAll(p).count(_.isInstanceOf[BroadcastExchangeLike])
 
+  test("q15_top_supplier: the argmax is a 1-row aggregate, never a window") {
+    // Q15's max-over-view must stay a 1-row max aggregate joined back —
+    // an unpartitioned window (max() OVER ()) over the per-supplier
+    // revenue relation would single-partition a relation that grows
+    // with SF. A refactor reintroducing the window fails here.
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p = finalPlan(SparkEntry.queries("q15_top_supplier")(spark, sf001))
+    assert(!collectAll(p).exists(_.isInstanceOf[WindowExec]),
+      s"argmax must not be an unpartitioned window:\n${p.toString.take(1200)}")
+  }
+
   test("q_knn: zero shuffles; corpus flows scan->project->top-k") {
     val p = finalPlan(SparkEntry.queries("q_knn")(spark, sf001))
     assert(shuffles(p) == 0, s"corpus side must not shuffle:\n$p")

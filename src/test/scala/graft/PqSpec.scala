@@ -118,6 +118,24 @@ class PqSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("LocalBqIndex gang scan equals a kernel replay (50k synthetic rows)") {
+    // big enough that the worker gang engages (count / 2048 > 1); dim 128
+    // exercises the 2-word code path the Bench serving replica uses
+    val rnd = new scala.util.Random(13)
+    val n = 50000
+    val dim = 128
+    val ids = Array.tabulate(n)(_.toLong)
+    val vecs = Array.fill(n)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val idx = store.LocalBqIndex.build(ids, vecs)
+    val q = VectorKernels.signPack(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val got = idx.search(q, 10)
+    val expected = (0 until n).map { r =>
+      (r.toLong, -VectorKernels.hammingPacked(
+        VectorKernels.signPack(vecs(r)), q).toDouble)
+    }.sortBy { case (id, s) => (-s, id) }.take(10)
+    assert(got == expected)
+  }
+
   test("compressed row is M bytes (32x vs float32 at the testdata's dim 64)") {
     val cb = PqQueries.trainCodebook(spark, sf001)
     val bytes = Tables.embeddings(spark, sf001)
