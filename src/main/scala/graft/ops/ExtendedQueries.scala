@@ -563,6 +563,110 @@ object ExtendedQueries {
          |  coalesce(a.revenue, 0.0) AS revenue
          |FROM grid g LEFT JOIN actual a
          |  ON g.o_custkey = a.o_custkey AND g.month = a.month
-         |ORDER BY g.o_custkey, month""".stripMargin))
+         |ORDER BY g.o_custkey, month""".stripMargin)),
+
+    // Distributed triangle counting over the market-basket graph (parts
+    // co-occurring in an order) — the canonical cyclic multi-way
+    // self-join, via the DEGREE-ORIENTED algorithm (Suri &
+    // Vassilvitskii, WWW 2011; "compact-forward"): orient every
+    // undirected edge from its lower-(degree, id) endpoint to the
+    // higher, enumerate wedges ONLY from each node's out-edges, and
+    // close them with a left_semi against the oriented edge set. The
+    // orientation is the whole scale story: out-degrees are bounded by
+    // O(sqrt(m)), so oriented wedges (41.1M at sf0.1) stay 3.6x below
+    // the unoriented wedge count (147.8M) and hot hub nodes never
+    // enumerate their full neighborhood — the skew-resistant plan for a
+    // power-law graph at 100 TB. Edge generation is per-order bounded
+    // (C(lines-per-order, 2) pairs, ~4 lines/order), the degree table
+    // is node-sized, and every join is an equi-join (pair-key
+    // partitioned); no cartesian anywhere. All outputs are exact
+    // BIGINTs; the clustering coefficient is one double division of
+    // exact longs — deterministic on both engines.
+    Q("q_triangles",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"))
+        val rhs = li.select(col("l_orderkey").as("k2"),
+          col("l_partkey").as("p2"))
+        // und and o each feed 3+ subtrees; stage both once
+        // (localCheckpoint, the prefixJoin pattern — at 1000 executors a
+        // reliable checkpoint/staging write is the durable variant) so
+        // the pair-distinct and the degree joins run exactly once.
+        val und = li.join(rhs,
+            col("l_orderkey") === col("k2") && col("l_partkey") < col("p2"))
+          .select(col("l_partkey").as("a"), col("p2").as("b")).distinct()
+          .localCheckpoint()
+        val deg = und.select(col("a").as("n"))
+          .union(und.select(col("b").as("n")))
+          .groupBy(col("n")).agg(count(lit(1)).as("dn"))
+        val da = deg.select(col("n").as("na"), col("dn").as("da"))
+        val db = deg.select(col("n").as("nb"), col("dn").as("db"))
+        val lowFirst = col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b"))
+        val o = und.join(da, col("a") === col("na"))
+          .join(db, col("b") === col("nb"))
+          .select(
+            when(lowFirst, col("a")).otherwise(col("b")).as("x"),
+            when(lowFirst, col("b")).otherwise(col("a")).as("y"),
+            when(lowFirst, col("db")).otherwise(col("da")).as("dy"))
+          .localCheckpoint()
+        val o2 = o.select(col("x").as("x2"), col("y").as("z"), col("dy").as("dz"))
+        // closing edges are DISTINCT (o is an edge set), so the left
+        // outer join cannot fan a wedge out — one pass yields BOTH the
+        // wedge count and the closed-triangle count (a second pass over
+        // the 41M-row wedge relation was the measured hot spot). The
+        // shuffle_hash hints skip sort-merge's sort of the 41M-row
+        // streams (measured 5.1 -> 3.7s); unlike a broadcast hint, SHJ
+        // stays scale-legit — the build side is one PARTITION of the
+        // edge set per task, bounded by the shuffle partitioning, never
+        // the whole relation on one node.
+        val closing = o.select(col("x").as("wa"), col("y").as("wb"))
+          .withColumn("hit", lit(1))
+        val wstats = o.join(o2.hint("shuffle_hash"),
+            col("x") === col("x2") && (col("dy") < col("dz") ||
+              (col("dy") === col("dz") && col("y") < col("z"))))
+          .select(col("y").as("wa"), col("z").as("wb"))
+          .join(closing.hint("shuffle_hash"), Seq("wa", "wb"), "left_outer")
+          .agg(count(lit(1)).as("n_wedges"),
+            count(col("hit")).as("n_triangles"))
+        val nE = und.agg(count(lit(1)).as("n_edges"))
+        val nN = deg.agg(count(lit(1)).as("n_nodes"),
+          // dn*(dn-1) is even; >>1 keeps the whole sum in exact longs
+          sum(shiftright(col("dn") * (col("dn") - 1), 1)).as("all_wedges"))
+        nN.crossJoin(nE).crossJoin(wstats)
+          .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+            col("n_triangles"),
+            (lit(3.0) * col("n_triangles") / col("all_wedges"))
+              .as("global_cc"))
+      },
+      Some("""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+         |und AS (
+         |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+         |  FROM li a JOIN li b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         |deg AS (
+         |  SELECT n, CAST(count(*) AS BIGINT) AS dn
+         |  FROM (SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+         |  GROUP BY 1),
+         |o AS (
+         |  SELECT CASE WHEN (da.dn, u.a) < (db.dn, u.b) THEN u.a ELSE u.b END AS x,
+         |         CASE WHEN (da.dn, u.a) < (db.dn, u.b) THEN u.b ELSE u.a END AS y,
+         |         CASE WHEN (da.dn, u.a) < (db.dn, u.b) THEN db.dn ELSE da.dn END AS dy
+         |  FROM und u JOIN deg da ON da.n = u.a JOIN deg db ON db.n = u.b),
+         |w AS (
+         |  SELECT o1.y AS wa, o2.y AS wb FROM o o1 JOIN o o2
+         |  ON o1.x = o2.x AND ((o1.dy, o1.y) < (o2.dy, o2.y))),
+         |tri AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM w
+         |  WHERE EXISTS (SELECT 1 FROM o WHERE o.x = w.wa AND o.y = w.wb)),
+         |agg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         |    CAST(sum(dn * (dn - 1) // 2) AS BIGINT) AS all_wedges
+         |  FROM deg),
+         |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und),
+         |nw AS (SELECT CAST(count(*) AS BIGINT) AS n_wedges FROM w)
+         |SELECT agg.n_nodes, ne.n_edges, nw.n_wedges, tri.n_triangles,
+         |  3.0 * tri.n_triangles / agg.all_wedges AS global_cc
+         |FROM agg, ne, nw, tri""".stripMargin))
   )
 }
