@@ -565,6 +565,169 @@ object ExtendedQueries {
          |  ON g.o_custkey = a.o_custkey AND g.month = a.month
          |ORDER BY g.o_custkey, month""".stripMargin)),
 
+    // Declarative data-quality suite (the Deequ/dbt-test operator
+    // class): seven constraints over the star schema — primary-key
+    // uniqueness, two referential-integrity checks, a not-null check,
+    // an accepted-values check and two range checks — each reported as
+    // (check_name, n_checked, n_violations, passed). Three checks FAIL
+    // on the fixture by design (returnflag 'R', discounts > 0.08,
+    // totalprice > 300k), so the violation counting is exercised, not
+    // just the all-green path. Scale shape: ALL row-level checks on a
+    // table fold into ONE aggregate pass over that table's scan (a
+    // sum(when) per check — adding a check costs a column, not a
+    // scan); the PK check is one countDistinct; each FK check is one
+    // key-partitioned left_anti against the parent's key projection.
+    // The result pivot runs on a 1-row relation.
+    Q("q_dq_checks",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val ord = Tables.orders(s, d)
+        val cust = Tables.customer(s, d)
+        val liChecks = li.agg(
+          count(lit(1)).as("n_li"),
+          sum(when(!col("l_returnflag").isin("A", "N"), 1L).otherwise(0L))
+            .as("v_flag"),
+          sum(when(col("l_discount") < 0.0 || col("l_discount") > 0.08, 1L)
+            .otherwise(0L)).as("v_disc"),
+          sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("v_ship"))
+        val ordChecks = ord.agg(
+          count(lit(1)).as("n_ord"),
+          (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_pk"),
+          sum(when(col("o_totalprice") > 300000.0, 1L).otherwise(0L))
+            .as("v_price"))
+        val fkLi = li.select(col("l_orderkey"))
+          .join(ord.select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("v_fk_li"))
+        val fkOrd = ord.select(col("o_custkey"))
+          .join(cust.select(col("c_custkey")),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("v_fk_ord"))
+        val one = liChecks.crossJoin(ordChecks).crossJoin(fkLi).crossJoin(fkOrd)
+        def row(name: String, checked: org.apache.spark.sql.Column,
+            viol: org.apache.spark.sql.Column) =
+          one.select(lit(name).as("check_name"), checked.as("n_checked"),
+            viol.as("n_violations"), (viol === 0L).as("passed"))
+        row("accepted_values_l_returnflag", col("n_li"), col("v_flag"))
+          .union(row("fk_lineitem_orderkey", col("n_li"), col("v_fk_li")))
+          .union(row("fk_orders_custkey", col("n_ord"), col("v_fk_ord")))
+          .union(row("not_null_l_shipdate", col("n_li"), col("v_ship")))
+          .union(row("pk_unique_o_orderkey", col("n_ord"), col("v_pk")))
+          .union(row("range_l_discount", col("n_li"), col("v_disc")))
+          .union(row("range_o_totalprice", col("n_ord"), col("v_price")))
+          .orderBy(col("check_name"))
+      },
+      Some("""WITH lic AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_li,
+         |    CAST(sum(CASE WHEN l_returnflag NOT IN ('A','N') THEN 1 ELSE 0 END) AS BIGINT) AS v_flag,
+         |    CAST(sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.08 THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+         |    CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_ship
+         |  FROM lineitem),
+         |oc AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_ord,
+         |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v_pk,
+         |    CAST(sum(CASE WHEN o_totalprice > 300000.0 THEN 1 ELSE 0 END) AS BIGINT) AS v_price
+         |  FROM orders),
+         |fk1 AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS v_fk_li FROM lineitem l
+         |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+         |fk2 AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS v_fk_ord FROM orders o
+         |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+         |one AS (SELECT * FROM lic, oc, fk1, fk2)
+         |SELECT check_name, n_checked, n_violations, n_violations = 0 AS passed
+         |FROM (
+         |  SELECT 'accepted_values_l_returnflag' AS check_name, n_li AS n_checked, v_flag AS n_violations FROM one
+         |  UNION ALL SELECT 'fk_lineitem_orderkey', n_li, v_fk_li FROM one
+         |  UNION ALL SELECT 'fk_orders_custkey', n_ord, v_fk_ord FROM one
+         |  UNION ALL SELECT 'not_null_l_shipdate', n_li, v_ship FROM one
+         |  UNION ALL SELECT 'pk_unique_o_orderkey', n_ord, v_pk FROM one
+         |  UNION ALL SELECT 'range_l_discount', n_li, v_disc FROM one
+         |  UNION ALL SELECT 'range_o_totalprice', n_ord, v_price FROM one) t
+         |ORDER BY check_name""".stripMargin)),
+
+    // Table profiling — the discovery half of the data-quality pair
+    // (q_dq_checks asserts known constraints; this SUMMARIZES unknown
+    // data): per-column row count, null count, exact distinct count and
+    // min/max over four lineitem columns of three different types
+    // (numeric, string, timestamp — timestamps profile as epoch
+    // micros, so min/max stay in the exact-double lane). ONE aggregate
+    // pass over the scan: the four exact countDistincts compile to
+    // Spark's standard multi-distinct Expand plan (a 4x row expansion
+    // before the partial aggregate — the scale-honest exact plan;
+    // production profilers swap in the mergeable HLL sketch
+    // q_approx_distinct demonstrates when 2% error is acceptable). The
+    // per-column pivot runs on a 1-row relation.
+    Q("q_profile",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val one = li.agg(
+          count(lit(1)).as("n"),
+          sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("nn_qty"),
+          countDistinct(col("l_quantity")).as("nd_qty"),
+          min(col("l_quantity")).as("mn_qty"), max(col("l_quantity")).as("mx_qty"),
+          sum(when(col("l_discount").isNull, 1L).otherwise(0L)).as("nn_disc"),
+          countDistinct(col("l_discount")).as("nd_disc"),
+          min(col("l_discount")).as("mn_disc"), max(col("l_discount")).as("mx_disc"),
+          sum(when(col("l_returnflag").isNull, 1L).otherwise(0L)).as("nn_flag"),
+          countDistinct(col("l_returnflag")).as("nd_flag"),
+          min(col("l_returnflag")).as("mn_flag"), max(col("l_returnflag")).as("mx_flag"),
+          sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("nn_ship"),
+          countDistinct(col("l_shipdate")).as("nd_ship"),
+          // l_shipdate is parquet TIMESTAMP_NTZ; the session TZ is pinned
+          // UTC (Sessions.scala) so the cast is an exact reinterpretation
+          // (the Tables.normalizeEventTs rule applied locally)
+          min(unix_micros(col("l_shipdate").cast("timestamp"))).as("mn_ship"),
+          max(unix_micros(col("l_shipdate").cast("timestamp"))).as("mx_ship"))
+        def row(name: String, nn: String, nd: String,
+            mnNum: Option[org.apache.spark.sql.Column],
+            mnStr: Option[org.apache.spark.sql.Column],
+            mxNum: Option[org.apache.spark.sql.Column],
+            mxStr: Option[org.apache.spark.sql.Column]) =
+          one.select(lit(name).as("column_name"), col("n"),
+            col(nn).as("n_null"), col(nd).as("n_distinct"),
+            mnNum.getOrElse(lit(null).cast("double")).as("min_num"),
+            mxNum.getOrElse(lit(null).cast("double")).as("max_num"),
+            mnStr.getOrElse(lit(null).cast("string")).as("min_str"),
+            mxStr.getOrElse(lit(null).cast("string")).as("max_str"))
+        row("l_discount", "nn_disc", "nd_disc",
+            Some(col("mn_disc")), None, Some(col("mx_disc")), None)
+          .union(row("l_quantity", "nn_qty", "nd_qty",
+            Some(col("mn_qty")), None, Some(col("mx_qty")), None))
+          .union(row("l_returnflag", "nn_flag", "nd_flag",
+            None, Some(col("mn_flag")), None, Some(col("mx_flag"))))
+          .union(row("l_shipdate", "nn_ship", "nd_ship",
+            Some(col("mn_ship").cast("double")), None,
+            Some(col("mx_ship").cast("double")), None))
+          .orderBy(col("column_name"))
+      },
+      Some("""WITH one AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_qty,
+         |    CAST(count(DISTINCT l_quantity) AS BIGINT) AS nd_qty,
+         |    min(l_quantity) AS mn_qty, max(l_quantity) AS mx_qty,
+         |    CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_disc,
+         |    CAST(count(DISTINCT l_discount) AS BIGINT) AS nd_disc,
+         |    min(l_discount) AS mn_disc, max(l_discount) AS mx_disc,
+         |    CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_flag,
+         |    CAST(count(DISTINCT l_returnflag) AS BIGINT) AS nd_flag,
+         |    min(l_returnflag) AS mn_flag, max(l_returnflag) AS mx_flag,
+         |    CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_ship,
+         |    CAST(count(DISTINCT l_shipdate) AS BIGINT) AS nd_ship,
+         |    CAST(epoch_us(min(l_shipdate)) AS BIGINT) AS mn_ship,
+         |    CAST(epoch_us(max(l_shipdate)) AS BIGINT) AS mx_ship
+         |  FROM lineitem)
+         |SELECT column_name, n, n_null, n_distinct, min_num, max_num, min_str, max_str
+         |FROM (
+         |  SELECT 'l_discount' AS column_name, n, nn_disc AS n_null, nd_disc AS n_distinct,
+         |    mn_disc AS min_num, mx_disc AS max_num,
+         |    CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM one
+         |  UNION ALL SELECT 'l_quantity', n, nn_qty, nd_qty, mn_qty, mx_qty, NULL, NULL FROM one
+         |  UNION ALL SELECT 'l_returnflag', n, nn_flag, nd_flag, NULL, NULL, mn_flag, mx_flag FROM one
+         |  UNION ALL SELECT 'l_shipdate', n, nn_ship, nd_ship,
+         |    CAST(mn_ship AS DOUBLE), CAST(mx_ship AS DOUBLE), NULL, NULL FROM one) t
+         |ORDER BY column_name""".stripMargin)),
+
     // Distributed triangle counting over the market-basket graph (parts
     // co-occurring in an order) — the canonical cyclic multi-way
     // self-join, via the DEGREE-ORIENTED algorithm (Suri &
