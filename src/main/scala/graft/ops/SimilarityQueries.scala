@@ -36,6 +36,9 @@ object SimilarityQueries {
     * cover at every SF (tools/ThreshProbe — 0 missed qualifying pairs,
     * result sets 10/22/211 rows at sf0.001/0.01/0.1). */
   final val NdTau = 0.44
+
+  /** q_ivfbq_search: Hamming candidates kept per query before rescore. */
+  final val IvfBqCandK = 32
   private lazy val ndPlanes: Array[Double] = {
     val rng = new scala.util.Random(777)
     Array.fill(NdTables * NdBits * NdDim)(rng.nextGaussian())
@@ -201,6 +204,61 @@ object SimilarityQueries {
            |    CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rn
            |  FROM cand)
            |SELECT qid, vec_id, score, rn FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+      }),
+
+    // IVF + binary quantization — the scoring path of the IvfBqIndex
+    // at-rest tier (store/IvfBqIndex.scala; the layout/pruning/append
+    // contracts are gated in IvfBqSpec), oracle-gated end to end: each
+    // query probes its own cell, a HAMMING candidate stage (codegen'd
+    // SignPackExpr/HammingExpr — at rest, rows are the packed codes, so
+    // this stage reads 8 B/row instead of 256 B of floats) keeps the 32
+    // nearest-by-sign-bits candidates, and the exact cosine rescore
+    // re-ranks only that bounded set. Hamming is an exact integer, so
+    // the candidate cut (ham ASC, vec_id) is bit-deterministic and the
+    // oracle replays it from the FLOAT embeddings with the 1-bit
+    // definition itself: sign disagreements per component.
+    Q("q_ivfbq_search",
+      (s, d) => {
+        val assigned = cellAssignments(s, d)
+        val packed = assigned.select(col("vec_id"), col("embedding"),
+          col("cell"), VectorOps.signPack(col("embedding")).as("code"))
+        val queries = packed.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            col("code").as("qcode"), col("cell"))
+        val wHam = Window.partitionBy(col("qid"))
+          .orderBy(col("ham").asc, col("vec_id"))
+        val wTop = Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("vec_id"))
+        queries.join(packed, "cell")
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), col("qe"), col("embedding"),
+            VectorOps.hamming(col("code"), col("qcode")).as("ham"))
+          .withColumn("hrn", row_number().over(wHam))
+          .filter(col("hrn") <= IvfBqCandK)
+          .select(col("qid"), col("vec_id"), col("ham"),
+            VectorOps.cosineFloat(col("qe"), col("embedding")).as("score"))
+          .withColumn("rn", row_number().over(wTop).cast("long"))
+          .filter(col("rn") <= 3)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some {
+        val hamSql = "CAST(len(list_filter(list_zip(qq.qe, a.embedding), " +
+          "p -> (p[1] > 0) <> (p[2] > 0))) AS BIGINT)"
+        s"""WITH $asgCtes,
+           |qq AS (SELECT vec_id AS qid, embedding AS qe, cell FROM asg WHERE vec_id < 5),
+           |cand AS (
+           |  SELECT qq.qid, a.vec_id, $hamSql AS ham,
+           |    ${OracleSql.floatCos("qq.qe", "a.embedding")} AS score
+           |  FROM qq JOIN asg a USING (cell) WHERE a.vec_id <> qq.qid),
+           |h AS (
+           |  SELECT qid, vec_id, ham, score,
+           |    row_number() OVER (PARTITION BY qid ORDER BY ham, vec_id) AS hrn
+           |  FROM cand),
+           |r AS (
+           |  SELECT qid, vec_id, ham, score,
+           |    CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rn
+           |  FROM h WHERE hrn <= $IvfBqCandK)
+           |SELECT qid, vec_id, ham, score, rn FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
       }),
 
     // ANN via sign-bucket LSH: per-query top-3 within the query's bucket.
