@@ -49,6 +49,29 @@ object StreamIndexIngest {
     batches.get()
   }
 
+  /** The IVF-BQ twin: one IvfBqIndex.append per micro-batch. Only the
+    * centroids sidecar exists (sign codes are training-free), read ONCE
+    * for the stream's lifetime — an even simpler maintenance contract
+    * than PQ's, since there is no quantizer that can drift between the
+    * build and the feed. */
+  def ingestOnceBq(stream: DataFrame, path: String): Long = {
+    val spark = stream.sparkSession
+    val cent = spark.read.parquet(s"$path/centroids").localCheckpoint(true)
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.store.IvfBqIndex.append(
+          batch.select("vec_id", "embedding"), path, cent)
+        batches.incrementAndGet()
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    batches.get()
+  }
+
   /** Convenience: stream the embeddings fixture at `dir` into `path`. */
   def ingestFixture(spark: SparkSession, dir: String, path: String): Long = {
     val stream = spark.readStream.schema(embSchema)

@@ -92,6 +92,35 @@ class IvfBqSpec extends SparkSpec {
     assert(got.toSeq == exact.toSeq)
   }
 
+  test("streaming micro-batches maintain the index like batch appends (frozen centroids)") {
+    val emb = Tables.embeddings(spark, sf001)
+    val dir = java.nio.file.Files.createTempDirectory("ivfbq-stream").toString
+    val inDir = java.nio.file.Files.createTempDirectory("ivfbq-feed").toString
+    IvfBqIndex.build(emb.filter(col("vec_id") < 250), dir)
+    // two staged files -> two micro-batches (maxFilesPerTrigger=1),
+    // ordered via the Staged mtime contract
+    graft.streaming.Staged.appendOrdered(inDir,
+      emb.filter(col("vec_id") >= 250 && col("vec_id") < 375),
+      emb.filter(col("vec_id") >= 375))
+    val stream = spark.readStream
+      .schema(graft.streaming.StreamIndexIngest.embSchema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val batches = graft.streaming.StreamIndexIngest.ingestOnceBq(stream, dir)
+    assert(batches >= 2, s"expected >= 2 micro-batches, got $batches")
+    val data = spark.read.parquet(s"$dir/data")
+    assert(data.count() == emb.count())
+    assert(data.select("vec_id").distinct().count() == emb.count())
+    // a streamed row carries the data-independent sign code
+    val v400 = emb.filter(col("vec_id") === 400)
+      .select("embedding").collect().head.getSeq[Float](0).toArray
+    val stored = data.filter(col("vec_id") === 400)
+      .select("code").collect().head.getSeq[Long](0).toSeq
+    assert(stored == VectorKernels.signPack(v400).toSeq)
+    // probes over the streamed index still prune to their cells
+    val scan = fileScan(IvfBqIndex.probe(spark, dir, v400, k = 3, nprobe = 1))
+    assert(scan.selectedPartitions.partitionCount == 1)
+  }
+
   test("append assigns against frozen centroids and only adds files") {
     val emb = Tables.embeddings(spark, sf001)
     val dir = java.nio.file.Files.createTempDirectory("ivfbq-app").toString
