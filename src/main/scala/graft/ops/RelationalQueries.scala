@@ -778,6 +778,67 @@ object RelationalQueries {
          |GROUP BY 1
          |ORDER BY 1""".stripMargin)),
 
+    // TPC-H Q4's shape: orders (in a half-year window) having AT LEAST
+    // ONE late line, counted by priority. The fixture carries no
+    // commit/receipt dates, so "late" is restated as shipped >= 80 days
+    // after the order date — which makes the EXISTS a semi-join whose
+    // residual condition references BOTH tables (l_shipdate >=
+    // o_orderdate + 80 days): the orderkey equality still drives the
+    // key-partitioned semi, and the cross-table date inequality rides
+    // along as the join residual. The date window reaches the orders
+    // scan as pushed filters; the count groups on the 5-value priority
+    // domain.
+    Q("q4_priority_wait",
+      (s, d) => {
+        val ord = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+            col("o_orderdate") < to_timestamp(lit("1996-07-01 00:00:00")))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+            col("o_orderdate"))
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_shipdate"))
+        ord.join(li,
+            col("o_orderkey") === col("l_orderkey") &&
+              col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 80 DAYS"),
+            "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+         |FROM orders o
+         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+         |  AND EXISTS (
+         |    SELECT 1 FROM lineitem l
+         |    WHERE l.l_orderkey = o.o_orderkey
+         |      AND l.l_shipdate >= o.o_orderdate + INTERVAL 80 DAY)
+         |GROUP BY 1
+         |ORDER BY 1""".stripMargin)),
+
+    // TPC-H Q6, verbatim shape (the forecasting-revenue-change query):
+    // the pure filter-aggregate baseline of the suite — every predicate
+    // (date year, discount band, quantity cap) reaches the ONE scan as
+    // pushed filters, and the whole query is a single partial-aggregated
+    // decimal sum. The simplest classic, kept as the family's floor: if
+    // this plan ever grows an exchange beyond the 1-row final aggregate,
+    // something upstream broke.
+    Q("q6_forecast",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")) &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(H.dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_lines")),
+      Some("""SELECT
+         |  CAST(sum(CAST(l_extendedprice*l_discount AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+         |  CAST(count(*) AS BIGINT) AS n_lines
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_discount BETWEEN 0.05 AND 0.07
+         |  AND l_quantity < 24""".stripMargin)),
+
     // TPC-H Q14's conditional-aggregation share: one month of lineitem
     // joined to part, promo revenue as a CASE inside the sum, expressed
     // as a share of total revenue. Both sums route through DECIMAL so the
