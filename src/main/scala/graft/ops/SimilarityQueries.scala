@@ -261,6 +261,58 @@ object SimilarityQueries {
            |SELECT qid, vec_id, ham, score, rn FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
       }),
 
+    // Index staleness monitor — the measurement behind the frozen-
+    // quantizer maintenance contract every at-rest tier documents
+    // ("appends encode/assign against the build-time artifacts; a
+    // periodic rebuild refreshes them when drift accumulates"): THIS is
+    // the query that tells you when. The frozen quantizer is simulated
+    // in-query as centroids trained on the even-vec_id HALF of the
+    // corpus; the whole corpus then assigns against it, and each cell
+    // reports how well the build slice vs the appended slice fits the
+    // frozen centroid (exact P43-routed mean assignment cosines) plus
+    // the drift delta between them. A stale index shows systematically
+    // lower appended-slice fit; a rebuild trigger thresholds `drift`.
+    // Scale shape: ONE corpus assignment pass (the shared
+    // cellAssignments machinery, centroids broadcast), a cell-sized
+    // aggregate, nothing else.
+    Q("q_index_drift",
+      (s, d) => {
+        val P43 = 8796093022208.0
+        val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val asg = cellAssignmentsOn(Tables.embeddings(s, d),
+          Some(col("vec_id") % 2 === 0))
+        def meanCs(pred: org.apache.spark.sql.Column) =
+          (sum(when(pred, floor(col("cs") * lit(P43))).cast(dec38))
+            .cast("double") / lit(P43)) /
+            sum(when(pred, 1L).otherwise(0L))
+        val isBuild = col("vec_id") % 2 === 0
+        asg.groupBy(col("cell")).agg(
+            sum(when(isBuild, 1L).otherwise(0L)).as("n_build"),
+            sum(when(!isBuild, 1L).otherwise(0L)).as("n_new"),
+            meanCs(isBuild).as("mean_cs_build"),
+            meanCs(!isBuild).as("mean_cs_new"))
+          .select(col("cell"), col("n_build"), col("n_new"),
+            col("mean_cs_build"), col("mean_cs_new"),
+            (col("mean_cs_build") - col("mean_cs_new")).as("drift"))
+          .orderBy(col("cell"))
+      },
+      Some {
+        def meanCsSql(pred: String) =
+          s"(CAST(sum(CASE WHEN $pred THEN CAST(floor(cs * 8796093022208.0) AS DECIMAL(38,0)) END) AS DOUBLE)" +
+            s" / 8796093022208.0) / sum(CASE WHEN $pred THEN 1 ELSE 0 END)"
+        s"""WITH ${asgCtesWhere("WHERE vec_id % 2 = 0")},
+           |m AS (
+           |  SELECT cell,
+           |    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_build,
+           |    CAST(sum(CASE WHEN vec_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           |    ${meanCsSql("vec_id % 2 = 0")} AS mean_cs_build,
+           |    ${meanCsSql("vec_id % 2 <> 0")} AS mean_cs_new
+           |  FROM asg GROUP BY cell)
+           |SELECT cell, n_build, n_new, mean_cs_build, mean_cs_new,
+           |  mean_cs_build - mean_cs_new AS drift
+           |FROM m ORDER BY cell""".stripMargin
+      }),
+
     // ANN via sign-bucket LSH: per-query top-3 within the query's bucket.
     Q("q_ann_bucket",
       (s, d) => {
@@ -504,10 +556,17 @@ object SimilarityQueries {
     * trick), nearest-centroid assignment by float-double cosine with a
     * deterministic cell tie-break, materialized once (localCheckpoint) so
     * downstream plans don't run the assignment pass twice. */
-  private def cellAssignments(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d)
+  private def cellAssignments(s: SparkSession, d: String): DataFrame =
+    cellAssignmentsOn(Tables.embeddings(s, d), None)
+
+  /** As cellAssignments with the centroids trained on a FILTERED slice
+    * (q_index_drift's frozen-quantizer simulation); None trains on the
+    * full corpus — behavior-identical to the original single-def form. */
+  private def cellAssignmentsOn(emb: DataFrame,
+      trainFilter: Option[org.apache.spark.sql.Column]): DataFrame = {
     val P43 = 8796093022208.0
-    val cent = emb
+    val train = trainFilter.map(emb.filter).getOrElse(emb)
+    val cent = train
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy(col("label"), col("pos"))
       .agg(((sum(floor(col("x").cast("double") * lit(P43))
@@ -541,7 +600,11 @@ object SimilarityQueries {
 
   /** The shared DuckDB CTE chain ending in `asg(vec_id, embedding, cell)`
     * — the oracle twin of cellAssignments (identical double op order). */
-  private lazy val asgCtes: String = {
+  private lazy val asgCtes: String = asgCtesWhere("")
+
+  /** As asgCtes with a WHERE on the centroid-TRAINING slice (the frozen
+    * quantizer of q_index_drift); "" trains on the full corpus. */
+  private def asgCtesWhere(trainWhere: String): String = {
     val centDotQ = OracleSql.foldSum(
       "list_transform(list_zip(e.embedding, ct.centroid), p -> CAST(p[1] AS DOUBLE)*p[2])")
     val centNormE = OracleSql.foldSum(
@@ -550,7 +613,7 @@ object SimilarityQueries {
       "list_transform(ct.centroid, c -> c*c)")
     s"""cm AS (
        |  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS x
-       |  FROM embeddings),
+       |  FROM embeddings $trainWhere),
        |cagg AS (
        |  SELECT label, pos,
        |    (CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 8796093022208.0) AS DECIMAL(38,0))) AS DOUBLE)
