@@ -760,89 +760,151 @@ object ExtendedQueries {
     // exact longs — deterministic on both engines.
     Q("q_triangles",
       (s, d) => {
-        val li = Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_partkey"))
-        val rhs = li.select(col("l_orderkey").as("k2"),
-          col("l_partkey").as("p2"))
-        // und and o each feed 3+ subtrees; stage both once
-        // (localCheckpoint, the prefixJoin pattern — at 1000 executors a
-        // reliable checkpoint/staging write is the durable variant) so
-        // the pair-distinct and the degree joins run exactly once.
-        val und = li.join(rhs,
-            col("l_orderkey") === col("k2") && col("l_partkey") < col("p2"))
-          .select(col("l_partkey").as("a"), col("p2").as("b")).distinct()
-          .localCheckpoint()
-        val deg = und.select(col("a").as("n"))
-          .union(und.select(col("b").as("n")))
-          .groupBy(col("n")).agg(count(lit(1)).as("dn"))
-        val da = deg.select(col("n").as("na"), col("dn").as("da"))
-        val db = deg.select(col("n").as("nb"), col("dn").as("db"))
-        val lowFirst = col("da") < col("db") ||
-          (col("da") === col("db") && col("a") < col("b"))
-        val o = und.join(da, col("a") === col("na"))
-          .join(db, col("b") === col("nb"))
-          .select(
-            when(lowFirst, col("a")).otherwise(col("b")).as("x"),
-            when(lowFirst, col("b")).otherwise(col("a")).as("y"),
-            when(lowFirst, col("db")).otherwise(col("da")).as("dy"))
-          .localCheckpoint()
-        val o2 = o.select(col("x").as("x2"), col("y").as("z"), col("dy").as("dz"))
-        // closing edges are DISTINCT (o is an edge set), so the left
-        // outer join cannot fan a wedge out — one pass yields BOTH the
-        // wedge count and the closed-triangle count (a second pass over
-        // the 41M-row wedge relation was the measured hot spot). The
-        // shuffle_hash hints skip sort-merge's sort of the 41M-row
-        // streams (measured 5.1 -> 3.7s); unlike a broadcast hint, SHJ
-        // stays scale-legit — the build side is one PARTITION of the
-        // edge set per task, bounded by the shuffle partitioning, never
-        // the whole relation on one node.
-        val closing = o.select(col("x").as("wa"), col("y").as("wb"))
-          .withColumn("hit", lit(1))
-        val wstats = o.join(o2.hint("shuffle_hash"),
-            col("x") === col("x2") && (col("dy") < col("dz") ||
-              (col("dy") === col("dz") && col("y") < col("z"))))
-          .select(col("y").as("wa"), col("z").as("wb"))
-          .join(closing.hint("shuffle_hash"), Seq("wa", "wb"), "left_outer")
-          .agg(count(lit(1)).as("n_wedges"),
-            count(col("hit")).as("n_triangles"))
-        val nE = und.agg(count(lit(1)).as("n_edges"))
-        val nN = deg.agg(count(lit(1)).as("n_nodes"),
-          // dn*(dn-1) is even; >>1 keeps the whole sum in exact longs
-          sum(shiftright(col("dn") * (col("dn") - 1), 1)).as("all_wedges"))
-        nN.crossJoin(nE).crossJoin(wstats)
-          .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
-            col("n_triangles"),
-            (lit(3.0) * col("n_triangles") / col("all_wedges"))
-              .as("global_cc"))
+        val stats = triangleStats(basketEdges(s, d))
+        stats.select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+          col("n_triangles"),
+          (lit(3.0) * col("n_triangles") / col("all_wedges"))
+            .as("global_cc"))
       },
-      Some("""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
-         |und AS (
-         |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
-         |  FROM li a JOIN li b
-         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-         |deg AS (
-         |  SELECT n, CAST(count(*) AS BIGINT) AS dn
-         |  FROM (SELECT a AS n FROM und UNION ALL SELECT b FROM und)
-         |  GROUP BY 1),
-         |o AS (
-         |  SELECT CASE WHEN (da.dn, u.a) < (db.dn, u.b) THEN u.a ELSE u.b END AS x,
-         |         CASE WHEN (da.dn, u.a) < (db.dn, u.b) THEN u.b ELSE u.a END AS y,
-         |         CASE WHEN (da.dn, u.a) < (db.dn, u.b) THEN db.dn ELSE da.dn END AS dy
-         |  FROM und u JOIN deg da ON da.n = u.a JOIN deg db ON db.n = u.b),
-         |w AS (
-         |  SELECT o1.y AS wa, o2.y AS wb FROM o o1 JOIN o o2
-         |  ON o1.x = o2.x AND ((o1.dy, o1.y) < (o2.dy, o2.y))),
-         |tri AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM w
-         |  WHERE EXISTS (SELECT 1 FROM o WHERE o.x = w.wa AND o.y = w.wb)),
-         |agg AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
-         |    CAST(sum(dn * (dn - 1) // 2) AS BIGINT) AS all_wedges
-         |  FROM deg),
-         |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und),
-         |nw AS (SELECT CAST(count(*) AS BIGINT) AS n_wedges FROM w)
-         |SELECT agg.n_nodes, ne.n_edges, nw.n_wedges, tri.n_triangles,
+      Some(triangleOracle(sampleWhere = "",
+        select = """SELECT n_nodes, ne.n_edges, nw.n_wedges, tri.n_triangles,
          |  3.0 * tri.n_triangles / agg.all_wedges AS global_cc
-         |FROM agg, ne, nw, tri""".stripMargin))
+         |FROM agg, ne, nw, tri"""))),
+
+    // Doulion (Tsourakakis et al., KDD 2009) sampled-triangle companion —
+    // the production path next to q_triangles' exact count, exactly as
+    // q_minhash_lsh is to q_ngram_jaccard: keep each EDGE with
+    // probability p = 3/10 (deterministically — an md5 bucket of the
+    // canonical pair, so both engines keep the SAME sample and the
+    // result hash-matches with no tolerance), run the identical
+    // degree-oriented count on the sampled graph, and scale by 1/p^3 =
+    // 1000/27 (integer numerator first, ONE double division — bit-equal
+    // both sides). Wedge volume drops by ~p^2 (measured ~10x less
+    // shuffle), which is the whole point at 100 TB; the estimator is
+    // unbiased with concentration bounds from the paper. The SAMPLED
+    // counts are exact on both engines; the accuracy-vs-exact claim is
+    // asserted in PlanGuardSpec at fixture scale rather than oracled.
+    Q("q_triangles_sampled",
+      (s, d) => {
+        val sampled = basketEdges(s, d).filter(edgeKeep)
+        val stats = triangleStats(sampled)
+        stats.select(col("n_edges").as("n_edges_sampled"),
+          col("n_wedges").as("n_wedges_sampled"),
+          col("n_triangles").as("tri_sampled"),
+          ((col("n_triangles") * lit(1000L)).cast("double") / lit(27.0))
+            .as("est_triangles"))
+      },
+      Some(triangleOracle(
+        sampleWhere = s"WHERE $edgeKeepSql",
+        select = """SELECT ne.n_edges AS n_edges_sampled,
+         |  nw.n_wedges AS n_wedges_sampled,
+         |  tri.n_triangles AS tri_sampled,
+         |  CAST(tri.n_triangles * 1000 AS DOUBLE) / 27.0 AS est_triangles
+         |FROM agg, ne, nw, tri"""))),
   )
+
+  /** The market-basket edge set (distinct canonical part pairs within an
+    * order) — q_triangles' graph, staged once (localCheckpoint; at 1000
+    * executors a reliable checkpoint/staging write is the durable
+    * variant) since it feeds the degree table, the orientation joins and
+    * the edge count. */
+  private def basketEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val rhs = li.select(col("l_orderkey").as("k2"), col("l_partkey").as("p2"))
+    li.join(rhs,
+        col("l_orderkey") === col("k2") && col("l_partkey") < col("p2"))
+      .select(col("l_partkey").as("a"), col("p2").as("b")).distinct()
+      .localCheckpoint()
+  }
+
+  /** Deterministic p = 300/1000 edge-sampling predicate (Doulion): an
+    * md5 bucket of the canonical pair, identical on both engines. */
+  private def edgeKeep: org.apache.spark.sql.Column =
+    graft.functions.TextOps.md5Prefix60(
+      concat(lit("tri:"), col("a").cast("string"), lit(":"),
+        col("b").cast("string"))) % 1000 < 300
+
+  private def edgeKeepSql: String =
+    graft.OracleSql.hexToLong(
+      "md5('tri:' || CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR))",
+      1, 15) + " % 1000 < 300"
+
+  /** Degree-oriented triangle statistics over an undirected edge set
+    * (a, b): 1 row of (n_nodes, n_edges, n_wedges, n_triangles,
+    * all_wedges). See q_triangles for the algorithm and plan notes. */
+  private def triangleStats(
+      und: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // callers pass a STAGED edge set (basketEdges localCheckpoints);
+    // the sampled variant's filter re-runs narrowly over those staged
+    // blocks per consumer — cheaper than a second staging write
+    val deg = und.select(col("a").as("n"))
+      .union(und.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("dn"))
+    val da = deg.select(col("n").as("na"), col("dn").as("da"))
+    val db = deg.select(col("n").as("nb"), col("dn").as("db"))
+    val lowFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val o = und.join(da, col("a") === col("na"))
+      .join(db, col("b") === col("nb"))
+      .select(
+        when(lowFirst, col("a")).otherwise(col("b")).as("x"),
+        when(lowFirst, col("b")).otherwise(col("a")).as("y"),
+        when(lowFirst, col("db")).otherwise(col("da")).as("dy"))
+      .localCheckpoint()
+    val o2 = o.select(col("x").as("x2"), col("y").as("z"), col("dy").as("dz"))
+    // closing edges are DISTINCT (o is an edge set): the left outer join
+    // cannot fan a wedge out, so ONE pass yields both counts; the
+    // shuffle_hash hints skip sort-merge's sort of the wedge streams
+    // (measured 5.1 -> 3.7s on the full graph) and stay scale-legit —
+    // the build side is one PARTITION per task, never a broadcast.
+    val closing = o.select(col("x").as("wa"), col("y").as("wb"))
+      .withColumn("hit", lit(1))
+    val wstats = o.join(o2.hint("shuffle_hash"),
+        col("x") === col("x2") && (col("dy") < col("dz") ||
+          (col("dy") === col("dz") && col("y") < col("z"))))
+      .select(col("y").as("wa"), col("z").as("wb"))
+      .join(closing.hint("shuffle_hash"), Seq("wa", "wb"), "left_outer")
+      .agg(count(lit(1)).as("n_wedges"),
+        count(col("hit")).as("n_triangles"))
+    val nE = und.agg(count(lit(1)).as("n_edges"))
+    val nN = deg.agg(count(lit(1)).as("n_nodes"),
+      // dn*(dn-1) is even; >>1 keeps the whole sum in exact longs
+      sum(shiftright(col("dn") * (col("dn") - 1), 1)).as("all_wedges"))
+    nN.crossJoin(nE).crossJoin(wstats)
+  }
+
+  /** Shared DuckDB CTE chain for the two triangle queries; `sampleWhere`
+    * filters the canonical edge set (Doulion), `select` is the final
+    * projection over agg/ne/nw/tri. */
+  private def triangleOracle(sampleWhere: String, select: String): String =
+    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+       |und0 AS (
+       |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+       |  FROM li a JOIN li b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |und AS (SELECT a, b FROM und0 $sampleWhere),
+       |deg AS (
+       |  SELECT n, CAST(count(*) AS BIGINT) AS dn
+       |  FROM (SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+       |  GROUP BY 1),
+       |o AS (
+       |  SELECT CASE WHEN (da.dn, u.a) < (db.dn, u.b) THEN u.a ELSE u.b END AS x,
+       |         CASE WHEN (da.dn, u.a) < (db.dn, u.b) THEN u.b ELSE u.a END AS y,
+       |         CASE WHEN (da.dn, u.a) < (db.dn, u.b) THEN db.dn ELSE da.dn END AS dy
+       |  FROM und u JOIN deg da ON da.n = u.a JOIN deg db ON db.n = u.b),
+       |w AS (
+       |  SELECT o1.y AS wa, o2.y AS wb FROM o o1 JOIN o o2
+       |  ON o1.x = o2.x AND ((o1.dy, o1.y) < (o2.dy, o2.y))),
+       |tri AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM w
+       |  WHERE EXISTS (SELECT 1 FROM o WHERE o.x = w.wa AND o.y = w.wb)),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+       |    CAST(sum(dn * (dn - 1) // 2) AS BIGINT) AS all_wedges
+       |  FROM deg),
+       |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und),
+       |nw AS (SELECT CAST(count(*) AS BIGINT) AS n_wedges FROM w)
+       |$select""".stripMargin
 }

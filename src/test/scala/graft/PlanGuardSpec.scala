@@ -47,6 +47,20 @@ class PlanGuardSpec extends SparkSpec {
       s"argmax must not be an unpartitioned window:\n${p.toString.take(1200)}")
   }
 
+  test("q_triangles_sampled: the Doulion estimate lands near the exact count") {
+    // p = 0.3 deterministic edge sampling; Tsourakakis et al.'s
+    // concentration keeps the 1/p^3-scaled estimate close at this graph
+    // size (exact 125,968 triangles at sf0.001). The band is generous —
+    // the sample is FIXED (hash-based), so this is a regression pin on
+    // the estimator arithmetic, not a probabilistic flake.
+    val exact = SparkEntry.queries("q_triangles")(spark, sf001)
+      .collect().head.getAs[Long]("n_triangles").toDouble
+    val est = SparkEntry.queries("q_triangles_sampled")(spark, sf001)
+      .collect().head.getAs[Double]("est_triangles")
+    assert(math.abs(est / exact - 1.0) < 0.25,
+      s"estimate $est vs exact $exact off by ${est / exact - 1.0}")
+  }
+
   test("q_knn: zero shuffles; corpus flows scan->project->top-k") {
     val p = finalPlan(SparkEntry.queries("q_knn")(spark, sf001))
     assert(shuffles(p) == 0, s"corpus side must not shuffle:\n$p")
