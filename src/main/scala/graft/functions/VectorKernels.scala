@@ -429,8 +429,13 @@ object VectorKernels {
   }
 
   /** Hamming distance between two equal-length packed sign codes: exact
-    * integer popcount of the XOR, so scores are deterministic. */
+    * integer popcount of the XOR, so scores are deterministic. Lengths
+    * must match — a silent min-length loop would under-count the distance
+    * of the longer code (HammingExpr exposes this to arbitrary
+    * array<bigint> columns, so the guard is a data-quality check too). */
   def hammingPacked(a: Array[Long], b: Array[Long]): Long = {
+    require(a.length == b.length,
+      s"hammingPacked: code lengths differ (${a.length} vs ${b.length})")
     var s = 0L
     var i = 0
     while (i < a.length) {

@@ -763,12 +763,16 @@ object ExtendedQueries {
         val stats = triangleStats(basketEdges(s, d))
         stats.select(col("n_nodes"), col("n_edges"), col("n_wedges"),
           col("n_triangles"),
-          (lit(3.0) * col("n_triangles") / col("all_wedges"))
+          // nullif-style zero guard: on a wedge-free degenerate graph
+          // Spark's Divide yields NULL while DuckDB's IEEE float division
+          // yields inf — NULL on both engines keeps oracle parity there.
+          (lit(3.0) * col("n_triangles") /
+            when(col("all_wedges") === 0, lit(null)).otherwise(col("all_wedges")))
             .as("global_cc"))
       },
       Some(triangleOracle(sampleWhere = "",
         select = """SELECT n_nodes, ne.n_edges, nw.n_wedges, tri.n_triangles,
-         |  3.0 * tri.n_triangles / agg.all_wedges AS global_cc
+         |  3.0 * tri.n_triangles / nullif(agg.all_wedges, 0) AS global_cc
          |FROM agg, ne, nw, tri"""))),
 
     // Doulion (Tsourakakis et al., KDD 2009) sampled-triangle companion —

@@ -588,7 +588,10 @@ object PqQueries {
       "CAST(1 AS BIGINT) AS results_complete",
       "CAST(1 AS BIGINT) AS recall_ok") ++
       extraInvariant.map(n => s"CAST(1 AS BIGINT) AS $n") ++ Seq(
-      s"CAST((SELECT len(embedding) * 4 / ($codeBytesSql) FROM embeddings LIMIT 1) AS BIGINT) AS compression_x",
+      // Integer division (//) matches Spark's Long truncation at ANY dim;
+      // float `/` + CAST would round-to-nearest and diverge when dim*4 is
+      // not an exact multiple of the code size (e.g. dim 70 @ 16 B: 17 vs 18).
+      s"CAST((SELECT len(embedding) * 4 // ($codeBytesSql) FROM embeddings LIMIT 1) AS BIGINT) AS compression_x",
       "CAST(sum(CAST(floor(score * 8796093022208.0) AS DECIMAL(38,0))) AS DOUBLE) / 8796093022208.0 / count(*) AS exact_mean_top3")
     s"""WITH qq AS (
        |  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
