@@ -44,6 +44,10 @@ object TextOps {
     * conv(substring(md5(s),1,15),16,10) — a compact long shuffle key. */
   def md5Prefix60(s: Column): Column = c(Md5Prefix60Expr(e(s)))
 
+  /** binary -> bigint: 63-bit linearized dHash over the byte-slice
+    * luminance grid (perceptual near-dup fingerprint — MediaKernels). */
+  def dhash63(payload: Column): Column = c(DHash63Expr(e(payload)))
+
   /** array<string> -> array<bigint> [top2, n2, dup3, n3]: one-pass token
     * repetition statistics (Gopher-style repetition quality signals). */
   def repStats(toks: Column): Column = c(RepStatsExpr(e(toks)))

@@ -58,6 +58,56 @@ object Multimodal {
     }
   }
 
+  /** 8x8 block-averaged luminance grid from a REAL image decode (the
+    * perceptual-hash front end): ImageIO decode, BT.601 integer luminance
+    * per pixel, mean over each of the 64 blocks (block edges at
+    * floor(k*dim/8), so any image size >= 8x8 works). Returns None when
+    * no registered codec accepts the payload. Row-major, so
+    * MediaKernels.packDHash linearizes it into the same 63-bit dHash the
+    * byte-slice fallback uses. */
+  def lumGrid8x8(payload: Array[Byte]): Option[Array[Long]] = {
+    if (payload.length == 0) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (img == null || img.getWidth < 8 || img.getHeight < 8) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val sums = new Array[Long](64)
+      val counts = new Array[Long](64)
+      var y = 0
+      while (y < h) {
+        val by = y * 8 / h
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+            114 * (rgb & 0xff)) / 1000
+          val c = by * 8 + x * 8 / w
+          sums(c) += lum
+          counts(c) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val out = new Array[Long](64)
+      var j = 0
+      while (j < 64) { out(j) = sums(j) / math.max(1L, counts(j)); j += 1 }
+      Some(out)
+    }
+  }
+
+  /** Perceptual hash of a media payload: 63-bit linearized dHash over the
+    * real decoded 8x8 luminance grid when a codec accepts the payload,
+    * over the byte-slice luminance fallback otherwise — the same routing
+    * contract as [[decode]] (undecodable media still fingerprints
+    * deterministically instead of failing the job). */
+  def dHash(payload: Array[Byte]): Long =
+    graft.functions.MediaKernels.packDHash(
+      lumGrid8x8(payload).getOrElse(
+        graft.functions.MediaKernels.byteLumGrid(payload)))
+
   /** Fallback featurization for undecodable payloads: deterministic byte
     * histogram, pseudo-dimensions from the payload length (kept from the
     * former stub so non-image fixtures keep their pinned outputs). */

@@ -86,6 +86,86 @@ object MultimodalQueries {
          |  md5(array_to_string(frames, '')) AS fp
          |FROM f ORDER BY doc_id""".stripMargin)),
 
+    // Image near-dup (perceptual-hash dedup — the everyday 100 TB
+    // multimodal operation): 63-bit linearized dHash per payload
+    // (MediaKernels; codegen'd DHash63Expr, one narrow pass), Hamming-LSH
+    // candidates via an EQUI-JOIN on 3 x 21-bit hash bands (hashes within
+    // Hamming distance <= 2 are GUARANTEED to share a clean band by
+    // pigeonhole; farther pairs probabilistically — the oracle replays the
+    // same bands, so the gate is exact regardless of LSH recall), then an
+    // exact popcount confirm at <= 4 of 63. This is q_simhash's band
+    // machinery restated over the pixel domain: on real images the
+    // luminance grid comes from the ImageIO decode (Multimodal.lumGrid8x8,
+    // pinned on real PNG bytes in MultimodalSpec); the oracle-gated run
+    // uses the byte-slice luminance fallback, whose integer sums DuckDB
+    // replays exactly (ASCII payloads, so ord == byte). Scale shape: the
+    // band join is the LSH bucket equi-join (never all-pairs); candidate
+    // volume on THIS fixture is inflated by the low-entropy vocabulary
+    // (byte-sum profiles collide more than real-image grids do — measured
+    // 214 candidates at 500 docs, 20.2k at 5000), and the confirm filter
+    // is a codegen'd scalar on the joined rows.
+    Q("q_image_neardup",
+      (s, d) => {
+        val BANDS = 3
+        val BAND_BITS = 21
+        val MASK = (1L << BAND_BITS) - 1
+        val TH = 4
+        val hashed = Tables.documents(s, d)
+          .filter(octet_length(col("text")) >= 64)
+          .select(col("doc_id"),
+            graft.functions.TextOps.dhash63(encode(col("text"), "UTF-8"))
+              .as("dhash"))
+        val bands = hashed.select(col("doc_id"), col("dhash"),
+          explode(array((0 until BANDS).map(b =>
+            struct(lit(b).as("band"),
+              shiftright(col("dhash"), b * BAND_BITS).bitwiseAND(lit(MASK))
+                .as("bv"))): _*)).as("x"))
+          .select(col("doc_id"), col("dhash"), col("x.band"), col("x.bv"))
+        val rhs = bands.select(col("doc_id").as("doc_b"), col("dhash").as("hb"),
+          col("band").as("band2"), col("bv").as("bv2"))
+        bands.join(rhs, col("band") === col("band2") &&
+            col("bv") === col("bv2") && col("doc_id") < col("doc_b"))
+          .select(col("doc_id").as("doc_a"), col("doc_b"),
+            col("dhash").as("ha"), col("hb"))
+          .distinct()
+          .withColumn("hamming",
+            bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+          .filter(col("hamming") <= TH)
+          .select(col("doc_a"), col("doc_b"), col("hamming"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("""WITH d AS (
+         |  SELECT doc_id, text, strlen(text) AS L FROM documents
+         |  WHERE strlen(text) >= 64),
+         |cell AS (SELECT doc_id, text, L, i
+         |  FROM d, (SELECT unnest(range(0, 64)) AS i) r),
+         |lum AS (
+         |  SELECT doc_id, i,
+         |    CAST(list_sum(list_transform(
+         |      range((i*L)//64 + 1, ((i+1)*L)//64 + 1),
+         |      p -> ord(substr(text, CAST(p AS INTEGER), 1)))) AS BIGINT) AS lum
+         |  FROM cell),
+         |bits AS (
+         |  SELECT a.doc_id, a.i AS j,
+         |    CASE WHEN a.lum > b.lum THEN 1 ELSE 0 END AS bit
+         |  FROM lum a JOIN lum b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+         |h AS (
+         |  SELECT doc_id,
+         |    CAST(sum(bit * CAST(power(2, j) AS BIGINT)) AS BIGINT) AS dhash
+         |  FROM bits GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, dhash, j AS band,
+         |    (dhash // CAST(power(2, j*21) AS BIGINT)) % 2097152 AS bv
+         |  FROM h, (SELECT unnest(range(0, 3)) AS j) r),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.dhash AS ha, b.dhash AS hb
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(ha, hb)) <= 4
+         |ORDER BY doc_a, doc_b""".stripMargin)),
+
     // Cross-modal retrieval join (SURVEY §7 M4 "multimodal join"): batch
     // kNN over the embedding corpus for 5 query vectors, enriched with the
     // matching documents' metadata (doc_id = vec_id, 1:1 in the fixtures).

@@ -108,6 +108,71 @@ class MultimodalSpec extends SparkSpec {
       assert((back.getRGB(x, y) & 0xffffff) == 0x336699, s"pixel ($x,$y) drifted")
   }
 
+  /** Gradient PNG with an optional perturbation hook — the perceptual-hash
+    * fixture (a checkerboard's block-averaged luminance is constant, which
+    * would degenerate every dHash bit to 0). */
+  private def gradientPng(w: Int, h: Int,
+      perturb: (Int, Int, Int) => Int = (_, _, rgb) => rgb): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = ((x * 7 + y * 13) % 256)
+      img.setRGB(x, y, perturb(x, y, (v << 16) | (v << 8) | v))
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("dHash pins REAL PNG bytes: perturbed copy near, different image far") {
+    val base = gradientPng(64, 48)
+    val h0 = Multimodal.dHash(base)
+    // deterministic
+    assert(h0 == Multimodal.dHash(gradientPng(64, 48)))
+    // a few flipped pixels barely move the block-averaged luminance
+    val perturbed = gradientPng(64, 48,
+      (x, y, rgb) => if (x == 3 && y < 4) 0xffffff else rgb)
+    assert(hamming(h0, Multimodal.dHash(perturbed)) <= 4,
+      "small perturbation must stay within the near-dup confirm threshold")
+    // a structurally different image lands far away
+    val other = gradientPng(64, 48, (x, y, _) => {
+      val v = (x * 31 + y * 3 + 128) % 256; (v << 16) | (v << 8) | v
+    })
+    assert(hamming(h0, Multimodal.dHash(other)) > 10)
+  }
+
+  test("dHash survives a REAL resize (the classic perceptual-hash property)") {
+    val base = gradientPng(64, 48)
+    val resized = Multimodal.resize(base, 32, 24)
+    assert(hamming(Multimodal.dHash(base), Multimodal.dHash(resized)) <= 6,
+      "a resized copy must hash near its original")
+  }
+
+  test("dHash routes undecodable payloads through the byte-slice fallback") {
+    val payload = ("x" * 200).getBytes
+    assert(Multimodal.dHash(payload) ==
+      graft.functions.MediaKernels.byteDHash63(payload))
+    // grid comes from the REAL decode for images: differs from byte path
+    val png = gradientPng(64, 48)
+    assert(Multimodal.lumGrid8x8(png).isDefined)
+    assert(Multimodal.lumGrid8x8(("not an image" * 10).getBytes).isEmpty)
+  }
+
+  test("byteLumGrid/packDHash integer semantics (the oracle's arithmetic)") {
+    // 128 'a's then 128 'b's, 4 bytes per cell: first 32 cells sum
+    // 4*97 = 388, last 32 sum 4*98 = 392.
+    val payload = (("a" * 128) + ("b" * 128)).getBytes
+    val grid = graft.functions.MediaKernels.byteLumGrid(payload)
+    assert(grid.length == 64)
+    assert(grid.take(32).forall(_ == 388L) && grid.drop(32).forall(_ == 392L))
+    // monotonically non-decreasing grid -> no lum(j) > lum(j+1) -> hash 0
+    assert(graft.functions.MediaKernels.packDHash(grid) == 0L)
+    // reversed payload: single descending step at cell 31 -> bit 31 only
+    val rev = (("b" * 128) + ("a" * 128)).getBytes
+    assert(graft.functions.MediaKernels.byteDHash63(rev) == (1L << 31))
+  }
+
   test("resize falls back to deterministic decimation for non-image payloads") {
     val in = (0 until 4096).map(_.toByte).toArray
     val a = Multimodal.resize(in, 32, 32) // target 1024 px -> factor 2
