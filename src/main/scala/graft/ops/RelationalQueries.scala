@@ -1047,6 +1047,42 @@ object RelationalQueries {
          |GROUP BY o_orderpriority
          |ORDER BY o_orderpriority""".stripMargin)),
 
+    // AQE skew-join companion to q_skew_salted_join — the PRODUCTION-
+    // default lever next to the manual one. Same join, same oracle, but
+    // no salting: the shuffle_merge hint pins the sort-merge regime
+    // (AQE's OptimizeSkewedJoin target; at fixture scale size-based
+    // planning would otherwise broadcast orders and there would be
+    // nothing to split), and spark.sql.adaptive.skewJoin (enabled by
+    // default) splits any shuffle partition exceeding
+    // max(skewedPartitionThresholdInBytes, factor x median) into
+    // mapper-range chunks AT RUNTIME, replicating the matching build
+    // rows — salting's spread, derived from measured sizes instead of a
+    // hand-picked SALT constant. Nothing fires at fixture scale (no
+    // partition nears the 256 MB default, which is the honest production
+    // story: AQE splits only when skew is real); PlanGuardSpec forces the
+    // split with lowered thresholds and asserts isSkewJoin + hash
+    // equality with the salted variant. When to prefer which: AQE for
+    // runtime-detected skew on sort-merge/shuffled-hash joins (zero query
+    // rewrite); salting when the engine can't re-plan (a skewed
+    // AGGREGATION key, or a join AQE must keep whole for a downstream
+    // partitioning contract).
+    Q("q_skew_aqe",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val ord = Tables.orders(s, d).hint("shuffle_merge")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(H.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority,
+         |  CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+         |  CAST(count(*) AS BIGINT) AS n_items
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin)),
+
     // Tumbling 1-hour event-time windows (the batch twin of
     // streaming.EventsStream.windowedAgg).
     Q("q_events_hourly",

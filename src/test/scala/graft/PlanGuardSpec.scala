@@ -192,6 +192,62 @@ class PlanGuardSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"), "cartesian reintroduced")
   }
 
+  test("q_skew_aqe: result hash-equals the salted variant; AQE skew split fires on real skew") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.functions._
+    // Part 1 — the registry query is the salted join's exact twin: same
+    // join, same aggregate, skew handling delegated to AQE instead of a
+    // hand salt. The two levers must be interchangeable on the same join.
+    val sf01 = "/root/testdata/sf0.01"
+    val salted = SparkEntry.queries("q_skew_salted_join")(spark, sf01)
+      .collect().map(_.toString).toSeq
+    assert(SparkEntry.queries("q_skew_aqe")(spark, sf01)
+      .collect().map(_.toString).toSeq == salted,
+      "q_skew_aqe must produce the salted variant's rows")
+
+    // Part 2 — the split itself. It cannot fire on the fixture parquet:
+    // skew splits are MAPPER-RANGE chunks, and a single-row-group file
+    // scans as ONE real map task, so every reduce partition is one
+    // indivisible block (verified via OptimizeSkewedJoin's debug log:
+    // "number of skewed partitions: left 0" at any threshold). Exercise
+    // the machinery on a GENUINELY skewed in-memory relation instead —
+    // 50% of 200k rows on one hot key across 20 mappers (measured: hot
+    // partition 865 KB vs 241 KB median, 3.6x) — with the detection
+    // thresholds lowered to test scale (factor 2 < 3.6 < default 5;
+    // 16 KB floor + advisory), the same shape production defaults split
+    // at 100 TB where the hot partition clears 5x median and 256 MB.
+    val forced = Map(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16k")
+    def skewedJoin() = {
+      val big = spark.range(0, 200000, 1, 20)
+        .select(when(col("id") % 2 === 0, 0L).otherwise(col("id") % 1000).as("k"),
+          col("id").as("v"))
+      val dim = spark.range(0, 1000)
+        .select(col("id").as("k2"), (col("id") * 7).as("w"))
+      big.hint("shuffle_merge").join(dim, col("k") === col("k2"))
+        .agg(sum(col("v") * col("w")).as("s"), count(lit(1)).as("n"))
+    }
+    val expect = skewedJoin().collect().map(_.toString).toSeq
+    val prev = forced.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      forced.foreach { case (k, v) => spark.conf.set(k, v) }
+      val df = skewedJoin()
+      assert(df.collect().map(_.toString).toSeq == expect,
+        "AQE skew split must not change the result")
+      val p = finalPlan(df)
+      val smj = collectAll(p).collect { case j: SortMergeJoinExec => j }
+      assert(smj.nonEmpty, s"expected the hinted sort-merge join:\n${p.toString.take(1200)}")
+      assert(smj.exists(_.isSkewJoin),
+        s"OptimizeSkewedJoin did not mark the join under forced thresholds:\n${p.toString.take(1200)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q_skew_salted_join: salted SHUFFLED join (salt in the partitioning key)") {
     val p = finalPlan(SparkEntry.queries("q_skew_salted_join")(spark, sf001))
     val s = p.toString
