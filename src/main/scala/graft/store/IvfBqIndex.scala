@@ -88,10 +88,27 @@ object IvfBqIndex {
                   nprobe: Int): Seq[Int] =
     IvfIndex.probedCells(spark, path, query, nprobe)
 
+  /** Close the maintenance loop for the BQ tier: sign codes are
+    * training-free, so the only drifting artifact is the coarse
+    * quantizer — re-train the centroids on the caller's CURRENT raw
+    * corpus `emb` (codes are lossy: raw vectors come from the lake),
+    * re-assign + re-pack, stage, version `centroids_v<N>`, swap.
+    * Returns the archived version number. */
+  def rebuild(emb: DataFrame, path: String): Int = {
+    val spark = emb.sparkSession
+    val cent = IvfIndex.labelCentroids(emb, "IvfBqIndex.rebuild")
+    assignPackWrite(emb, cent, path, SaveMode.Overwrite, dataDir = "data_rebuild")
+    val v = IvfIndex.versionSidecars(spark, path, Seq("centroids"))
+    cent.write.mode("overwrite").parquet(s"$path/centroids")
+    IvfIndex.swapData(spark, path)
+    v
+  }
+
   private def assignPackWrite(emb: DataFrame, cent: DataFrame,
-                              path: String, mode: SaveMode): Unit =
+                              path: String, mode: SaveMode,
+                              dataDir: String = "data"): Unit =
     IvfIndex.assignCells(emb, cent)
       .select(col("vec_id"),
         VectorOps.signPack(col("embedding")).as("code"), col("cell"))
-      .write.mode(mode).partitionBy("cell").parquet(s"$path/data")
+      .write.mode(mode).partitionBy("cell").parquet(s"$path/$dataDir")
 }

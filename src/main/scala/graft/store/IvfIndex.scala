@@ -66,6 +66,65 @@ object IvfIndex {
     assignAndWrite(emb, cent, path, SaveMode.Append)
   }
 
+  /** Close the maintenance loop q_index_drift measures: re-train the
+    * coarse centroids on the CURRENT at-rest corpus (one spherical-Lloyd
+    * refinement — new centroid = mean of the vectors currently in the
+    * cell, which maximizes the cell's mean assignment cosine since
+    * cos(x, mean) = cos(x, mean/|mean|)), re-assign every vector against
+    * the refreshed centroids, rewrite the cell partitions, and VERSION
+    * the sidecar: the previous quantizer is archived as
+    * `centroids_v<N>/` so probes pinned to an old version stay
+    * reproducible, and `centroids/` always serves the latest. Returns
+    * the archived version number.
+    *
+    * The new layout is staged to `data_rebuild/` while the live layout
+    * keeps serving, then swapped in two metadata renames — the same
+    * read-while-rebuild pattern a 100 TB deployment needs (at that scale
+    * the swap is a table-pointer flip; here it is the filesystem
+    * analog). Unlike the PQ/BQ tiers, this index stores RAW embeddings
+    * in its cells, so the rebuild is self-contained — no side input. */
+  def rebuild(spark: SparkSession, path: String): Int = {
+    import org.apache.hadoop.fs.Path
+    val data = spark.read.parquet(s"$path/data")
+    val cent = labelCentroids(
+      data.select(col("cell").as("label"), col("embedding")), "IvfIndex.rebuild")
+    val staged = s"$path/data_rebuild"
+    assignCells(data.select(col("vec_id"), col("embedding")), cent)
+      .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(staged)
+    val v = versionSidecars(spark, path, Seq("centroids"))
+    cent.write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+    swapData(spark, path)
+    v
+  }
+
+  /** Archive each live sidecar dir as `<name>_v<N>` (N = one past the
+    * count of existing centroids versions — centroids is in every tier's
+    * sidecar set, so the counter is shared). Shared by the three at-rest
+    * tiers' rebuilds. */
+  private[store] def versionSidecars(spark: SparkSession, path: String,
+      sidecars: Seq[String]): Int = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = Option(fs.globStatus(new Path(s"$path/centroids_v*")))
+      .map(_.length).getOrElse(0) + 1
+    sidecars.foreach { s =>
+      require(fs.rename(new Path(s"$path/$s"), new Path(s"$path/${s}_v$v")),
+        s"rebuild: could not archive ${s}_v$v")
+    }
+    v
+  }
+
+  /** Swap the staged `data_rebuild/` layout in for `data/` — the
+    * filesystem analog of a table-pointer flip. */
+  private[store] def swapData(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.delete(new Path(s"$path/data"), true),
+      "rebuild: could not drop the previous layout")
+    require(fs.rename(new Path(s"$path/data_rebuild"), new Path(s"$path/data")),
+      "rebuild: could not swap in the staged layout")
+  }
+
   /** Nearest-centroid assignment (broadcast centroids, deterministic
     * cell-id tie-break): (vec_id, embedding, cell) — shared with
     * IvfPqIndex, which projects codes before its write. */

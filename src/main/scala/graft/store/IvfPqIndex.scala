@@ -127,6 +127,35 @@ object IvfPqIndex {
       .limit(k)
   }
 
+  /** Close the maintenance loop for the PQ tier: re-train the codebook
+    * (and the OPQ rotation, when the index was OPQ-built — the presence
+    * of the `rotation/` sidecar decides) and the coarse centroids on the
+    * caller's CURRENT raw corpus `emb` (vec_id, label, embedding) — PQ
+    * codes are LOSSY, so unlike IvfIndex.rebuild the raw vectors must
+    * come from the lake, not the index — then re-encode and re-assign
+    * everything, stage the new layout, version EVERY frozen sidecar
+    * (`centroids_v<N>`, `codebook_v<N>`, `rotation_v<N>`), and swap.
+    * Returns the archived version number. */
+  def rebuild(emb: DataFrame, path: String): Int = {
+    val spark = emb.sparkSession
+    val wasOpq = readRotation(spark, path).isDefined
+    val (rot, cb) =
+      if (wasOpq) { val (r, c) = PqQueries.trainOpqOn(emb); (Some(r), c) }
+      else (None, PqQueries.trainCodebookOn(emb))
+    val cent = IvfIndex.labelCentroids(emb, "IvfPqIndex.rebuild")
+    // stage first: the staged write reads only `emb` + the new artifacts,
+    // so the live layout keeps serving until the swap
+    assignEncodeWrite(emb, cent, cb, rot, path, SaveMode.Overwrite,
+      dataDir = "data_rebuild")
+    val v = IvfIndex.versionSidecars(spark, path,
+      Seq("centroids", "codebook") ++ (if (wasOpq) Seq("rotation") else Nil))
+    writeCodebook(spark, cb, path)
+    rot.foreach(writeRotation(spark, _, path))
+    cent.write.mode("overwrite").parquet(s"$path/centroids")
+    IvfIndex.swapData(spark, path)
+    v
+  }
+
   /** The query's top-`nprobe` cells by centroid cosine (sidecar-sized) —
     * identical ranking to the float index's. */
   def probedCells(spark: SparkSession, path: String, query: Array[Float],
@@ -139,14 +168,15 @@ object IvfPqIndex {
     * either way. */
   private def assignEncodeWrite(emb: DataFrame, cent: DataFrame,
                                 cb: Array[Double], rot: Option[Array[Double]],
-                                path: String, mode: SaveMode): Unit = {
+                                path: String, mode: SaveMode,
+                                dataDir: String = "data"): Unit = {
     val coding = rot.map(r => VectorOps.rotateMat(col("embedding"), r))
       .getOrElse(col("embedding"))
     IvfIndex.assignCells(emb, cent)
       .select(col("vec_id"),
         VectorOps.pqEncode(coding, cb, PqQueries.M, PqQueries.K).as("codes"),
         col("cell"))
-      .write.mode(mode).partitionBy("cell").parquet(s"$path/data")
+      .write.mode(mode).partitionBy("cell").parquet(s"$path/$dataDir")
   }
 
   private def writeCodebook(spark: SparkSession, cb: Array[Double], path: String): Unit = {

@@ -128,6 +128,79 @@ class IvfAtRestSpec extends SparkSpec {
     // row by row, against the sidecar); refreshing centroids IS a rebuild.
   }
 
+  test("rebuild acts on measured drift: fit delta shrinks, sidecar versioned, probe parity holds") {
+    val emb = Tables.embeddings(spark, sf001)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-rebuild").toString
+    IvfIndex.build(emb.filter(col("vec_id") < 250), dir)
+    IvfIndex.append(emb.filter(col("vec_id") >= 250), dir)
+
+    // the q_index_drift metric, computed on the at-rest layout: mean
+    // assignment cosine of the build slice vs the appended slice against
+    // the CURRENT sidecar centroids
+    def sliceFit(): (Double, Double, Double) = {
+      val cents = spark.read.parquet(s"$dir/centroids").collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      val rows = spark.read.parquet(s"$dir/data")
+        .select("vec_id", "embedding", "cell").collect()
+      def cos(a: Array[Float], c: Array[Double]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { dot += a(i).toDouble * c(i); na += a(i).toDouble * a(i); nb += c(i) * c(i); i += 1 }
+        if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val scored = rows.map { r =>
+        (r.getLong(0), cos(r.getSeq[Float](1).toArray, cents(r.getInt(2))))
+      }
+      val build = scored.filter(_._1 < 250).map(_._2)
+      val appended = scored.filter(_._1 >= 250).map(_._2)
+      (build.sum / build.length, appended.sum / appended.length,
+        scored.map(_._2).sum / scored.length)
+    }
+    val (fitBuild0, fitNew0, fitAll0) = sliceFit()
+    val drift0 = fitBuild0 - fitNew0
+    assert(drift0 > 0,
+      s"frozen centroids should fit the build slice better (drift $drift0)")
+
+    val v = IvfIndex.rebuild(spark, dir)
+    assert(v == 1)
+    // the frozen quantizer is archived; probes pinned to v1 reproduce
+    val archived = spark.read.parquet(s"$dir/centroids_v1")
+    assert(archived.count() == spark.read.parquet(s"$dir/centroids").count())
+    // corpus preserved exactly
+    val data = spark.read.parquet(s"$dir/data")
+    assert(data.count() == emb.count())
+    assert(data.select("vec_id").distinct().count() == emb.count())
+
+    val (fitBuild1, fitNew1, fitAll1) = sliceFit()
+    // one spherical-Lloyd step: the overall objective strictly improves...
+    assert(fitAll1 > fitAll0, s"objective regressed: $fitAll0 -> $fitAll1")
+    // ...and the appended slice no longer fits systematically worse —
+    // the drift delta the rebuild was triggered on shrinks
+    assert(fitBuild1 - fitNew1 < drift0,
+      s"drift did not shrink: $drift0 -> ${fitBuild1 - fitNew1}")
+
+    // probe parity after the swap: pruning intact, result equals the
+    // exact cell-restricted scan, the probed vector finds itself
+    val query = emb.filter(col("vec_id") === 300)
+      .select("embedding").collect().head.getSeq[Float](0).toArray
+    val probe1 = IvfIndex.probe(spark, dir, query, k = 3, nprobe = 1)
+    assert(fileScan(probe1).selectedPartitions.partitionCount == 1)
+    val cells = IvfIndex.probedCells(spark, dir, query, nprobe = 2)
+    val expected = spark.read.parquet(s"$dir/data")
+      .filter(col("cell").isin(cells: _*))
+      .select(col("vec_id"),
+        VectorOps.cosineFloat(typedLit(query), col("embedding")).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(5).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = IvfIndex.probe(spark, dir, query, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expected)
+    assert(got.head._1 == 300L && math.abs(got.head._2 - 1.0) < 1e-12)
+
+    // a second rebuild stacks versions
+    assert(IvfIndex.rebuild(spark, dir) == 2)
+    assert(new java.io.File(s"$dir/centroids_v2").exists())
+  }
+
   test("build guards: empty corpus and null cells fail loudly") {
     val emb = Tables.embeddings(spark, sf001)
     intercept[IllegalArgumentException] {

@@ -121,6 +121,43 @@ class IvfBqSpec extends SparkSpec {
     assert(scan.selectedPartitions.partitionCount == 1)
   }
 
+  test("rebuild re-trains the coarse quantizer (the tier's only drifting artifact)") {
+    val emb = Tables.embeddings(spark, sf001)
+    val dir = java.nio.file.Files.createTempDirectory("ivfbq-rebuild").toString
+    IvfBqIndex.build(emb.filter(col("vec_id") < 250), dir)
+    IvfBqIndex.append(emb.filter(col("vec_id") >= 250), dir)
+
+    val v = IvfBqIndex.rebuild(emb, dir)
+    assert(v == 1)
+    assert(new java.io.File(s"$dir/centroids_v1").exists())
+    val data = spark.read.parquet(s"$dir/data")
+    assert(data.count() == emb.count())
+    assert(data.select("vec_id").distinct().count() == emb.count())
+    // sign codes are training-free: the re-packed code of a vector is
+    // IDENTICAL across rebuilds — only cell membership can move
+    val v300 = emb.filter(col("vec_id") === 300)
+      .select("embedding").collect().head.getSeq[Float](0).toArray
+    assert(data.filter(col("vec_id") === 300)
+      .select("code").collect().head.getSeq[Long](0).toSeq ==
+      VectorKernels.signPack(v300).toSeq)
+    // probe parity on the swapped layout: rescored equals the exact
+    // cell-restricted search
+    val q = v300
+    val cells = IvfBqIndex.probedCells(spark, dir, q, nprobe = 2)
+    val inCells = spark.read.parquet(s"$dir/data")
+      .filter(col("cell").isin(cells: _*)).select("vec_id")
+    val exact = emb.join(inCells, "vec_id")
+      .select(col("vec_id"),
+        VectorOps.cosineFloat(typedLit(q), col("embedding")).as("score"))
+      .orderBy(col("score").desc, col("vec_id")).limit(5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val got = IvfBqIndex.probeRescored(spark, dir, q, emb,
+        k = 5, candK = 100000, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == exact.toSeq)
+    assert(IvfBqIndex.rebuild(emb, dir) == 2)
+  }
+
   test("append assigns against frozen centroids and only adds files") {
     val emb = Tables.embeddings(spark, sf001)
     val dir = java.nio.file.Files.createTempDirectory("ivfbq-app").toString

@@ -148,6 +148,54 @@ class IvfPqSpec extends SparkSpec {
     assert(stored == expected)
   }
 
+  test("rebuild re-trains codebook + centroids on the current corpus and versions both") {
+    val emb = Tables.embeddings(spark, sf001)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-rebuild").toString
+    IvfPqIndex.build(emb.filter(col("vec_id") < 250), dir)
+    IvfPqIndex.append(emb.filter(col("vec_id") >= 250), dir)
+    val cbFrozen = spark.read.parquet(s"$dir/codebook")
+      .orderBy("idx").collect().map(_.getDouble(1))
+
+    val v = IvfPqIndex.rebuild(emb, dir)
+    assert(v == 1)
+    // EVERY frozen artifact of the tier is archived
+    assert(new java.io.File(s"$dir/codebook_v1").exists())
+    assert(new java.io.File(s"$dir/centroids_v1").exists())
+    val data = spark.read.parquet(s"$dir/data")
+    assert(data.count() == emb.count())
+    assert(data.select("vec_id").distinct().count() == emb.count())
+
+    // the quantizer really re-trained: full-corpus codebook differs from
+    // the half-corpus one, and rows are re-encoded against the NEW one
+    val cbNew = spark.read.parquet(s"$dir/codebook")
+      .orderBy("idx").collect().map(_.getDouble(1))
+    assert(cbNew.toSeq != cbFrozen.toSeq, "codebook did not re-train")
+    val v300 = emb.filter(col("vec_id") === 300)
+      .select("embedding").collect().head.getSeq[Float](0).toArray
+    assert(data.filter(col("vec_id") === 300)
+      .select("codes").collect().head.getAs[Array[Byte]](0).toSeq ==
+      VectorKernels.pqEncode(v300, cbNew, M, K).toSeq)
+
+    // probe parity on the swapped layout: ADC equals a kernel replay
+    // with the NEW sidecars, and the rescored probe equals the exact
+    // cell-restricted search
+    val q = query0
+    val cells = IvfPqIndex.probedCells(spark, dir, q, nprobe = 2)
+    val lut = VectorKernels.pqLut(q, cbNew, M, K)
+    val expected = spark.read.parquet(s"$dir/data")
+      .filter(col("cell").isin(cells: _*))
+      .select("vec_id", "codes").collect()
+      .map(r => (r.getLong(0), VectorKernels.pqAdc(r.getAs[Array[Byte]](1), lut, K)))
+      .sortBy { case (id, adc) => (-adc, id) }
+      .take(5)
+    assert(IvfPqIndex.probe(spark, dir, q, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == expected.toSeq)
+
+    // versions stack
+    assert(IvfPqIndex.rebuild(emb, dir) == 2)
+    assert(new java.io.File(s"$dir/codebook_v2").exists())
+  }
+
   test("OPQ build: rotation sidecar roundtrips; codes and probe live in coding space") {
     val dir = java.nio.file.Files.createTempDirectory("ivfpq-opq").toString
     val emb = Tables.embeddings(spark, sf001)
