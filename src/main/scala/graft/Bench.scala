@@ -105,6 +105,10 @@ object Bench {
     // line so the driver's stdout tail capture still ends with the
     // machine-readable object.
     val minsNow = results.map { case (k, (v, _)) => k -> v }.toMap
+    // the same diff, carried INTO the artifact ("movers"/"board_dropped"
+    // fields) so each round's JSON self-reports its cross-run movers
+    // instead of leaving them on stderr
+    var moversJson = """"movers":null,"board_dropped":null"""
     try {
       val prevPath = java.nio.file.Paths.get("bench_last.json")
       if (java.nio.file.Files.exists(prevPath)) {
@@ -128,14 +132,19 @@ object Bench {
           val ns = shared.toSeq.map(minsNow).sum
           System.err.println(
             f"[bench-diff] shared ${shared.size} queries: $os%.1fs -> $ns%.1fs (${(ns / math.max(os, 1e-9) - 1) * 100}%+.0f%%)")
-          shared.toSeq
+          val movers = shared.toSeq
             .map(k => (k, pm(k), minsNow(k)))
             .filter { case (_, o, n) => math.abs(n - o) > 0.4 && n / math.max(o, 1e-9) > 1.3 || o / math.max(n, 1e-9) > 1.3 && math.abs(n - o) > 0.4 }
             .sortBy { case (_, o, n) => -(math.abs(n - o)) }
             .take(10)
-            .foreach { case (k, o, n) =>
-              System.err.println(f"[bench-diff]   MOVER $k%-28s $o%.3f -> $n%.3f (${n - o}%+.2fs)")
-            }
+          movers.foreach { case (k, o, n) =>
+            System.err.println(f"[bench-diff]   MOVER $k%-28s $o%.3f -> $n%.3f (${n - o}%+.2fs)")
+          }
+          val moversArr = movers
+            .map { case (k, o, n) => f"""{"q":"$k","prev":$o%.3f,"now":$n%.3f}""" }
+            .mkString("[", ",", "]")
+          val droppedArr = dropped.map("\"" + _ + "\"").mkString("[", ",", "]")
+          moversJson = s""""movers":$moversArr,"board_dropped":$droppedArr"""
         }
       }
     } catch { case e: Throwable => System.err.println(s"[bench-diff] skipped: $e") }
@@ -167,7 +176,7 @@ object Bench {
       else servingReps.toSeq.sortBy(_._1).map { case (k, reps) =>
         f""""$k":[${reps.min}%.0f,${reps.max}%.0f]"""
       }.mkString(""""serving_variance":{""", ",", "}")
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","protocol":2,"reps":$REPS,"stat":"min","n_queries":${results.size},"total_median":$totalMedian%.3f,"labels_build_sec":$labelsBuildSec%.3f,"queries":$qs,"ref_search_qps_50k":$refQpsLocal%.0f,"ref_batch_qps_50k":$refQpsBatch%.0f,"ref_concurrent_qps_50k":$refQpsConc%.0f,"ref_pq_qps_50k":$refQpsPq%.0f,"ref_bq_qps_50k":$refQpsBq%.0f,"baseline_ref_qps_50k":1100,$servingVar,$servingIso,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","protocol":2,"reps":$REPS,"stat":"min","n_queries":${results.size},"total_median":$totalMedian%.3f,"labels_build_sec":$labelsBuildSec%.3f,"queries":$qs,"ref_search_qps_50k":$refQpsLocal%.0f,"ref_batch_qps_50k":$refQpsBatch%.0f,"ref_concurrent_qps_50k":$refQpsConc%.0f,"ref_pq_qps_50k":$refQpsPq%.0f,"ref_bq_qps_50k":$refQpsBq%.0f,"baseline_ref_qps_50k":1100,$servingVar,$servingIso,$moversJson,"sf":"$sfDir"}"""
     // Compact headline (no per-query map): same schema minus "queries",
     // printed BEFORE and AFTER the full object. The driver's capture
     // window keeps a bounded TAIL of stdout (r7 and r8 both lost the full
