@@ -113,7 +113,7 @@ object StreamSessions {
       .select(col("user_id"), unix_micros(col("sw.start")).as("s_start"),
         unix_micros(col("sw.end")).as("s_end"), col("n"))
 
-  private def withRocksDb[T](spark: SparkSession)(body: => T): T = {
+  private[streaming] def withRocksDb[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key,

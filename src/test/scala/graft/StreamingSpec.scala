@@ -733,6 +733,109 @@ class StreamingSpec extends SparkSpec {
       "cross-trigger duplicate was not suppressed")
   }
 
+  test("chained stateful operators: dedup -> sessionize in ONE query equals the batch twin") {
+    import graft.streaming.{StreamPipeline, StreamSessions}
+    import org.apache.spark.sql.functions._
+    // The input carries injected retransmits (every third event
+    // duplicated); stage 1 must swallow them — the sealed sessions must
+    // equal the DEDUPED batch sessionization, and (since the fixture's
+    // event identities are already unique) the plain sessionizer's
+    // output: proof the chain neither loses rows at the watermark
+    // hand-off (caveat 1/2) nor double-counts retransmits.
+    val emitted = StreamPipeline.runOnce(spark, sf001, "pipe_tws_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val batchAll = StreamPipeline.batchDedupSessions(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(emitted.nonEmpty)
+    assert(emitted.subsetOf(batchAll),
+      s"chain emitted ${emitted.diff(batchAll).take(3)} not in batch")
+    // same sealed-set rule as the unchained sessionizer: the final
+    // watermark decides; the remainder is the open tail. Delayed
+    // cross-operator watermark propagation (caveat 3) may hold back at
+    // most the sessions sealed between the delayed and final watermark —
+    // on this two-trigger input the sets coincide (asserted exactly).
+    val maxTsUs = graft.Tables.events(spark, sf001)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val wmMs = maxTsUs / 1000L - 30L * 60 * 1000
+    def timerMs(sEndUs: Long): Long = (sEndUs + 999L) / 1000L
+    val sealedLe = batchAll.filter(s => timerMs(s._3) <= wmMs)
+    val sealedLt = batchAll.filter(s => timerMs(s._3) < wmMs)
+    assert(emitted == sealedLe || emitted == sealedLt,
+      s"emitted ${emitted.size}; sealed(<=) ${sealedLe.size}, " +
+        s"sealed(<) ${sealedLt.size}; batch total ${batchAll.size}")
+    // retransmits really were dropped by stage 1, not double-counted
+    // into session sizes: equality with the DEDUPED twin above is the
+    // proof (a leaked duplicate would bump some session's n)
+    val open = batchAll.diff(emitted)
+    assert(open.forall(s => timerMs(s._3) >= wmMs))
+  }
+
+  test("chained stateful operators: BOTH state stores survive a checkpointed restart") {
+    import graft.streaming.StreamPipeline
+    import org.apache.spark.sql.functions._
+    val inPath = java.nio.file.Files.createTempDirectory("pipe-restart-in")
+    val ckpt = java.nio.file.Files.createTempDirectory("pipe-restart-ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("pipe-restart-out")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val raw = graft.Tables.events(spark, sf001)
+      val withRetrans = raw.unionAll(raw.filter(col("event_id") % 3 === 0))
+      val cut = raw.agg(expr("percentile_approx(unix_micros(ts), 0.5)"))
+        .collect().head.getLong(0)
+      // run 1: first half (retransmits included), checkpointed file sink
+      withRetrans.filter(unix_micros(col("ts")) <= cut).coalesce(1)
+        .write.mode("append").parquet(inPath.toString)
+      val schema = spark.read.parquet(inPath.toString).schema
+      def start() = StreamPipeline.dedupSessionize(
+          spark.readStream.schema(schema).parquet(inPath.toString)).toDF()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", outDir.toString).start()
+      val q1 = start(); q1.processAllAvailable(); q1.stop()
+      val run1 = spark.read.parquet(outDir.toString).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      // run 2: resume from the same checkpoint; the second half ALSO
+      // retransmits run-1 events (cross-restart duplicates), so recovery
+      // must restore stage 1's seen-set AND stage 2's open sessions+timers
+      val crossRestartDups = raw.filter(unix_micros(col("ts")) <= cut)
+        .filter(col("event_id") % 5 === 0)
+      withRetrans.filter(unix_micros(col("ts")) > cut)
+        .unionAll(crossRestartDups).coalesce(1)
+        .write.mode("append").parquet(inPath.toString)
+      val q2 = start(); q2.processAllAvailable(); q2.stop()
+      val combined = spark.read.parquet(outDir.toString).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      // exactly-once: no session emitted twice across the restart
+      assert(combined.size == combined.toSet.size,
+        s"duplicate emissions after restart: ${combined.diff(combined.distinct).take(3)}")
+      assert(run1.subsetOf(combined.toSet))
+      // cross-restart retransmits were suppressed by the RECOVERED dedup
+      // state: the combined output equals one uninterrupted chained run
+      // (whose input had no cross-restart dups — stage 1 must erase them)
+      val single = StreamPipeline.runOnce(spark, sf001, "pipe_rs_single")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(combined.toSet == single,
+        s"missing=${(single -- combined.toSet).take(3)} extra=${(combined.toSet -- single).take(3)}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      Seq(inPath, java.nio.file.Paths.get(ckpt), outDir).foreach { p =>
+        Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+      }
+    }
+  }
+
   test("state-v2 TTL dedup: an expired hash re-emits (bounded-state semantics)") {
     import spark.implicits._
     val mk = (ids: Seq[Long]) => ids
