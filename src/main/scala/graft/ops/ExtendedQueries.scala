@@ -812,7 +812,7 @@ object ExtendedQueries {
     * executors a reliable checkpoint/staging write is the durable
     * variant) since it feeds the degree table, the orientation joins and
     * the edge count. */
-  private def basketEdges(s: org.apache.spark.sql.SparkSession,
+  private[graft] def basketEdges(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey"))
@@ -838,7 +838,7 @@ object ExtendedQueries {
   /** Degree-oriented triangle statistics over an undirected edge set
     * (a, b): 1 row of (n_nodes, n_edges, n_wedges, n_triangles,
     * all_wedges). See q_triangles for the algorithm and plan notes. */
-  private def triangleStats(
+  private[graft] def triangleStats(
       und: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     // callers pass a STAGED edge set (basketEdges localCheckpoints);
     // the sampled variant's filter re-runs narrowly over those staged
