@@ -17,6 +17,73 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalQueries {
 
+  /** q_image_neardup's confirmed pair set (doc_a, doc_b, ha, hb): dHash
+    * per payload, 3x21-bit Hamming-LSH band equi-join, exact popcount
+    * confirm at <= 4 of 63 — shared with q_image_clusters. */
+  private def dhashPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val BANDS = 3
+    val BAND_BITS = 21
+    val MASK = (1L << BAND_BITS) - 1
+    val TH = 4
+    val hashed = Tables.documents(s, d)
+      .filter(octet_length(col("text")) >= 64)
+      .select(col("doc_id"),
+        graft.functions.TextOps.dhash63(encode(col("text"), "UTF-8"))
+          .as("dhash"))
+    val bands = hashed.select(col("doc_id"), col("dhash"),
+      explode(array((0 until BANDS).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("dhash"), b * BAND_BITS).bitwiseAND(lit(MASK))
+            .as("bv"))): _*)).as("x"))
+      .select(col("doc_id"), col("dhash"), col("x.band"), col("x.bv"))
+    val rhs = bands.select(col("doc_id").as("doc_b"), col("dhash").as("hb"),
+      col("band").as("band2"), col("bv").as("bv2"))
+    bands.join(rhs, col("band") === col("band2") &&
+        col("bv") === col("bv2") && col("doc_id") < col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("doc_b"),
+        col("dhash").as("ha"), col("hb"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= TH)
+  }
+
+  /** The shared DuckDB CTE chain producing the same confirmed `pairs`
+    * table (doc_a, doc_b) — the exact integer replay of [[dhashPairs]]. */
+  private def dhashPairsCtes: String =
+    """d AS (
+      |  SELECT doc_id, text, strlen(text) AS L FROM documents
+      |  WHERE strlen(text) >= 64),
+      |cell AS (SELECT doc_id, text, L, i
+      |  FROM d, (SELECT unnest(range(0, 64)) AS i) r),
+      |lum AS (
+      |  SELECT doc_id, i,
+      |    CAST(list_sum(list_transform(
+      |      range((i*L)//64 + 1, ((i+1)*L)//64 + 1),
+      |      p -> ord(substr(text, CAST(p AS INTEGER), 1)))) AS BIGINT) AS lum
+      |  FROM cell),
+      |bits AS (
+      |  SELECT a.doc_id, a.i AS j,
+      |    CASE WHEN a.lum > b.lum THEN 1 ELSE 0 END AS bit
+      |  FROM lum a JOIN lum b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+      |h AS (
+      |  SELECT doc_id,
+      |    CAST(sum(bit * CAST(power(2, j) AS BIGINT)) AS BIGINT) AS dhash
+      |  FROM bits GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, dhash, j AS band,
+      |    (dhash // CAST(power(2, j*21) AS BIGINT)) % 2097152 AS bv
+      |  FROM h, (SELECT unnest(range(0, 3)) AS j) r),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.dhash AS ha, b.dhash AS hb
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+      |pairs AS (
+      |  SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+      |  FROM cand WHERE bit_count(xor(ha, hb)) <= 4)""".stripMargin
+
   /** STUB decode: deterministic pseudo-feature j from the payload digest
     * (hex nibble window scaled to [0, 1]). Real systems: image decode +
     * model forward pass here. */
@@ -105,66 +172,106 @@ object MultimodalQueries {
     // 214 candidates at 500 docs, 20.2k at 5000), and the confirm filter
     // is a codegen'd scalar on the joined rows.
     Q("q_image_neardup",
-      (s, d) => {
-        val BANDS = 3
-        val BAND_BITS = 21
-        val MASK = (1L << BAND_BITS) - 1
-        val TH = 4
-        val hashed = Tables.documents(s, d)
-          .filter(octet_length(col("text")) >= 64)
-          .select(col("doc_id"),
-            graft.functions.TextOps.dhash63(encode(col("text"), "UTF-8"))
-              .as("dhash"))
-        val bands = hashed.select(col("doc_id"), col("dhash"),
-          explode(array((0 until BANDS).map(b =>
-            struct(lit(b).as("band"),
-              shiftright(col("dhash"), b * BAND_BITS).bitwiseAND(lit(MASK))
-                .as("bv"))): _*)).as("x"))
-          .select(col("doc_id"), col("dhash"), col("x.band"), col("x.bv"))
-        val rhs = bands.select(col("doc_id").as("doc_b"), col("dhash").as("hb"),
-          col("band").as("band2"), col("bv").as("bv2"))
-        bands.join(rhs, col("band") === col("band2") &&
-            col("bv") === col("bv2") && col("doc_id") < col("doc_b"))
-          .select(col("doc_id").as("doc_a"), col("doc_b"),
-            col("dhash").as("ha"), col("hb"))
-          .distinct()
-          .withColumn("hamming",
-            bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
-          .filter(col("hamming") <= TH)
-          .select(col("doc_a"), col("doc_b"), col("hamming"))
-          .orderBy(col("doc_a"), col("doc_b"))
-      },
-      Some("""WITH d AS (
-         |  SELECT doc_id, text, strlen(text) AS L FROM documents
-         |  WHERE strlen(text) >= 64),
-         |cell AS (SELECT doc_id, text, L, i
-         |  FROM d, (SELECT unnest(range(0, 64)) AS i) r),
-         |lum AS (
-         |  SELECT doc_id, i,
-         |    CAST(list_sum(list_transform(
-         |      range((i*L)//64 + 1, ((i+1)*L)//64 + 1),
-         |      p -> ord(substr(text, CAST(p AS INTEGER), 1)))) AS BIGINT) AS lum
-         |  FROM cell),
-         |bits AS (
-         |  SELECT a.doc_id, a.i AS j,
-         |    CASE WHEN a.lum > b.lum THEN 1 ELSE 0 END AS bit
-         |  FROM lum a JOIN lum b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
-         |h AS (
-         |  SELECT doc_id,
-         |    CAST(sum(bit * CAST(power(2, j) AS BIGINT)) AS BIGINT) AS dhash
-         |  FROM bits GROUP BY doc_id),
-         |bands AS (
-         |  SELECT doc_id, dhash, j AS band,
-         |    (dhash // CAST(power(2, j*21) AS BIGINT)) % 2097152 AS bv
-         |  FROM h, (SELECT unnest(range(0, 3)) AS j) r),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    a.dhash AS ha, b.dhash AS hb
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
-         |FROM cand WHERE bit_count(xor(ha, hb)) <= 4
+      (s, d) => dhashPairs(s, d)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""WITH $dhashPairsCtes
+         |SELECT doc_a, doc_b, hamming FROM pairs
          |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Cluster roll-up of the image near-dup graph — q_dedup_components
+    // restated over the pixel domain (one keeper per perceptual cluster
+    // is what a 100 TB image-dedup pass actually emits): connected
+    // components over the confirmed dHash pairs via distributed
+    // min-label propagation (one equi-join + min-aggregate per round,
+    // lineage cut by eager localCheckpoints, O(diameter) rounds —
+    // measured 8 at sf0.1 over 875 nodes / 53 clusters, capped at 30
+    // with a loud failure, the componentLabels contract). The oracle is
+    // the recursive-CTE ground truth over the SAME pair table. Label =
+    // min doc_id in the component = the cluster keeper.
+    Q("q_image_clusters",
+      (s, d) => {
+        def ckpt(df: org.apache.spark.sql.DataFrame) = df.localCheckpoint(true)
+        val pairs = ckpt(dhashPairs(s, d).select(col("doc_a"), col("doc_b")))
+        val edges = ckpt(pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+        var labels = ckpt(edges.select(col("src").as("doc_id")).distinct()
+          .withColumn("label", col("doc_id")))
+        var changed = 1L
+        var iter = 0
+        while (changed > 0 && iter < 30) {
+          val prop = edges
+            .join(labels.select(col("doc_id").as("src"), col("label")), "src")
+            .groupBy(col("dst").as("doc_id"))
+            .agg(min(col("label")).as("nlabel"))
+          val next = ckpt(labels.join(prop, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              least(col("label"), coalesce(col("nlabel"), col("label"))).as("label")))
+          changed = next
+            .join(labels.select(col("doc_id"), col("label").as("old")), "doc_id")
+            .filter(col("label") =!= col("old")).count()
+          labels = next
+          iter += 1
+        }
+        require(changed == 0,
+          s"image-cluster labeling did not converge in $iter rounds")
+        labels.groupBy(col("label").as("component"))
+          .agg(count(lit(1)).as("size"), max(col("doc_id")).as("max_doc"))
+          .orderBy(col("component"))
+      },
+      Some(s"""WITH RECURSIVE $dhashPairsCtes,
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(doc, label) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc),
+         |lab AS (SELECT doc, min(label) AS label FROM reach GROUP BY doc)
+         |SELECT CAST(label AS BIGINT) AS component,
+         |  CAST(count(*) AS BIGINT) AS size,
+         |  CAST(max(doc) AS BIGINT) AS max_doc
+         |FROM lab GROUP BY label ORDER BY component""".stripMargin)),
+
+    // Frame-level dedup across payloads — "the same clip embedded in
+    // different videos": every payload splits into fixed 16-byte frames
+    // (ALL frames, unlike q_frame_sample's strided sampling), each frame
+    // fingerprints (md5), and a frame whose fingerprint occurs in >= 2
+    // DISTINCT payloads is shared content. Scale shape: one narrow
+    // explode (frames per row = len/16, bounded by payload size), one
+    // map-side-combinable groupBy on the fingerprint — shingle dedup
+    // over the media-frame domain; at 100 TB the fingerprint groupBy is
+    // the only corpus-scale shuffle, and the n_docs >= 2 filter runs
+    // inside the aggregate's output, never materializing singletons
+    // downstream. The oracle replays the identical substr arithmetic
+    // (ASCII payloads, so string and binary slicing agree).
+    Q("q_frame_dedup",
+      (s, d) => {
+        val FRAME = 16
+        val docs = Tables.documents(s, d)
+          .filter(octet_length(col("text")) >= FRAME)
+        docs.select(col("doc_id"),
+            explode(transform(
+              sequence(lit(0),
+                floor(octet_length(col("text")) / FRAME).cast("int") - 1),
+              i => md5(col("text").substr(i * FRAME + 1, lit(FRAME))))).as("fp"))
+          .groupBy(col("fp"))
+          .agg(count(lit(1)).as("n_occ"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            min(col("doc_id")).as("first_doc"))
+          .filter(col("n_docs") >= 2)
+          .orderBy(col("fp"))
+      },
+      Some("""WITH fr AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(0, CAST(strlen(text) // 16 AS INTEGER)),
+         |      i -> md5(substr(text, CAST(i*16 + 1 AS INTEGER), 16)))) AS fp
+         |  FROM documents WHERE strlen(text) >= 16)
+         |SELECT fp, CAST(count(*) AS BIGINT) AS n_occ,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(min(doc_id) AS BIGINT) AS first_doc
+         |FROM fr GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY fp""".stripMargin)),
 
     // Cross-modal retrieval join (SURVEY §7 M4 "multimodal join"): batch
     // kNN over the embedding corpus for 5 query vectors, enriched with the
