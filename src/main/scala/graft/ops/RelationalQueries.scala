@@ -778,6 +778,340 @@ object RelationalQueries {
          |GROUP BY 1
          |ORDER BY 1""".stripMargin)),
 
+    // TPC-H Q7's shape (volume shipping between two nations): the
+    // double-nation-dimension join — lineitem resolves its SUPPLIER's
+    // nation and its order's CUSTOMER's nation through two aliases of
+    // the same 25-row dim, with the (supp, cust) pair restricted to one
+    // unordered country pair. Plan shape: both nation aliases are
+    // PRE-FILTERED to the two names (partition-pruning the pair space)
+    // and broadcast; the pair disjunction rides as a post-join filter on
+    // 2x2 combinations; the date window reaches the lineitem scan.
+    Q("q7_nation_volume",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= to_timestamp(lit("1995-01-01 00:00:00")) &&
+            col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+        val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+        val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+        val pair = Seq("NATION_13", "NATION_19")
+        val n1 = Tables.nation(s, d).filter(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+        val n2 = Tables.nation(s, d).filter(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("snk"))
+          .join(broadcast(n2), col("c_nationkey") === col("cnk"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast("long").as("l_year"))
+          .agg(H.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+            count(lit(1)).as("n_lines"))
+          .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      },
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(date_part('year', l_shipdate) AS BIGINT) AS l_year,
+         |  CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+         |  CAST(count(*) AS BIGINT) AS n_lines
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         |  AND n1.n_name IN ('NATION_13', 'NATION_19')
+         |  AND n2.n_name IN ('NATION_13', 'NATION_19')
+         |  AND n1.n_name <> n2.n_name
+         |GROUP BY 1, 2, 3
+         |ORDER BY 1, 2, 3""".stripMargin)),
+
+    // TPC-H Q8's shape (national market share): per order-year, the
+    // revenue share supplied by ONE nation among lines of a part type
+    // sold to customers of ONE region — the conditional-sum-over-sum
+    // ratio (q14's parity pattern: both sums decimal-routed, ONE double
+    // division) on top of a 6-table star. Region/nation dims broadcast;
+    // the p_type filter reaches the part scan.
+    Q("q8_market_share",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val p = Tables.part(s, d).filter(col("p_type") === "LARGE")
+          .select(col("p_partkey"))
+        val ord = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= to_timestamp(lit("1995-01-01 00:00:00")) &&
+            col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+        val cnat = Tables.nation(s, d)
+          .select(col("n_nationkey").as("cnk"), col("n_regionkey"))
+        val reg = Tables.region(s, d).filter(col("r_name") === "EUROPE")
+          .select(col("r_regionkey"))
+        val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+        val snat = Tables.nation(s, d)
+          .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+        val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        li.join(p, col("l_partkey") === col("p_partkey"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(cnat), col("c_nationkey") === col("cnk"))
+          .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(snat), col("s_nationkey") === col("snk"))
+          .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(
+            (H.dsum(when(col("supp_nation") === "NATION_5", vol).otherwise(lit(0.0))) /
+              H.dsum(vol)).as("mkt_share"),
+            count(lit(1)).as("n_lines"))
+          .orderBy(col("o_year"))
+      },
+      Some("""SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS o_year,
+         |  CAST(sum(CAST(CASE WHEN n2.n_name = 'NATION_5'
+         |      THEN l_extendedprice*(1.0-l_discount) ELSE 0.0 END AS DECIMAL(25,6))) AS DOUBLE)
+         |    / CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+         |    AS mkt_share,
+         |  CAST(count(*) AS BIGINT) AS n_lines
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         |JOIN region ON n1.n_regionkey = r_regionkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         |WHERE p_type = 'LARGE' AND r_name = 'EUROPE'
+         |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // TPC-H Q10's shape (returned-item reporting): revenue lost to
+    // returns per customer in a quarter, top 20 — a 4-table join grouped
+    // on the customer identity, ordered by a computed measure with a
+    // LIMIT: the classic TakeOrderedAndProject top-k (never a global
+    // sort). Both engines order by the identically-computed
+    // decimal-routed revenue with the custkey tie-break.
+    Q("q10_returned_items",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        val ord = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+            col("o_orderdate") < to_timestamp(lit("1996-04-01 00:00:00")))
+          .select(col("o_orderkey"), col("o_custkey"))
+        val cust = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))
+        val nat = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+          .agg(H.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+            count(lit(1)).as("n_lines"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal, n_name,
+         |  CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+         |  CAST(count(*) AS BIGINT) AS n_lines
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+         |GROUP BY 1, 2, 3, 4
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
+    // TPC-H Q12's shape (shipping-priority split): per line class, how
+    // many LATE lines belonged to critical- vs normal-priority orders —
+    // the two-conditional-counts aggregate over a date-filtered join.
+    // Restated on the fixture schema: the group is l_linestatus (no
+    // l_shipmode) and "late" is shipped >= 80 days after the order date
+    // (no commit/receipt dates — q4's restatement, reused verbatim so
+    // the two queries' lateness semantics agree).
+    Q("q12_priority_class",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+            col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+        val ord = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        val late = col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 80 DAYS")
+        val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .filter(late)
+          .groupBy(col("l_linestatus"))
+          .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+            sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+          .orderBy(col("l_linestatus"))
+      },
+      Some("""SELECT l_linestatus,
+         |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_shipdate >= o_orderdate + INTERVAL 80 DAY
+         |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // TPC-H Q11's shape (important stock): per-part supply value from
+    // ONE nation's suppliers, kept only where it exceeds a SCALAR
+    // threshold computed from the whole filtered relation — the
+    // HAVING-above-global-subquery structure. The fixture has no
+    // partsupp, so supply value is restated as the decimal sum of
+    // l_extendedprice over the nation's lines, and the threshold is
+    // scale-free (2x the mean part value) instead of Q11's SF-dependent
+    // fraction — at any corpus size the query keeps the
+    // above-twice-average parts. The threshold is a 1-row aggregate
+    // cross-joined in (the q22 class); everything else is one keyed
+    // aggregate over the filtered join.
+    Q("q11_important_parts",
+      (s, d) => {
+        val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+        val nat = Tables.nation(s, d).filter(col("n_name") === "NATION_3")
+          .select(col("n_nationkey"))
+        val li = Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey"),
+          col("l_extendedprice"))
+        val natLines = li
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        val perPart = natLines.groupBy(col("l_partkey"))
+          .agg(H.dsum(col("l_extendedprice")).as("value"),
+            count(lit(1)).as("n_lines"))
+        val threshold = perPart.agg(
+          (H.dsum(col("value")) / count(lit(1)) * lit(2.0)).as("cut"))
+        perPart.join(threshold)
+          .filter(col("value") > col("cut"))
+          .select(col("l_partkey"), col("value"), col("n_lines"))
+          .orderBy(col("value").desc, col("l_partkey"))
+      },
+      Some("""WITH pp AS (
+         |  SELECT l_partkey,
+         |    CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS value,
+         |    CAST(count(*) AS BIGINT) AS n_lines
+         |  FROM lineitem
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  WHERE n_name = 'NATION_3'
+         |  GROUP BY 1),
+         |cut AS (
+         |  SELECT CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE)/count(*)*2.0 AS cut
+         |  FROM pp)
+         |SELECT l_partkey, value, n_lines FROM pp, cut
+         |WHERE value > cut
+         |ORDER BY value DESC, l_partkey""".stripMargin)),
+
+    // TPC-H Q2's shape (minimum-cost supplier): for each part in a
+    // size/type slice, the supplier(s) in one region achieving the
+    // MINIMUM cost — the correlated-min subquery, decorrelated the
+    // standard way into a per-part min aggregate joined back on
+    // (partkey, cost = min_cost). The fixture has no partsupp, so the
+    // supply relation is DERIVED from lineitem (a supplier supplies the
+    // parts it has shipped) with cost = min unit price observed — a raw
+    // column min, so the equality join-back compares bit-identical
+    // doubles on both engines. Region restriction prunes the supplier
+    // side before the per-part min; output is the Q2 ordering, top 100.
+    Q("q2_min_cost_supplier",
+      (s, d) => {
+        val p = Tables.part(s, d)
+          .filter(col("p_size") === 15 && col("p_type") === "STANDARD")
+          .select(col("p_partkey"), col("p_brand"))
+        val nat = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"),
+          col("n_regionkey"))
+        val reg = Tables.region(s, d).filter(col("r_name") === "EUROPE")
+          .select(col("r_regionkey"))
+        val sup = Tables.supplier(s, d)
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+        val supply = Tables.lineitem(s, d)
+          .join(p, col("l_partkey") === col("p_partkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("p_partkey"), col("p_brand"), col("s_suppkey"),
+            col("s_name"), col("s_acctbal"), col("n_name"))
+          .agg(min(col("l_extendedprice")).as("cost"))
+        val minCost = supply.groupBy(col("p_partkey").as("mk"))
+          .agg(min(col("cost")).as("min_cost"))
+        supply.join(minCost,
+            col("p_partkey") === col("mk") && col("cost") === col("min_cost"))
+          .select(col("s_acctbal"), col("s_name"), col("n_name"),
+            col("p_partkey"), col("p_brand"), col("cost"))
+          .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+          .limit(100)
+      },
+      Some("""WITH supply AS (
+         |  SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name,
+         |    min(l_extendedprice) AS cost
+         |  FROM lineitem
+         |  JOIN part ON l_partkey = p_partkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |  WHERE p_size = 15 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+         |  GROUP BY 1, 2, 3, 4, 5, 6),
+         |mc AS (SELECT p_partkey AS mk, min(cost) AS min_cost FROM supply GROUP BY 1)
+         |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, cost
+         |FROM supply JOIN mc ON p_partkey = mk AND cost = min_cost
+         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin)),
+
+    // TPC-H Q20's shape (excess-stock suppliers): suppliers of one
+    // nation who DOMINATE the supply of some part of a type slice — a
+    // semi-join chain whose inner condition compares a (part, supplier)
+    // aggregate against a correlated per-part aggregate. Restated
+    // without partsupp: 1996 shipped quantity per (part, supplier)
+    // exceeding HALF the part's total 1996 quantity (the
+    // dominant-supplier criterion — scale-free, unlike an absolute
+    // availqty cut). Quantities are integer-valued; both engines sum
+    // them as BIGINTs, so the 2x comparison is exact integer math.
+    // The qualifying suppkey set semi-joins into the nation's suppliers.
+    Q("q20_dominant_suppliers",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+            col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+        val p = Tables.part(s, d).filter(col("p_type") === "SMALL")
+          .select(col("p_partkey"))
+        val typed = li.join(p, col("l_partkey") === col("p_partkey"))
+          .select(col("l_partkey"), col("l_suppkey"),
+            col("l_quantity").cast("long").as("qty"))
+        val perPair = typed.groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(col("qty")).as("pair_qty"))
+        val perPart = typed.groupBy(col("l_partkey").as("pk"))
+          .agg(sum(col("qty")).as("part_qty"))
+        val dominant = perPair.join(perPart, col("l_partkey") === col("pk"))
+          .filter(col("pair_qty") * 2 > col("part_qty"))
+          .select(col("l_suppkey")).distinct()
+        val nat = Tables.nation(s, d).filter(col("n_name") === "NATION_3")
+          .select(col("n_nationkey"))
+        Tables.supplier(s, d)
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""WITH typed AS (
+         |  SELECT l_partkey, l_suppkey, CAST(l_quantity AS BIGINT) AS qty
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE p_type = 'SMALL'
+         |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'),
+         |pair AS (SELECT l_partkey, l_suppkey, CAST(sum(qty) AS BIGINT) AS pair_qty
+         |  FROM typed GROUP BY 1, 2),
+         |part_tot AS (SELECT l_partkey AS pk, CAST(sum(qty) AS BIGINT) AS part_qty
+         |  FROM typed GROUP BY 1),
+         |dom AS (SELECT DISTINCT l_suppkey FROM pair JOIN part_tot ON l_partkey = pk
+         |  WHERE pair_qty * 2 > part_qty)
+         |SELECT s_suppkey, s_name, s_acctbal
+         |FROM supplier
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE n_name = 'NATION_3'
+         |  AND EXISTS (SELECT 1 FROM dom WHERE dom.l_suppkey = s_suppkey)
+         |ORDER BY s_suppkey""".stripMargin)),
+
     // TPC-H Q4's shape: orders (in a half-year window) having AT LEAST
     // ONE late line, counted by priority. The fixture carries no
     // commit/receipt dates, so "late" is restated as shipped >= 80 days
