@@ -196,6 +196,32 @@ class IvfPqSpec extends SparkSpec {
     assert(new java.io.File(s"$dir/codebook_v2").exists())
   }
 
+  test("rebuild of an OPQ-built index re-trains and versions the rotation too") {
+    val emb = Tables.embeddings(spark, sf001)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-opq-rebuild").toString
+    IvfPqIndex.buildOpq(emb.filter(col("vec_id") < 250), dir)
+    val rotFrozen = IvfPqIndex.readRotation(spark, dir).get
+    IvfPqIndex.append(emb.filter(col("vec_id") >= 250), dir)
+
+    assert(IvfPqIndex.rebuild(emb, dir) == 1)
+    // the rotation sidecar is detected, re-trained AND archived
+    assert(new java.io.File(s"$dir/rotation_v1").exists())
+    assert(new java.io.File(s"$dir/codebook_v1").exists())
+    val rotNew = IvfPqIndex.readRotation(spark, dir).get
+    assert(rotNew.length == rotFrozen.length)
+    assert(rotNew.toSeq != rotFrozen.toSeq, "rotation did not re-train")
+    // codes live in the NEW coding space: re-encode one vector through
+    // the new rotation + codebook and compare at-rest bytes
+    val cbNew = spark.read.parquet(s"$dir/codebook")
+      .orderBy("idx").collect().map(_.getDouble(1))
+    val v300 = emb.filter(col("vec_id") === 300)
+      .select("embedding").collect().head.getSeq[Float](0).toArray
+    val rotated = VectorKernels.rotateFloat(v300, rotNew)
+    assert(spark.read.parquet(s"$dir/data").filter(col("vec_id") === 300)
+      .select("codes").collect().head.getAs[Array[Byte]](0).toSeq ==
+      VectorKernels.pqEncode(rotated, cbNew, M, K).toSeq)
+  }
+
   test("OPQ build: rotation sidecar roundtrips; codes and probe live in coding space") {
     val dir = java.nio.file.Files.createTempDirectory("ivfpq-opq").toString
     val emb = Tables.embeddings(spark, sf001)
