@@ -805,6 +805,77 @@ object ExtendedQueries {
          |  tri.n_triangles AS tri_sampled,
          |  CAST(tri.n_triangles * 1000 AS DOUBLE) / 27.0 AS est_triangles
          |FROM agg, ne, nw, tri"""))),
+
+    // PageRank over the market-basket graph — the canonical iterative
+    // distributed-graph workload (power iteration, damping 0.85, 5
+    // rounds), top-20 parts by rank. Per round each node ships
+    // r(u)/deg(u) along its out-edges and the receiver sums — one
+    // edge-keyed equi-join + one node-keyed aggregate per round, the
+    // textbook Pregel schedule expressed as DataFrames; eager
+    // localCheckpoints cut the 5-round lineage (at 1000 executors: a
+    // reliable checkpoint, same note as basketEdges). ORACLE PARITY for
+    // an iterative double computation: each round's neighbor sum is the
+    // one order-sensitive reduction, so every contribution is
+    // FLOOR-SCALED to the 2^-43 grid and summed as DECIMAL(38,0) —
+    // exact, order-free — before ONE double rescale (the P43 pattern);
+    // the scalar ops around it (1/N, 0.15/N, 0.85*s) are identical IEEE
+    // scalar arithmetic on identical inputs. DuckDB replays all 5 rounds
+    // as unrolled CTEs; ranks match bitwise and the top-20 needs no
+    // tolerance. The undirected basket graph has no dangling nodes
+    // (every node has out-degree >= 1), so no dangling redistribution
+    // term is needed.
+    Q("q_pagerank",
+      (s, d) => {
+        val P43 = 8796093022208.0
+        val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val und = basketEdges(s, d)
+        val edges = und.select(col("a").as("src"), col("b").as("dst"))
+          .union(und.select(col("b").as("src"), col("a").as("dst")))
+          .localCheckpoint(true)
+        val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("dd"))
+          .localCheckpoint(true)
+        val n = deg.count() // 1-row bounded driver value (node count)
+        var ranks = deg.select(col("src").as("node"),
+          (lit(1.0) / lit(n.toDouble)).as("r")).localCheckpoint(true)
+        for (_ <- 1 to 5) {
+          val contrib = edges
+            .join(ranks, col("src") === col("node"))
+            .join(deg, "src")
+            .select(col("dst"),
+              floor(col("r") / col("dd") * lit(P43)).cast(dec38).as("c"))
+          ranks = contrib.groupBy(col("dst").as("node"))
+            .agg((lit(0.15) / lit(n.toDouble) +
+              lit(0.85) * (sum(col("c")).cast("double") / lit(P43))).as("r"))
+            .localCheckpoint(true)
+        }
+        ranks.select(col("node"), col("r").as("pr"))
+          .orderBy(col("pr").desc, col("node"))
+          .limit(20)
+      },
+      Some {
+        val iters = (1 to 5).map { i =>
+          val prev = if (i == 1) "r0" else s"r${i - 1}"
+          s"""r$i AS (
+             |  SELECT e.dst AS node,
+             |    0.15/(SELECT nn FROM n) + 0.85*(CAST(sum(CAST(floor(p.r/dg.dd*8796093022208.0) AS DECIMAL(38,0))) AS DOUBLE)/8796093022208.0) AS r
+             |  FROM edges e JOIN $prev p ON e.src = p.node JOIN deg dg ON dg.src = e.src
+             |  GROUP BY e.dst)"""
+        }.mkString(",\n")
+        s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+           |und AS (
+           |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+           |  FROM li a JOIN li b
+           |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+           |edges AS (SELECT a AS src, b AS dst FROM und
+           |  UNION ALL SELECT b, a FROM und),
+           |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS dd
+           |  FROM edges GROUP BY 1),
+           |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM deg),
+           |r0 AS (SELECT src AS node, 1.0/nn AS r FROM deg, n),
+           |$iters
+           |SELECT node, r AS pr FROM r5
+           |ORDER BY r DESC, node LIMIT 20""".stripMargin
+      }),
   )
 
   /** The market-basket edge set (distinct canonical part pairs within an
