@@ -741,6 +741,54 @@ object ExtendedQueries {
          |    CAST(mn_ship AS DOUBLE), CAST(mx_ship AS DOUBLE), NULL, NULL FROM one) t
          |ORDER BY column_name""".stripMargin)),
 
+    // Per-group statistical outlier detection — the data-CLEANING step
+    // next to q_profile's data-DESCRIPTION: per event type, flag events
+    // whose value sits more than 3 sigma from the group mean, report
+    // the contamination count and the worst z-score. Two passes, both
+    // cheap: one map-side-combinable group aggregate for the exact
+    // moments (n, sum, sum-of-squares — decimal-routed so the reduction
+    // is order-free), then the group stats BROADCAST back (the group
+    // relation is event-type-sized, 5 rows at any SF) and z computed as
+    // a narrow projection. Parity: the only order-sensitive reductions
+    // are the two decimal sums; mean/var/std/z are identical IEEE
+    // scalar arithmetic on identical inputs, so the >3 flags and max
+    // |z| match bitwise with no tolerance.
+    Q("q_outliers",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+        val stats = ev.groupBy(col("event_type").as("et"))
+          .agg(count(lit(1)).as("n"),
+            H.dsum(col("value")).as("s1"),
+            H.dsum(col("value") * col("value")).as("s2"))
+          .select(col("et"), col("n"),
+            (col("s1") / col("n")).as("mean"),
+            sqrt(col("s2") / col("n") -
+              (col("s1") / col("n")) * (col("s1") / col("n"))).as("std"))
+        ev.join(broadcast(stats), col("event_type") === col("et"))
+          .select(col("event_type"), col("n"),
+            abs((col("value") - col("mean")) / col("std")).as("az"))
+          .groupBy(col("event_type"))
+          .agg(max(col("n")).as("n"),
+            sum(when(col("az") > 3.0, 1L).otherwise(0L)).as("n_outliers"),
+            max(col("az")).as("max_abs_z"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH st AS (
+         |  SELECT event_type AS et, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS s1,
+         |    CAST(sum(CAST(value*value AS DECIMAL(25,6))) AS DOUBLE) AS s2
+         |  FROM events GROUP BY 1),
+         |ms AS (
+         |  SELECT et, n, s1/n AS mean, sqrt(s2/n - (s1/n)*(s1/n)) AS std
+         |  FROM st),
+         |z AS (
+         |  SELECT e.event_type, ms.n, abs((e.value - ms.mean)/ms.std) AS az
+         |  FROM events e JOIN ms ON e.event_type = ms.et)
+         |SELECT event_type, max(n) AS n,
+         |  CAST(sum(CASE WHEN az > 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+         |  max(az) AS max_abs_z
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Distributed triangle counting over the market-basket graph (parts
     // co-occurring in an order) — the canonical cyclic multi-way
     // self-join, via the DEGREE-ORIENTED algorithm (Suri &
