@@ -605,10 +605,76 @@ object PqQueries {
        |FROM exact""".stripMargin
   }
 
+  /** Residual-PQ candidate generation — the actual FAISS IVF-PQ coding
+    * (Jegou et al. 2011 §III-A): codes quantize the RESIDUAL
+    * r = x - c(cell) from the coarse centroid instead of x itself.
+    * Residuals have far smaller variance than raw vectors, so the same
+    * M x K codebook budget spends its centroids on a tighter cloud and
+    * the ADC approximation improves at identical code size. The
+    * approximate score decomposes as q·x ~= q·c(cell) + ADC(codes,
+    * lut(q)): the per-(query, cell) constant comes from a tiny
+    * queries x cells relation (broadcast), the residual term from the
+    * SAME global LUT machinery as plain PQ — per-row cost is unchanged.
+    * Candidates are exact-rescored as in pqTop3. */
+  def residualTop3(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cent = graft.store.IvfIndex.labelCentroids(emb, "residualTop3")
+    val asg = graft.store.IvfIndex.assignCells(emb, cent)
+    val resid = asg.join(broadcast(cent), "cell")
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("embedding"), col("centroid"),
+          (x, c) => (x.cast("double") - c).cast("float")).as("embedding"))
+      .localCheckpoint(true) // two consumers: training sample + encode
+    val cb = trainCodebookOn(resid.select(col("vec_id"), col("embedding")))
+    val codes = resid.select(col("vec_id"), col("cell"),
+      VectorOps.pqEncode(col("embedding"), cb, M, K).as("codes"))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        VectorOps.pqLut(col("embedding"), cb, M, K).as("lut"))
+    val qc = queries.select(col("qid"), col("qe")).crossJoin(broadcast(cent))
+      .select(col("qid"), col("cell"),
+        aggregate(zip_with(col("qe"), col("centroid"),
+          (x, c) => x.cast("double") * c), lit(0.0), (a, x) => a + x).as("qc"))
+    val cand = codes
+      .join(broadcast(queries.select(col("qid"), col("lut"))),
+        col("vec_id") =!= col("qid"))
+      .join(broadcast(qc), Seq("qid", "cell"))
+      .select(col("qid"), col("vec_id"),
+        (col("qc") + VectorOps.pqAdc(col("codes"), col("lut"), K)).as("adc"))
+      .groupBy(col("qid"))
+      .agg(VectorOps.topK(col("adc"), col("vec_id"), CandK).as("top"))
+      .select(col("qid"), explode(col("top")).as("t"))
+      .select(col("qid"), col("t.vec_id").as("vec_id"))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val rescored = cand
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("vec_id"),
+        VectorOps.cosineFloat(col("qe"), col("embedding")).as("score"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+    rescored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("qid"), col("vec_id"), col("score"))
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_pq_recall",
       (s, d) => recallInvariants(s, d,
         pqTop3(s, d).select(col("qid"), col("vec_id")), PqRecallFloor, None),
+      Some(recallOracleSql(None))),
+
+    // Residual coding under the q_pq_recall oracle contract: same
+    // invariant-reduced oracle (constant-1 invariants + the exact
+    // companions DuckDB recomputes), gating the whole
+    // assign->residual->train->encode->(q·c + ADC)->rescore path. The
+    // recall floor matches PqRecallFloor — the claim residual coding
+    // exists for (better approximation at the same code budget) is
+    // asserted relative to plain PQ in PqSpec, where both paths run on
+    // the same corpus and the residual candidates' recall must not
+    // regress.
+    Q("q_residual_recall",
+      (s, d) => recallInvariants(s, d,
+        residualTop3(s, d).select(col("qid"), col("vec_id")), PqRecallFloor, None),
       Some(recallOracleSql(None))),
 
     // OPQ: rotation-optimized PQ (Ge et al. 2013). Same invariant-reduced

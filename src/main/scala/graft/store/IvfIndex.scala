@@ -26,7 +26,7 @@ object IvfIndex {
   /** Per-label mean centroids with the null-cell guard — the coarse
     * quantizer shared by this index and IvfPqIndex. `emb` needs
     * (label, embedding). */
-  private[store] def labelCentroids(emb: DataFrame, caller: String): DataFrame = {
+  private[graft] def labelCentroids(emb: DataFrame, caller: String): DataFrame = {
     require(!emb.isEmpty, s"$caller: empty corpus — nothing to index")
     // derive dim from the data instead of assuming the fixture's 64
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
@@ -128,7 +128,7 @@ object IvfIndex {
   /** Nearest-centroid assignment (broadcast centroids, deterministic
     * cell-id tie-break): (vec_id, embedding, cell) — shared with
     * IvfPqIndex, which projects codes before its write. */
-  private[store] def assignCells(emb: DataFrame, cent: DataFrame): DataFrame = {
+  private[graft] def assignCells(emb: DataFrame, cent: DataFrame): DataFrame = {
     val cosQC = {
       val dot = aggregate(zip_with(col("embedding"), col("centroid"),
         (x, c) => x.cast("double") * c), lit(0.0), (a, x) => a + x)

@@ -148,6 +148,33 @@ class IvfPqSpec extends SparkSpec {
     assert(stored == expected)
   }
 
+  test("residual coding does not regress recall vs plain PQ at the same code budget") {
+    // the property residual coding exists for (Jegou et al. 2011):
+    // quantizing x - c(cell) spends the same M x K budget on a
+    // lower-variance cloud. Both candidate paths run on the same corpus
+    // against the same exact top-3; recall@3 of the residual path must
+    // be >= plain PQ's minus a 1-hit slack (30 exact hits total).
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.PqQueries
+    val emb = Tables.embeddings(spark, sf001)
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val sc = q.join(emb.select(col("vec_id"), col("embedding")),
+        col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        graft.functions.VectorOps.cosineFloat(col("qe"), col("embedding")).as("score"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+    val exact = sc.withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") <= 3).select(col("qid"), col("vec_id"))
+    def hits(approx: org.apache.spark.sql.DataFrame): Long =
+      exact.join(approx.select(col("qid"), col("vec_id")),
+        Seq("qid", "vec_id"), "left_semi").count()
+    val plain = hits(PqQueries.pqTop3(spark, sf001))
+    val residual = hits(PqQueries.residualTop3(spark, sf001))
+    assert(residual >= plain - 1,
+      s"residual recall regressed: $residual vs plain $plain of ${exact.count()} hits")
+  }
+
   test("rebuild re-trains codebook + centroids on the current corpus and versions both") {
     val emb = Tables.embeddings(spark, sf001)
     val dir = java.nio.file.Files.createTempDirectory("ivfpq-rebuild").toString
