@@ -63,10 +63,59 @@ object IvfPqIndex {
     assignEncodeWrite(emb, cent, cb, Some(rot), path, SaveMode.Overwrite)
   }
 
+  /** As build, with RESIDUAL coding (the actual FAISS IVF-PQ design,
+    * Jegou et al. 2011 SIII-A): codes quantize r = x - c(cell) instead
+    * of x, so the M x K budget spends its centroids on the residual
+    * cloud's far smaller variance — better ADC approximation at the
+    * SAME code size and scan cost. A `residual/` marker sidecar is the
+    * format flag (the rotation-dir pattern); probes add the
+    * per-(query, cell) constant q·c back to the ADC score. Mutually
+    * exclusive with the OPQ rotation. */
+  def buildResidual(emb: DataFrame, path: String): Unit = {
+    val spark = emb.sparkSession
+    val cent = IvfIndex.labelCentroids(emb, "IvfPqIndex.buildResidual")
+    cent.write.mode("overwrite").parquet(s"$path/centroids")
+    val resid = residualsOf(emb, cent).localCheckpoint(true)
+    val cb = PqQueries.trainCodebookOn(
+      resid.select(col("vec_id"), col("embedding")))
+    writeCodebook(spark, cb, path)
+    writeResidualMarker(spark, path)
+    encodeResidualWrite(resid, cb, path, SaveMode.Overwrite)
+  }
+
+  /** (vec_id, cell, embedding = x - c(cell) as float) — the residual
+    * corpus both the codebook training and the encode consume. */
+  private def residualsOf(emb: DataFrame, cent: DataFrame): DataFrame =
+    IvfIndex.assignCells(emb, cent).join(broadcast(cent), "cell")
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("embedding"), col("centroid"),
+          (x, c) => (x.cast("double") - c).cast("float")).as("embedding"))
+
+  private def encodeResidualWrite(resid: DataFrame, cb: Array[Double],
+      path: String, mode: SaveMode, dataDir: String = "data"): Unit =
+    resid.select(col("vec_id"),
+        VectorOps.pqEncode(col("embedding"), cb, PqQueries.M, PqQueries.K).as("codes"),
+        col("cell"))
+      .write.mode(mode).partitionBy("cell").parquet(s"$path/$dataDir")
+
+  private def writeResidualMarker(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    Seq(1).toDF("residual").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/residual")
+  }
+
+  /** The residual format flag (presence of `residual/` — old indexes
+    * read unchanged). */
+  def isResidual(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/residual")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Incremental append: encode against the FROZEN saved codebook (and
     * rotation, if the index is OPQ-built), assign against the frozen
     * centroids, append to cell partitions (existing files untouched —
-    * same contract as IvfIndex.append). */
+    * same contract as IvfIndex.append). A residual-built index encodes
+    * the residual against the frozen centroids + codebook. */
   def append(emb: DataFrame, path: String): Unit = {
     if (emb.isEmpty) return
     val spark = emb.sparkSession
@@ -87,7 +136,10 @@ object IvfPqIndex {
   def append(emb: DataFrame, path: String, cent: DataFrame,
              cb: Array[Double], rot: Option[Array[Double]]): Unit = {
     if (emb.isEmpty) return
-    assignEncodeWrite(emb, cent, cb, rot, path, SaveMode.Append)
+    if (isResidual(emb.sparkSession, path)) {
+      require(rot.isEmpty, "residual and OPQ coding are mutually exclusive")
+      encodeResidualWrite(residualsOf(emb, cent), cb, path, SaveMode.Append)
+    } else assignEncodeWrite(emb, cent, cb, rot, path, SaveMode.Append)
   }
 
   /** ADC probe: rank centroids, scan ONLY the top-`nprobe` cells' code
@@ -105,10 +157,29 @@ object IvfPqIndex {
     }
     val lut = graft.functions.VectorKernels.pqLut(codingQuery, cb,
       PqQueries.M, PqQueries.K)
-    spark.read.parquet(s"$path/data")
+    val scan = spark.read.parquet(s"$path/data")
       .filter(col("cell").isin(cells: _*))
-      .select(col("vec_id"),
-        VectorOps.pqAdc(col("codes"), typedLit(lut), PqQueries.K).as("adc"))
+    val adc =
+      if (!isResidual(spark, path))
+        VectorOps.pqAdc(col("codes"), typedLit(lut), PqQueries.K)
+      else {
+        // residual decomposition q·x ~= q·c(cell) + ADC: the per-cell
+        // constant is nprobe dot products against the sidecar (driver
+        // math on a bounded relation), folded in as a when-chain
+        val consts = spark.read.parquet(s"$path/centroids")
+          .filter(col("cell").isin(cells: _*)).collect()
+          .map { r =>
+            val c = r.getSeq[Double](1)
+            var dot = 0.0
+            var i = 0
+            while (i < query.length) { dot += query(i).toDouble * c(i); i += 1 }
+            r.getInt(0) -> dot
+          }
+        consts.foldLeft(lit(0.0)) { case (acc, (cell, qc)) =>
+          when(col("cell") === cell, qc).otherwise(acc)
+        } + VectorOps.pqAdc(col("codes"), typedLit(lut), PqQueries.K)
+      }
+    scan.select(col("vec_id"), adc.as("adc"))
       .orderBy(col("adc").desc, col("vec_id"))
       .limit(k)
   }
@@ -139,10 +210,26 @@ object IvfPqIndex {
   def rebuild(emb: DataFrame, path: String): Int = {
     val spark = emb.sparkSession
     val wasOpq = readRotation(spark, path).isDefined
+    val cent = IvfIndex.labelCentroids(emb, "IvfPqIndex.rebuild")
+    if (isResidual(spark, path)) {
+      // residual tier: residuals against the NEW centroids, codebook
+      // re-trained on them; the marker sidecar is format, not a frozen
+      // artifact — it stays
+      require(!wasOpq, "residual and OPQ coding are mutually exclusive")
+      val resid = residualsOf(emb, cent).localCheckpoint(true)
+      val cb = PqQueries.trainCodebookOn(
+        resid.select(col("vec_id"), col("embedding")))
+      encodeResidualWrite(resid, cb, path, SaveMode.Overwrite,
+        dataDir = "data_rebuild")
+      val v = IvfIndex.versionSidecars(spark, path, Seq("centroids", "codebook"))
+      writeCodebook(spark, cb, path)
+      cent.write.mode("overwrite").parquet(s"$path/centroids")
+      IvfIndex.swapData(spark, path)
+      return v
+    }
     val (rot, cb) =
       if (wasOpq) { val (r, c) = PqQueries.trainOpqOn(emb); (Some(r), c) }
       else (None, PqQueries.trainCodebookOn(emb))
-    val cent = IvfIndex.labelCentroids(emb, "IvfPqIndex.rebuild")
     // stage first: the staged write reads only `emb` + the new artifacts,
     // so the live layout keeps serving until the swap
     assignEncodeWrite(emb, cent, cb, rot, path, SaveMode.Overwrite,

@@ -148,6 +148,67 @@ class IvfPqSpec extends SparkSpec {
     assert(stored == expected)
   }
 
+  test("residual-built index at rest: marker, frozen-encode append, probe replay, rebuild") {
+    val emb = Tables.embeddings(spark, sf001)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-residual").toString
+    IvfPqIndex.buildResidual(emb.filter(col("vec_id") < 250), dir)
+    assert(IvfPqIndex.isResidual(spark, dir))
+    val cents = spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    val cbFrozen = spark.read.parquet(s"$dir/codebook")
+      .orderBy("idx").collect().map(_.getDouble(1))
+
+    // append encodes the RESIDUAL against the frozen artifacts
+    IvfPqIndex.append(emb.filter(col("vec_id") >= 250), dir)
+    val data = spark.read.parquet(s"$dir/data")
+    assert(data.count() == emb.count())
+    val r300 = data.filter(col("vec_id") === 300)
+      .select("codes", "cell").collect().head
+    val v300 = emb.filter(col("vec_id") === 300)
+      .select("embedding").collect().head.getSeq[Float](0).toArray
+    val c300 = cents(r300.getInt(1))
+    val resid300 = v300.indices.map(i => (v300(i) - c300(i)).toFloat).toArray
+    assert(r300.getAs[Array[Byte]](0).toSeq ==
+      VectorKernels.pqEncode(resid300, cbFrozen, M, K).toSeq)
+
+    // probe = driver replay of q·c(cell) + ADC over the probed cells
+    val q = v300
+    val cells = IvfPqIndex.probedCells(spark, dir, q, nprobe = 2)
+    val lut = VectorKernels.pqLut(q, cbFrozen, M, K)
+    def dot(a: Array[Float], c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * c(i); i += 1 }; s
+    }
+    val expected = data.filter(col("cell").isin(cells: _*))
+      .select("vec_id", "codes", "cell").collect()
+      .map(r => (r.getLong(0),
+        dot(q, cents(r.getInt(2))) + VectorKernels.pqAdc(r.getAs[Array[Byte]](1), lut, K)))
+      .sortBy { case (id, adc) => (-adc, id) }
+      .take(5)
+    val got = IvfPqIndex.probe(spark, dir, q, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == expected.toSeq)
+
+    // rescored two-stage equals the exact cell-restricted search
+    val inCells = data.filter(col("cell").isin(cells: _*)).select("vec_id")
+    val exact = emb.join(inCells, "vec_id")
+      .select(col("vec_id"),
+        VectorOps.cosineFloat(typedLit(q), col("embedding")).as("score"))
+      .orderBy(col("score").desc, col("vec_id")).limit(5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val rescored = IvfPqIndex.probeRescored(spark, dir, q, emb,
+        k = 5, candK = 100000, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rescored.toSeq == exact.toSeq)
+
+    // rebuild keeps the residual format, versions both trained sidecars
+    assert(IvfPqIndex.rebuild(emb, dir) == 1)
+    assert(IvfPqIndex.isResidual(spark, dir))
+    assert(new java.io.File(s"$dir/codebook_v1").exists())
+    assert(new java.io.File(s"$dir/centroids_v1").exists())
+    assert(spark.read.parquet(s"$dir/data").count() == emb.count())
+  }
+
   test("residual coding does not regress recall vs plain PQ at the same code budget") {
     // the property residual coding exists for (Jegou et al. 2011):
     // quantizing x - c(cell) spends the same M x K budget on a
