@@ -932,7 +932,14 @@ object ExtendedQueries {
           .localCheckpoint(true)
         val n = deg.count() // 1-row bounded driver value (node count)
         var ranks = deg.select(col("src").as("node"),
-          (lit(1.0) / lit(n.toDouble)).as("r")).localCheckpoint(true)
+          (lit(1.0) / lit(n.toDouble)).as("r"))
+        // the 5-round plan stays ONE lazy chain: each round's ranks feed
+        // the next exactly once and edges/deg are already checkpointed,
+        // so nothing recomputes (measured equal to per-round eager
+        // checkpoints at sf0.1 — 4.06 vs 4.27 s isolated min; the cost
+        // is the edge build + the 5 keyed shuffles, not lineage). A
+        // deep-iteration variant (10s of rounds) would checkpoint every
+        // ~5 rounds to bound plan depth.
         for (_ <- 1 to 5) {
           val contrib = edges
             .join(ranks, col("src") === col("node"))
@@ -942,7 +949,6 @@ object ExtendedQueries {
           ranks = contrib.groupBy(col("dst").as("node"))
             .agg((lit(0.15) / lit(n.toDouble) +
               lit(0.85) * (sum(col("c")).cast("double") / lit(P43))).as("r"))
-            .localCheckpoint(true)
         }
         ranks.select(col("node"), col("r").as("pr"))
           .orderBy(col("pr").desc, col("node"))
