@@ -61,6 +61,18 @@ object Bench {
     }
     System.gc()
 
+    // The basket edge-set build, same contract: the edges memo
+    // (ExtendedQueries.basketEdges) means the three graph queries
+    // (q_triangles / q_triangles_sampled / q_pagerank) consume a
+    // prebuilt index during the sweep — this line is the build cost.
+    graft.ops.ExtendedQueries.clearBasketEdges(spark)
+    val edgesBuildSec = {
+      val t0 = System.nanoTime()
+      graft.ops.ExtendedQueries.basketEdges(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    System.gc()
+
     // Min-of-3 per query: the r4->r5 sweep comparison showed ±2-4x
     // POSITIONAL variance on unchanged plans (q_rollup 2.1->5.6->2.2s,
     // q_ntile 0.8->2.3->0.4s across three rounds of identical code —
@@ -176,7 +188,7 @@ object Bench {
       else servingReps.toSeq.sortBy(_._1).map { case (k, reps) =>
         f""""$k":[${reps.min}%.0f,${reps.max}%.0f]"""
       }.mkString(""""serving_variance":{""", ",", "}")
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","protocol":2,"reps":$REPS,"stat":"min","n_queries":${results.size},"total_median":$totalMedian%.3f,"labels_build_sec":$labelsBuildSec%.3f,"queries":$qs,"ref_search_qps_50k":$refQpsLocal%.0f,"ref_batch_qps_50k":$refQpsBatch%.0f,"ref_concurrent_qps_50k":$refQpsConc%.0f,"ref_pq_qps_50k":$refQpsPq%.0f,"ref_bq_qps_50k":$refQpsBq%.0f,"baseline_ref_qps_50k":1100,$servingVar,$servingIso,$moversJson,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","protocol":2,"reps":$REPS,"stat":"min","n_queries":${results.size},"total_median":$totalMedian%.3f,"labels_build_sec":$labelsBuildSec%.3f,"edges_build_sec":$edgesBuildSec%.3f,"queries":$qs,"ref_search_qps_50k":$refQpsLocal%.0f,"ref_batch_qps_50k":$refQpsBatch%.0f,"ref_concurrent_qps_50k":$refQpsConc%.0f,"ref_pq_qps_50k":$refQpsPq%.0f,"ref_bq_qps_50k":$refQpsBq%.0f,"baseline_ref_qps_50k":1100,$servingVar,$servingIso,$moversJson,"sf":"$sfDir"}"""
     // Compact headline (no per-query map): same schema minus "queries",
     // printed BEFORE and AFTER the full object. The driver's capture
     // window keeps a bounded TAIL of stdout (r7 and r8 both lost the full
@@ -188,7 +200,7 @@ object Bench {
     // so exactly ONE emitted line has "metric":"total" — a consumer
     // grepping the metric key can no longer pick up a field-reduced
     // headline copy in place of the full object.
-    val headline = f"""{"metric":"total_headline","value":$total%.3f,"unit":"sec","protocol":2,"reps":$REPS,"stat":"min","n_queries":${results.size},"headline":true,"labels_build_sec":$labelsBuildSec%.3f,"ref_search_qps_50k":$refQpsLocal%.0f,"ref_batch_qps_50k":$refQpsBatch%.0f,"ref_concurrent_qps_50k":$refQpsConc%.0f,"ref_pq_qps_50k":$refQpsPq%.0f,"ref_bq_qps_50k":$refQpsBq%.0f,"baseline_ref_qps_50k":1100,$servingVar,$servingIso,"sf":"$sfDir"}"""
+    val headline = f"""{"metric":"total_headline","value":$total%.3f,"unit":"sec","protocol":2,"reps":$REPS,"stat":"min","n_queries":${results.size},"headline":true,"labels_build_sec":$labelsBuildSec%.3f,"edges_build_sec":$edgesBuildSec%.3f,"ref_search_qps_50k":$refQpsLocal%.0f,"ref_batch_qps_50k":$refQpsBatch%.0f,"ref_concurrent_qps_50k":$refQpsConc%.0f,"ref_pq_qps_50k":$refQpsPq%.0f,"ref_bq_qps_50k":$refQpsBq%.0f,"baseline_ref_qps_50k":1100,$servingVar,$servingIso,"sf":"$sfDir"}"""
     println(headline)
     println(line)
     println(headline)

@@ -981,11 +981,49 @@ object ExtendedQueries {
   )
 
   /** The market-basket edge set (distinct canonical part pairs within an
-    * order) — q_triangles' graph, staged once (localCheckpoint; at 1000
-    * executors a reliable checkpoint/staging write is the durable
-    * variant) since it feeds the degree table, the orientation joins and
-    * the edge count. */
+    * order) — the shared graph input of q_triangles, q_triangles_sampled
+    * AND q_pagerank, staged once (localCheckpoint; at 1000 executors a
+    * reliable checkpoint/staging write is the durable variant) and
+    * MEMOIZED per (session, dir, data-mtime) exactly like
+    * TextQueries.componentLabels: the three graph queries consume a
+    * prebuilt edge index during a sweep, their per-query numbers are the
+    * algorithm cost, and Bench reports the build as its own
+    * edges_build_sec line (cleared first so it is actually measured).
+    * Same hygiene: stopped-session entries purged on access, a rewritten
+    * lineitem.parquet evicts the stale entry, clearBasketEdges gives
+    * benches/services deterministic release of the checkpoint blocks. */
   private[graft] def basketEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    edgesCache.filterInPlace { case ((sess, _, _), _) => !sess.sparkContext.isStopped }
+    val key = (s, d, lineitemMtime(s, d))
+    edgesCache.keys.filter(k => k._1 == s && k._2 == d && k != key)
+      .foreach(k => edgesCache.remove(k).foreach(_.release()))
+    edgesCache.getOrElseUpdate(key, EdgeEntry(buildBasketEdges(s, d))).df
+  }
+
+  /** Deterministically drop every cached edge set (and its checkpoint
+    * blocks) for `s`. */
+  def clearBasketEdges(s: org.apache.spark.sql.SparkSession): Unit =
+    edgesCache.keys.filter(_._1 == s)
+      .foreach(k => edgesCache.remove(k).foreach(_.release()))
+
+  private val edgesCache = scala.collection.mutable.Map
+    .empty[(org.apache.spark.sql.SparkSession, String, Long), EdgeEntry]
+
+  private final case class EdgeEntry(df: org.apache.spark.sql.DataFrame) {
+    def release(): Unit = df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ =>
+    }
+  }
+
+  private def lineitemMtime(s: org.apache.spark.sql.SparkSession, d: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/lineitem.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    try fs.getFileStatus(p).getModificationTime catch { case _: Exception => 0L }
+  }
+
+  private def buildBasketEdges(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey"))
