@@ -398,6 +398,36 @@ object TextQueries {
          |  CAST(max(doc) AS BIGINT) AS max_doc
          |FROM lab GROUP BY label ORDER BY component""".stripMargin)),
 
+    // Pointer-jumping (path-doubling) components over the SAME candidate
+    // graph — the O(log diameter) answer to chain-shaped duplicate runs
+    // where plain propagation needs a round per hop (and fails loudly at
+    // its round cap rather than emit wrong labels). Each round adds one
+    // node-keyed self-join (`label := label(label)`) on top of the
+    // propagation step, at least halving the remaining pointer depth:
+    // 2x the per-round shuffle buys exponentially fewer rounds. Same
+    // recursive-CTE oracle as q_dedup_components, so the driver gate
+    // proves algorithm-equivalence, and GraphOpsSpec pins the round-count
+    // separation (64-node chain: 7 doubling rounds vs 64 propagation).
+    // At 100 TB: dense dup clusters -> propagation (fewer joins/round);
+    // long chains / unknown topology -> doubling (bounded rounds).
+    Q("q_cc_doubling",
+      (s, d) => {
+        val pairs = minhashPairs(s, d).localCheckpoint(true)
+        val edges = pairs
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+          .localCheckpoint(true)
+        val (labels, _) = GraphOps.doublingLabels(edges, maxIter = 12)
+        labels.groupBy(col("label").as("component"))
+          .agg(count(lit(1)).as("size"), max(col("doc_id")).as("max_doc"))
+          .orderBy(col("component"))
+      },
+      Some(s"""WITH RECURSIVE $componentCtes
+         |SELECT CAST(label AS BIGINT) AS component,
+         |  CAST(count(*) AS BIGINT) AS size,
+         |  CAST(max(doc) AS BIGINT) AS max_doc
+         |FROM lab GROUP BY label ORDER BY component""".stripMargin)),
+
     // Keeper selection — the ACTIONABLE output of the dedup pipeline: one
     // keeper per duplicate cluster (longest text, doc_id tiebreak), every
     // other member a drop. Join of the component labels with the documents
