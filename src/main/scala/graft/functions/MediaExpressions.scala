@@ -65,6 +65,48 @@ object MediaKernels {
 
   /** binary -> 63-bit linearized dHash (byte-slice luminance). */
   def byteDHash63(payload: Array[Byte]): Long = packDHash(byteLumGrid(payload))
+
+  /** Per-block unsigned-byte sums over `blocks` equal slices of the
+    * payload — the same floor-slice formula as [[byteLumGrid]] with a
+    * caller-chosen grid. The per-FRAME feature of the scene-cut detector
+    * (4 blocks over a 16-byte frame = exact 4-byte quarters, which is
+    * what the DuckDB oracle replays with ord/substr sums). */
+  def byteBlockSums(payload: Array[Byte], blocks: Int): Array[Long] = {
+    val len = payload.length
+    val out = new Array[Long](blocks)
+    var i = 0
+    while (i < blocks) {
+      var p = (i.toLong * len / blocks).toInt
+      val end = ((i + 1).toLong * len / blocks).toInt
+      var s = 0L
+      while (p < end) { s += payload(p) & 0xff; p += 1 }
+      out(i) = s
+      i += 1
+    }
+    out
+  }
+
+  /** ArrayData adapters for the codegen'd expressions. */
+  def byteBlockSumsAD(payload: Array[Byte], blocks: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      byteBlockSums(payload, blocks))
+
+  def l1DistAD(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Long =
+    l1Dist(a.toLongArray(), b.toLongArray())
+
+  /** L1 distance between two equal-length long vectors. Lengths must
+    * match — a silent min-length compare would report a WRONG distance
+    * (the hammingPacked lesson). */
+  def l1Dist(a: Array[Long], b: Array[Long]): Long = {
+    require(a.length == b.length,
+      s"l1Dist: length mismatch ${a.length} vs ${b.length}")
+    var s = 0L
+    var i = 0
+    while (i < a.length) { s += math.abs(a(i) - b(i)); i += 1 }
+    s
+  }
 }
 
 /** binary -> bigint: 63-bit linearized dHash over the byte-slice luminance
@@ -87,4 +129,58 @@ case class DHash63Expr(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(c: Expression): DHash63Expr =
     copy(child = c)
+}
+
+/** binary -> array<bigint>: per-block unsigned-byte sums over `blocks`
+  * equal slices (MediaKernels.byteBlockSums) — the per-frame feature of
+  * the scene-cut detector, inside WholeStageCodegen. */
+case class BlockSumsExpr(child: Expression, blocks: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType if blocks > 0 => TypeCheckResult.TypeCheckSuccess
+    case BinaryType => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires blocks > 0, got $blocks")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "block_sums"
+
+  override def nullSafeEval(v: Any): Any =
+    MediaKernels.byteBlockSumsAD(v.asInstanceOf[Array[Byte]], blocks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MediaKernels.byteBlockSumsAD($c, $blocks)")
+
+  override protected def withNewChildInternal(c: Expression): BlockSumsExpr =
+    copy(child = c)
+}
+
+/** (array<bigint>, array<bigint>) -> bigint: exact L1 distance; raises on
+  * length mismatch rather than silently comparing a prefix. */
+case class L1DistExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint>, got ${l.catalogString}, ${r.catalogString}")
+    }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "l1_dist"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    MediaKernels.l1DistAD(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.MediaKernels.l1DistAD($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): L1DistExpr = copy(left = l, right = r)
 }

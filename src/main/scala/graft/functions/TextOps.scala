@@ -52,6 +52,14 @@ object TextOps {
     * repetition statistics (Gopher-style repetition quality signals). */
   def repStats(toks: Column): Column = c(RepStatsExpr(e(toks)))
 
+  /** binary -> array<bigint>: per-block unsigned-byte sums over `blocks`
+    * equal slices — the per-frame profile of the scene-cut detector. */
+  def blockSums(payload: Column, blocks: Int): Column =
+    c(BlockSumsExpr(e(payload), blocks))
+
+  /** (array<bigint>, array<bigint>) -> bigint exact L1 distance. */
+  def l1Dist(a: Column, b: Column): Column = c(L1DistExpr(e(a), e(b)))
+
   /** bigint -> boolean: probe a (broadcast-sized) Bloom filter — the
     * codegen'd membership scan for sketch-side decontamination/blocklists. */
   def bloomMightContain(key: Column,

@@ -273,6 +273,89 @@ object MultimodalQueries {
          |FROM fr GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
          |ORDER BY fp""".stripMargin)),
 
+    // Shot-boundary (scene-cut) detection — the video segmentation
+    // primitive between frame sampling (q_frame_sample) and frame-level
+    // dedup (q_frame_dedup): find where consecutive frames CHANGE. Each
+    // 16-byte frame featurizes to a 4-block byte-sum profile (codegen'd
+    // BlockSumsExpr — an averaged statistic, like a pixel histogram, so
+    // small perturbations move the profile slightly instead of
+    // rerandomizing it); a cut fires where the exact L1 distance between
+    // consecutive profiles exceeds 300 (the ~97th percentile of the
+    // fixture's consecutive-frame diffs — probed, not guessed). Scenes =
+    // runs between cuts via a running cut-count. Scale shape: ONE narrow
+    // codegen'd pass per frame, then doc-keyed window + aggregation —
+    // per-doc work is frame-count-bounded and the shuffle is frame-rows
+    // keyed by doc, exactly how a real video pipeline shards (one video's
+    // frames co-located, videos parallel). Integer arithmetic end to end,
+    // so DuckDB replays the detector bit-exactly.
+    Q("q_scene_cuts",
+      (s, d) => {
+        val FRAME = 16
+        val TAU = 300L
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+          .filter(octet_length(col("text")) >= 2 * FRAME)
+        val fr = docs.select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0),
+              floor(octet_length(col("text")) / FRAME).cast("int") - 1),
+            i => graft.functions.TextOps.blockSums(
+              encode(col("text").substr(i * FRAME + 1, lit(FRAME)), "UTF-8"),
+              blocks = 4))).as(Seq("fidx", "prof")))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("fidx"))
+        val cuts = fr
+          .withColumn("pp", lag(col("prof"), 1).over(w))
+          .withColumn("cut",
+            when(col("pp").isNull, 0L).otherwise(
+              when(graft.functions.TextOps.l1Dist(col("prof"), col("pp")) > TAU,
+                1L).otherwise(0L)))
+          .withColumn("sid", sum(col("cut")).over(w))
+        cuts.groupBy(col("doc_id"), col("sid"))
+          .agg(count(lit(1)).as("flen"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("flen")).as("n_frames"),
+            (count(lit(1)) - 1).as("n_cuts"),
+            count(lit(1)).as("n_scenes"),
+            max(col("flen")).as("longest_scene"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (
+         |  SELECT doc_id, text, strlen(text) AS L FROM documents
+         |  WHERE strlen(text) >= 32),
+         |fr AS (
+         |  SELECT doc_id, unnest(list_transform(range(0, CAST(L // 16 AS INTEGER)),
+         |    i -> struct_pack(fidx := CAST(i AS BIGINT),
+         |      f := substr(text, CAST(i*16 + 1 AS INTEGER), 16)))) AS e
+         |  FROM d),
+         |prof AS (
+         |  SELECT doc_id, e.fidx AS fidx,
+         |    list_transform(range(0, 4), q -> CAST(list_sum(list_transform(
+         |      range(1, 5), j -> ord(substr(e.f, CAST(q*4 + j AS INTEGER), 1))))
+         |      AS BIGINT)) AS p
+         |  FROM fr),
+         |lagd AS (
+         |  SELECT doc_id, fidx, p,
+         |    lag(p) OVER (PARTITION BY doc_id ORDER BY fidx) AS pp FROM prof),
+         |cuts AS (
+         |  SELECT doc_id, fidx,
+         |    CASE WHEN pp IS NULL THEN 0
+         |         WHEN list_sum(list_transform(range(1, 5),
+         |           k -> abs(p[CAST(k AS INTEGER)] - pp[CAST(k AS INTEGER)]))) > 300
+         |           THEN 1
+         |         ELSE 0 END AS cut
+         |  FROM lagd),
+         |sids AS (
+         |  SELECT doc_id, fidx,
+         |    sum(cut) OVER (PARTITION BY doc_id ORDER BY fidx) AS sid FROM cuts),
+         |scenes AS (
+         |  SELECT doc_id, sid, count(*) AS flen FROM sids GROUP BY doc_id, sid)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |  CAST(sum(flen) AS BIGINT) AS n_frames,
+         |  CAST(count(*) - 1 AS BIGINT) AS n_cuts,
+         |  CAST(count(*) AS BIGINT) AS n_scenes,
+         |  CAST(max(flen) AS BIGINT) AS longest_scene
+         |FROM scenes GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Cross-modal retrieval join (SURVEY §7 M4 "multimodal join"): batch
     // kNN over the embedding corpus for 5 query vectors, enriched with the
     // matching documents' metadata (doc_id = vec_id, 1:1 in the fixtures).

@@ -173,6 +173,44 @@ class MultimodalSpec extends SparkSpec {
     assert(graft.functions.MediaKernels.byteDHash63(rev) == (1L << 31))
   }
 
+  test("byteBlockSums slices exactly and l1Dist guards length (no silent prefix)") {
+    val k = graft.functions.MediaKernels
+    // 16 bytes, 4 blocks -> exact 4-byte quarters
+    val fr = Array.tabulate[Byte](16)(i => (i + 1).toByte)
+    assert(k.byteBlockSums(fr, 4).toSeq == Seq(10L, 26L, 42L, 58L))
+    // unsigned byte semantics: 0xff counts as 255, not -1
+    assert(k.byteBlockSums(Array.fill[Byte](4)(0xff.toByte), 2).toSeq == Seq(510L, 510L))
+    assert(k.l1Dist(Array(1L, 5L), Array(4L, 2L)) == 6L)
+    val ex = intercept[IllegalArgumentException] {
+      k.l1Dist(Array(1L), Array(1L, 2L))
+    }
+    assert(ex.getMessage.contains("length mismatch"))
+  }
+
+  test("scene-cut detector: constant stream is one scene, abrupt change cuts") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextOps
+    import spark.implicits._
+    // two synthetic "videos": constant frames vs a hard content switch
+    val df = Seq(
+      (1L, "a" * 64),            // 4 identical frames -> 0 cuts
+      (2L, ("a" * 32) + ("z" * 32))) // frame 2 jumps: |'z'-'a'|*16 = 400 > 300
+      .toDF("doc_id", "text")
+    val fr = df.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        i => TextOps.blockSums(
+          encode(col("text").substr(i * 16 + 1, lit(16)), "UTF-8"), 4)))
+        .as(Seq("fidx", "prof")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("fidx"))
+    val cuts = fr.withColumn("pp", lag(col("prof"), 1).over(w))
+      .withColumn("cut", when(col("pp").isNull, 0L).otherwise(
+        when(TextOps.l1Dist(col("prof"), col("pp")) > 300, 1L).otherwise(0L)))
+      .groupBy("doc_id").agg(sum("cut").as("n_cuts"))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(cuts == Seq((1L, 0L), (2L, 1L)))
+  }
+
   test("resize falls back to deterministic decimation for non-image payloads") {
     val in = (0 until 4096).map(_.toByte).toArray
     val a = Multimodal.resize(in, 32, 32) // target 1024 px -> factor 2
