@@ -76,6 +76,38 @@ object VectorQueries {
          |SELECT qid, vec_id, score, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin),
       headline = true),
 
+    // Radius (range) search — the OTHER half of the similarity-search API
+    // surface (FAISS `range_search` beside `search`): every corpus vector
+    // scoring >= tau against each query, not a fixed top-k. Top-k bounds
+    // the output a priori; range search is the right call when the CALLER
+    // owns the quality bar (dedup sweeps, recall-oriented retrieval) and
+    // the threshold bounds the output instead. tau = 0.35 sits at the
+    // fixture's meaningful-neighbor knee (probed: 6/9/35 result rows at
+    // the three SFs — near-random embeddings thin out fast above it).
+    // Scale shape: m query vectors broadcast, ONE quantized corpus pass,
+    // no shuffle before the output-sized sort; at 100 TB the same scan
+    // rides the IVF at-rest layout (probe cells, then this exact filter)
+    // — the brute-force form IS the oracle-checkable baseline.
+    Q("q_range_search",
+      (s, d) => {
+        val qv = quantized(s, d)
+        val queries = qv.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("q").as("qq"))
+        qv.crossJoin(broadcast(queries))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            VectorOps.cosineInt8(col("q"), col("qq")).as("score"))
+          .filter(col("score") >= 0.35)
+          .orderBy(col("qid"), col("score").desc, col("vec_id"))
+      },
+      Some(s"""WITH ${OracleSql.quantizeCte},
+         |qq AS (SELECT vec_id AS qid, q AS qq FROM qv WHERE vec_id < 8)
+         |SELECT qq.qid, v.vec_id, ${OracleSql.int8Cos("v.q", "qq.qq")} AS score
+         |FROM qv v, qq
+         |WHERE v.vec_id <> qq.qid
+         |  AND ${OracleSql.int8Cos("v.q", "qq.qq")} >= 0.35
+         |ORDER BY qid, score DESC, vec_id""".stripMargin)),
+
     // Hard-negative mining — the contrastive-training curation step: for
     // each query vector, the top-5 highest-scoring DIFFERENT-label
     // neighbors (the negatives that most confuse a classifier). Same
