@@ -978,6 +978,80 @@ object ExtendedQueries {
            |SELECT node, r AS pr FROM r5
            |ORDER BY r DESC, node LIMIT 20""".stripMargin
       }),
+
+    // Deterministic random-walk corpus over the basket graph — the
+    // training-data generator graph embeddings (DeepWalk/node2vec) start
+    // from: one fixed-length walk per seed node, each step hopping to a
+    // pseudo-randomly chosen neighbor. "Random" is a seeded md5 over
+    // (seed, step, cur, dst) with a (hash, dst) tie-break, so the walk
+    // corpus is BIT-REPRODUCIBLE across engines AND re-runs — the same
+    // determinism contract as q_hash_split/q_triangles_sampled, which is
+    // what makes walk corpora cacheable and auditable in production.
+    // Seeds are an md5-mod 2% node sample (6/34/421 nodes at the three
+    // SFs); 4 steps, first-order (unbiased; node2vec's p/q bias would
+    // only change the hash's argmin weighting). Scale shape: each step is
+    // one edge equi-join keyed on the frontier + a per-seed argmin —
+    // walks shard by seed, the frontier is seed-count-sized, and the
+    // edge set is the memoized basketEdges build shared with
+    // q_triangles/q_pagerank. The oracle unrolls the 4 steps as CTEs.
+    Q("q_random_walks",
+      (s, d) => {
+        val und = basketEdges(s, d)
+        val edges = und.select(col("a").as("src"), col("b").as("dst"))
+          .union(und.select(col("b").as("src"), col("a").as("dst")))
+          .localCheckpoint(true)
+        val seedPred = graft.functions.TextOps.md5Prefix60(
+          concat(lit("rws:"), col("node").cast("string"))) % 1000 < 20
+        var walk = edges.select(col("src").as("node")).distinct()
+          .filter(seedPred)
+          .select(col("node").as("seed"), col("node").as("cur"))
+        for (t <- 1 to 4) {
+          val h = graft.functions.TextOps.md5Prefix60(concat(
+            lit("rw:"), col("seed").cast("string"), lit(s":$t:"),
+            col("cur").cast("string"), lit(":"), col("dst").cast("string")))
+          val w = Window.partitionBy(col("seed"))
+            .orderBy(col("h").asc, col("dst").asc)
+          val prevPath = walk.columns.filter(c => c != "cur").map(col).toSeq
+          walk = walk.join(edges, col("cur") === col("src"))
+            .select((prevPath :+ col("dst")) :+ h.as("h"): _*)
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select((prevPath :+ col("dst").as(s"s$t")) :+ col("dst").as("cur"): _*)
+        }
+        walk.drop("cur").orderBy(col("seed"))
+      },
+      Some {
+        val seedHash = graft.OracleSql.hexToLong(
+          "md5('rws:' || CAST(node AS VARCHAR))", 1, 15)
+        val steps = (1 to 4).map { t =>
+          val prev = if (t == 1) "w0" else s"w${t - 1}"
+          val carried = (1 until t).map(i => s"w.s$i").mkString(", ")
+          val carriedSel = if (carried.isEmpty) "" else carried + ", "
+          val carriedOut = (1 until t).map(i => s"s$i").mkString(", ")
+          val carriedOutSel = if (carriedOut.isEmpty) "" else carriedOut + ", "
+          val h = graft.OracleSql.hexToLong(
+            s"md5('rw:' || CAST(w.seed AS VARCHAR) || ':$t:' || " +
+              s"CAST(w.cur AS VARCHAR) || ':' || CAST(e.dst AS VARCHAR))", 1, 15)
+          s"""c$t AS (
+             |  SELECT w.seed, ${carriedSel}e.dst,
+             |    row_number() OVER (PARTITION BY w.seed ORDER BY $h, e.dst) AS rn
+             |  FROM $prev w JOIN edges e ON e.src = w.cur),
+             |w$t AS (SELECT seed, ${carriedOutSel}dst AS s$t, dst AS cur
+             |  FROM c$t WHERE rn = 1)"""
+        }.mkString(",\n")
+        s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+           |und AS (
+           |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+           |  FROM li a JOIN li b
+           |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+           |edges AS (SELECT a AS src, b AS dst FROM und
+           |  UNION ALL SELECT b, a FROM und),
+           |nodes AS (SELECT DISTINCT src AS node FROM edges),
+           |w0 AS (SELECT node AS seed, node AS cur FROM nodes
+           |  WHERE $seedHash % 1000 < 20),
+           |$steps
+           |SELECT seed, s1, s2, s3, s4 FROM w4 ORDER BY seed""".stripMargin
+      }),
   )
 
   /** The market-basket edge set (distinct canonical part pairs within an
