@@ -1052,6 +1052,68 @@ object ExtendedQueries {
            |$steps
            |SELECT seed, s1, s2, s3, s4 FROM w4 ORDER BY seed""".stripMargin
       }),
+
+    // Synchronous label-propagation COMMUNITY detection (LPA, Raghavan et
+    // al. 2007) over the basket graph — the densest-neighborhood
+    // clustering next to the connectivity operators (q_dedup_components
+    // finds what is REACHABLE; LPA finds what is TIGHT). Each round every
+    // node adopts its neighbors' plurality label with a bit-deterministic
+    // (count DESC, label ASC) tie-break, so the classic "label storms"
+    // nondeterminism of async LPA is removed and DuckDB replays the 3
+    // unrolled rounds exactly. Scale shape: per round ONE node-keyed
+    // equi-join + a (node, label) count + a per-node argmax window — the
+    // same join-agg round as min-label propagation with a plurality
+    // instead of a min; edge set is the shared memoized basketEdges.
+    Q("q_communities",
+      (s, d) => {
+        val und = basketEdges(s, d)
+        val edges = und.select(col("a").as("src"), col("b").as("dst"))
+          .union(und.select(col("b").as("src"), col("a").as("dst")))
+          .localCheckpoint(true)
+        var labels = edges.select(col("src").as("node")).distinct()
+          .withColumn("label", col("node"))
+        for (_ <- 1 to 3) {
+          val freq = edges
+            .join(labels.select(col("node").as("src"), col("label")), "src")
+            .groupBy(col("dst"), col("label"))
+            .agg(count(lit(1)).as("cnt"))
+          val w = Window.partitionBy(col("dst"))
+            .orderBy(col("cnt").desc, col("label").asc)
+          labels = freq.withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("dst").as("node"), col("label"))
+        }
+        labels.groupBy(col("label").as("community"))
+          .agg(count(lit(1)).as("size"))
+          .orderBy(col("community"))
+      },
+      Some {
+        val rounds = (1 to 3).map { r =>
+          val prev = if (r == 1) "l0" else s"l${r - 1}"
+          s"""f$r AS (
+             |  SELECT e.dst, l.label, count(*) AS cnt
+             |  FROM edges e JOIN $prev l ON l.node = e.src
+             |  GROUP BY e.dst, l.label),
+             |l$r AS (
+             |  SELECT dst AS node, label FROM (
+             |    SELECT dst, label,
+             |      row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, label) AS rn
+             |    FROM f$r) t WHERE rn = 1)"""
+        }.mkString(",\n")
+        s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+           |und AS (
+           |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+           |  FROM li a JOIN li b
+           |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+           |edges AS (SELECT a AS src, b AS dst FROM und
+           |  UNION ALL SELECT b, a FROM und),
+           |nodes AS (SELECT DISTINCT src AS node FROM edges),
+           |l0 AS (SELECT node, node AS label FROM nodes),
+           |$rounds
+           |SELECT CAST(label AS BIGINT) AS community,
+           |  CAST(count(*) AS BIGINT) AS size
+           |FROM l3 GROUP BY label ORDER BY community""".stripMargin
+      }),
   )
 
   /** The market-basket edge set (distinct canonical part pairs within an
