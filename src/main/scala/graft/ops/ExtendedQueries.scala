@@ -1114,6 +1114,73 @@ object ExtendedQueries {
            |  CAST(count(*) AS BIGINT) AS size
            |FROM l3 GROUP BY label ORDER BY community""".stripMargin
       }),
+
+    // CDC changelog -> snapshot compaction — what a merge-on-read lake
+    // format's compaction does, restated on the events fixture as a
+    // changelog (signup = insert, error = delete tombstone, other events
+    // = updates; ordered per key by (ts, event_id) — the unique
+    // tie-break every CDC stream needs, since equal timestamps are real
+    // at scale). Replay semantics without replaying: the final state of
+    // a key is the LAST upsert after its LAST tombstone — two per-key
+    // extremes instead of an ordered scan, so the whole compaction is
+    // one key-partitioned shuffle (+ a same-key count the planner
+    // colocates), no matter how long the log. Keys whose log ends in a
+    // tombstone drop out (users 'deleted' at compaction time), which an
+    // ordered full replay would produce identically.
+    Q("q_cdc_compact",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("user_id"), col("ts"),
+          col("event_id"), col("value"),
+          when(col("event_type") === "signup", "I")
+            .when(col("event_type") === "error", "D")
+            .otherwise("U").as("op"))
+        val lastD = ev.filter(col("op") === "D")
+          .groupBy(col("user_id"))
+          .agg(max(struct(col("ts"), col("event_id"))).as("dmax"))
+        val live = ev.filter(col("op") =!= "D")
+          .join(lastD, Seq("user_id"), "left")
+          .filter(col("dmax").isNull ||
+            struct(col("ts"), col("event_id")) > col("dmax"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val fin = live.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+        val nops = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_ops"))
+        fin.join(nops, "user_id")
+          .select(col("user_id"), unix_micros(col("ts")).as("last_ts_us"),
+            col("value").as("final_value"), col("n_ops"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH ev AS (
+         |  SELECT user_id, ts, event_id, value,
+         |    CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D'
+         |      ELSE 'U' END AS op
+         |  FROM events),
+         |lastd AS (
+         |  SELECT user_id, ts AS dts, event_id AS did FROM (
+         |    SELECT user_id, ts, event_id,
+         |      row_number() OVER (PARTITION BY user_id
+         |        ORDER BY ts DESC, event_id DESC) AS rn
+         |    FROM ev WHERE op = 'D') t WHERE rn = 1),
+         |live AS (
+         |  SELECT e.user_id, e.ts, e.event_id, e.value
+         |  FROM ev e LEFT JOIN lastd d USING (user_id)
+         |  WHERE e.op <> 'D'
+         |    AND (d.dts IS NULL OR (e.ts, e.event_id) > (d.dts, d.did))),
+         |fin AS (
+         |  SELECT user_id, ts, value FROM (
+         |    SELECT user_id, ts, value,
+         |      row_number() OVER (PARTITION BY user_id
+         |        ORDER BY ts DESC, event_id DESC) AS rn
+         |    FROM live) t WHERE rn = 1),
+         |nops AS (
+         |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_ops
+         |  FROM ev GROUP BY user_id)
+         |SELECT CAST(f.user_id AS BIGINT) AS user_id,
+         |  CAST(epoch_us(f.ts) AS BIGINT) AS last_ts_us,
+         |  f.value AS final_value, n.n_ops
+         |FROM fin f JOIN nops n USING (user_id)
+         |ORDER BY user_id""".stripMargin)),
   )
 
   /** The market-basket edge set (distinct canonical part pairs within an
