@@ -97,6 +97,52 @@ case class CosineInt8Expr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** binary x binary -> bigint: EXACT integer inner product of two int8
+  * vectors — the MIPS scoring metric (no floats anywhere, so cross-engine
+  * parity is trivially bitwise). */
+case class DotInt8Expr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeCheck.both(VecTypeCheck.binary(left, prettyName),
+      VecTypeCheck.binary(right, prettyName))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "dot_int8"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dotInt8(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorKernels.dotInt8($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotInt8Expr =
+    copy(left = l, right = r)
+}
+
+/** array<float> x array<float> -> double: euclidean distance (L2 metric). */
+case class L2FloatExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeCheck.both(VecTypeCheck.floatArray(left, prettyName),
+      VecTypeCheck.floatArray(right, prettyName))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "l2_float"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.l2Float(
+      a.asInstanceOf[ArrayData].toFloatArray(),
+      b.asInstanceOf[ArrayData].toFloatArray())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorKernels.l2Float($a.toFloatArray(), $b.toFloatArray())")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): L2FloatExpr =
+    copy(left = l, right = r)
+}
+
 /** array<float> x array<float> -> double: cosine over raw float vectors. */
 case class CosineFloatExpr(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -120,6 +120,22 @@ object VectorKernels {
 
   /** Cosine over raw float vectors; Double left-fold accumulation mirrors
     * the DuckDB list_reduce oracle exactly. */
+  /** Exact euclidean (L2) distance over raw float vectors with the same
+    * sequential double accumulation order as [[cosineFloat]] — the oracle
+    * replays it with a left-fold, so the doubles match bitwise. */
+  def l2Float(a: Array[Float], b: Array[Float]): Double = {
+    require(a.length == b.length,
+      s"dimension mismatch: ${a.length} vs ${b.length}")
+    var s = 0.0
+    var i = 0
+    while (i < a.length) {
+      val d = a(i).toDouble - b(i).toDouble
+      s += d * d
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
   def cosineFloat(a: Array[Float], b: Array[Float]): Double = {
     require(a.length == b.length,
       s"dimension mismatch: ${a.length} vs ${b.length}")

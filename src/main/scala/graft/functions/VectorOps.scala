@@ -28,6 +28,12 @@ object VectorOps {
   /** array<float> x array<float> -> double cosine score. */
   def cosineFloat(a: Column, b: Column): Column = c(CosineFloatExpr(e(a), e(b)))
 
+  /** binary x binary -> bigint exact int8 inner product (MIPS metric). */
+  def dotInt8(a: Column, b: Column): Column = c(DotInt8Expr(e(a), e(b)))
+
+  /** array<float> x array<float> -> double euclidean distance (L2). */
+  def l2Float(a: Column, b: Column): Column = c(L2FloatExpr(e(a), e(b)))
+
   /** binary (stored qvec) x array<float> (raw query) -> double cosine of the
     * float query vs the dequantized stored vector — the reference's search
     * scoring (only the stored side quantized, pythonvectordb.py:25-67). */

@@ -108,6 +108,65 @@ object VectorQueries {
          |  AND ${OracleSql.int8Cos("v.q", "qq.qq")} >= 0.35
          |ORDER BY qid, score DESC, vec_id""".stripMargin)),
 
+    // Maximum-inner-product search (MIPS) — the metric recommender and
+    // two-tower retrieval systems actually rank by (FAISS
+    // METRIC_INNER_PRODUCT beside METRIC_L2/cosine): magnitude matters,
+    // so popular/high-norm items legitimately outrank near-parallel ones.
+    // Over int8-quantized vectors the score is an exact INTEGER
+    // (codegen'd DotInt8Expr -> BIGINT): no float anywhere, parity is
+    // trivially bitwise, and at rest the dot is 128 byte-MACs/row — the
+    // cheapest exact scoring of any metric tier. Same one-pass top-k
+    // plan shape as q_knn.
+    Q("q_mips",
+      (s, d) => {
+        val qv = quantized(s, d)
+        val query = qv.filter(col("vec_id") === 0L)
+          .select(col("q").as("qq"))
+        qv.crossJoin(broadcast(query))
+          .select(col("vec_id"), col("label"),
+            VectorOps.dotInt8(col("q"), col("qq")).as("dot"))
+          .orderBy(col("dot").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some(s"""WITH ${OracleSql.quantizeCte},
+         |qq AS (SELECT q AS q0 FROM qv WHERE vec_id = 0)
+         |SELECT v.vec_id, v.label,
+         |  CAST(list_dot_product(v.q, qq.q0) AS BIGINT) AS dot
+         |FROM qv v, qq
+         |ORDER BY dot DESC, vec_id
+         |LIMIT 10""".stripMargin)),
+
+    // Euclidean top-k (FAISS METRIC_L2) — the third metric surface.
+    // Distance via the codegen'd L2FloatExpr whose sequential double
+    // accumulation the oracle replays as a left-fold, so the doubles
+    // match bitwise. L2 and cosine agree only on normalized corpora;
+    // the fixture is unnormalized, so this ranking is genuinely
+    // different from q_knn_float's (the METRIC choice is semantics, not
+    // a tuning knob).
+    Q("q_l2_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val query = emb.filter(col("vec_id") === 0L)
+          .select(col("embedding").as("qe"))
+        emb.crossJoin(broadcast(query))
+          .filter(col("vec_id") =!= 0L)
+          .select(col("vec_id"), col("label"),
+            VectorOps.l2Float(col("embedding"), col("qe")).as("dist"))
+          .orderBy(col("dist").asc, col("vec_id"))
+          .limit(10)
+      },
+      Some {
+        val dSql = "sqrt(" + OracleSql.foldSum(
+          "list_transform(list_zip(e.embedding, qq.qe), " +
+            "p -> (CAST(p[1] AS DOUBLE)-CAST(p[2] AS DOUBLE))*(CAST(p[1] AS DOUBLE)-CAST(p[2] AS DOUBLE)))") + ")"
+        s"""WITH qq AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+           |SELECT e.vec_id, e.label, $dSql AS dist
+           |FROM embeddings e, qq
+           |WHERE e.vec_id <> 0
+           |ORDER BY dist, vec_id
+           |LIMIT 10""".stripMargin
+      }),
+
     // Hard-negative mining — the contrastive-training curation step: for
     // each query vector, the top-5 highest-scoring DIFFERENT-label
     // neighbors (the negatives that most confuse a classifier). Same
