@@ -676,6 +676,71 @@ object PipelineQueries {
          |  CAST(sum(removed) AS BIGINT) AS chars_removed
          |FROM cnt GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // k-anonymity audit — the privacy gate next to q_pii_redact: PII
+    // redaction removes DIRECT identifiers; k-anonymity measures the
+    // QUASI-identifier risk that remains (Sweeney 2002: a record is
+    // re-identifiable when its attribute combination is shared by < k
+    // records). Equivalence classes over (lang, source, n_chars/100);
+    // classes below k = 5 are the rows a release would have to suppress
+    // or generalize (the fixture spreads from 160/592 at-risk classes at
+    // sf0.1 to nearly all at sf0.001 — sparser data IS the risk). Scale
+    // shape: one map-side-combinable groupBy on the quasi-identifier
+    // key; the audit table is class-count-sized, never row-sized.
+    Q("q_kanonymity",
+      (s, d) => {
+        val K = 5L
+        Tables.documents(s, d)
+          .groupBy(col("lang"), col("source"),
+            (col("n_chars") / 100).cast("long").as("chars_bucket"))
+          .agg(count(lit(1)).as("class_size"))
+          .withColumn("at_risk", (col("class_size") < K).cast("long"))
+          .orderBy(col("lang"), col("source"), col("chars_bucket"))
+      },
+      Some("""SELECT lang, source,
+         |  CAST(n_chars // 100 AS BIGINT) AS chars_bucket,
+         |  CAST(count(*) AS BIGINT) AS class_size,
+         |  CAST(CASE WHEN count(*) < 5 THEN 1 ELSE 0 END AS BIGINT) AS at_risk
+         |FROM documents GROUP BY lang, source, n_chars // 100
+         |ORDER BY lang, source, chars_bucket""".stripMargin)),
+
+    // Differentially-private release counts — the publishable companion
+    // of the k-anonymity audit: per-language document counts with
+    // Laplace(1/eps) noise via the inverse CDF, eps = 1. The noise draw
+    // is SEEDED (md5 of the release key -> an exact (j+0.5)/P rational
+    // in (0,1)), so the released table is deterministic and auditable —
+    // how production DP releases pin their noise for reproducibility
+    // (the seed, not the noise, is the secret at release time). The
+    // noisy value snaps to the 1e-9 grid through the floor-scaling
+    // closure (ln() is the one irrational in the chain; the P43/floor
+    // pattern of the recall queries makes the grid tie-free on both
+    // engines). Scale shape: the release is GROUP-count-sized — the
+    // only corpus-scale work is the underlying groupBy count.
+    Q("q_dp_counts",
+      (s, d) => {
+        val P = 1000000007L
+        val u = ((graft.functions.TextOps.md5Prefix60(
+          concat(lit("dp:"), col("lang"))) % lit(P)).cast("double") + 0.5) /
+          lit(P.toDouble)
+        val noise = when(u < 0.5, log(u * 2.0))
+          .otherwise(-log((lit(1.0) - u) * 2.0))
+        Tables.documents(s, d)
+          .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+          .select(col("lang"),
+            (floor((col("n").cast("double") + noise) * 1e9) / 1e9)
+              .as("noisy_count"))
+          .orderBy(col("lang"))
+      },
+      Some {
+        val uh = graft.OracleSql.hexToLong("md5('dp:' || lang)", 1, 15)
+        val u = s"((($uh % 1000000007) + 0.5) / 1000000007.0)"
+        s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang)
+           |SELECT lang,
+           |  floor((CAST(n AS DOUBLE) +
+           |    CASE WHEN $u < 0.5 THEN ln($u * 2.0)
+           |         ELSE -ln((1.0 - $u) * 2.0) END) * 1e9) / 1e9 AS noisy_count
+           |FROM c ORDER BY lang""".stripMargin
+      }),
+
     // Sequence packing — the shard-assembly step between curation and
     // training: documents are concatenated in a deterministic order and
     // split into fixed token-budget bins (B=2048), a doc landing in the
