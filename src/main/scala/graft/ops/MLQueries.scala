@@ -272,6 +272,69 @@ object MLQueries {
            |FROM v""".stripMargin
       }),
 
+    // Mutual-information feature ranking — the filter-method feature
+    // selection between raw features (embedding dims) and the label:
+    // MI(sign(dim_i); label) = sum over the 2 x |labels| cells of
+    // p(s,l) * ln(p(s,l)/(p(s)p(l))). Every probability is an exact
+    // count ratio, the ln argument is one double division of exact
+    // integer products (identical operand order on both engines), and
+    // the per-dim CELL SUM routes through the 2^43 floor/DECIMAL fold —
+    // order-independent, so the 20-cell sum needs no ordering contract.
+    // Scale shape: ONE corpus-scale explode into a (dim, sign, label)
+    // count (map-side combinable, 128 x 2 x 10 cells), then everything
+    // is cell-table-sized; the top-10 is a TakeOrdered over 128 rows.
+    Q("q_feature_mi",
+      (s, d) => {
+        val P43 = 8796093022208.0
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val emb = Tables.embeddings(s, d)
+        val cells = emb
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .select(col("label"), col("pos"),
+            (col("x") >= 0f).cast("long").as("sgn"))
+        val joint = cells.groupBy(col("pos"), col("sgn"), col("label"))
+          .agg(count(lit(1)).as("njl"))
+        val margS = cells.groupBy(col("pos"), col("sgn"))
+          .agg(count(lit(1)).as("ns"))
+        val margL = cells.filter(col("pos") === 0)
+          .groupBy(col("label")).agg(count(lit(1)).as("nl"))
+        val total = margL.agg(sum(col("nl")).as("nn"))
+        val term = (col("njl").cast("double") / col("nn").cast("double")) *
+          log((col("njl").cast("double") * col("nn").cast("double")) /
+            (col("ns").cast("double") * col("nl").cast("double")))
+        joint.join(margS, Seq("pos", "sgn"))
+          .join(broadcast(margL), "label")
+          .crossJoin(broadcast(total))
+          .groupBy(col("pos"))
+          .agg((sum(floor(term * lit(P43)).cast(dec)).cast("double") / lit(P43))
+            .as("mi"))
+          .select(col("pos").cast("long").as("pos"), col("mi"))
+          .orderBy(col("mi").desc, col("pos"))
+          .limit(10)
+      },
+      Some {
+        val P = "8796093022208.0"
+        val term = "(CAST(njl AS DOUBLE) / CAST(nn AS DOUBLE)) * " +
+          "ln((CAST(njl AS DOUBLE) * CAST(nn AS DOUBLE)) / " +
+          "(CAST(ns AS DOUBLE) * CAST(nl AS DOUBLE)))"
+        s"""WITH cells AS (
+           |  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+           |    CASE WHEN unnest(embedding) >= 0 THEN 1 ELSE 0 END AS sgn
+           |  FROM embeddings),
+           |joint AS (SELECT pos, sgn, label, count(*) AS njl
+           |  FROM cells GROUP BY pos, sgn, label),
+           |margs AS (SELECT pos, sgn, count(*) AS ns
+           |  FROM cells GROUP BY pos, sgn),
+           |margl AS (SELECT label, count(*) AS nl
+           |  FROM cells WHERE pos = 0 GROUP BY label),
+           |total AS (SELECT CAST(sum(nl) AS BIGINT) AS nn FROM margl)
+           |SELECT CAST(j.pos AS BIGINT) AS pos,
+           |  CAST(sum(CAST(floor($term * $P) AS DECIMAL(38,0))) AS DOUBLE) / $P AS mi
+           |FROM joint j JOIN margs m USING (pos, sgn)
+           |JOIN margl l USING (label) CROSS JOIN total
+           |GROUP BY j.pos ORDER BY mi DESC, pos LIMIT 10""".stripMargin
+      }),
+
     annRecallQuery("q_ann_recall", multiProbe = false),
 
     // Multi-probe LSH: probe the query's bucket AND its four 1-bit
