@@ -379,4 +379,48 @@ class PlanGuardSpec extends SparkSpec {
       s"HAVING aggregate must sit below the joins:\n${p.toString.take(1500)}")
     assert(p.toString.contains("TakeOrderedAndProject"), "top-100 must push down")
   }
+
+  test("runtime bloom-filter join: a selective build side injects a row-level " +
+    "filter into the probe-side scan") {
+    // The third join-pruning lever beside broadcast and AQE skew split:
+    // Catalyst's InjectRuntimeFilter plants a bloom_filter_might_contain
+    // on the LARGE side keyed by the small side's join keys, so probe
+    // rows that cannot match die at the scan instead of riding the
+    // shuffle — at 100 TB this is the difference between shuffling the
+    // full fact table and shuffling the ~selectivity fraction that can
+    // join. Default thresholds target real clusters (10 GB application
+    // side); lowered here to exercise the rewrite on the fixture.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
+      val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+      val ord = spark.read.parquet(s"$sf001/orders.parquet")
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      // force the non-broadcast regime: broadcast joins don't need the
+      // bloom filter (the build side ships whole), so disable it to put
+      // the rewrite on the shuffle path it exists for
+      val savedBc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val joined = li.join(ord,
+          li("l_orderkey") === ord("o_orderkey"))
+        // the rewrite lands in the optimized plan as a might_contain()
+        // probe over a bloom_filter_agg scalar subquery on the probe side
+        val opt = joined.queryExecution.optimizedPlan.toString
+        assert(opt.contains("might_contain") && opt.contains("bloom_filter_agg"),
+          s"runtime bloom filter not injected:\n${opt.take(1200)}")
+        assert(joined.count() > 0)
+      } finally conf.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
