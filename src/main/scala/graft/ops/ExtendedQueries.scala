@@ -370,6 +370,105 @@ object ExtendedQueries {
          |  CAST(1 AS BIGINT) AS merge_vs_direct_ok
          |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Mergeable QUANTILE sketch re-aggregation — the percentile companion
+    // to q_hll_merge's distinct tier, built on the graft fixed-grid
+    // histogram aggregate (functions/HistSketch.scala): daily binary
+    // partials -> monthly merge, never rescanning days. The deliberate
+    // contrast with HLL (measured there): histogram merge is count
+    // ADDITION, bitwise lossless, so this gate demands EXACT equality of
+    // the merged vs directly-built rank bins — not a closeness band — and
+    // the oracle REPLAYS the full sketch math (bin assignment, cumulative
+    // rank walk, ceil-rank rule) from GROUP BY counts. The price of the
+    // fixed grid is a one-bin value-space error bound (asserted against
+    // the exact order statistic) and a domain pre-pass for [lo, hi]. At
+    // 100 TB: partials are sparse-encoded KBs per group and map-side
+    // combinable; the domain pass is a min/max scan (or lake metadata).
+    Q("q_quantile_merge",
+      (s, d) => {
+        import graft.functions.HistOps
+        val ord = Tables.orders(s, d)
+          .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+            to_date(col("o_orderdate")).as("day"), col("o_totalprice"))
+        val dom = ord.agg(min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        val width = (col("hi") - col("lo")) / lit(4096.0)
+        val binned = ord.crossJoin(broadcast(dom))
+          .select(col("month"), col("day"), col("lo"), width.as("width"),
+            least(floor((col("o_totalprice") - col("lo")) / width)
+              .cast("long"), lit(4095L)).as("bin"))
+        val daily = binned.groupBy(col("month"), col("day"))
+          .agg(HistOps.histAgg(col("bin"), 4096).as("sk"),
+            count(lit(1)).as("nd"),
+            min(col("lo")).as("lo"), min(col("width")).as("width"))
+        val monthly = daily.groupBy(col("month"))
+          .agg(count(lit(1)).as("n_days"), sum(col("nd")).as("n"),
+            HistOps.histMerge(col("sk")).as("msk"),
+            min(col("lo")).as("lo"), min(col("width")).as("width"))
+        val direct = binned.groupBy(col("month").as("m2"))
+          .agg(HistOps.histAgg(col("bin"), 4096).as("dsk"))
+        val wr = Window.partitionBy(col("month")).orderBy(col("o_totalprice"))
+        val wn = Window.partitionBy(col("month"))
+        val exact = ord
+          .withColumn("r", row_number().over(wr))
+          .withColumn("nm", count(lit(1)).over(wn))
+          .filter(col("r") === floor((col("nm") + lit(1L)) / lit(2L)))
+          .select(col("month").as("m3"), col("o_totalprice").as("exact_p50"))
+        val p50m = HistOps.histRankBin(col("msk"), 1L, 2L)
+        val p90m = HistOps.histRankBin(col("msk"), 9L, 10L)
+        val est50 = col("lo") + (p50m.cast("double") + lit(0.5)) * col("width")
+        monthly.join(direct, col("month") === col("m2"))
+          .join(exact, col("month") === col("m3"))
+          .select(col("month"), col("n_days"), col("n"),
+            p50m.as("bin_p50"), p90m.as("bin_p90"),
+            (p50m === HistOps.histRankBin(col("dsk"), 1L, 2L) &&
+              p90m === HistOps.histRankBin(col("dsk"), 9L, 10L))
+              .cast("long").as("merged_eq_direct"),
+            (floor(est50 * lit(1e9)) / lit(1e9)).as("est_p50"),
+            (abs(est50 - col("exact_p50")) <= col("width"))
+              .cast("long").as("bound_ok"))
+          .orderBy(col("month"))
+      },
+      Some("""WITH ord AS (
+         |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         |    CAST(o_orderdate AS DATE) AS day, o_totalprice FROM orders),
+         |dom AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+         |        FROM ord),
+         |b AS (
+         |  SELECT month, day, lo, (hi - lo) / 4096.0 AS width,
+         |    LEAST(CAST(floor((o_totalprice - lo) / ((hi - lo) / 4096.0))
+         |      AS BIGINT), 4095) AS bin, o_totalprice
+         |  FROM ord, dom),
+         |counts AS (SELECT month, bin, CAST(count(*) AS BIGINT) AS cnt
+         |           FROM b GROUP BY month, bin),
+         |tot AS (SELECT month, CAST(sum(cnt) AS BIGINT) AS n
+         |        FROM counts GROUP BY month),
+         |cum AS (SELECT month, bin, cnt,
+         |          sum(cnt) OVER (PARTITION BY month ORDER BY bin) AS cum
+         |        FROM counts),
+         |p50 AS (SELECT c.month, min(bin) AS bin_p50
+         |        FROM cum c JOIN tot t USING (month)
+         |        WHERE c.cum >= (t.n + 1) // 2 GROUP BY c.month),
+         |p90 AS (SELECT c.month, min(bin) AS bin_p90
+         |        FROM cum c JOIN tot t USING (month)
+         |        WHERE c.cum >= (t.n * 9 + 9) // 10 GROUP BY c.month),
+         |nd AS (SELECT month, CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+         |         min(lo) AS lo, min(width) AS width
+         |       FROM b GROUP BY month),
+         |ex AS (SELECT month, o_totalprice AS exact_p50 FROM (
+         |        SELECT month, o_totalprice,
+         |          row_number() OVER (PARTITION BY month
+         |            ORDER BY o_totalprice) AS r,
+         |          count(*) OVER (PARTITION BY month) AS nm
+         |        FROM b) t WHERE r = (nm + 1) // 2)
+         |SELECT t.month, nd.n_days, t.n, p50.bin_p50, p90.bin_p90,
+         |  CAST(1 AS BIGINT) AS merged_eq_direct,
+         |  floor((nd.lo + (bin_p50 + 0.5) * nd.width) * 1e9) / 1e9 AS est_p50,
+         |  CAST(abs((nd.lo + (bin_p50 + 0.5) * nd.width) - ex.exact_p50)
+         |    <= nd.width AS BIGINT) AS bound_ok
+         |FROM tot t JOIN p50 USING (month) JOIN p90 USING (month)
+         |  JOIN nd USING (month) JOIN ex USING (month)
+         |ORDER BY t.month""".stripMargin)),
+
     // Per-label embedding centroids — the batch index-build step of an
     // IVF-style ANN index (coarse quantizer), as a distributed aggregation.
     // Exactness note: float components are dyadic with <= 43 fractional
@@ -1181,6 +1280,145 @@ object ExtendedQueries {
          |  f.value AS final_value, n.n_ops
          |FROM fin f JOIN nops n USING (user_id)
          |ORDER BY user_id""".stripMargin)),
+
+    // k-core peeling over the SUPPORT-THRESHOLDED co-purchase graph — the
+    // graph-degeneracy operator next to the connectivity (components),
+    // density (LPA communities) and motif (triangles) families. Two-stage
+    // pipeline: (1) the Apriori edge filter — keep part pairs co-bought in
+    // >= 2 orders, which drops the single-co-occurrence noise edges that
+    // dominate a basket graph as it grows (measured: 5,922 nodes but
+    // median degree 1 at sf0.1); (2) synchronous 2-core peeling, 3
+    // unrolled rounds — each round removes nodes whose CURRENT degree is
+    // < 2 and recomputes degrees among survivors. The cascade is real on
+    // the fixture (sf0.1: 1,067 -> 138 -> 22 survivors). Scale shape: a
+    // round is ONE count aggregate + two node-keyed semi-joins — never a
+    // pairwise product; a full decomposition peels to fixpoint with the
+    // same per-round cost, rounds bounded by the graph's degeneracy.
+    // Aggregates without GROUP BY keep the 3 output rows present even if
+    // a larger SF empties a core (count 0, NULL extremes on both engines).
+    Q("q_kcore",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val und = li.select(col("l_orderkey"), col("l_partkey").as("a"))
+          .join(li.select(col("l_orderkey"), col("l_partkey").as("b")),
+            "l_orderkey")
+          .filter(col("a") < col("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2)
+        val edges = und.select(col("a").as("src"), col("b").as("dst"))
+          .union(und.select(col("b").as("src"), col("a").as("dst")))
+          .localCheckpoint(true)
+        var cur = edges
+        val stats = (1 to 3).map { r =>
+          val deg = cur.groupBy(col("src").as("node"))
+            .agg(count(lit(1)).as("deg"))
+          val surv = deg.filter(col("deg") >= 2).localCheckpoint(true)
+          cur = edges
+            .join(surv.select(col("node").as("src")), Seq("src"), "left_semi")
+            .join(surv.select(col("node").as("dst")), Seq("dst"), "left_semi")
+            .select(col("src"), col("dst"))
+          surv.agg(count(lit(1)).as("n_nodes"), min(col("deg")).as("min_deg"),
+              max(col("deg")).as("max_deg"))
+            .select(lit(r.toLong).as("round"), col("n_nodes"),
+              col("min_deg"), col("max_deg"))
+        }
+        stats.reduce(_ union _).orderBy(col("round"))
+      },
+      Some {
+        val rounds = (1 to 3).map { r =>
+          val src = if (r == 1) "edges" else s"e$r"
+          val pre = if (r == 1) ""
+          else {
+            s"""e$r AS (
+               |  SELECT e.src, e.dst FROM edges e
+               |  WHERE e.src IN (SELECT node FROM s${r - 1})
+               |    AND e.dst IN (SELECT node FROM s${r - 1})),
+               |""".stripMargin
+          }
+          s"""${pre}d$r AS (
+             |  SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+             |  FROM $src GROUP BY src),
+             |s$r AS (SELECT node, deg FROM d$r WHERE deg >= 2)"""
+        }.mkString(",\n")
+        val sel = (1 to 3).map { r =>
+          s"""SELECT CAST($r AS BIGINT) AS round,
+             |  CAST(count(*) AS BIGINT) AS n_nodes,
+             |  min(deg) AS min_deg, max(deg) AS max_deg FROM s$r"""
+        }.mkString("\nUNION ALL ")
+        s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+           |und AS (
+           |  SELECT a.l_partkey AS a, b.l_partkey AS b
+           |  FROM li a JOIN li b
+           |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           |  GROUP BY 1, 2 HAVING count(*) >= 2),
+           |edges AS (SELECT a AS src, b AS dst FROM und
+           |  UNION ALL SELECT b, a FROM und),
+           |$rounds
+           |SELECT * FROM (
+           |$sel) ORDER BY round""".stripMargin
+      }),
+
+    // Two-sample hypothesis test (Welch z) — experiment analysis as a
+    // distributed aggregation: each event type is compared against the
+    // 'view' control on mean event value. The metric is snapped to the
+    // CENTS grid first (floor(value*100) — identical IEEE op on both
+    // engines), so all moments are BIGINT-exact, map-side-combinable,
+    // and order-independent: the whole test is ONE 5-group aggregate +
+    // a 1-row broadcast of the control moments, no matter the corpus
+    // size. The z statistic is assembled in doubles with identical
+    // operation order and floor-scaled to the 1e-9 grid (the tie-free
+    // snap — see Q.scala); the decision threshold 1.96 is two-sided 5%.
+    Q("q_ab_test",
+      (s, d) => {
+        val m = Tables.events(s, d)
+          .select(col("event_type"),
+            floor(col("value") * lit(100.0)).cast("long").as("v"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+            sum(col("v") * col("v")).as("svv"))
+        val ctl = m.filter(col("event_type") === "view")
+          .select(col("n").as("nc"), col("sv").as("svc"),
+            col("svv").as("svvc"))
+        def mean(sv: org.apache.spark.sql.Column,
+            n: org.apache.spark.sql.Column) = sv.cast("double") / n
+        def variance(svv: org.apache.spark.sql.Column,
+            sv: org.apache.spark.sql.Column,
+            n: org.apache.spark.sql.Column) =
+          (svv.cast("double") -
+            sv.cast("double") * sv.cast("double") / n) / (n - lit(1))
+        val z = (mean(col("sv"), col("n")) - mean(col("svc"), col("nc"))) /
+          sqrt(variance(col("svv"), col("sv"), col("n")) / col("n") +
+            variance(col("svvc"), col("svc"), col("nc")) / col("nc"))
+        m.filter(col("event_type") =!= "view")
+          .crossJoin(broadcast(ctl))
+          .select(col("event_type"), col("n"),
+            (floor(mean(col("sv"), col("n")) * lit(1e9)) / lit(1e9))
+              .as("mean_cents"),
+            (floor(z * lit(1e9)) / lit(1e9)).as("z"),
+            (abs(z) > lit(1.96)).cast("long").as("significant"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH m AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(v) AS BIGINT) AS sv, CAST(sum(v*v) AS BIGINT) AS svv
+         |  FROM (SELECT event_type,
+         |          CAST(floor(value * 100.0) AS BIGINT) AS v FROM events) t
+         |  GROUP BY event_type),
+         |c AS (SELECT n AS nc, sv AS svc, svv AS svvc FROM m
+         |      WHERE event_type = 'view')
+         |SELECT event_type, n,
+         |  floor(CAST(sv AS DOUBLE) / n * 1e9) / 1e9 AS mean_cents,
+         |  floor((CAST(sv AS DOUBLE) / n - CAST(svc AS DOUBLE) / nc)
+         |    / sqrt(((CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE)*CAST(sv AS DOUBLE)/n) / (n - 1)) / n
+         |         + ((CAST(svvc AS DOUBLE) - CAST(svc AS DOUBLE)*CAST(svc AS DOUBLE)/nc) / (nc - 1)) / nc)
+         |    * 1e9) / 1e9 AS z,
+         |  CAST(abs((CAST(sv AS DOUBLE) / n - CAST(svc AS DOUBLE) / nc)
+         |    / sqrt(((CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE)*CAST(sv AS DOUBLE)/n) / (n - 1)) / n
+         |         + ((CAST(svvc AS DOUBLE) - CAST(svc AS DOUBLE)*CAST(svc AS DOUBLE)/nc) / (nc - 1)) / nc))
+         |    > 1.96 AS BIGINT) AS significant
+         |FROM m, c WHERE event_type <> 'view'
+         |ORDER BY event_type""".stripMargin)),
   )
 
   /** The market-basket edge set (distinct canonical part pairs within an
