@@ -1359,6 +1359,119 @@ object ExtendedQueries {
            |$sel) ORDER BY round""".stripMargin
       }),
 
+    // Association-rule mining (Apriori's output stage) over the basket
+    // fixture: pair supports with min-support 2 (the same edge filter
+    // that feeds q_kcore), per-item supports, then confidence = s(a,b)/
+    // s(a) and lift = n*s(a,b)/(s(a)*s(b)) for BOTH rule directions.
+    // All supports are BIGINT-exact; the ratios divide exact integers in
+    // doubles with identical op order and are floor-scaled; the top-50 is
+    // ordered by the SCALED-LONG lift (integer compare, no float-order
+    // ambiguity) with a full (antecedent, consequent) tie-break, so the
+    // limit is deterministic and plans as TakeOrderedAndProject. Scale
+    // shape: the pair table is the only large relation (orderkey-keyed
+    // self-join + pair groupBy); item supports are a vocabulary-sized
+    // broadcast; nothing all-pairs, nothing driver-side.
+    Q("q_assoc_rules",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val n = li.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+        val item = li.groupBy(col("l_partkey").as("item"))
+          .agg(count(lit(1)).as("supp"))
+        val pairs = li.select(col("l_orderkey"), col("l_partkey").as("a"))
+          .join(li.select(col("l_orderkey"), col("l_partkey").as("b")),
+            "l_orderkey")
+          .filter(col("a") < col("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("supp_ab"))
+          .filter(col("supp_ab") >= 2)
+        val rules = pairs
+          .select(col("a").as("antecedent"), col("b").as("consequent"),
+            col("supp_ab"))
+          .union(pairs.select(col("b"), col("a"), col("supp_ab")))
+          .join(broadcast(item.select(col("item").as("antecedent"),
+            col("supp").as("supp_a"))), "antecedent")
+          .join(broadcast(item.select(col("item").as("consequent"),
+            col("supp").as("supp_b"))), "consequent")
+          .crossJoin(broadcast(n))
+        val conf = col("supp_ab").cast("double") / col("supp_a").cast("double")
+        val lift = (col("n_orders") * col("supp_ab")).cast("double") /
+          (col("supp_a") * col("supp_b")).cast("double")
+        rules
+          .select(col("antecedent"), col("consequent"), col("supp_ab"),
+            (floor(conf * lit(1e9)) / lit(1e9)).as("confidence"),
+            (floor(lift * lit(1e9)) / lit(1e9)).as("lift"),
+            floor(lift * lit(1e9)).cast("long").as("lift_s"))
+          .orderBy(col("lift_s").desc, col("antecedent"), col("consequent"))
+          .limit(50)
+          .drop("lift_s")
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+         |      FROM li),
+         |item AS (SELECT l_partkey AS item, CAST(count(*) AS BIGINT) AS supp
+         |         FROM li GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.l_partkey AS a, b.l_partkey AS b,
+         |    CAST(count(*) AS BIGINT) AS supp_ab
+         |  FROM li a JOIN li b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |rules AS (
+         |  SELECT a AS antecedent, b AS consequent, supp_ab FROM pairs
+         |  UNION ALL SELECT b, a, supp_ab FROM pairs),
+         |scored AS (
+         |  SELECT r.antecedent, r.consequent, r.supp_ab,
+         |    floor(CAST(r.supp_ab AS DOUBLE) / CAST(ia.supp AS DOUBLE)
+         |      * 1e9) / 1e9 AS confidence,
+         |    floor(CAST(n.n_orders * r.supp_ab AS DOUBLE)
+         |      / CAST(ia.supp * ic.supp AS DOUBLE) * 1e9) / 1e9 AS lift,
+         |    CAST(floor(CAST(n.n_orders * r.supp_ab AS DOUBLE)
+         |      / CAST(ia.supp * ic.supp AS DOUBLE) * 1e9) AS BIGINT) AS lift_s
+         |  FROM rules r
+         |  JOIN item ia ON ia.item = r.antecedent
+         |  JOIN item ic ON ic.item = r.consequent, n)
+         |SELECT antecedent, consequent, supp_ab, confidence, lift
+         |FROM scored
+         |ORDER BY lift_s DESC, antecedent, consequent LIMIT 50""".stripMargin)),
+
+    // Last-touch attribution: each purchase is credited to the user's
+    // most recent PRIOR non-purchase event (the marketing-analytics twin
+    // of sessionization). One user-keyed window ordered by the fixture's
+    // total (ts, event_id) order — the same tie-break q_cdc_compact pins,
+    // since equal timestamps are real at scale — carrying the last
+    // non-purchase type with an IGNORE NULLS frame ending 1 row before
+    // current; purchases with no prior touch credit 'none'. Scale shape:
+    // the window partitions by user (shuffle key = user_id, never a
+    // time-range product), then a 5-row aggregate.
+    Q("q_attribution",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("src", last(
+            when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .groupBy(coalesce(col("src"), lit("none")).as("channel"))
+          .agg(count(lit(1)).as("n_purchases"))
+          .orderBy(col("channel"))
+      },
+      Some("""WITH a AS (
+         |  SELECT event_type,
+         |    last_value(CASE WHEN event_type <> 'purchase'
+         |        THEN event_type END IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      AS src
+         |  FROM events)
+         |SELECT coalesce(src, 'none') AS channel,
+         |  CAST(count(*) AS BIGINT) AS n_purchases
+         |FROM a WHERE event_type = 'purchase'
+         |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Two-sample hypothesis test (Welch z) — experiment analysis as a
     // distributed aggregation: each event type is compared against the
     // 'view' control on mean event value. The metric is snapped to the
