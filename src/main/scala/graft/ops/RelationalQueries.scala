@@ -547,6 +547,71 @@ object RelationalQueries {
          |  sqrt((s2 - s1*s1/n)/(n - 1)/10000.0) AS stddev
          |FROM m ORDER BY l_returnflag""".stripMargin)),
 
+    // Closed-form OLS regression per segment — model FITTING as a
+    // distributed aggregation: y = a + b*x (order value vs line count),
+    // one model per o_orderpriority. All six sufficient statistics are
+    // exact (features snapped to integer grids — x is a count, y =
+    // floor(o_totalprice) dollars — then DECIMAL(38,0)-routed sums, the
+    // q_price_stats pattern, so no partition-order float drift); the
+    // normal-equation solution, intercept and R^2 are assembled in
+    // doubles with identical operation order on both engines and
+    // floor-scaled. Scale shape: the per-order feature aggregate and the
+    // orders join share the o_orderkey partitioning (one shuffle), the
+    // moment aggregate is map-side-combinable, and the model table is
+    // segment-sized — regression at 100 TB costs one pass, no iteration,
+    // no driver-side math.
+    Q("q_ols",
+      (s, d) => {
+        val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val lc = Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey").as("o_orderkey"))
+          .agg(count(lit(1)).as("x"))
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            floor(col("o_totalprice")).cast("long").as("y"))
+        val g = o.join(lc, "o_orderkey")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("x").cast(dec38)).cast("double").as("sx"),
+            sum(col("y").cast(dec38)).cast("double").as("sy"),
+            sum((col("x") * col("x")).cast(dec38)).cast("double").as("sxx"),
+            sum((col("x") * col("y")).cast(dec38)).cast("double").as("sxy"),
+            sum((col("y") * col("y")).cast(dec38)).cast("double").as("syy"))
+        val num = col("n") * col("sxy") - col("sx") * col("sy")
+        val denx = col("n") * col("sxx") - col("sx") * col("sx")
+        val deny = col("n") * col("syy") - col("sy") * col("sy")
+        val slope = num / denx
+        g.select(col("o_orderpriority"), col("n"),
+            (floor(slope * lit(1e9)) / lit(1e9)).as("slope"),
+            (floor((col("sy") - slope * col("sx")) / col("n") * lit(1e9))
+              / lit(1e9)).as("intercept"),
+            (floor(num * num / (denx * deny) * lit(1e9)) / lit(1e9))
+              .as("r2"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""WITH lc AS (
+         |  SELECT l_orderkey AS o_orderkey, CAST(count(*) AS BIGINT) AS x
+         |  FROM lineitem GROUP BY l_orderkey),
+         |o AS (
+         |  SELECT o_orderkey, o_orderpriority,
+         |    CAST(floor(o_totalprice) AS BIGINT) AS y FROM orders),
+         |g AS (
+         |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         |    CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         |    CAST(sum(CAST(x*x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+         |    CAST(sum(CAST(x*y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+         |    CAST(sum(CAST(y*y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+         |  FROM o JOIN lc USING (o_orderkey)
+         |  GROUP BY o_orderpriority)
+         |SELECT o_orderpriority, n,
+         |  floor((n*sxy - sx*sy) / (n*sxx - sx*sx) * 1e9) / 1e9 AS slope,
+         |  floor((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n * 1e9)
+         |    / 1e9 AS intercept,
+         |  floor((n*sxy - sx*sy) * (n*sxy - sx*sy)
+         |    / ((n*sxx - sx*sx) * (n*syy - sy*sy)) * 1e9) / 1e9 AS r2
+         |FROM g ORDER BY o_orderpriority""".stripMargin)),
+
     // TPC-H Q9-style product-line profit: the DEEP multi-join (lineitem
     // joins part, supplier, orders, nation — 5 tables) that exercises
     // Catalyst's join ordering. The selective part filter ('%red%')

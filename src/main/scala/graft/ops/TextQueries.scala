@@ -950,6 +950,93 @@ object TextQueries {
            |FROM p WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
       }),
 
+    // Classifier evaluation — per-class precision/recall/F1 of the
+    // q_lang_id predictor against the corpus's lang ground truth: the
+    // model-eval operator every curation classifier (lang-ID, quality
+    // gate, safety filter) needs before its threshold ships. The
+    // confusion counts are BIGINT-exact aggregates of the SAME argmax
+    // scoring q_lang_id pins (over ALL docs, not its display slice);
+    // the three ratios divide exact integers in doubles with identical
+    // op order, zero-denominator cases pinned to 0.0 on both engines,
+    // and floor-scale to the 1e-9 grid. Scale shape: one corpus
+    // tokenize + (doc, lang) aggregate — identical to q_lang_id — then
+    // everything is class-table-sized (5 rows).
+    Q("q_eval_metrics",
+      (s, d) => {
+        val sumCols = langMarkers.map { case (l, ms) =>
+          sum(when(col("tok").isin(ms: _*), 1).otherwise(0)).as(s"s_$l")
+        }
+        val scored = toks(s, d).groupBy(col("doc_id"), col("lang"))
+          .agg(sumCols.head, sumCols.tail: _*)
+        val m = greatest(langMarkers.map { case (l, _) => col(s"s_$l") }: _*)
+        val predCol = langMarkers.map(_._1).foldRight(lit("?")) { (l, els) =>
+          when(col(s"s_$l") === m, lit(l)).otherwise(els)
+        }
+        val p = scored.select(col("lang"), predCol.as("pred"))
+        val base = p.groupBy(col("lang").as("cls"))
+          .agg(count(lit(1)).as("n_true"),
+            sum(when(col("pred") === col("lang"), 1L).otherwise(0L)).as("tp"))
+        val predCnt = p.groupBy(col("pred").as("cls"))
+          .agg(count(lit(1)).as("n_pred"))
+        val joined = base.join(predCnt, Seq("cls"), "left")
+          .select(col("cls"), col("n_true"), col("tp"),
+            coalesce(col("n_pred"), lit(0L)).as("n_pred"))
+        val prec = when(col("n_pred") === 0, lit(0.0))
+          .otherwise(col("tp").cast("double") / col("n_pred").cast("double"))
+        val rec = col("tp").cast("double") / col("n_true").cast("double")
+        val f1 = when(prec + rec === 0.0, lit(0.0))
+          .otherwise(lit(2.0) * prec * rec / (prec + rec))
+        joined.select(col("cls"), col("n_true"), col("n_pred"), col("tp"),
+            (floor(prec * lit(1e9)) / lit(1e9)).as("precision"),
+            (floor(rec * lit(1e9)) / lit(1e9)).as("recall"),
+            (floor(f1 * lit(1e9)) / lit(1e9)).as("f1"))
+          .orderBy(col("cls"))
+      },
+      Some {
+        val sums = langMarkers.map { case (l, ms) =>
+          val in = ms.map(m => s"'$m'").mkString(", ")
+          s"sum(CASE WHEN tok IN ($in) THEN 1 ELSE 0 END) AS s_$l"
+        }.mkString(",\n    ")
+        val m = langMarkers.map { case (l, _) => s"s_$l" }
+          .mkString("greatest(", ", ", ")")
+        val pred = langMarkers.map(_._1).foldRight("'?'") { (l, els) =>
+          s"CASE WHEN s_$l = m THEN '$l' ELSE $els END"
+        }
+        s"""WITH toks AS (
+           |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+           |  FROM documents),
+           |sc AS (
+           |  SELECT doc_id, lang,
+           |    $sums
+           |  FROM toks GROUP BY doc_id, lang),
+           |p AS (SELECT lang, $pred AS pred FROM (
+           |  SELECT doc_id, lang, $m AS m,
+           |    s_de, s_en, s_es, s_fr, s_zh FROM sc) t),
+           |base AS (
+           |  SELECT lang AS cls, CAST(count(*) AS BIGINT) AS n_true,
+           |    CAST(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS tp
+           |  FROM p GROUP BY lang),
+           |pc AS (SELECT pred AS cls, CAST(count(*) AS BIGINT) AS n_pred
+           |       FROM p GROUP BY pred),
+           |j AS (
+           |  SELECT b.cls, b.n_true, b.tp,
+           |    coalesce(pc.n_pred, CAST(0 AS BIGINT)) AS n_pred
+           |  FROM base b LEFT JOIN pc USING (cls)),
+           |r AS (
+           |  SELECT cls, n_true, n_pred, tp,
+           |    CASE WHEN n_pred = 0 THEN 0.0
+           |      ELSE CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE) END AS p2,
+           |    CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE) AS r2
+           |  FROM j)
+           |SELECT cls, n_true, n_pred, tp,
+           |  floor(p2 * 1e9) / 1e9 AS precision,
+           |  floor(r2 * 1e9) / 1e9 AS recall,
+           |  floor(CASE WHEN p2 + r2 = 0.0 THEN 0.0
+           |    ELSE 2.0 * p2 * r2 / (p2 + r2) END * 1e9) / 1e9 AS f1
+           |FROM r ORDER BY cls""".stripMargin
+      }),
+
     // Quality scoring: token counts, uniqueness ratio, composite score.
     Q("q_quality",
       (s, d) => toks(s, d).filter(col("tok") =!= "")
