@@ -1359,6 +1359,145 @@ object ExtendedQueries {
            |$sel) ORDER BY round""".stripMargin
       }),
 
+    // Population-stability-index drift monitor — the FEATURE-distribution
+    // companion to q_index_drift's embedding-space monitor: each event
+    // type's value distribution is compared to the 'view' reference over
+    // a fixed 10-bin grid, PSI = sum (q-p) * ln(q/p) with add-one
+    // smoothing so empty bins stay defined; the full type x bin grid is
+    // materialized (broadcast nested-loop of a 10-row range — never a
+    // CartesianProduct) so missing bins contribute their smoothed term
+    // instead of silently dropping. The 10-cell sum routes through the
+    // 2^43 floor/DECIMAL fold (q_feature_mi's order-independent pattern),
+    // and the drifted flag thresholds the grid-snapped value at the
+    // industry 0.1 cut. Scale shape: two map-side-combinable bin counts;
+    // everything after is (types x 10)-sized.
+    Q("q_psi_drift",
+      (s, d) => {
+        val P43 = 8796093022208.0
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val ev = Tables.events(s, d).select(col("event_type"),
+          least(floor(col("value") / lit(10.0)), lit(9.0)).cast("long")
+            .as("bin"))
+        val ref = ev.filter(col("event_type") === "view")
+          .groupBy(col("bin")).agg(count(lit(1)).as("rc"))
+        val refN = ref.agg(sum(col("rc")).as("rn"))
+        val cur = ev.filter(col("event_type") =!= "view")
+          .groupBy(col("event_type"), col("bin")).agg(count(lit(1)).as("cc"))
+        val curN = cur.groupBy(col("event_type").as("t2"))
+          .agg(sum(col("cc")).as("cn"))
+        val grid = ev.filter(col("event_type") =!= "view")
+          .select(col("event_type")).distinct()
+          .crossJoin(broadcast(s.range(0, 10).select(col("id").as("bin"))))
+        val filled = grid
+          .join(cur, Seq("event_type", "bin"), "left")
+          .join(broadcast(ref), Seq("bin"), "left")
+          .join(broadcast(curN), col("event_type") === col("t2"))
+          .crossJoin(broadcast(refN))
+          .select(col("event_type"),
+            ((coalesce(col("rc"), lit(0L)) + lit(1)).cast("double") /
+              (col("rn") + lit(10)).cast("double")).as("p"),
+            ((coalesce(col("cc"), lit(0L)) + lit(1)).cast("double") /
+              (col("cn") + lit(10)).cast("double")).as("q"))
+        val term = (col("q") - col("p")) * log(col("q") / col("p"))
+        val psi = sum(floor(term * lit(P43)).cast(dec)).cast("double") / lit(P43)
+        filled.groupBy(col("event_type"))
+          .agg(psi.as("psi"))
+          .select(col("event_type"), col("psi"),
+            (col("psi") > lit(0.1)).cast("long").as("drifted"))
+          .orderBy(col("event_type"))
+      },
+      Some {
+        val P = "8796093022208.0"
+        s"""WITH ev AS (
+          |  SELECT event_type,
+          |    LEAST(CAST(floor(value / 10.0) AS BIGINT), 9) AS bin
+          |  FROM events),
+          |ref AS (SELECT bin, CAST(count(*) AS BIGINT) AS rc
+          |        FROM ev WHERE event_type = 'view' GROUP BY bin),
+          |refn AS (SELECT CAST(sum(rc) AS BIGINT) AS rn FROM ref),
+          |cur AS (SELECT event_type, bin, CAST(count(*) AS BIGINT) AS cc
+          |        FROM ev WHERE event_type <> 'view'
+          |        GROUP BY event_type, bin),
+          |curn AS (SELECT event_type, CAST(sum(cc) AS BIGINT) AS cn
+          |         FROM cur GROUP BY event_type),
+          |grid AS (
+          |  SELECT t.event_type, b.bin
+          |  FROM (SELECT DISTINCT event_type FROM ev
+          |        WHERE event_type <> 'view') t,
+          |       (SELECT unnest(range(0, 10)) AS bin) b),
+          |filled AS (
+          |  SELECT g.event_type,
+          |    CAST(coalesce(r.rc, 0) + 1 AS DOUBLE)
+          |      / CAST(rn.rn + 10 AS DOUBLE) AS p,
+          |    CAST(coalesce(c.cc, 0) + 1 AS DOUBLE)
+          |      / CAST(cn.cn + 10 AS DOUBLE) AS q
+          |  FROM grid g
+          |  LEFT JOIN cur c ON c.event_type = g.event_type AND c.bin = g.bin
+          |  LEFT JOIN ref r ON r.bin = g.bin
+          |  JOIN curn cn ON cn.event_type = g.event_type
+          |  CROSS JOIN refn rn),
+          |agg AS (
+          |  SELECT event_type,
+          |    CAST(sum(CAST(floor((q - p) * ln(q / p) * $P)
+          |      AS DECIMAL(38,0))) AS DOUBLE) / $P AS psi
+          |  FROM filled GROUP BY event_type)
+          |SELECT event_type, psi,
+          |  CAST(psi > 0.1 AS BIGINT) AS drifted
+          |FROM agg ORDER BY event_type""".stripMargin
+      }),
+
+    // Gini concentration of customer revenue per market segment — the
+    // inequality/concentration operator (Lorenz-curve summary) a revenue
+    // or token-budget analysis reads first. Monetary value snaps to the
+    // dollars grid (floor, exact BIGINT per customer), each segment
+    // ranks its customers ascending with a unique (y, custkey)
+    // tie-break, and Gini = 2*sum(i*y)/(n*sum(y)) - (n+1)/n assembles
+    // from DECIMAL(38,0)-routed exact sums in identical double op order,
+    // floor-scaled. Rank ties share equal y so the i*y sum is
+    // order-invariant regardless. Scale shape: one orderkey-less
+    // customer aggregate, a segment-partitioned sort (the inherent cost
+    // of any rank statistic), one map-side-combinable moment aggregate.
+    Q("q_gini",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val mon = Tables.orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(sum(floor(col("o_totalprice")).cast("long")).as("y"))
+        val cust = Tables.customer(s, d)
+          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("y"), col("o_custkey"))
+        val r = mon.join(cust, "o_custkey")
+          .withColumn("i", row_number().over(w))
+        val g = r.groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("y").cast(dec)).cast("double").as("sy"),
+            sum((col("i") * col("y")).cast(dec)).cast("double").as("siy"))
+        val gini = lit(2.0) * col("siy") / (col("n") * col("sy")) -
+          (col("n") + lit(1)).cast("double") / col("n").cast("double")
+        g.select(col("c_mktsegment"), col("n"),
+            (floor(gini * lit(1e9)) / lit(1e9)).as("gini"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""WITH mon AS (
+         |  SELECT o_custkey,
+         |    CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS y
+         |  FROM orders GROUP BY o_custkey),
+         |r AS (
+         |  SELECT c_mktsegment, y,
+         |    row_number() OVER (PARTITION BY c_mktsegment
+         |      ORDER BY y, c_custkey) AS i
+         |  FROM mon JOIN customer ON c_custkey = o_custkey),
+         |g AS (
+         |  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         |    CAST(sum(CAST(i*y AS DECIMAL(38,0))) AS DOUBLE) AS siy
+         |  FROM r GROUP BY c_mktsegment)
+         |SELECT c_mktsegment, n,
+         |  floor((2.0*siy/(n*sy) - CAST(n+1 AS DOUBLE)/CAST(n AS DOUBLE))
+         |    * 1e9) / 1e9 AS gini
+         |FROM g ORDER BY c_mktsegment""".stripMargin)),
+
     // Association-rule mining (Apriori's output stage) over the basket
     // fixture: pair supports with min-support 2 (the same edge filter
     // that feeds q_kcore), per-item supports, then confidence = s(a,b)/
