@@ -380,6 +380,35 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.toString.contains("TakeOrderedAndProject"), "top-100 must push down")
   }
 
+  test("q_assoc_rules: broadcast item supports, top-50 as TakeOrderedAndProject") {
+    // The pair-support table is the only relation allowed to shuffle at
+    // scale; the two item-support joins and the n_orders scalar must be
+    // broadcasts, and the deterministic top-50 must plan as a bounded
+    // TakeOrderedAndProject — a global Sort+Limit here would total-order
+    // the rule table.
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    val p = finalPlan(SparkEntry.queries("q_assoc_rules")(spark, sf001))
+    assert(collectAll(p).exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      s"top-50 must push down:\n${p.toString.take(1200)}")
+    assert(broadcasts(p) >= 3,
+      s"item supports + n_orders must broadcast:\n${p.toString.take(1200)}")
+  }
+
+  test("q_ols: the whole regression is one aggregation pass — no window, " +
+    "bounded exchanges") {
+    // Sufficient-statistics fitting must stay sort-free: no WindowExec
+    // anywhere, and the exchange budget covers only the per-order
+    // feature aggregate, the orders join and the 5-group moment
+    // aggregate.
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p = finalPlan(SparkEntry.queries("q_ols")(spark, sf001))
+    assert(!collectAll(p).exists(_.isInstanceOf[WindowExec]),
+      s"closed-form OLS must not sort:\n${p.toString.take(1200)}")
+    assert(shuffles(p) <= 4,
+      s"regression is one aggregation pass, got ${shuffles(p)} shuffles:\n" +
+        p.toString.take(1200))
+  }
+
   test("runtime bloom-filter join: a selective build side injects a row-level " +
     "filter into the probe-side scan") {
     // The third join-pruning lever beside broadcast and AQE skew split:
