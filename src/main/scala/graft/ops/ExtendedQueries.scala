@@ -1359,6 +1359,70 @@ object ExtendedQueries {
            |$sel) ORDER BY round""".stripMargin
       }),
 
+    // Classical additive seasonal decomposition (trend + seasonal +
+    // residual) of the monthly revenue series — the time-series operator
+    // beside q_gapfill/q_ewma that every demand or load analysis starts
+    // from. Exactness design: the series is dollars-grid BIGINT; the
+    // centered 13-month moving-average trend stays an exact integer SUM
+    // (t13), and the detrended value d13 = 13*rev - t13 stays BIGINT, so
+    // the per-calendar-month seasonal means aggregate EXACT integers —
+    // the only doubles are final display scalings (/13, /count), applied
+    // in identical op order and floor-scaled. Edge months without a full
+    // window are excluded (the standard treatment). Scale shape: one
+    // month-grid aggregate; the unpartitioned window runs over the
+    // CALENDAR-sized series (~80 rows — in production one window per
+    // series key), never over row-scale data. Months are contiguous on
+    // this fixture; a gapped series would compose q_gapfill first.
+    Q("q_seasonal_decompose",
+      (s, d) => {
+        val m = Tables.orders(s, d)
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+            month(col("o_orderdate")).as("cal"))
+          .agg(sum(floor(col("o_totalprice")).cast("long")).as("rev"))
+        val w = Window.orderBy(col("month")).rowsBetween(-6, 6)
+        val f = m
+          .withColumn("t13", sum(col("rev")).over(w))
+          .withColumn("c13", count(lit(1)).over(w))
+          .filter(col("c13") === 13)
+          .withColumn("d13", lit(13) * col("rev") - col("t13"))
+        val seas = f.groupBy(col("cal"))
+          .agg(sum(col("d13")).as("sd"), count(lit(1)).as("sc"))
+        val seasonal = (col("sd").cast("double") / col("sc")) / lit(13.0)
+        f.join(broadcast(seas), "cal")
+          .select(col("month"), col("rev"),
+            (floor(col("t13").cast("double") / lit(13.0) * lit(1e9))
+              / lit(1e9)).as("trend"),
+            (floor(seasonal * lit(1e9)) / lit(1e9)).as("seasonal"),
+            (floor((col("d13").cast("double") / lit(13.0) - seasonal)
+              * lit(1e9)) / lit(1e9)).as("residual"))
+          .orderBy(col("month"))
+      },
+      Some("""WITH m AS (
+         |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         |    month(o_orderdate) AS cal,
+         |    CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT)
+         |      AS rev
+         |  FROM orders GROUP BY 1, 2),
+         |t AS (
+         |  SELECT month, cal, rev,
+         |    CAST(sum(rev) OVER win AS BIGINT) AS t13,
+         |    count(*) OVER win AS c13
+         |  FROM m WINDOW win AS (ORDER BY month
+         |    ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)),
+         |f AS (
+         |  SELECT month, cal, rev, t13, 13*rev - t13 AS d13
+         |  FROM t WHERE c13 = 13),
+         |s AS (
+         |  SELECT cal, CAST(sum(d13) AS BIGINT) AS sd,
+         |    CAST(count(*) AS BIGINT) AS sc
+         |  FROM f GROUP BY cal)
+         |SELECT month, rev,
+         |  floor(CAST(t13 AS DOUBLE) / 13.0 * 1e9) / 1e9 AS trend,
+         |  floor((CAST(sd AS DOUBLE) / sc) / 13.0 * 1e9) / 1e9 AS seasonal,
+         |  floor((CAST(d13 AS DOUBLE) / 13.0
+         |    - (CAST(sd AS DOUBLE) / sc) / 13.0) * 1e9) / 1e9 AS residual
+         |FROM f JOIN s USING (cal) ORDER BY month""".stripMargin)),
+
     // Population-stability-index drift monitor — the FEATURE-distribution
     // companion to q_index_drift's embedding-space monitor: each event
     // type's value distribution is compared to the 'view' reference over
