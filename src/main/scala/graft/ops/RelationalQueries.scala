@@ -1657,6 +1657,87 @@ object RelationalQueries {
          |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
          |  CAST(sum(new_s) AS BIGINT) AS n_sessions
          |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin),
-      headline = true)
+      headline = true),
+
+    // Snapshot reconciliation (table diff): classify every key across two
+    // snapshot versions as inserted / deleted / updated / unchanged — the
+    // audit operator behind backfill validation and replication checks
+    // (the read-side companion to q_merge_upsert / q_cdc_compact, which
+    // APPLY changes; this one DETECTS them). The "new" snapshot is derived
+    // deterministically from orders via md5 buckets — 5% deleted, 10%
+    // updated (+1 dollar on the cents grid), deletions re-keyed past the
+    // key domain as inserts — so both engines construct the identical
+    // pair of versions. Values ride the cents grid (floor(price*100),
+    // the q_ab_test precedent) so "updated" detection is exact BIGINT
+    // equality, never a double compare.
+    //
+    // Scale shape: ONE full-outer key-partitioned join of the two
+    // snapshots (the unavoidable diff shuffle), a narrow codegen'd CASE
+    // classify, and a 4-row aggregate. At 100 TB both sides prune to
+    // changed partitions first when snapshots are partition-versioned;
+    // the join is the worst-case full-diff cost.
+    Q("q_table_diff",
+      (s, d) => {
+        val snap = Tables.orders(s, d).select(
+          col("o_orderkey").as("key"),
+          floor(col("o_totalprice") * lit(100.0)).cast("long").as("cents"),
+          col("o_orderstatus").as("status"),
+          col("o_orderpriority").as("prio"))
+        val base = snap.withColumn("h",
+          graft.functions.TextOps.md5Prefix60(
+            concat(lit("diff:"), col("key").cast("string"))) % 100)
+        val kept = base.filter(col("h") >= 5)
+          .select(col("key"),
+            when(col("h") < 15, col("cents") + 100).otherwise(col("cents"))
+              .as("cents"),
+            col("status"), col("prio"))
+        val inserted = base.filter(col("h") < 5)
+          .select((col("key") + lit(10000000000L)).as("key"),
+            col("cents"), col("status"), col("prio"))
+        val newSnap = kept.union(inserted)
+        snap.select(col("key"), col("cents").as("oc"),
+            col("status").as("os"), col("prio").as("op"))
+          .join(newSnap.select(col("key"), col("cents").as("nc"),
+            col("status").as("ns"), col("prio").as("np")),
+            Seq("key"), "full_outer")
+          .select(col("key"),
+            when(col("oc").isNull, lit("inserted"))
+              .when(col("nc").isNull, lit("deleted"))
+              .when(col("oc") === col("nc") && col("os") === col("ns") &&
+                col("op") === col("np"), lit("unchanged"))
+              .otherwise(lit("updated")).as("diff_class"))
+          .groupBy(col("diff_class"))
+          .agg(count(lit(1)).as("n"), sum(col("key")).as("key_checksum"))
+          .orderBy(col("diff_class"))
+      },
+      Some {
+        val h = graft.OracleSql.hexToLong(
+          "md5('diff:' || CAST(key AS VARCHAR))", 1, 15) + " % 100"
+        s"""WITH snap AS (
+           |  SELECT o_orderkey AS key,
+           |    CAST(floor(o_totalprice * 100.0) AS BIGINT) AS cents,
+           |    o_orderstatus AS status, o_orderpriority AS prio
+           |  FROM orders),
+           |base AS (SELECT *, $h AS h FROM snap),
+           |news AS (
+           |  SELECT key,
+           |    CASE WHEN h < 15 THEN cents + 100 ELSE cents END AS cents,
+           |    status, prio
+           |  FROM base WHERE h >= 5
+           |  UNION ALL
+           |  SELECT key + 10000000000, cents, status, prio
+           |  FROM base WHERE h < 5),
+           |diff AS (
+           |  SELECT coalesce(o.key, n.key) AS key,
+           |    CASE WHEN o.key IS NULL THEN 'inserted'
+           |         WHEN n.key IS NULL THEN 'deleted'
+           |         WHEN o.cents = n.cents AND o.status = n.status
+           |           AND o.prio = n.prio THEN 'unchanged'
+           |         ELSE 'updated' END AS diff_class
+           |  FROM snap o FULL OUTER JOIN news n ON o.key = n.key)
+           |SELECT diff_class, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(key) AS BIGINT) AS key_checksum
+           |FROM diff GROUP BY diff_class ORDER BY diff_class""".stripMargin
+      })
   )
 }
