@@ -36,6 +36,18 @@ object VectorQueries {
       .limit(k)
   }
 
+  /** NDCG position discounts floor(1e9/log2(pos+1)) for pos 1..10 —
+    * precomputed so the transcendental never runs at query time on
+    * either engine (see q_ndcg). */
+  private val ndcgW: Seq[Long] = Seq(1000000000L, 630929753L, 500000000L,
+    430676558L, 386852807L, 356207187L, 333333333L, 315464876L,
+    301029995L, 289064826L)
+
+  /** IDCG@10 on the scaled grid: the ideal top-10's gains (10..1) dotted
+    * with the discounts — constant across queries by construction. */
+  private val ndcgIdcg: Long =
+    ndcgW.zipWithIndex.map { case (wt, i) => (10L - i) * wt }.sum
+
   val all: Seq[Q] = Seq(
     Q("q_knn",
       (s, d) => knnInt8(s, d, qid = 0L, k = 10),
@@ -336,6 +348,94 @@ object VectorQueries {
          |  FROM qv v JOIN base b ON v.vec_id = b.vec_id)
          |SELECT max(row_err) AS max_err,
          |  CAST(sum(CAST(row_err AS DECIMAL(25,12))) AS DOUBLE)/count(*) AS avg_err
-         |FROM err""".stripMargin))
+         |FROM err""".stripMargin)),
+
+    // NDCG@10 of the int8-quantized ranking against the float-exact ideal
+    // — the GRADED ranking-quality metric beside the recall family
+    // (q_ann_recall measures set overlap; NDCG also charges the system
+    // for putting a relevant item at position 9 instead of 2). Relevance
+    // grades come from the exact float-cosine ranking (gain = 11 - ideal
+    // rank for the ideal top-10, 0 otherwise), so IDCG is the same
+    // constant for every query and NDCG isolates pure rank displacement.
+    //
+    // Exactness: the log2 position discounts are the ONLY transcendental
+    // in the definition, and they are 10 CONSTANTS — precomputed here as
+    // floor(1e9/log2(pos+1)) integers (ndcgW) so neither engine evaluates
+    // a log at query time; DCG is then an exact BIGINT dot product of
+    // gains and weights, and NDCG one identically-ordered double division.
+    //
+    // Scale shape: both rankings ride the q_knn_batch plan — m broadcast
+    // queries, ONE corpus pass each, per-(query x partition) k-heaps
+    // (TopKAgg) so the shuffle is m x k rows; the gain join and the
+    // 10-term DCG sum are bounded by m x k regardless of corpus size.
+    Q("q_ndcg",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            VectorOps.quantizeInt8(col("embedding")).as("qq"))
+        val corpus = emb.filter(col("vec_id") >= 5)
+          .select(col("vec_id"), col("embedding"),
+            VectorOps.quantizeInt8(col("embedding")).as("q"))
+        val joined = corpus.crossJoin(broadcast(queries))
+        def top10(scored: org.apache.spark.sql.DataFrame) = scored
+          .groupBy(col("qid"))
+          .agg(VectorOps.topK(col("score"), col("vec_id"), 10).as("top"))
+          .select(col("qid"), posexplode(col("top")).as(Seq("i", "t")))
+        val ideal = top10(joined.select(col("qid"), col("vec_id"),
+            VectorOps.cosineFloat(col("embedding"), col("qe")).as("score")))
+          .select(col("qid"), col("t.vec_id").as("vec_id"),
+            (lit(10L) - col("i")).as("gain")) // ideal rank i+1 -> gain 11-(i+1)
+        val approx = top10(joined.select(col("qid"), col("vec_id"),
+            VectorOps.cosineInt8(col("q"), col("qq")).as("score")))
+          .select(col("qid"), col("t.vec_id").as("vec_id"),
+            (col("i") + 1).as("pos"))
+        val w = array(ndcgW.map(lit): _*)
+        approx.join(ideal, Seq("qid", "vec_id"), "left")
+          .select(col("qid"),
+            (coalesce(col("gain"), lit(0L)) * element_at(w, col("pos")))
+              .as("term"))
+          .groupBy(col("qid")).agg(sum(col("term")).as("dcg_scaled"))
+          .select(col("qid"), col("dcg_scaled"),
+            (col("dcg_scaled").cast("double") / lit(ndcgIdcg.toDouble))
+              .as("ndcg"))
+          .orderBy(col("qid"))
+      },
+      Some {
+        val wRows = ndcgW.zipWithIndex
+          .map { case (wt, i) => s"(${i + 1}, $wt)" }.mkString(", ")
+        s"""WITH ${OracleSql.quantizeCte},
+           |qs AS (
+           |  SELECT e.vec_id AS qid, e.embedding AS qe, v.q AS qq
+           |  FROM embeddings e JOIN qv v ON e.vec_id = v.vec_id
+           |  WHERE e.vec_id < 5),
+           |w(pos, wt) AS (VALUES $wRows),
+           |ideal AS (
+           |  SELECT qid, vec_id, 11 - rnk AS gain FROM (
+           |    SELECT qs.qid, e.vec_id,
+           |      CAST(row_number() OVER (PARTITION BY qs.qid
+           |        ORDER BY ${OracleSql.floatCos("e.embedding", "qs.qe")} DESC,
+           |          e.vec_id) AS BIGINT) AS rnk
+           |    FROM embeddings e, qs WHERE e.vec_id >= 5)
+           |  WHERE rnk <= 10),
+           |approx AS (
+           |  SELECT qid, vec_id, rnk AS pos FROM (
+           |    SELECT qs.qid, v.vec_id,
+           |      CAST(row_number() OVER (PARTITION BY qs.qid
+           |        ORDER BY ${OracleSql.int8Cos("v.q", "qs.qq")} DESC,
+           |          v.vec_id) AS BIGINT) AS rnk
+           |    FROM qv v, qs WHERE v.vec_id >= 5)
+           |  WHERE rnk <= 10),
+           |dcg AS (
+           |  SELECT a.qid,
+           |    CAST(sum(coalesce(i.gain, 0) * w.wt) AS BIGINT) AS dcg_scaled
+           |  FROM approx a
+           |  LEFT JOIN ideal i ON a.qid = i.qid AND a.vec_id = i.vec_id
+           |  JOIN w ON w.pos = a.pos
+           |  GROUP BY a.qid)
+           |SELECT qid, dcg_scaled,
+           |  CAST(dcg_scaled AS DOUBLE) / CAST($ndcgIdcg AS DOUBLE) AS ndcg
+           |FROM dcg ORDER BY qid""".stripMargin
+      })
   )
 }
