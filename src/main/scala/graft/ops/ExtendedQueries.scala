@@ -1423,6 +1423,71 @@ object ExtendedQueries {
          |    - (CAST(sd AS DOUBLE) / sc) / 13.0) * 1e9) / 1e9 AS residual
          |FROM f JOIN s USING (cal) ORDER BY month""".stripMargin)),
 
+    // Two-sided CUSUM change-point detection (Page 1954) on the monthly
+    // revenue series — the SHIFT detector beside q_psi_drift (distribution
+    // drift) and q_outliers (point anomalies): a persistent small shift
+    // that never trips a 3-sigma test accumulates in the CUSUM until it
+    // crosses the decision interval. Exactness: the classic recursion
+    // s_t = max(0, s_{t-1} + d_t) is restated in closed form as
+    // cum_t - min(0, running_min(cum)) — cumulative sums and running
+    // extremes of BIGINT cents deviations, so the whole statistic is
+    // exact integer arithmetic; the reference level mu0 is the floored
+    // global mean (one integer division), the decision interval h = mu0
+    // (one mean month of accumulated deviation). Scale shape: one
+    // month-grid aggregate; the unpartitioned window runs over the
+    // CALENDAR-sized series (~80 rows — per series key in production),
+    // the q_seasonal_decompose precedent.
+    Q("q_changepoint",
+      (s, d) => {
+        val m = Tables.orders(s, d)
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+          .agg(sum(floor(col("o_totalprice") * lit(100.0)).cast("long"))
+            .as("cents"))
+        val tot = m.agg(sum(col("cents")).as("sc"), count(lit(1)).as("nm"))
+        val w = Window.orderBy(col("month"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        m.crossJoin(broadcast(tot))
+          .withColumn("mu0", expr("sc div nm"))
+          .withColumn("cum", sum(col("cents") - col("mu0")).over(w))
+          .withColumn("cusum_up",
+            col("cum") - least(lit(0L), min(col("cum")).over(w)))
+          .withColumn("cusum_dn",
+            greatest(lit(0L), max(col("cum")).over(w)) - col("cum"))
+          .select(col("month"), col("cents"), col("cusum_up"),
+            col("cusum_dn"),
+            (col("cusum_up") > col("mu0")).cast("long").as("shift_up"),
+            (col("cusum_dn") > col("mu0")).cast("long").as("shift_dn"))
+          .orderBy(col("month"))
+      },
+      Some("""WITH m AS (
+         |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         |    CAST(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+         |      AS BIGINT) AS cents
+         |  FROM orders GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cents) AS BIGINT) AS sc,
+         |  CAST(count(*) AS BIGINT) AS nm FROM m),
+         |cu AS (
+         |  SELECT month, cents, sc // nm AS mu0,
+         |    CAST(sum(cents - sc // nm) OVER win AS BIGINT) AS cum
+         |  FROM m, tot
+         |  WINDOW win AS (ORDER BY month
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |c AS (
+         |  SELECT month, cents, mu0, cum,
+         |    CAST(min(cum) OVER win2 AS BIGINT) AS rmin,
+         |    CAST(max(cum) OVER win2 AS BIGINT) AS rmax
+         |  FROM cu
+         |  WINDOW win2 AS (ORDER BY month
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT month, cents,
+         |  cum - least(0, rmin) AS cusum_up,
+         |  greatest(0, rmax) - cum AS cusum_dn,
+         |  CAST(CASE WHEN cum - least(0, rmin) > mu0 THEN 1 ELSE 0 END
+         |    AS BIGINT) AS shift_up,
+         |  CAST(CASE WHEN greatest(0, rmax) - cum > mu0 THEN 1 ELSE 0 END
+         |    AS BIGINT) AS shift_dn
+         |FROM c ORDER BY month""".stripMargin)),
+
     // Population-stability-index drift monitor — the FEATURE-distribution
     // companion to q_index_drift's embedding-space monitor: each event
     // type's value distribution is compared to the 'view' reference over

@@ -703,6 +703,37 @@ object PipelineQueries {
          |FROM documents GROUP BY lang, source, n_chars // 100
          |ORDER BY lang, source, chars_bucket""".stripMargin)),
 
+    // l-diversity audit (Machanavajjhala et al. 2007) — the second privacy
+    // lens: k-anonymity bounds class SIZE, but a large class whose
+    // sensitive attribute is HOMOGENEOUS still leaks it (the homogeneity
+    // attack). Per quasi-identifier class (order month x priority) over
+    // the released orders table, l = the number of distinct sensitive
+    // values (order status); classes with l < 2 reveal every member's
+    // status outright. Pure exact counting (count + countDistinct per
+    // class), so parity is trivial. Scale shape: one map-side-combinable
+    // groupBy on the quasi-identifier key (countDistinct expands to a
+    // two-level aggregate on (class, status) — both keyed, never
+    // row-fanning); the audit table is class-count-sized (~400 rows).
+    Q("q_l_diversity",
+      (s, d) => {
+        val L = 2L
+        Tables.orders(s, d)
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+            col("o_orderpriority").as("prio"))
+          .agg(count(lit(1)).as("class_size"),
+            countDistinct(col("o_orderstatus")).as("l_distinct"))
+          .withColumn("at_risk", (col("l_distinct") < L).cast("long"))
+          .orderBy(col("month"), col("prio"))
+      },
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         |  o_orderpriority AS prio,
+         |  CAST(count(*) AS BIGINT) AS class_size,
+         |  CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS l_distinct,
+         |  CAST(CASE WHEN count(DISTINCT o_orderstatus) < 2
+         |    THEN 1 ELSE 0 END AS BIGINT) AS at_risk
+         |FROM orders GROUP BY 1, 2
+         |ORDER BY month, prio""".stripMargin)),
+
     // Differentially-private release counts — the publishable companion
     // of the k-anonymity audit: per-language document counts with
     // Laplace(1/eps) noise via the inverse CDF, eps = 1. The noise draw
