@@ -1488,6 +1488,170 @@ object ExtendedQueries {
          |    AS BIGINT) AS shift_dn
          |FROM c ORDER BY month""".stripMargin)),
 
+    // RFM customer segmentation (the classic marketing-analytics cube):
+    // per-customer Recency (days since last order at the snapshot date),
+    // Frequency (order count) and Monetary (cents-grid revenue), each cut
+    // into quintiles, customers counted per 3-digit R-F-M segment code.
+    // Quintiles use q_ntile's SCALE-HONEST pattern — exact percentile
+    // breakpoints from ONE aggregate, broadcast back, bucket by
+    // comparison — never a global ntile window (an unpartitioned
+    // row-scale sort). Spark `percentile` and DuckDB `quantile_cont`
+    // hash-match on doubles (the q_ntile precedent); all three metrics
+    // are exact integers cast once to double for the compare. Bucket
+    // numbering is raw value-ascending on every axis (recency bucket 1 =
+    // most recent buyers; the marketing inversion is a relabeling).
+    // Scale shape: one custkey-keyed aggregate, a 1-row broadcast of the
+    // 9 breakpoints, a narrow bucket projection, and a <=125-row output.
+    Q("q_rfm",
+      (s, d) => {
+        val cents = floor(col("o_totalprice") * lit(100.0)).cast("long")
+        val cm = Tables.orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(max(col("o_orderdate")).as("last_dt"),
+            count(lit(1)).as("freq"), sum(cents).as("money"))
+        val snap = cm.agg(max(col("last_dt")).as("snap_dt"))
+        val m = cm.crossJoin(broadcast(snap))
+          .select(datediff(col("snap_dt"), col("last_dt")).cast("long")
+            .as("rec"), col("freq"), col("money"))
+        val qs = array(lit(0.2), lit(0.4), lit(0.6), lit(0.8))
+        val bounds = m.agg(
+          percentile(col("rec"), qs).as("br"),
+          percentile(col("freq"), qs).as("bf"),
+          percentile(col("money"), qs).as("bm"))
+        def bucket(v: org.apache.spark.sql.Column,
+            bs: String): org.apache.spark.sql.Column =
+          (0 to 3).map(i => (v.cast("double") > col(bs)(i)).cast("long"))
+            .reduce(_ + _) + lit(1L)
+        m.crossJoin(broadcast(bounds))
+          .select((bucket(col("rec"), "br") * 100 +
+            bucket(col("freq"), "bf") * 10 +
+            bucket(col("money"), "bm")).as("segment"),
+            col("money"))
+          .groupBy(col("segment"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("money")).as("segment_cents"))
+          .orderBy(col("segment"))
+      },
+      Some {
+        def bucket(v: String, bs: String) = (1 to 4).map(i =>
+          s"CASE WHEN CAST($v AS DOUBLE) > $bs[$i] THEN 1 ELSE 0 END")
+          .mkString("(1 + ", " + ", ")")
+        s"""WITH cm AS (
+           |  SELECT o_custkey, max(o_orderdate) AS last_dt,
+           |    CAST(count(*) AS BIGINT) AS freq,
+           |    CAST(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+           |      AS BIGINT) AS money
+           |  FROM orders GROUP BY 1),
+           |m AS (
+           |  SELECT CAST(date_diff('day', last_dt,
+           |      (SELECT max(last_dt) FROM cm)) AS BIGINT) AS rec,
+           |    freq, money
+           |  FROM cm),
+           |b AS (
+           |  SELECT quantile_cont(rec, [0.2, 0.4, 0.6, 0.8]) AS br,
+           |    quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS bf,
+           |    quantile_cont(money, [0.2, 0.4, 0.6, 0.8]) AS bm
+           |  FROM m)
+           |SELECT CAST(${bucket("rec", "br")} * 100 +
+           |    ${bucket("freq", "bf")} * 10 +
+           |    ${bucket("money", "bm")} AS BIGINT) AS segment,
+           |  CAST(count(*) AS BIGINT) AS n_customers,
+           |  CAST(sum(money) AS BIGINT) AS segment_cents
+           |FROM m, b GROUP BY 1 ORDER BY segment""".stripMargin
+      }),
+
+    // HITS hubs & authorities (Kleinberg 1999) on the BIPARTITE
+    // customer -> part purchase graph — the second eigenvector-style
+    // ranking beside q_pagerank, on a genuinely different graph (the
+    // basket projection loses who bought; HITS ranks buyers and items
+    // jointly: a hub is a customer who buys authoritative parts, an
+    // authority is a part bought by strong hubs). Two full iterations,
+    // SUM-normalized each half-step (the L1 choice keeps normalization
+    // RATIONAL — an L2 norm would put a sqrt inside the iteration).
+    // Oracle parity is the q_pagerank P43 pattern: each neighbor sum
+    // floor-scales contributions to the 2^-43 grid and sums as
+    // DECIMAL(38,0); the resulting scores are grid-aligned, so the
+    // normalizing total re-enters DECIMAL exactly and the final division
+    // is identical IEEE scalar math. Scale shape per half-step: one
+    // edge-keyed equi-join + one node-keyed aggregate (the Pregel
+    // schedule); the 1-row totals broadcast; top-15 per role ships as
+    // two bounded sorts unioned.
+    Q("q_hits",
+      (s, d) => {
+        val P43 = 8796093022208.0
+        val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val edges = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"))
+          .join(Tables.lineitem(s, d)
+            .select(col("l_orderkey"), col("l_partkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+          .distinct().localCheckpoint(true)
+        var auth = edges.select(col("part")).distinct()
+          .select(col("part"), lit(1.0).as("a"))
+        var hub: org.apache.spark.sql.DataFrame = null
+        for (_ <- 1 to 2) {
+          val hraw = edges.join(auth, "part")
+            .select(col("cust"), floor(col("a") * lit(P43)).cast(dec38)
+              .as("c"))
+            .groupBy(col("cust"))
+            .agg((sum(col("c")).cast("double") / lit(P43)).as("hr"))
+          val htot = hraw.agg(sum((col("hr") * lit(P43)).cast(dec38))
+            .cast("double").as("t"))
+          hub = hraw.crossJoin(broadcast(htot))
+            .select(col("cust"), (col("hr") / (col("t") / lit(P43)))
+              .as("h"))
+          val araw = edges.join(hub, "cust")
+            .select(col("part"), floor(col("h") * lit(P43)).cast(dec38)
+              .as("c"))
+            .groupBy(col("part"))
+            .agg((sum(col("c")).cast("double") / lit(P43)).as("ar"))
+          val atot = araw.agg(sum((col("ar") * lit(P43)).cast(dec38))
+            .cast("double").as("t"))
+          auth = araw.crossJoin(broadcast(atot))
+            .select(col("part"), (col("ar") / (col("t") / lit(P43)))
+              .as("a"))
+        }
+        val topHubs = hub.select(lit("hub").as("role"),
+            col("cust").as("node"), col("h").as("score"))
+          .orderBy(col("score").desc, col("node")).limit(15)
+        val topAuth = auth.select(lit("authority").as("role"),
+            col("part").as("node"), col("a").as("score"))
+          .orderBy(col("score").desc, col("node")).limit(15)
+        topAuth.union(topHubs)
+          .orderBy(col("role"), col("score").desc, col("node"))
+      },
+      Some {
+        val P = "8796093022208.0"
+        def half(src: String, out: String, key: String, other: String,
+            prevScore: String, prev: String) =
+          s"""${out}raw AS (
+             |  SELECT $key, CAST(sum(CAST(floor($prevScore * $P)
+             |    AS DECIMAL(38,0))) AS DOUBLE) / $P AS r
+             |  FROM edges JOIN $prev ON edges.$other = $prev.$other
+             |  GROUP BY $key),
+             |${out}tot AS (SELECT CAST(sum(CAST(r * $P AS DECIMAL(38,0)))
+             |  AS DOUBLE) AS t FROM ${out}raw),
+             |$out AS (SELECT $key, r / (t / $P) AS s
+             |  FROM ${out}raw, ${out}tot)"""
+        s"""WITH edges AS (
+           |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+           |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+           |a0 AS (SELECT DISTINCT part, 1.0 AS s FROM edges),
+           |${half("edges", "h1", "cust", "part", "a0.s", "a0")},
+           |${half("edges", "a1", "part", "cust", "h1.s", "h1")},
+           |${half("edges", "h2", "cust", "part", "a1.s", "a1")},
+           |${half("edges", "a2", "part", "cust", "h2.s", "h2")}
+           |SELECT role, node, score FROM (
+           |  SELECT 'authority' AS role, part AS node, s AS score
+           |  FROM a2 ORDER BY s DESC, part LIMIT 15)
+           |UNION ALL
+           |SELECT role, node, score FROM (
+           |  SELECT 'hub' AS role, cust AS node, s AS score
+           |  FROM h2 ORDER BY s DESC, cust LIMIT 15)
+           |ORDER BY role, score DESC, node""".stripMargin
+      }),
+
     // Population-stability-index drift monitor — the FEATURE-distribution
     // companion to q_index_drift's embedding-space monitor: each event
     // type's value distribution is compared to the 'view' reference over
