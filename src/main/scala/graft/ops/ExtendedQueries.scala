@@ -1488,6 +1488,91 @@ object ExtendedQueries {
          |    AS BIGINT) AS shift_dn
          |FROM c ORDER BY month""".stripMargin)),
 
+    // Holt double-exponential smoothing + 6-month-ahead linear forecast
+    // (Holt 1957) on the monthly revenue series — the FORECAST operator
+    // completing the time-series family (q_ewma smooths level only;
+    // q_seasonal_decompose explains; this extrapolates). alpha = beta =
+    // 1/2, so every recursion step is adds + exact binary halvings:
+    //   l_t = (x_t + l_{t-1} + b_{t-1}) / 2
+    //   b_t = ((l_t - l_{t-1}) + b_{t-1}) / 2
+    // in ONE fixed operation order — Spark folds with the `aggregate`
+    // HOF accumulating the full (level, trend) path as an array state,
+    // DuckDB replays the identical fold as a recursive CTE, and the
+    // doubles match bitwise because both engines execute the same IEEE
+    // ops on the same cents-grid inputs (the q_ewma contract, extended
+    // to a 2-component state). Forecast rows F1..F6 are l_T + h*b_T.
+    // Scale shape: one month-grid aggregate collapses the corpus; the
+    // fold runs over the CALENDAR-sized series (~80 rows, one row after
+    // the global agg — per series key in production), never row-scale.
+    Q("q_holt_forecast",
+      (s, d) => {
+        val m = Tables.orders(s, d)
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+          .agg(sum(floor(col("o_totalprice") * lit(100.0)).cast("long"))
+            .as("rev"))
+        val ser = m.agg(sort_array(collect_list(
+          struct(col("month"), col("rev")))).as("ms"))
+        def lastS(acc: org.apache.spark.sql.Column) = element_at(acc, -1)
+        def lp(acc: org.apache.spark.sql.Column,
+            x: org.apache.spark.sql.Column) =
+          (x.getField("rev").cast("double") + lastS(acc).getField("l") +
+            lastS(acc).getField("b")) * lit(0.5)
+        val folded = ser.select(aggregate(
+          slice(col("ms"), lit(2), size(col("ms")) - 1),
+          array(struct(
+            element_at(col("ms"), 1).getField("month").as("month"),
+            element_at(col("ms"), 1).getField("rev").cast("double")
+              .as("l"),
+            lit(0.0).as("b"))),
+          (acc, x) => concat(acc, array(struct(
+            x.getField("month").as("month"),
+            lp(acc, x).as("l"),
+            ((lp(acc, x) - lastS(acc).getField("l")) +
+              lastS(acc).getField("b")).*(lit(0.5)).as("b"))))).as("path"))
+        val fitted = folded
+          .select(explode(col("path")).as("p"))
+          .select(col("p.month").as("month"), col("p.l").as("level"),
+            col("p.b").as("trend"), lit(0L).as("is_forecast"))
+        val last = folded.select(lastS(col("path")).as("p"))
+          .select(col("p.l").as("l"), col("p.b").as("b"))
+        val forecasts = last
+          .select(explode(sequence(lit(1), lit(6))).as("h"),
+            col("l"), col("b"))
+          .select(concat(lit("F"), col("h")).as("month"),
+            (col("l") + col("h").cast("double") * col("b")).as("level"),
+            col("b").as("trend"), lit(1L).as("is_forecast"))
+        fitted.union(forecasts)
+          .orderBy(col("is_forecast"), col("month"))
+      },
+      Some("""WITH RECURSIVE mo AS (
+         |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         |    CAST(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+         |      AS BIGINT) AS rev
+         |  FROM orders GROUP BY 1),
+         |mi AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY month) AS BIGINT) AS i,
+         |    month, rev
+         |  FROM mo),
+         |h(i, month, l, b) AS (
+         |  SELECT i, month, CAST(rev AS DOUBLE), CAST(0.0 AS DOUBLE)
+         |  FROM mi WHERE i = 1
+         |  UNION ALL
+         |  SELECT mi.i, mi.month,
+         |    (CAST(mi.rev AS DOUBLE) + h.l + h.b) * 0.5,
+         |    (((CAST(mi.rev AS DOUBLE) + h.l + h.b) * 0.5 - h.l) + h.b)
+         |      * 0.5
+         |  FROM h JOIN mi ON mi.i = h.i + 1),
+         |lastrow AS (SELECT l, b FROM h ORDER BY i DESC LIMIT 1)
+         |SELECT month, level, trend, is_forecast FROM (
+         |  SELECT month, l AS level, b AS trend,
+         |    CAST(0 AS BIGINT) AS is_forecast
+         |  FROM h
+         |  UNION ALL
+         |  SELECT 'F' || CAST(t.h AS VARCHAR),
+         |    l + CAST(t.h AS DOUBLE) * b, b, CAST(1 AS BIGINT)
+         |  FROM lastrow, generate_series(1, 6) t(h))
+         |ORDER BY is_forecast, month""".stripMargin)),
+
     // RFM customer segmentation (the classic marketing-analytics cube):
     // per-customer Recency (days since last order at the snapshot date),
     // Frequency (order count) and Monetary (cents-grid revenue), each cut
