@@ -936,6 +936,107 @@ object ExtendedQueries {
          |  max(az) AS max_abs_z
          |FROM z GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Group-mean imputation of missing values — the data-REPAIR step
+    // beside q_outliers (detect) and q_gapfill (missing ROWS; this is
+    // missing VALUES). Missingness is injected deterministically (md5 of
+    // the event id, 5%) so both engines see the identical mask; the fill
+    // value is the per-type mean of the PRESENT values on the cents
+    // grid, floored to BIGINT (mean imputation on an integer grid — the
+    // repaired column stays exactly aggregable). Everything is one
+    // map-side-combinable aggregate; the post-imputation sum is derived
+    // arithmetically (sum_present + n_missing * fill) rather than by a
+    // second pass — the production shortcut mean imputation permits.
+    Q("q_impute",
+      (s, d) => {
+        val miss = graft.functions.TextOps.md5Prefix60(
+          concat(lit("imp:"), col("event_id").cast("string"))) % 20 === 0
+        Tables.events(s, d)
+          .select(col("event_type"),
+            when(miss, lit(null))
+              .otherwise(floor(col("value") * lit(100.0)).cast("long"))
+              .as("cents"))
+          .groupBy(col("event_type"))
+          .agg(count(col("cents")).as("n_present"),
+            (count(lit(1)) - count(col("cents"))).as("n_missing"),
+            sum(col("cents")).as("sum_present"))
+          .select(col("event_type"), col("n_present"), col("n_missing"),
+            expr("sum_present div n_present").as("fill_cents"),
+            (col("sum_present") +
+              col("n_missing") * expr("sum_present div n_present"))
+              .as("sum_imputed"))
+          .orderBy(col("event_type"))
+      },
+      Some {
+        val miss = graft.OracleSql.hexToLong(
+          "md5('imp:' || CAST(event_id AS VARCHAR))", 1, 15) + " % 20 = 0"
+        s"""WITH e AS (
+           |  SELECT event_type,
+           |    CASE WHEN $miss THEN NULL
+           |      ELSE CAST(floor(value * 100.0) AS BIGINT) END AS cents
+           |  FROM events),
+           |g AS (
+           |  SELECT event_type,
+           |    CAST(count(cents) AS BIGINT) AS n_present,
+           |    CAST(count(*) - count(cents) AS BIGINT) AS n_missing,
+           |    CAST(sum(cents) AS BIGINT) AS sum_present
+           |  FROM e GROUP BY 1)
+           |SELECT event_type, n_present, n_missing,
+           |  sum_present // n_present AS fill_cents,
+           |  sum_present + n_missing * (sum_present // n_present)
+           |    AS sum_imputed
+           |FROM g ORDER BY event_type""".stripMargin
+      }),
+
+    // Winsorization — the data-repair companion that TRANSFORMS instead
+    // of flagging: clip l_extendedprice at the exact p01/p99 breakpoints
+    // and report, per return flag, how much mass the tails carried.
+    // Breakpoints ride the q_ntile scale-honest pattern (ONE percentile
+    // aggregate, 1-row broadcast, narrow clip projection — no global
+    // sort); the before/after sums route through DECIMAL so the
+    // reduction is order-free, and clipped counts are exact BIGINTs.
+    Q("q_winsorize",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val bounds = li.agg(percentile(col("l_extendedprice"),
+          array(lit(0.01), lit(0.99))).as("bs"))
+        li.crossJoin(broadcast(bounds))
+          .select(col("l_returnflag"), col("l_extendedprice"),
+            col("bs")(0).as("lo"), col("bs")(1).as("hi"))
+          .select(col("l_returnflag"),
+            (col("l_extendedprice") < col("lo")).cast("long").as("clo"),
+            (col("l_extendedprice") > col("hi")).cast("long").as("chi"),
+            col("l_extendedprice").as("raw"),
+            when(col("l_extendedprice") < col("lo"), col("lo"))
+              .when(col("l_extendedprice") > col("hi"), col("hi"))
+              .otherwise(col("l_extendedprice")).as("wz"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("clo")).as("n_clipped_lo"),
+            sum(col("chi")).as("n_clipped_hi"),
+            H.dsum(col("raw")).as("sum_raw"),
+            H.dsum(col("wz")).as("sum_winsorized"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH b AS (
+         |  SELECT quantile_cont(l_extendedprice, [0.01, 0.99]) AS bs
+         |  FROM lineitem),
+         |c AS (
+         |  SELECT l_returnflag,
+         |    CASE WHEN l_extendedprice < bs[1] THEN 1 ELSE 0 END AS clo,
+         |    CASE WHEN l_extendedprice > bs[2] THEN 1 ELSE 0 END AS chi,
+         |    l_extendedprice AS raw,
+         |    CASE WHEN l_extendedprice < bs[1] THEN bs[1]
+         |         WHEN l_extendedprice > bs[2] THEN bs[2]
+         |         ELSE l_extendedprice END AS wz
+         |  FROM lineitem, b)
+         |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(clo) AS BIGINT) AS n_clipped_lo,
+         |  CAST(sum(chi) AS BIGINT) AS n_clipped_hi,
+         |  CAST(sum(CAST(raw AS DECIMAL(25,6))) AS DOUBLE) AS sum_raw,
+         |  CAST(sum(CAST(wz AS DECIMAL(25,6))) AS DOUBLE)
+         |    AS sum_winsorized
+         |FROM c GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
+
     // Distributed triangle counting over the market-basket graph (parts
     // co-occurring in an order) — the canonical cyclic multi-way
     // self-join, via the DEGREE-ORIENTED algorithm (Suri &
