@@ -335,6 +335,83 @@ object MLQueries {
            |GROUP BY j.pos ORDER BY mi DESC, pos LIMIT 10""".stripMargin
       }),
 
+    // Oracle closure: ALS factors are seed- and partitioning-specific
+    // (the normal-equation accumulation order follows the block layout),
+    // so the registry row reduces model-based CF to invariants DuckDB
+    // states independently: the exact ratings-matrix shape (n_users /
+    // n_items / n_ratings and the BIGINT rating mass — all replayed),
+    // factor-table completeness (every user and item received a rank-4
+    // factor), and a training-fit floor: RMSE on the training ratings
+    // must undercut 0.6x the constant-mean baseline RMSE (measured by
+    // tools/AlsProbe: ratio 0.32/0.32/0.36 across the three SFs against
+    // baselines ~14.5 — the floor has ~2x headroom and a broken fit
+    // reverts to ~1.0). Trains on a 1-year slice so
+    // the fit cost stays bounded on the bench sweep; q_item_cf is the
+    // NEIGHBORHOOD-method companion (exact, oracle-bitwise), this is the
+    // MODEL-based one (library parity, invariant-gated) — the two
+    // classic CF families side by side.
+    Q("q_mllib_als",
+      (s, d) => {
+        val ratings = Tables.orders(s, d)
+          .filter(year(col("o_orderdate")) === 1998)
+          .select(col("o_orderkey"), col("o_custkey"))
+          .join(Tables.lineitem(s, d)
+            .select(col("l_orderkey"), col("l_partkey"), col("l_quantity")),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_custkey").cast("int").as("user"),
+            col("l_partkey").cast("int").as("item"))
+          .agg(sum(floor(col("l_quantity")).cast("long")).as("qty"))
+          .select(col("user"), col("item"), col("qty"),
+            col("qty").cast("float").as("rating"))
+          .cache()
+        val als = new org.apache.spark.ml.recommendation.ALS()
+          .setRank(4).setMaxIter(5).setRegParam(0.1).setSeed(7L)
+          .setUserCol("user").setItemCol("item").setRatingCol("rating")
+          .setColdStartStrategy("drop")
+        val model = als.fit(ratings)
+        val pred = model.transform(ratings)
+          .select(col("rating").cast("double").as("r"),
+            col("prediction").cast("double").as("p"))
+        val rmse = math.sqrt(pred
+          .agg(avg((col("r") - col("p")) * (col("r") - col("p"))))
+          .head.getDouble(0)) // 1-row bounded driver value
+        val mu = ratings.agg(avg(col("rating"))).head.getDouble(0)
+        val base = math.sqrt(ratings
+          .agg(avg((col("rating") - mu) * (col("rating") - mu)))
+          .head.getDouble(0)) // constant-mean baseline RMSE (1-row)
+        val nUsers = model.userFactors.count()
+        val nItems = model.itemFactors.count()
+        val dimsOk = model.rank == 4
+        val out = ratings.agg(
+            countDistinct(col("user")).as("n_users"),
+            countDistinct(col("item")).as("n_items"),
+            count(lit(1)).as("n_ratings"),
+            sum(col("qty")).as("rating_mass"))
+          .select(col("n_users"), col("n_items"), col("n_ratings"),
+            col("rating_mass"),
+            (lit(rmse) <= lit(0.6) * lit(base) && lit(dimsOk))
+              .cast("long").as("fit_ok"),
+            (col("n_users") === nUsers && col("n_items") === nItems)
+              .cast("long").as("factors_complete"))
+        out.collect() // force before unpersist
+        ratings.unpersist()
+        out
+      },
+      Some("""WITH r AS (
+         |  SELECT o.o_custkey AS u, l.l_partkey AS i,
+         |    CAST(sum(CAST(floor(l.l_quantity) AS BIGINT)) AS BIGINT)
+         |      AS qty
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         |  WHERE year(o.o_orderdate) = 1998
+         |  GROUP BY 1, 2)
+         |SELECT CAST(count(DISTINCT u) AS BIGINT) AS n_users,
+         |  CAST(count(DISTINCT i) AS BIGINT) AS n_items,
+         |  CAST(count(*) AS BIGINT) AS n_ratings,
+         |  CAST(sum(qty) AS BIGINT) AS rating_mass,
+         |  CAST(1 AS BIGINT) AS fit_ok,
+         |  CAST(1 AS BIGINT) AS factors_complete
+         |FROM r""".stripMargin)),
+
     annRecallQuery("q_ann_recall", multiProbe = false),
 
     // Multi-probe LSH: probe the query's bucket AND its four 1-bit
