@@ -11,6 +11,16 @@ import org.apache.spark.sql.functions._
   */
 object ExtendedQueries {
 
+  /** Benford first-digit probabilities log10(1 + 1/d), d = 1..9 —
+    * precomputed once so the transcendental never runs at query time and
+    * BOTH engines receive the identical double literals (see q_benford;
+    * the q_ndcg precedent). Scala's Double.toString round-trips, so the
+    * interpolated oracle literal parses back to the same bits. */
+  private val BenfordP: Seq[Double] = Seq(
+    0.3010299956639812, 0.17609125905568124, 0.12493873660829992,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514)
+
   val all: Seq[Q] = Seq(
 
     // Set operations: customers active in 1995 vs 1996 (INTERSECT/EXCEPT/UNION).
@@ -1673,6 +1683,132 @@ object ExtendedQueries {
          |    l + CAST(t.h AS DOUBLE) * b, b, CAST(1 AS BIGINT)
          |  FROM lastrow, generate_series(1, 6) t(h))
          |ORDER BY is_forecast, month""".stripMargin)),
+
+    // Benford first-digit audit (Newcomb 1881 / Benford 1938) — the
+    // fraud/synthesis detector beside q_dq_checks: naturally-occurring
+    // monetary amounts follow P(d) = log10(1 + 1/d); fabricated or
+    // truncated data breaks the curve, and the chi-square statistic
+    // quantifies the break. Exactness: the leading digit comes from the
+    // STRING form of the cents-grid BIGINT (identical on both engines —
+    // no log at row level); the nine Benford probabilities are literal
+    // double CONSTANTS interpolated from one Scala source into both
+    // plans (the q_ndcg precomputed-transcendental pattern); each
+    // digit's chi-square term floor-scales to the 1e9 grid so the 9-term
+    // sum is an exact BIGINT. The fixture's uniform-ish synthetic prices
+    // FAIL Benford — flagged honestly (chi2 >> 21.7): the audit detects
+    // exactly the synthetic data it is looking at. Scale shape: one
+    // map-side-combinable 9-group aggregate; everything after is 9 rows.
+    Q("q_benford",
+      (s, d) => {
+        val obs = Tables.orders(s, d)
+          .select(substring(floor(col("o_totalprice") * lit(100.0))
+            .cast("long").cast("string"), 1, 1).cast("long").as("digit"))
+          .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+        val tot = obs.agg(sum(col("n_obs")).as("nn"))
+        val pArr = array(BenfordP.map(lit): _*)
+        obs.crossJoin(broadcast(tot))
+          .withColumn("expected",
+            col("nn").cast("double") * element_at(pArr, col("digit").cast("int")))
+          .withColumn("dev_scaled",
+            floor((col("n_obs").cast("double") - col("expected")) *
+              (col("n_obs").cast("double") - col("expected")) /
+              col("expected") * lit(1e9)).cast("long"))
+          .withColumn("chi2_scaled",
+            sum(col("dev_scaled")).over(Window.partitionBy(lit(1))))
+          .select(col("digit"), col("n_obs"), col("expected"),
+            col("dev_scaled"), col("chi2_scaled"))
+          .orderBy(col("digit"))
+      },
+      Some {
+        val pList = BenfordP.mkString("[", ", ", "]")
+        s"""WITH obs AS (
+           |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100.0)
+           |      AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+           |    CAST(count(*) AS BIGINT) AS n_obs
+           |  FROM orders GROUP BY 1),
+           |tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS nn FROM obs),
+           |p(ps) AS (VALUES ($pList)),
+           |t AS (
+           |  SELECT digit, n_obs,
+           |    CAST(nn AS DOUBLE) * ps[CAST(digit AS INT)] AS expected
+           |  FROM obs, tot, p),
+           |dv AS (
+           |  SELECT digit, n_obs, expected,
+           |    CAST(floor((CAST(n_obs AS DOUBLE) - expected)
+           |      * (CAST(n_obs AS DOUBLE) - expected) / expected * 1e9)
+           |      AS BIGINT) AS dev_scaled
+           |  FROM t)
+           |SELECT digit, n_obs, expected, dev_scaled,
+           |  CAST(sum(dev_scaled) OVER () AS BIGINT) AS chi2_scaled
+           |FROM dv ORDER BY digit""".stripMargin
+      }),
+
+    // Autocorrelation function (lags 1..12) of the monthly revenue
+    // series — the quantitative companion to q_seasonal_decompose (which
+    // ASSUMES a 12-month period; the ACF is how one finds it). Exactness:
+    // deviations from the FLOORED mean are BIGINTs; lag products route
+    // through DECIMAL(38,0) on the Spark side and HUGEINT in DuckDB
+    // (either holds the exact +-1e20-scale integer sums), and the ratio
+    // ships as a SCALED INTEGRAL DIVISION (num * 1e9 div den — Spark's
+    // `div` and DuckDB's `//` both truncate toward zero, probed on
+    // negatives) so no engine converts a >2^53 integer to double: the
+    // first formulation died on exactly that, Spark's Decimal-to-double
+    // and DuckDB's HUGEINT-to-double disagreeing in the last ulp. Scale
+    // shape: one month-grid aggregate collapses the corpus; the lag
+    // self-join runs on the CALENDAR-sized series (80 rows x 12 lags).
+    Q("q_acf",
+      (s, d) => {
+        val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val m = Tables.orders(s, d)
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+          .agg(sum(floor(col("o_totalprice") * lit(100.0)).cast("long"))
+            .as("cents"))
+        val tot = m.agg(sum(col("cents")).as("sc"), count(lit(1)).as("nm"))
+        val idx = m.crossJoin(broadcast(tot))
+          .select(col("month"), (col("cents") - expr("sc div nm")).as("dev"))
+          .withColumn("i", row_number().over(Window.orderBy(col("month"))))
+        val den = idx.agg(sum(col("dev").cast(dec38) * col("dev").cast(dec38))
+          .as("den"))
+        val lags = idx.sparkSession.range(1, 13).select(col("id").as("lag"))
+        idx.select(col("i"), col("dev")).crossJoin(broadcast(lags))
+          .join(idx.select(col("i").as("i2"), col("dev").as("dev2")),
+            col("i2") === col("i") + col("lag"))
+          .groupBy(col("lag"))
+          .agg(sum(col("dev").cast(dec38) * col("dev2").cast(dec38))
+            .as("num"), count(lit(1)).as("n_pairs"))
+          .crossJoin(broadcast(den))
+          .select(col("lag"), col("n_pairs"),
+            expr("(num * 1000000000) div den").as("acf_scaled"))
+          .select(col("lag"), col("n_pairs"), col("acf_scaled"),
+            (col("acf_scaled").cast("double") / lit(1e9)).as("acf"))
+          .orderBy(col("lag"))
+      },
+      Some("""WITH m AS (
+         |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         |    CAST(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+         |      AS BIGINT) AS cents
+         |  FROM orders GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cents) AS BIGINT) AS sc,
+         |  CAST(count(*) AS BIGINT) AS nm FROM m),
+         |idx AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY month) AS BIGINT) AS i,
+         |    cents - sc // nm AS dev
+         |  FROM m, tot),
+         |den AS (SELECT sum(CAST(dev AS HUGEINT) * CAST(dev AS HUGEINT))
+         |  AS den FROM idx),
+         |acf AS (
+         |  SELECT t.lag,
+         |    CAST(count(*) AS BIGINT) AS n_pairs,
+         |    sum(CAST(a.dev AS HUGEINT) * CAST(b.dev AS HUGEINT)) AS num
+         |  FROM generate_series(1, 12) t(lag)
+         |  JOIN idx a ON true
+         |  JOIN idx b ON b.i = a.i + t.lag
+         |  GROUP BY t.lag)
+         |SELECT lag, n_pairs,
+         |  CAST((num * 1000000000) // den AS BIGINT) AS acf_scaled,
+         |  CAST(CAST((num * 1000000000) // den AS BIGINT) AS DOUBLE)
+         |    / 1e9 AS acf
+         |FROM acf, den ORDER BY lag""".stripMargin)),
 
     // RFM customer segmentation (the classic marketing-analytics cube):
     // per-customer Recency (days since last order at the snapshot date),
