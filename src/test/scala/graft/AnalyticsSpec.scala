@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Independent driver-side replays and invariants for the round-11
+  * analytics/mining additions. The oracle gate proves Spark == DuckDB;
+  * these pins prove both equal the DEFINITION (a third, hand-rolled
+  * evaluation of the recursion/statistic on the collected calendar-sized
+  * series — bounded by construction). */
+class AnalyticsSpec extends SparkSpec {
+
+  private def monthlyCents(): Array[(String, Long)] =
+    Tables.orders(spark, sf001)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("m"))
+      .agg(sum(floor(col("o_totalprice") * lit(100.0)).cast("long")).as("c"))
+      .orderBy(col("m"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+  test("q_holt_forecast equals the hand-rolled Holt recursion, forecasts are l+h*b") {
+    val series = monthlyCents()
+    var l = series.head._2.toDouble
+    var b = 0.0
+    val expected = scala.collection.mutable.Map(series.head._1 -> (l, b))
+    series.tail.foreach { case (m, x) =>
+      val lp = (x.toDouble + l + b) * 0.5
+      b = ((lp - l) + b) * 0.5
+      l = lp
+      expected(m) = (l, b)
+    }
+    val rows = SparkEntry.queries("q_holt_forecast")(spark, sf001).collect()
+    val fitted = rows.filter(_.getAs[Long]("is_forecast") == 0L)
+    assert(fitted.length == series.length)
+    fitted.foreach { r =>
+      val (el, eb) = expected(r.getAs[String]("month"))
+      assert(r.getAs[Double]("level") == el, s"level ${r.getAs[String]("month")}")
+      assert(r.getAs[Double]("trend") == eb, s"trend ${r.getAs[String]("month")}")
+    }
+    val fc = rows.filter(_.getAs[Long]("is_forecast") == 1L)
+    assert(fc.length == 6)
+    fc.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[String]("month") == s"F${i + 1}")
+      assert(r.getAs[Double]("level") == l + (i + 1).toDouble * b)
+      assert(r.getAs[Double]("trend") == b)
+    }
+  }
+
+  test("q_changepoint cusum columns equal the classic max(0, s+d) recursion") {
+    val series = monthlyCents()
+    val sum = series.map(_._2).sum
+    val mu0 = sum / series.length // floored integer mean, same as the query
+    var sUp = 0L
+    var sDn = 0L
+    val expected = series.map { case (m, c) =>
+      sUp = math.max(0L, sUp + (c - mu0))
+      sDn = math.max(0L, sDn - (c - mu0))
+      m -> (sUp, sDn)
+    }.toMap
+    val rows = SparkEntry.queries("q_changepoint")(spark, sf001).collect()
+    assert(rows.length == series.length)
+    rows.foreach { r =>
+      val (eu, ed) = expected(r.getAs[String]("month"))
+      assert(r.getAs[Long]("cusum_up") == eu, s"up ${r.getAs[String]("month")}")
+      assert(r.getAs[Long]("cusum_dn") == ed, s"dn ${r.getAs[String]("month")}")
+    }
+  }
+
+  test("q_benford: chi2 is the sum of per-digit terms; counts cover all orders") {
+    val rows = SparkEntry.queries("q_benford")(spark, sf001).collect()
+    assert(rows.map(_.getAs[Long]("digit")).toSeq == (1L to 9L))
+    val chi2 = rows.head.getAs[Long]("chi2_scaled")
+    assert(rows.forall(_.getAs[Long]("chi2_scaled") == chi2))
+    assert(rows.map(_.getAs[Long]("dev_scaled")).sum == chi2)
+    val nOrders = Tables.orders(spark, sf001).count()
+    assert(rows.map(_.getAs[Long]("n_obs")).sum == nOrders)
+    // the synthetic fixture FAILS Benford loudly (chi2 >> the 0.001
+    // critical value 26.12 at 8 dof) — the audit detects what it should
+    assert(chi2 > 26L * 1000000000L)
+  }
+
+  test("q_acf: bounded in [-1, 1], pair counts shrink by lag, lag-0 identity") {
+    val rows = SparkEntry.queries("q_acf")(spark, sf001).collect()
+    assert(rows.map(_.getAs[Long]("lag")).toSeq == (1L to 12L))
+    val n = monthlyCents().length
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("acf")) <= 1.0)
+      assert(r.getAs[Long]("n_pairs") == n - r.getAs[Long]("lag"))
+    }
+  }
+
+  test("q_rfm: segments partition the customer base, codes are valid RFM cells") {
+    val rows = SparkEntry.queries("q_rfm")(spark, sf001).collect()
+    val nCust = Tables.orders(spark, sf001)
+      .select(col("o_custkey")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum == nCust)
+    rows.foreach { r =>
+      val seg = r.getAs[Long]("segment")
+      val (a, b, c) = (seg / 100, (seg / 10) % 10, seg % 10)
+      assert(a >= 1 && a <= 5 && b >= 1 && b <= 5 && c >= 1 && c <= 5, s"seg $seg")
+    }
+  }
+
+  test("q_hits: 15 hubs + 15 authorities, scores positive and role-sorted") {
+    val rows = SparkEntry.queries("q_hits")(spark, sf001).collect()
+    val byRole = rows.groupBy(_.getAs[String]("role"))
+    assert(byRole.keySet == Set("hub", "authority"))
+    byRole.foreach { case (_, rs) =>
+      assert(rs.length == 15)
+      val scores = rs.map(_.getAs[Double]("score"))
+      assert(scores.forall(_ > 0.0))
+      assert(scores.sameElements(scores.sortBy(-_)))
+    }
+  }
+
+  test("q_table_diff classes partition both snapshots with the derived rates") {
+    val rows = SparkEntry.queries("q_table_diff")(spark, sf001).collect()
+      .map(r => r.getAs[String]("diff_class") -> r.getAs[Long]("n")).toMap
+    val nOrders = Tables.orders(spark, sf001).count()
+    assert(rows("inserted") == rows("deleted")) // inserts are re-keyed deletes
+    assert(rows.values.sum - rows("inserted") == nOrders) // old side partition
+    assert(rows("updated") > 0 && rows("unchanged") > 0)
+  }
+
+  test("q_impute: fill is the floored present-mean, imputed sum is consistent") {
+    SparkEntry.queries("q_impute")(spark, sf001).collect().foreach { r =>
+      val fill = r.getAs[Long]("fill_cents")
+      val sumPresent = r.getAs[Long]("sum_imputed") -
+        r.getAs[Long]("n_missing") * fill
+      // fill must be exactly floor(sum_present / n_present)
+      assert(fill == sumPresent / r.getAs[Long]("n_present"))
+      assert(r.getAs[Long]("n_missing") > 0) // the 5% mask genuinely hit
+    }
+  }
+}
