@@ -380,6 +380,91 @@ object ExtendedQueries {
          |  CAST(1 AS BIGINT) AS merge_vs_direct_ok
          |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Theta-sketch set algebra — the INTERSECTION tier HLL cannot provide
+    // (q_approx_distinct/q_hll_merge answer |A| and |A ∪ B|; "customers
+    // who bought at BOTH priorities" needs the retained-hash-sample
+    // design of theta sketches, functions/ThetaSketchAgg.scala — the
+    // fourth custom TypedImperativeAggregate). Per order priority, one
+    // distributed theta sketch of the distinct customer set (lgK=12 —
+    // estimation mode is genuinely entered at sf0.1 where ~14k customers
+    // per priority exceed the 4096 nominal entries); the 5 compact
+    // sketches (<= 32 KB each, the codebook-class bounded collect) are
+    // intersected/unioned pairwise on the driver. Gate: the sketch
+    // bounds are DETERMINISTIC functions of the input set (the k
+    // smallest hashes are order- and merge-shape-independent), and the
+    // oracle replays the EXACT intersection and union per pair plus the
+    // in-bounds booleans the Spark side computes from getLowerBound(2)/
+    // getUpperBound(2). Exact union derives from inclusion-exclusion
+    // (na + nb - inter) — no second corpus pass. Scale shape: one
+    // distinct + one sketch aggregate over the corpus, one pair-keyed
+    // exact-intersection join (priority-bounded), 10 output rows.
+    Q("q_theta_sets",
+      (s, d) => {
+        import org.apache.datasketches.memory.Memory
+        import org.apache.datasketches.theta.{SetOperation, Sketches}
+        val pc = Tables.orders(s, d)
+          .select(col("o_orderpriority").as("prio"),
+            col("o_custkey").as("cust")).distinct()
+        val sk = pc.groupBy(col("prio"))
+          .agg(graft.functions.ThetaSketchAgg.thetaSketch(col("cust"))
+            .as("sk"), count(lit(1)).as("n"))
+          .collect() // 5 rows x <=32 KB compact sketches (bounded)
+          .map(r => (r.getAs[String]("prio"), r.getAs[Array[Byte]]("sk"),
+            r.getAs[Long]("n")))
+          .sortBy(_._1)
+        val pairBounds = for {
+          i <- sk.indices; j <- (i + 1) until sk.length
+        } yield {
+          val a = Sketches.heapifyCompactSketch(Memory.wrap(sk(i)._2))
+          val b = Sketches.heapifyCompactSketch(Memory.wrap(sk(j)._2))
+          val inter = SetOperation.builder().buildIntersection()
+          inter.intersect(a); inter.intersect(b)
+          val ir = inter.getResult
+          val un = SetOperation.builder().buildUnion()
+          un.union(a); un.union(b)
+          val ur = un.getResult
+          (sk(i)._1, sk(j)._1, sk(i)._3, sk(j)._3,
+            ir.getLowerBound(2), ir.getUpperBound(2),
+            ur.getLowerBound(2), ur.getUpperBound(2))
+        }
+        val bounds = s.createDataFrame(pairBounds).toDF(
+          "pa", "pb", "na", "nb", "ilo", "ihi", "ulo", "uhi")
+        val exact = pc.select(col("prio").as("pa"), col("cust"))
+          .join(pc.select(col("prio").as("pb"), col("cust")), "cust")
+          .filter(col("pa") < col("pb"))
+          .groupBy(col("pa"), col("pb"))
+          .agg(count(lit(1)).as("exact_inter"))
+        exact.join(broadcast(bounds), Seq("pa", "pb"))
+          .select(col("pa"), col("pb"), col("exact_inter"),
+            (col("na") + col("nb") - col("exact_inter")).as("exact_union"),
+            (col("ilo") <= col("exact_inter").cast("double") &&
+              col("exact_inter").cast("double") <= col("ihi"))
+              .cast("long").as("inter_in_bounds"),
+            (col("ulo") <= (col("na") + col("nb") - col("exact_inter"))
+              .cast("double") &&
+              (col("na") + col("nb") - col("exact_inter")).cast("double")
+                <= col("uhi")).cast("long").as("union_in_bounds"))
+          .orderBy(col("pa"), col("pb"))
+      },
+      Some("""WITH pc AS (
+         |  SELECT DISTINCT o_orderpriority AS prio, o_custkey AS cust
+         |  FROM orders),
+         |cnt AS (SELECT prio, CAST(count(*) AS BIGINT) AS n
+         |  FROM pc GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.prio AS pa, b.prio AS pb,
+         |    CAST(count(*) AS BIGINT) AS exact_inter
+         |  FROM pc a JOIN pc b ON a.cust = b.cust AND a.prio < b.prio
+         |  GROUP BY 1, 2)
+         |SELECT pa, pb, exact_inter,
+         |  ca.n + cb.n - exact_inter AS exact_union,
+         |  CAST(1 AS BIGINT) AS inter_in_bounds,
+         |  CAST(1 AS BIGINT) AS union_in_bounds
+         |FROM pairs
+         |JOIN cnt ca ON pa = ca.prio
+         |JOIN cnt cb ON pb = cb.prio
+         |ORDER BY pa, pb""".stripMargin)),
+
     // Mergeable QUANTILE sketch re-aggregation — the percentile companion
     // to q_hll_merge's distinct tier, built on the graft fixed-grid
     // histogram aggregate (functions/HistSketch.scala): daily binary
