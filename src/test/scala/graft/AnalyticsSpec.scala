@@ -120,6 +120,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows("updated") > 0 && rows("unchanged") > 0)
   }
 
+  test("theta sketch: merge-shape independent bytes, exact below nominal entries") {
+    import graft.functions.ThetaSketchAgg.thetaSketch
+    import org.apache.datasketches.memory.Memory
+    import org.apache.datasketches.theta.Sketches
+    val pc = Tables.orders(spark, sf001)
+      .select(col("o_orderpriority").as("prio"), col("o_custkey").as("cust"))
+      .distinct()
+    def sketchBytes(parts: Int): Map[String, Array[Byte]] =
+      pc.repartition(parts).groupBy(col("prio"))
+        .agg(thetaSketch(col("cust")).as("sk")).collect()
+        .map(r => r.getAs[String]("prio") -> r.getAs[Array[Byte]]("sk")).toMap
+    val one = sketchBytes(1)
+    val many = sketchBytes(16)
+    assert(one.keySet == many.keySet)
+    // the compact sketch is a pure function of the input SET: identical
+    // bytes regardless of how partial aggregation sliced the data
+    one.foreach { case (p, bytes) =>
+      assert(java.util.Arrays.equals(bytes, many(p)), s"bytes differ for $p")
+    }
+    // below 4096 nominal entries the sketch is EXACT: estimate == true count
+    val exact = pc.groupBy(col("prio")).count().collect()
+      .map(r => r.getAs[String]("prio") -> r.getAs[Long]("count")).toMap
+    one.foreach { case (p, bytes) =>
+      val sk = Sketches.heapifyCompactSketch(Memory.wrap(bytes))
+      assert(!sk.isEstimationMode && sk.getEstimate == exact(p).toDouble,
+        s"$p: est ${sk.getEstimate} vs exact ${exact(p)}")
+    }
+  }
+
   test("q_impute: fill is the floored present-mean, imputed sum is consistent") {
     SparkEntry.queries("q_impute")(spark, sf001).collect().foreach { r =>
       val fill = r.getAs[Long]("fill_cents")
