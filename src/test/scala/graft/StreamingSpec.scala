@@ -853,4 +853,46 @@ class StreamingSpec extends SparkSpec {
     assert(suppressed.map(_._1).toSeq == Seq(3L),
       s"expected suppression within TTL, got ${suppressed.toSeq}")
   }
+
+  test("streaming CUSUM: integer fold bit-equals the batch recursion across the split") {
+    import graft.streaming.StreamCusum
+    import org.apache.spark.sql.functions._
+    val events = spark.read.parquet(s"$sf001/events.parquet")
+    val mu0 = StreamCusum.referenceMeans(events)
+    // decision interval: 20 mean-units of accumulated deviation per key
+    val h = mu0.map { case (k, m) => k -> m * 20 }
+    val all = StreamCusum.runOnce(spark, sf001, "cusum_test", mu0, h)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // Update-mode output: per key, the max-n snapshot is the final state
+    val maxN = all.groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).max }
+    val streamed = all.filter { case (k, n, _, _, _) => n == maxN(k) }
+      .map { case (k, n, up, dn, a) => k -> ((n, up, dn, a)) }.toMap
+    // batch replay: the same pure step() folded over the fully-ordered
+    // history on the driver (sf0.001 events are bounded)
+    val hist = graft.Tables.events(spark, sf001)
+      .select(col("event_type"), col("event_id"), col("ts"),
+        floor(col("value") * lit(100.0)).cast("long").as("cents"))
+      .orderBy(col("ts"), col("event_id"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(3)))
+    val batch = hist.groupBy(_._1).map { case (k, rows) =>
+      val st = rows.foldLeft(StreamCusum.CusumState(0L, Long.MaxValue,
+        Long.MinValue, upArmed = true, dnArmed = true, 0L, 0L)) {
+        (s, r) => StreamCusum.step(s, r._2 - mu0(k), h(k))
+      }
+      k -> ((st.n, st.cum - math.min(0L, st.rmin),
+        math.max(0L, st.rmax) - st.cum, st.nAlerts))
+    }
+    assert(batch.nonEmpty && streamed.keySet == batch.keySet)
+    val bad = batch.collect {
+      case (k, v) if streamed(k) != v => (k, streamed(k), v)
+    }
+    assert(bad.isEmpty, s"stream vs batch: ${bad.take(5)}")
+    // the statistic genuinely moved, and both triggers contributed
+    assert(batch.values.exists(v => v._2 > 0 || v._3 > 0))
+    assert(all.groupBy(_._1).exists(_._2.length > 1),
+      "no key spanned both micro-batches — split degenerate")
+  }
 }
