@@ -171,6 +171,66 @@ object MultimodalQueries {
     // (byte-sum profiles collide more than real-image grids do — measured
     // 214 candidates at 500 docs, 20.2k at 5000), and the confirm filter
     // is a codegen'd scalar on the joined rows.
+    // Image quality gating (blur/blank detection) — the per-asset filter
+    // a multimodal curation pass runs BEFORE embedding or dedup: a flat
+    // (low-contrast) luminance grid means a blank, uniform or
+    // heavily-blurred image that adds no training signal. Contrast is the
+    // exact integer grid variance (64*sum(lum^2) - sum(lum)^2 over the
+    // same 64-cell byte-slice luminance profile q_image_neardup hashes);
+    // the flat flag is the LENGTH-INVARIANT relative test
+    // sl^2 > 200 * vs (a coefficient-of-variation cut — absolute variance
+    // would conflate asset size with flatness), thresholded where the
+    // probed ratio distribution (p5 6.5, median ~70, p99 ~300, stable
+    // across SFs) marks ~5% of assets. On real images the grid comes from
+    // Multimodal.lumGrid8x8 (MultimodalSpec pins PNG decode); the gated
+    // run uses the byte-slice fallback DuckDB replays exactly. Scale
+    // shape: one narrow per-doc projection (per-doc O(bytes), the
+    // interpreted-HOF multimodal class), then a source-sized aggregate.
+    Q("q_image_quality",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .filter(length(col("text")) >= 64)
+          .withColumn("L", length(col("text")).cast("long"))
+        docs
+          .withColumn("grid", expr(
+            """transform(sequence(0L, 63L), i ->
+              |  aggregate(sequence(i*L div 64 + 1, (i+1)*L div 64), 0L,
+              |    (acc, p) -> acc + ascii(substring(text, CAST(p AS INT), 1))))"""
+              .stripMargin))
+          .withColumn("sl", expr("aggregate(grid, 0L, (a, x) -> a + x)"))
+          .withColumn("ss", expr("aggregate(grid, 0L, (a, x) -> a + x*x)"))
+          .withColumn("vs", lit(64L) * col("ss") - col("sl") * col("sl"))
+          .withColumn("flat",
+            (col("sl") * col("sl") > lit(200L) * col("vs")).cast("long"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_images"), sum(col("flat")).as("n_flat"),
+            sum(col("vs")).as("sum_contrast"), max(col("vs")).as("max_contrast"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH d AS (
+         |  SELECT doc_id, source, text, strlen(text) AS L
+         |  FROM documents WHERE strlen(text) >= 64),
+         |cell AS (SELECT doc_id, source, text, L, i
+         |  FROM d, (SELECT unnest(range(0, 64)) AS i) r),
+         |lum AS (
+         |  SELECT doc_id, source, i,
+         |    CAST(list_sum(list_transform(
+         |      range((i*L)//64 + 1, ((i+1)*L)//64 + 1),
+         |      p -> ord(substr(text, CAST(p AS INTEGER), 1)))) AS BIGINT)
+         |      AS lum
+         |  FROM cell),
+         |g AS (
+         |  SELECT doc_id, source,
+         |    CAST(64*sum(lum*lum) - sum(lum)*sum(lum) AS BIGINT) AS vs,
+         |    CAST(sum(lum) AS BIGINT) AS sl
+         |  FROM lum GROUP BY 1, 2)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_images,
+         |  CAST(sum(CASE WHEN sl*sl > 200*vs THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_flat,
+         |  CAST(sum(vs) AS BIGINT) AS sum_contrast,
+         |  max(vs) AS max_contrast
+         |FROM g GROUP BY source ORDER BY source""".stripMargin)),
+
     Q("q_image_neardup",
       (s, d) => dhashPairs(s, d)
         .select(col("doc_a"), col("doc_b"), col("hamming"))
