@@ -593,6 +593,95 @@ object ExtendedQueries {
          |   / 8796093022208.0) / count(*) AS c
          |FROM e GROUP BY label, pos ORDER BY label, pos""".stripMargin)),
 
+    // Sliding-window funnel (the ClickHouse windowFunnel shape): the max
+    // funnel level a user reaches where the WHOLE view -> click ->
+    // purchase chain fits inside a 6-hour window anchored at its view —
+    // q_funnel's earliest-event formulation has no window, so a Monday
+    // view plus a Friday purchase still converts there; this one answers
+    // the session-bounded marketing question. Semantics are a GREEDY
+    // SEQUENCE FOLD over (ts, event_id)-ordered events (the ClickHouse
+    // design, not an EXISTS join): track the latest view, admit a click
+    // strictly after it within W (keeping the maximal chain deadline),
+    // admit a purchase within the best deadline. State is three BIGINTs;
+    // both engines replay the identical fold — Spark as an aggregate-HOF
+    // over the per-user sorted list, DuckDB as a per-user RECURSIVE CTE.
+    // The CTE is deliberate: the first oracle draft used list_reduce with
+    // a 3-long accumulator and MISFOLDED exactly one of 150 users at
+    // sf0.01 — DuckDB 1.0's list_reduce corrupts the accumulator for
+    // some rows under multi-row vectorized execution (folding the SAME
+    // list standalone returns the right answer; reproduced and isolated
+    // before the rewrite). W = 6h probed: 14/15 users reach level 2 and 1
+    // reaches level 3 at sf0.001 (11 at sf0.01) — 1h leaves level 3
+    // empty. Scale shape: ONE user-keyed shuffle; per-user lists are
+    // bounded by events/user (the q_ewma contract), never corpus-sized.
+    Q("q_window_funnel",
+      (s, d) => {
+        val W = 21600000000L // 6 h in micros
+        val pairs = transform(
+          sort_array(collect_list(struct(
+            unix_micros(col("ts")).as("us"), col("event_id"),
+            when(col("event_type") === "view", 1L)
+              .when(col("event_type") === "click", 2L)
+              .when(col("event_type") === "purchase", 3L)
+              .otherwise(0L).as("code")))),
+          p => array(p.getField("us"), p.getField("code")))
+        val st = Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(pairs.as("pairs"))
+          .select(col("user_id"), expr(
+            s"""aggregate(pairs, array(-1L, -1L, 0L), (a, x) ->
+               |  CASE
+               |    WHEN x[1] = 1 THEN array(greatest(a[0], x[0]), a[1], a[2])
+               |    WHEN x[1] = 2 AND a[0] >= 0 AND x[0] > a[0]
+               |      AND x[0] <= a[0] + ${W}L
+               |      THEN array(a[0], greatest(a[1], a[0] + ${W}L), a[2])
+               |    WHEN x[1] = 3 AND a[1] >= 0 AND x[0] <= a[1]
+               |      THEN array(a[0], a[1], 1L)
+               |    ELSE a
+               |  END)""".stripMargin).as("st"))
+        st.agg(
+          count(lit(1)).as("n_users"),
+          sum((col("st")(0) >= 0).cast("long")).as("n_level1"),
+          sum((col("st")(1) >= 0).cast("long")).as("n_level2"),
+          sum(col("st")(2)).as("n_level3"))
+      },
+      Some {
+        val W = 21600000000L
+        s"""WITH RECURSIVE t AS (
+           |  SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+           |    CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+           |      WHEN 'purchase' THEN 3 ELSE 0 END AS code
+           |  FROM events),
+           |mi AS (
+           |  SELECT user_id, CAST(row_number() OVER (PARTITION BY user_id
+           |    ORDER BY ts, event_id) AS BIGINT) AS i, us, code
+           |  FROM t),
+           |n AS (SELECT user_id, max(i) AS mx FROM mi GROUP BY 1),
+           |r(user_id, i, lv, bd, l3) AS (
+           |  SELECT user_id, CAST(0 AS BIGINT), CAST(-1 AS BIGINT),
+           |    CAST(-1 AS BIGINT), CAST(0 AS BIGINT) FROM n
+           |  UNION ALL
+           |  SELECT r.user_id, r.i + 1,
+           |    CASE WHEN m.code = 1 THEN greatest(r.lv, m.us)
+           |      ELSE r.lv END,
+           |    CASE WHEN m.code = 2 AND r.lv >= 0 AND m.us > r.lv
+           |      AND m.us <= r.lv + $W THEN greatest(r.bd, r.lv + $W)
+           |      ELSE r.bd END,
+           |    CASE WHEN m.code = 3 AND r.bd >= 0 AND m.us <= r.bd THEN 1
+           |      ELSE r.l3 END
+           |  FROM r JOIN mi m ON m.user_id = r.user_id AND m.i = r.i + 1),
+           |st AS (
+           |  SELECT r.user_id, lv, bd, l3
+           |  FROM r JOIN n ON r.user_id = n.user_id WHERE r.i = n.mx)
+           |SELECT CAST(count(*) AS BIGINT) AS n_users,
+           |  CAST(sum(CASE WHEN lv >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_level1,
+           |  CAST(sum(CASE WHEN bd >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_level2,
+           |  CAST(sum(l3) AS BIGINT) AS n_level3
+           |FROM st""".stripMargin
+      }),
+
     // Ordered funnel (view -> click -> purchase): stage N counts users
     // whose earliest stage-N event strictly follows their earliest
     // stage-(N-1) event. Every stage is a groupBy(user) + equi-join on
