@@ -423,12 +423,15 @@ object ExtendedQueries {
           val un = SetOperation.builder().buildUnion()
           un.union(a); un.union(b)
           val ur = un.getResult
+          val anb = SetOperation.builder().buildANotB()
+          val dr = anb.aNotB(a, b) // A \\ B completes the set algebra
           (sk(i)._1, sk(j)._1, sk(i)._3, sk(j)._3,
             ir.getLowerBound(2), ir.getUpperBound(2),
-            ur.getLowerBound(2), ur.getUpperBound(2))
+            ur.getLowerBound(2), ur.getUpperBound(2),
+            dr.getLowerBound(2), dr.getUpperBound(2))
         }
         val bounds = s.createDataFrame(pairBounds).toDF(
-          "pa", "pb", "na", "nb", "ilo", "ihi", "ulo", "uhi")
+          "pa", "pb", "na", "nb", "ilo", "ihi", "ulo", "uhi", "dlo", "dhi")
         val exact = pc.select(col("prio").as("pa"), col("cust"))
           .join(pc.select(col("prio").as("pb"), col("cust")), "cust")
           .filter(col("pa") < col("pb"))
@@ -443,7 +446,11 @@ object ExtendedQueries {
             (col("ulo") <= (col("na") + col("nb") - col("exact_inter"))
               .cast("double") &&
               (col("na") + col("nb") - col("exact_inter")).cast("double")
-                <= col("uhi")).cast("long").as("union_in_bounds"))
+                <= col("uhi")).cast("long").as("union_in_bounds"),
+            (col("na") - col("exact_inter")).as("exact_diff"),
+            (col("dlo") <= (col("na") - col("exact_inter")).cast("double") &&
+              (col("na") - col("exact_inter")).cast("double") <= col("dhi"))
+              .cast("long").as("diff_in_bounds"))
           .orderBy(col("pa"), col("pb"))
       },
       Some("""WITH pc AS (
@@ -459,7 +466,9 @@ object ExtendedQueries {
          |SELECT pa, pb, exact_inter,
          |  ca.n + cb.n - exact_inter AS exact_union,
          |  CAST(1 AS BIGINT) AS inter_in_bounds,
-         |  CAST(1 AS BIGINT) AS union_in_bounds
+         |  CAST(1 AS BIGINT) AS union_in_bounds,
+         |  ca.n - exact_inter AS exact_diff,
+         |  CAST(1 AS BIGINT) AS diff_in_bounds
          |FROM pairs
          |JOIN cnt ca ON pa = ca.prio
          |JOIN cnt cb ON pb = cb.prio

@@ -158,6 +158,59 @@ object RecoQueries {
          |GROUP BY u, w
          |ORDER BY ra_score DESC, item_a, item_b LIMIT 30""".stripMargin)),
 
+    // Degree assortativity (Newman 2002): the Pearson correlation of
+    // endpoint degrees over the directed edge list — one scalar that
+    // says whether hubs attach to hubs (social-graph-like, r > 0) or to
+    // leaves (technological/dissortative, r < 0); it decides whether
+    // hub-targeted sampling or skew salting will pay on this graph.
+    // Exactness: degrees on the support graph are small integers, so
+    // every moment (sum xy, sum x, sum x^2 over 2m directed edges) is an
+    // exact BIGINT comfortably under 2^53 — the doubles that follow
+    // convert exactly and the remaining sqrt/division are identical IEEE
+    // scalar ops, no scaling tricks needed (probed: max degree 51 at
+    // sf0.001, 6 at sf0.1; the support graph SPARSIFIES with SF). Scale
+    // shape: two node-keyed joins to attach degrees + ONE 1-row moment
+    // aggregate.
+    Q("q_assortativity",
+      (s, d) => {
+        val und = supportEdges(s, d)
+        val edges = und.select(col("a").as("src"), col("b").as("dst"))
+          .union(und.select(col("b").as("src"), col("a").as("dst")))
+        val deg = edges.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("deg"))
+        edges
+          .join(deg.select(col("node").as("src"), col("deg").as("x")), "src")
+          .join(deg.select(col("node").as("dst"), col("deg").as("y")), "dst")
+          .agg(count(lit(1)).as("m"), sum(col("x") * col("y")).as("sxy"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .select(col("m").as("n_directed_edges"),
+            (((col("m") * col("sxy") - col("sx") * col("sy")).cast("double")) /
+              (sqrt((col("m") * col("sxx") - col("sx") * col("sx"))
+                .cast("double")) *
+                sqrt((col("m") * col("syy") - col("sy") * col("sy"))
+                  .cast("double")))).as("r"))
+      },
+      Some(s"""WITH $graphCte,
+         |ed AS (
+         |  SELECT da.deg AS x, db.deg AS y
+         |  FROM edges e
+         |  JOIN deg da ON e.src = da.node
+         |  JOIN deg db ON e.dst = db.node),
+         |mo AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS m,
+         |    CAST(sum(x*y) AS BIGINT) AS sxy,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x*x) AS BIGINT) AS sxx,
+         |    CAST(sum(y*y) AS BIGINT) AS syy
+         |  FROM ed)
+         |SELECT m AS n_directed_edges,
+         |  CAST(m*sxy - sx*sy AS DOUBLE) /
+         |    (sqrt(CAST(m*sxx - sx*sx AS DOUBLE)) *
+         |     sqrt(CAST(m*syy - sy*sy AS DOUBLE))) AS r
+         |FROM mo""".stripMargin)),
+
     // Multi-source BFS, 3 unrolled rounds from the 5 top-degree hubs.
     // Each round is one semi-join (expand) + one anti-join (de-visit) +
     // a distinct — all node-keyed; per-round output is a 1-row aggregate
