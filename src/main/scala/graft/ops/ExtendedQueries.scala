@@ -755,6 +755,58 @@ object ExtendedQueries {
          |GROUP BY cohort, week_n
          |ORDER BY cohort_week, week_n""".stripMargin)),
 
+    // Cohort LTV curves — the MONEY companion to q_cohort_retention's
+    // activity matrix: customers grouped by first-order month, cell
+    // (cohort, age) carries that month-age's exact cents revenue, and
+    // the running window turns each cohort's row into its cumulative
+    // lifetime value — the curve a marginal-CAC decision reads. All
+    // integer: month indices are year*12+month arithmetic (no date
+    // subtraction ambiguity), revenue rides the cents grid, and the
+    // cumulative sum is BIGINT. Scale shape: one per-customer first-
+    // order aggregate, one cohort-cell aggregate, then a window over
+    // the (months x months) CALENDAR grid (~3.2k cells at 80 months) —
+    // never row-scale.
+    Q("q_cohort_ltv",
+      (s, d) => {
+        val o = Tables.orders(s, d).select(
+          col("o_custkey"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast("long").as("mi"),
+          floor(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
+        val first = o.groupBy(col("o_custkey")).agg(min(col("mi")).as("ci"))
+        val w = Window.partitionBy(col("ci")).orderBy(col("age"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        o.join(first, "o_custkey")
+          .groupBy(col("ci"), (col("mi") - col("ci")).as("age"))
+          .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("rev"))
+          .withColumn("cum_ltv", sum(col("rev")).over(w))
+          .select(
+            format_string("%04d-%02d", expr("(ci - 1) div 12"),
+              (col("ci") - 1) % 12 + 1).as("cohort"),
+            col("age"), col("n_orders"), col("rev"), col("cum_ltv"))
+          .orderBy(col("cohort"), col("age"))
+      },
+      Some("""WITH o AS (
+         |  SELECT o_custkey,
+         |    CAST(year(o_orderdate)*12 + month(o_orderdate) AS BIGINT)
+         |      AS mi,
+         |    CAST(floor(o_totalprice * 100.0) AS BIGINT) AS cents
+         |  FROM orders),
+         |f AS (SELECT o_custkey, min(mi) AS ci FROM o GROUP BY 1),
+         |cell AS (
+         |  SELECT ci, mi - ci AS age,
+         |    CAST(count(*) AS BIGINT) AS n_orders,
+         |    CAST(sum(cents) AS BIGINT) AS rev
+         |  FROM o JOIN f USING (o_custkey)
+         |  GROUP BY ci, age)
+         |SELECT printf('%04d-%02d', (ci - 1) // 12, (ci - 1) % 12 + 1)
+         |    AS cohort,
+         |  age, n_orders, rev,
+         |  CAST(sum(rev) OVER (PARTITION BY ci ORDER BY age
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum_ltv
+         |FROM cell ORDER BY cohort, age""".stripMargin)),
+
     // Unpivot/melt (wide -> long): per-brand metric columns melted into
     // (brand, metric, value) rows — the inverse of q_pivot, and the
     // standard reshape before per-metric aggregation in feature pipelines.
