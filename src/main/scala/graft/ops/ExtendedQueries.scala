@@ -1978,6 +1978,69 @@ object ExtendedQueries {
            |FROM dv ORDER BY digit""".stripMargin
       }),
 
+    // Chi-square test of independence + Cramér's V on the order
+    // priority x status contingency grid — the CATEGORICAL-association
+    // test beside q_benford's goodness-of-fit and q_ab_test's two-sample
+    // mean test: does fulfillment status depend on priority, and how
+    // strongly (V in [0,1] is the effect size a dashboard actually
+    // reports). Exactness: observed counts and margins are exact
+    // BIGINTs; each cell's term (obs - exp)^2/exp floor-scales to the
+    // 1e9 grid (exp = row*col/n, one identically-ordered double chain),
+    // so the 15-term statistic sums as an exact BIGINT; V is one sqrt of
+    // the grid-snapped value. Scale shape: one map-side-combinable
+    // contingency aggregate; everything after is grid-sized (15 cells).
+    Q("q_chi2_assoc",
+      (s, d) => {
+        val cells = Tables.orders(s, d)
+          .groupBy(col("o_orderpriority").as("prio"),
+            col("o_orderstatus").as("status"))
+          .agg(count(lit(1)).as("obs"))
+        val rowm = cells.groupBy(col("prio")).agg(sum(col("obs")).as("rm"))
+        val colm = cells.groupBy(col("status")).agg(sum(col("obs")).as("cm"))
+        val tot = cells.agg(sum(col("obs")).as("n"))
+        val exp = (col("rm") * col("cm")).cast("double") /
+          col("n").cast("double")
+        val term = (col("obs").cast("double") - exp) *
+          (col("obs").cast("double") - exp) / exp
+        val scored = cells.join(broadcast(rowm), "prio")
+          .join(broadcast(colm), "status")
+          .crossJoin(broadcast(tot))
+          .select(col("prio"), col("status"), col("obs"), col("n"),
+            floor(term * lit(1e9)).cast("long").as("term_scaled"))
+        scored
+          .agg(sum(col("term_scaled")).as("chi2_scaled"),
+            max(col("n")).as("n"),
+            count(lit(1)).as("n_cells"))
+          .select(col("n_cells"), col("chi2_scaled"),
+            (col("chi2_scaled").cast("double") / lit(1e9)).as("chi2"),
+            // V = sqrt(chi2 / (n * min(r-1, c-1))); r=5, c=3 -> min = 2
+            sqrt((col("chi2_scaled").cast("double") / lit(1e9)) /
+              (col("n").cast("double") * lit(2.0))).as("cramers_v"))
+      },
+      Some("""WITH cells AS (
+         |  SELECT o_orderpriority AS prio, o_orderstatus AS status,
+         |    CAST(count(*) AS BIGINT) AS obs
+         |  FROM orders GROUP BY 1, 2),
+         |rm AS (SELECT prio, CAST(sum(obs) AS BIGINT) AS rm
+         |  FROM cells GROUP BY 1),
+         |cm AS (SELECT status, CAST(sum(obs) AS BIGINT) AS cm
+         |  FROM cells GROUP BY 1),
+         |tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM cells),
+         |sc AS (
+         |  SELECT obs, n,
+         |    CAST(floor(
+         |      (CAST(obs AS DOUBLE) - CAST(rm.rm*cm.cm AS DOUBLE)/CAST(n AS DOUBLE)) *
+         |      (CAST(obs AS DOUBLE) - CAST(rm.rm*cm.cm AS DOUBLE)/CAST(n AS DOUBLE)) /
+         |      (CAST(rm.rm*cm.cm AS DOUBLE)/CAST(n AS DOUBLE)) * 1e9)
+         |      AS BIGINT) AS term_scaled
+         |  FROM cells JOIN rm USING (prio) JOIN cm USING (status), tot)
+         |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+         |  CAST(sum(term_scaled) AS BIGINT) AS chi2_scaled,
+         |  CAST(CAST(sum(term_scaled) AS BIGINT) AS DOUBLE) / 1e9 AS chi2,
+         |  sqrt((CAST(CAST(sum(term_scaled) AS BIGINT) AS DOUBLE) / 1e9)
+         |    / (CAST(max(n) AS DOUBLE) * 2.0)) AS cramers_v
+         |FROM sc""".stripMargin)),
+
     // Autocorrelation function (lags 1..12) of the monthly revenue
     // series — the quantitative companion to q_seasonal_decompose (which
     // ASSUMES a 12-month period; the ACF is how one finds it). Exactness:
