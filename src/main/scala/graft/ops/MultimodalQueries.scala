@@ -231,6 +231,72 @@ object MultimodalQueries {
          |  max(vs) AS max_contrast
          |FROM g GROUP BY source ORDER BY source""".stripMargin)),
 
+    // Audio energy segmentation (VAD-lite) — the AUDIO-modality operator
+    // beside the image (dHash/quality) and video (frame/scene) tiers:
+    // treat the payload as fixed-rate samples, compute per-frame energy
+    // (sum of squared 32-centered samples over 64-byte frames — exact
+    // BIGINTs), threshold at 300000 (probed: frame energies span
+    // 272k-339k with median ~307k at every SF, so the cut genuinely
+    // alternates), and count ACTIVE SEGMENTS as runs of consecutive
+    // active frames via a per-doc lag — the silence-split step an audio
+    // curation pass runs before transcription. Real audio rides the same
+    // plumbing with PCM decode in place of the byte read; the gated run
+    // uses bytes DuckDB replays exactly. Scale shape: the frame
+    // expansion is a narrow per-doc explode (bounded by payload size),
+    // the run-count window partitions by doc over frame index (bounded
+    // per doc), then one doc-sized aggregate.
+    Q("q_audio_segments",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .filter(col("doc_id") < 100 && length(col("text")) >= 128)
+          .withColumn("L", length(col("text")).cast("long"))
+        val frames = docs
+          .select(col("doc_id"), col("text"),
+            posexplode(sequence(lit(0L), expr("L div 64 - 1")))
+              .as(Seq("i", "fi")))
+          .select(col("doc_id"), col("fi"),
+            expr("""aggregate(sequence(fi*64 + 1, (fi+1)*64), 0L,
+              |  (acc, p) -> acc +
+              |    (ascii(substring(text, CAST(p AS INT), 1)) - 32) *
+              |    (ascii(substring(text, CAST(p AS INT), 1)) - 32))"""
+              .stripMargin).as("e"))
+          .withColumn("active", (col("e") >= 300000L).cast("long"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("fi"))
+        frames
+          .withColumn("pa", lag(col("active"), 1, 0L).over(w))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_frames"),
+            sum(col("active")).as("n_active"),
+            sum(when(col("active") === 1L && col("pa") === 0L, 1L)
+              .otherwise(0L)).as("n_segments"),
+            sum(col("e")).as("total_energy"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (
+         |  SELECT doc_id, text, strlen(text) AS L
+         |  FROM documents WHERE doc_id < 100 AND strlen(text) >= 128),
+         |fr AS (
+         |  SELECT doc_id, i AS fi,
+         |    CAST(list_sum(list_transform(range(i*64 + 1, (i+1)*64 + 1),
+         |      p -> (ord(substr(text, CAST(p AS INTEGER), 1)) - 32) *
+         |           (ord(substr(text, CAST(p AS INTEGER), 1)) - 32)))
+         |      AS BIGINT) AS e
+         |  FROM d, LATERAL (SELECT unnest(range(0,
+         |    CAST(L // 64 AS INTEGER))) AS i) r),
+         |fa AS (
+         |  SELECT doc_id, fi, e,
+         |    CASE WHEN e >= 300000 THEN 1 ELSE 0 END AS active,
+         |    coalesce(lag(CASE WHEN e >= 300000 THEN 1 ELSE 0 END, 1)
+         |      OVER (PARTITION BY doc_id ORDER BY fi), 0) AS pa
+         |  FROM fr)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+         |  CAST(sum(active) AS BIGINT) AS n_active,
+         |  CAST(sum(CASE WHEN active = 1 AND pa = 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_segments,
+         |  CAST(sum(e) AS BIGINT) AS total_energy
+         |FROM fa GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     Q("q_image_neardup",
       (s, d) => dhashPairs(s, d)
         .select(col("doc_a"), col("doc_b"), col("hamming"))
