@@ -755,6 +755,91 @@ object ExtendedQueries {
          |GROUP BY cohort, week_n
          |ORDER BY cohort_week, week_n""".stripMargin)),
 
+    // Kaplan-Meier survival analysis (Kaplan & Meier 1958) over
+    // repurchase gaps — the survival/reliability family beside q_churn's
+    // binary flag and q_cohort_retention's matrix: spells are the days
+    // between a customer's consecutive orders (event = the next order
+    // arrives) with the last spell RIGHT-CENSORED at the snapshot date —
+    // the estimator that handles "hasn't repurchased YET" correctly
+    // where a naive mean-gap drops exactly the loyal tail. S(t) =
+    // prod_{t_i <= t} (1 - d_i / n_i) over the distinct-duration grid.
+    // Exactness: d/c/n_risk are exact BIGINTs on a CALENDAR-bounded grid
+    // (probed: 547/1029/1500 distinct durations — days, not rows); the
+    // survival product is a sequential double fold in ONE fixed op order
+    // — Spark as the aggregate-HOF path fold (the q_holt_forecast
+    // pattern, with the at-risk decrement carried in the state), DuckDB
+    // as the identical recursive CTE — so the doubles match bitwise.
+    // Scale shape: one user-keyed lead window (bounded per user), one
+    // duration-grid aggregate, then calendar-sized math.
+    Q("q_survival",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val o = Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+          .withColumn("nxt", lead(col("o_orderdate"), 1).over(w))
+        val mx = o.agg(max(col("o_orderdate")).as("mx"))
+        val spells = o.crossJoin(broadcast(mx))
+          .select(datediff(coalesce(col("nxt"), col("mx")),
+            col("o_orderdate")).cast("long").as("dur"),
+            col("nxt").isNotNull.cast("long").as("ev"))
+        val grid = spells.groupBy(col("dur"))
+          .agg(sum(col("ev")).as("d"),
+            sum(lit(1L) - col("ev")).as("c"))
+        val ser = grid.agg(
+          sort_array(collect_list(struct(col("dur"), col("d"), col("c"))))
+            .as("g"),
+          sum(col("d") + col("c")).as("tot"))
+        ser.select(explode(expr(
+            """slice(aggregate(g,
+              |  array(named_struct('dur', -1L, 'nr', tot, 'd', 0L,
+              |    'c', 0L, 's', CAST(1.0 AS DOUBLE))),
+              |  (acc, x) -> concat(acc, array(named_struct(
+              |    'dur', x.dur,
+              |    'nr', element_at(acc, -1).nr - element_at(acc, -1).d
+              |      - element_at(acc, -1).c,
+              |    'd', x.d, 'c', x.c,
+              |    's', element_at(acc, -1).s * (CAST(1.0 AS DOUBLE) -
+              |      CAST(x.d AS DOUBLE) /
+              |      CAST(element_at(acc, -1).nr - element_at(acc, -1).d
+              |        - element_at(acc, -1).c AS DOUBLE)))))),
+              |2, size(g))""".stripMargin)).as("p"))
+          .select(col("p.dur").as("dur"), col("p.nr").as("n_risk"),
+            col("p.d").as("d_events"), col("p.c").as("n_censored"),
+            col("p.s").as("survival"))
+          .orderBy(col("dur"))
+      },
+      Some("""WITH RECURSIVE o AS (
+         |  SELECT o_custkey, o_orderdate, o_orderkey,
+         |    lead(o_orderdate) OVER (PARTITION BY o_custkey
+         |      ORDER BY o_orderdate, o_orderkey) AS nxt
+         |  FROM orders),
+         |m AS (SELECT max(o_orderdate) AS mx FROM orders),
+         |sp AS (
+         |  SELECT CAST(date_diff('day', o_orderdate, coalesce(nxt, m.mx))
+         |      AS BIGINT) AS dur,
+         |    CASE WHEN nxt IS NULL THEN 0 ELSE 1 END AS ev
+         |  FROM o, m),
+         |grid AS (
+         |  SELECT dur, CAST(sum(ev) AS BIGINT) AS d,
+         |    CAST(sum(1 - ev) AS BIGINT) AS c
+         |  FROM sp GROUP BY dur),
+         |g AS (SELECT CAST(row_number() OVER (ORDER BY dur) AS BIGINT)
+         |    AS i, dur, d, c FROM grid),
+         |tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n FROM grid),
+         |r(i, dur, nr, d, c, s) AS (
+         |  SELECT CAST(0 AS BIGINT), CAST(-1 AS BIGINT), n,
+         |    CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)
+         |  FROM tot
+         |  UNION ALL
+         |  SELECT g.i, g.dur, r.nr - r.d - r.c, g.d, g.c,
+         |    r.s * (CAST(1.0 AS DOUBLE) - CAST(g.d AS DOUBLE) /
+         |      CAST(r.nr - r.d - r.c AS DOUBLE))
+         |  FROM r JOIN g ON g.i = r.i + 1)
+         |SELECT dur, nr AS n_risk, d AS d_events, c AS n_censored,
+         |  s AS survival
+         |FROM r WHERE i >= 1 ORDER BY dur""".stripMargin)),
+
     // Cohort LTV curves — the MONEY companion to q_cohort_retention's
     // activity matrix: customers grouped by first-order month, cell
     // (cohort, age) carries that month-age's exact cents revenue, and
