@@ -160,6 +160,11 @@ case class HistMergeAgg(
     if (buf.isEmpty) other
     else if (other.isEmpty) buf
     else {
+      // mirror mergeInto's width guard: adding by index up to buf.length
+      // would silently DROP the extra bins of a wider partial (and AIOOBE
+      // on a narrower one) — a mixed-nbins misuse must fail loudly.
+      require(buf.length == other.length,
+        s"histogram width mismatch: ${buf.length} vs ${other.length}")
       var i = 0
       while (i < buf.length) { buf(i) += other(i); i += 1 }
       buf

@@ -86,7 +86,55 @@ object MediaKernels {
     out
   }
 
+  /** Fused sum / sum-of-squares of the 64-cell luminance grid: one pass
+    * building the grid ([[byteLumGrid]]), one pass folding it — the
+    * contrast statistic of the image-quality gate ([sl, ss]; callers
+    * derive variance*n as 64*ss - sl*sl in exact BIGINTs). Replaces an
+    * interpreted per-character SQL HOF with a codegen'd kernel (the
+    * q_image_quality round-12 fix). */
+  def gridStats(payload: Array[Byte]): Array[Long] = {
+    val lum = byteLumGrid(payload)
+    var sl = 0L
+    var ss = 0L
+    var i = 0
+    while (i < lum.length) { sl += lum(i); ss += lum(i) * lum(i); i += 1 }
+    Array(sl, ss)
+  }
+
+  /** Per-frame energy over consecutive `frameLen`-byte frames (full
+    * frames only — the trailing partial frame is dropped, matching the
+    * `L div frameLen` frame count): energy = sum of squared
+    * `center`-offset unsigned samples, exact BIGINTs. The VAD-lite
+    * feature of the audio segmenter, one codegen'd pass per payload. */
+  def frameEnergies(payload: Array[Byte], frameLen: Int, center: Int): Array[Long] = {
+    val n = payload.length / frameLen
+    val out = new Array[Long](n)
+    var f = 0
+    while (f < n) {
+      var p = f * frameLen
+      val end = p + frameLen
+      var s = 0L
+      while (p < end) {
+        val d = (payload(p) & 0xff) - center
+        s += d.toLong * d
+        p += 1
+      }
+      out(f) = s
+      f += 1
+    }
+    out
+  }
+
   /** ArrayData adapters for the codegen'd expressions. */
+  def gridStatsAD(payload: Array[Byte])
+      : org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(gridStats(payload))
+
+  def frameEnergiesAD(payload: Array[Byte], frameLen: Int, center: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      frameEnergies(payload, frameLen, center))
+
   def byteBlockSumsAD(payload: Array[Byte], blocks: Int)
       : org.apache.spark.sql.catalyst.util.ArrayData =
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
@@ -154,6 +202,57 @@ case class BlockSumsExpr(child: Expression, blocks: Int) extends UnaryExpression
       s"graft.functions.MediaKernels.byteBlockSumsAD($c, $blocks)")
 
   override protected def withNewChildInternal(c: Expression): BlockSumsExpr =
+    copy(child = c)
+}
+
+/** binary -> array<bigint> [sl, ss]: fused sum / sum-of-squares of the
+  * 64-cell byte-slice luminance grid (MediaKernels.gridStats) — the
+  * image-quality contrast statistic inside WholeStageCodegen. */
+case class GridStatsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "grid_stats"
+
+  override def nullSafeEval(v: Any): Any =
+    MediaKernels.gridStatsAD(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MediaKernels.gridStatsAD($c)")
+
+  override protected def withNewChildInternal(c: Expression): GridStatsExpr =
+    copy(child = c)
+}
+
+/** binary -> array<bigint>: per-frame `center`-offset squared-sample
+  * energies over consecutive `frameLen`-byte full frames
+  * (MediaKernels.frameEnergies) — the VAD-lite feature, inside
+  * WholeStageCodegen. */
+case class FrameEnergiesExpr(child: Expression, frameLen: Int, center: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType if frameLen > 0 => TypeCheckResult.TypeCheckSuccess
+    case BinaryType => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires frameLen > 0, got $frameLen")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "frame_energies"
+
+  override def nullSafeEval(v: Any): Any =
+    MediaKernels.frameEnergiesAD(v.asInstanceOf[Array[Byte]], frameLen, center)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MediaKernels.frameEnergiesAD($c, $frameLen, $center)")
+
+  override protected def withNewChildInternal(c: Expression): FrameEnergiesExpr =
     copy(child = c)
 }
 

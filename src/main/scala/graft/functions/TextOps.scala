@@ -60,6 +60,15 @@ object TextOps {
   /** (array<bigint>, array<bigint>) -> bigint exact L1 distance. */
   def l1Dist(a: Column, b: Column): Column = c(L1DistExpr(e(a), e(b)))
 
+  /** binary -> array<bigint> [sl, ss]: fused sum / sum-of-squares of the
+    * 64-cell luminance grid — the image-quality contrast statistic. */
+  def gridStats(payload: Column): Column = c(GridStatsExpr(e(payload)))
+
+  /** binary -> array<bigint>: per-frame centered squared-sample energies
+    * over consecutive full `frameLen`-byte frames (VAD-lite feature). */
+  def frameEnergies(payload: Column, frameLen: Int, center: Int): Column =
+    c(FrameEnergiesExpr(e(payload), frameLen, center))
+
   /** bigint -> boolean: probe a (broadcast-sized) Bloom filter — the
     * codegen'd membership scan for sketch-side decontamination/blocklists. */
   def bloomMightContain(key: Column,

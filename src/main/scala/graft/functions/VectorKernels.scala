@@ -118,8 +118,6 @@ object VectorKernels {
     if (na == 0L || nb == 0L) 0.0
     else dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
 
-  /** Cosine over raw float vectors; Double left-fold accumulation mirrors
-    * the DuckDB list_reduce oracle exactly. */
   /** Exact euclidean (L2) distance over raw float vectors with the same
     * sequential double accumulation order as [[cosineFloat]] — the oracle
     * replays it with a left-fold, so the doubles match bitwise. */
@@ -136,6 +134,8 @@ object VectorKernels {
     math.sqrt(s)
   }
 
+  /** Cosine over raw float vectors; Double left-fold accumulation mirrors
+    * the DuckDB list_reduce oracle exactly. */
   def cosineFloat(a: Array[Float], b: Array[Float]): Double = {
     require(a.length == b.length,
       s"dimension mismatch: ${a.length} vs ${b.length}")

@@ -1242,8 +1242,12 @@ object ExtendedQueries {
             sqrt(col("s2") / col("n") -
               (col("s1") / col("n")) * (col("s1") / col("n"))).as("std"))
         ev.join(broadcast(stats), col("event_type") === col("et"))
+          // nullif guard (the q_triangles pattern): a constant-valued
+          // group has std = 0, where Spark's Divide and DuckDB's IEEE
+          // double division diverge (NULL vs inf) — snap BOTH to NULL.
           .select(col("event_type"), col("n"),
-            abs((col("value") - col("mean")) / col("std")).as("az"))
+            abs((col("value") - col("mean")) / nullif(col("std"), lit(0.0)))
+              .as("az"))
           .groupBy(col("event_type"))
           .agg(max(col("n")).as("n"),
             sum(when(col("az") > 3.0, 1L).otherwise(0L)).as("n_outliers"),
@@ -1259,7 +1263,8 @@ object ExtendedQueries {
          |  SELECT et, n, s1/n AS mean, sqrt(s2/n - (s1/n)*(s1/n)) AS std
          |  FROM st),
          |z AS (
-         |  SELECT e.event_type, ms.n, abs((e.value - ms.mean)/ms.std) AS az
+         |  SELECT e.event_type, ms.n,
+         |    abs((e.value - ms.mean)/nullif(ms.std, 0)) AS az
          |  FROM events e JOIN ms ON e.event_type = ms.et)
          |SELECT event_type, max(n) AS n,
          |  CAST(sum(CASE WHEN az > 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
@@ -2632,11 +2637,14 @@ object ExtendedQueries {
             col("svv").as("svvc"))
         def mean(sv: org.apache.spark.sql.Column,
             n: org.apache.spark.sql.Column) = sv.cast("double") / n
+        // nullif on n-1: a 1-row arm has undefined sample variance —
+        // snap BOTH engines to NULL instead of div-by-zero divergence.
         def variance(svv: org.apache.spark.sql.Column,
             sv: org.apache.spark.sql.Column,
             n: org.apache.spark.sql.Column) =
           (svv.cast("double") -
-            sv.cast("double") * sv.cast("double") / n) / (n - lit(1))
+            sv.cast("double") * sv.cast("double") / n) /
+            nullif(n - lit(1), lit(0L))
         val z = (mean(col("sv"), col("n")) - mean(col("svc"), col("nc"))) /
           sqrt(variance(col("svv"), col("sv"), col("n")) / col("n") +
             variance(col("svvc"), col("svc"), col("nc")) / col("nc"))
@@ -2660,12 +2668,12 @@ object ExtendedQueries {
          |SELECT event_type, n,
          |  floor(CAST(sv AS DOUBLE) / n * 1e9) / 1e9 AS mean_cents,
          |  floor((CAST(sv AS DOUBLE) / n - CAST(svc AS DOUBLE) / nc)
-         |    / sqrt(((CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE)*CAST(sv AS DOUBLE)/n) / (n - 1)) / n
-         |         + ((CAST(svvc AS DOUBLE) - CAST(svc AS DOUBLE)*CAST(svc AS DOUBLE)/nc) / (nc - 1)) / nc)
+         |    / sqrt(((CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE)*CAST(sv AS DOUBLE)/n) / nullif(n - 1, 0)) / n
+         |         + ((CAST(svvc AS DOUBLE) - CAST(svc AS DOUBLE)*CAST(svc AS DOUBLE)/nc) / nullif(nc - 1, 0)) / nc)
          |    * 1e9) / 1e9 AS z,
          |  CAST(abs((CAST(sv AS DOUBLE) / n - CAST(svc AS DOUBLE) / nc)
-         |    / sqrt(((CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE)*CAST(sv AS DOUBLE)/n) / (n - 1)) / n
-         |         + ((CAST(svvc AS DOUBLE) - CAST(svc AS DOUBLE)*CAST(svc AS DOUBLE)/nc) / (nc - 1)) / nc))
+         |    / sqrt(((CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE)*CAST(sv AS DOUBLE)/n) / nullif(n - 1, 0)) / n
+         |         + ((CAST(svvc AS DOUBLE) - CAST(svc AS DOUBLE)*CAST(svc AS DOUBLE)/nc) / nullif(nc - 1, 0)) / nc))
          |    > 1.96 AS BIGINT) AS significant
          |FROM m, c WHERE event_type <> 'view'
          |ORDER BY event_type""".stripMargin)),
@@ -2698,7 +2706,9 @@ object ExtendedQueries {
     edgesCache.keys.filter(_._1 == s)
       .foreach(k => edgesCache.remove(k).foreach(_.release()))
 
-  private val edgesCache = scala.collection.mutable.Map
+  // TrieMap, matching TextQueries.labelsCache: getOrElseUpdate is atomic,
+  // so concurrent sessions never double-build or race eviction vs insert.
+  private val edgesCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String, Long), EdgeEntry]
 
   private final case class EdgeEntry(df: org.apache.spark.sql.DataFrame) {

@@ -57,11 +57,20 @@ object StreamCusum {
       dnArmed = true, 0L, 0L)
 
   /** Per-type CUSUM over cents deviations from the FROZEN per-key
-    * reference mean `mu0`; `h` is the per-key decision interval. */
+    * reference mean `mu0`; `h` is the per-key decision interval.
+    *
+    * Only ARMED keys (present in both `mu0` and `h`) are monitored:
+    * unknown event types are filtered out before the stateful fold, so a
+    * new key appearing mid-stream is ignored (until the next arm-time)
+    * instead of crashing the whole monitor with a NoSuchElementException
+    * inside mapGroupsWithState. */
   def cusum(events: DataFrame, mu0: Map[String, Long],
       h: Map[String, Long]): Dataset[CusumRow] = {
     import events.sparkSession.implicits._
+    val armed = (mu0.keySet intersect h.keySet).toSeq.sorted
+    require(armed.nonEmpty, "StreamCusum: no armed keys (mu0/h empty or disjoint)")
     EventsStream.normalize(events)
+      .filter(col("event_type").isin(armed: _*))
       .select(col("event_type"), col("event_id"), col("ts"),
         floor(col("value") * lit(100.0)).cast("long").as("cents"))
       .as[Ev]

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.HistSketchKernels
+import graft.functions.{HistMergeAgg, HistSketchKernels}
 
 /** Kernel pins for the fixed-grid histogram sketch (functions/HistSketch
   * .scala) — the deterministic mergeable-quantile layer under
@@ -43,6 +43,18 @@ class HistSketchSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       HistSketchKernels.mergeInto(acc, sk(16, 1 -> 1L))
     }
+  }
+
+  test("HistMergeAgg.merge refuses a width mismatch (both directions)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val agg = HistMergeAgg(Literal(null, org.apache.spark.sql.types.BinaryType))
+    val narrow = Array(1L, 2L)
+    val wide = Array(1L, 2L, 3L)
+    intercept[IllegalArgumentException] { agg.merge(narrow.clone(), wide) }
+    intercept[IllegalArgumentException] { agg.merge(wide.clone(), narrow) }
+    // sentinel empty buffers still adopt the other side
+    assert(agg.merge(Array.emptyLongArray, wide).toSeq === wide.toSeq)
+    assert(agg.merge(wide.clone(), Array.emptyLongArray).toSeq === wide.toSeq)
   }
 
   test("rankBin applies the integer ceil-rank rule") {

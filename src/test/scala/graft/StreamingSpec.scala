@@ -895,4 +895,25 @@ class StreamingSpec extends SparkSpec {
     assert(all.groupBy(_._1).exists(_._2.length > 1),
       "no key spanned both micro-batches — split degenerate")
   }
+
+  test("streaming CUSUM: an un-armed event type is skipped, not a crash") {
+    import graft.streaming.StreamCusum
+    val events = spark.read.parquet(s"$sf001/events.parquet")
+    val mu0 = StreamCusum.referenceMeans(events)
+    assert(mu0.size >= 2, "fixture should have several event types")
+    val dropped = mu0.keys.min
+    val armedMu0 = mu0 - dropped
+    val h = armedMu0.map { case (k, m) => k -> m * 20 }
+    // batch-mode mapGroupsWithState (empty initial state) exercises the
+    // same fold; before the fix the un-armed key threw
+    // NoSuchElementException inside the state function
+    val out = StreamCusum.cusum(events, armedMu0, h).collect()
+    assert(out.nonEmpty)
+    assert(!out.exists(_.event_type == dropped),
+      s"un-armed key '$dropped' should be filtered out")
+    assert(out.map(_.event_type).toSet == armedMu0.keySet)
+    intercept[IllegalArgumentException] {
+      StreamCusum.cusum(events, Map.empty, Map.empty)
+    }
+  }
 }
