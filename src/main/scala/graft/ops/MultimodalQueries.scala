@@ -184,21 +184,22 @@ object MultimodalQueries {
     // across SFs) marks ~5% of assets. On real images the grid comes from
     // Multimodal.lumGrid8x8 (MultimodalSpec pins PNG decode); the gated
     // run uses the byte-slice fallback DuckDB replays exactly. Scale
-    // shape: one narrow per-doc projection (per-doc O(bytes), the
-    // interpreted-HOF multimodal class), then a source-sized aggregate.
+    // shape: one narrow CODEGEN'D per-doc projection (GridStatsExpr —
+    // per-doc O(bytes) inside WholeStageCodegen), then a source-sized
+    // aggregate.
     Q("q_image_quality",
       (s, d) => {
         val docs = Tables.documents(s, d)
           .filter(length(col("text")) >= 64)
-          .withColumn("L", length(col("text")).cast("long"))
         docs
-          .withColumn("grid", expr(
-            """transform(sequence(0L, 63L), i ->
-              |  aggregate(sequence(i*L div 64 + 1, (i+1)*L div 64), 0L,
-              |    (acc, p) -> acc + ascii(substring(text, CAST(p AS INT), 1))))"""
-              .stripMargin))
-          .withColumn("sl", expr("aggregate(grid, 0L, (a, x) -> a + x)"))
-          .withColumn("ss", expr("aggregate(grid, 0L, (a, x) -> a + x*x)"))
+          // ONE codegen'd pass per payload (GridStatsExpr fuses the
+          // 64-cell grid build with its sum/sum-of-squares fold) — the
+          // round-12 replacement for an interpreted per-character SQL
+          // HOF; payloads are ASCII so utf8 bytes == the oracle's chars.
+          .withColumn("gs",
+            graft.functions.TextOps.gridStats(encode(col("text"), "UTF-8")))
+          .withColumn("sl", col("gs").getItem(0))
+          .withColumn("ss", col("gs").getItem(1))
           .withColumn("vs", lit(64L) * col("ss") - col("sl") * col("sl"))
           .withColumn("flat",
             (col("sl") * col("sl") > lit(200L) * col("vs")).cast("long"))
@@ -249,17 +250,16 @@ object MultimodalQueries {
       (s, d) => {
         val docs = Tables.documents(s, d)
           .filter(col("doc_id") < 100 && length(col("text")) >= 128)
-          .withColumn("L", length(col("text")).cast("long"))
+        // per-frame energies in ONE codegen'd pass (FrameEnergiesExpr:
+        // 64-byte full frames, 32-centered squared samples), then a
+        // narrow posexplode — replaces the round-11 interpreted
+        // sequence+aggregate HOF pair (the q_image_quality lesson).
         val frames = docs
-          .select(col("doc_id"), col("text"),
-            posexplode(sequence(lit(0L), expr("L div 64 - 1")))
-              .as(Seq("i", "fi")))
-          .select(col("doc_id"), col("fi"),
-            expr("""aggregate(sequence(fi*64 + 1, (fi+1)*64), 0L,
-              |  (acc, p) -> acc +
-              |    (ascii(substring(text, CAST(p AS INT), 1)) - 32) *
-              |    (ascii(substring(text, CAST(p AS INT), 1)) - 32))"""
-              .stripMargin).as("e"))
+          .select(col("doc_id"),
+            posexplode(graft.functions.TextOps.frameEnergies(
+              encode(col("text"), "UTF-8"), frameLen = 64, center = 32))
+              .as(Seq("fi", "e")))
+          .withColumn("fi", col("fi").cast("long"))
           .withColumn("active", (col("e") >= 300000L).cast("long"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id")).orderBy(col("fi"))

@@ -187,6 +187,37 @@ class MultimodalSpec extends SparkSpec {
     assert(ex.getMessage.contains("length mismatch"))
   }
 
+  test("gridStats fuses byteLumGrid's sum/sum-of-squares exactly") {
+    val k = graft.functions.MediaKernels
+    for (payload <- Seq(
+        (("a" * 128) + ("b" * 128)).getBytes,
+        "the quick brown fox jumps over the lazy dog padded to >= 64 chars!!".getBytes,
+        Array.tabulate[Byte](200)(i => (i * 37 + 11).toByte))) {
+      val grid = k.byteLumGrid(payload)
+      val Array(sl, ss) = k.gridStats(payload)
+      assert(sl == grid.sum, "sl must equal the grid sum")
+      assert(ss == grid.map(x => x * x).sum, "ss must equal the grid sum of squares")
+    }
+  }
+
+  test("frameEnergies: full frames only, centered unsigned squares") {
+    val k = graft.functions.MediaKernels
+    // 10 bytes, frameLen 4 -> 2 full frames, trailing 2 bytes dropped
+    val p = Array.tabulate[Byte](10)(i => (i + 30).toByte)
+    val es = k.frameEnergies(p, frameLen = 4, center = 32)
+    assert(es.length == 2)
+    // naive replay
+    def naive(f: Int) = (0 until 4).map { j =>
+      val d = (p(f * 4 + j) & 0xff) - 32; d.toLong * d
+    }.sum
+    assert(es.toSeq == Seq(naive(0), naive(1)))
+    // unsigned semantics: 0xff counts as 255 -> (255-32)^2 per sample
+    val hi = k.frameEnergies(Array.fill[Byte](4)(0xff.toByte), 4, 32)
+    assert(hi.toSeq == Seq(4L * 223 * 223))
+    // payload shorter than one frame -> zero frames (posexplode-safe)
+    assert(k.frameEnergies(Array[Byte](1, 2), 4, 32).isEmpty)
+  }
+
   test("scene-cut detector: constant stream is one scene, abrupt change cuts") {
     import org.apache.spark.sql.functions._
     import graft.functions.TextOps
