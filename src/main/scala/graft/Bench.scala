@@ -43,6 +43,7 @@ object Bench {
     val refQpsConc = firstServing.getOrElse("concurrent", 0.0)
     val refQpsPq = firstServing.getOrElse("pq", 0.0)
     val refQpsBq = firstServing.getOrElse("bq", 0.0)
+    val refQpsIvf = firstServing.getOrElse("ivf", 0.0)
     // decouple the sweep from serving-section heap state: drop dangling
     // broadcast/block refs before the first measured query (untimed)
     System.gc()
@@ -188,7 +189,7 @@ object Bench {
       else servingReps.toSeq.sortBy(_._1).map { case (k, reps) =>
         f""""$k":[${reps.min}%.0f,${reps.max}%.0f]"""
       }.mkString(""""serving_variance":{""", ",", "}")
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","protocol":2,"reps":$REPS,"stat":"min","n_queries":${results.size},"total_median":$totalMedian%.3f,"labels_build_sec":$labelsBuildSec%.3f,"edges_build_sec":$edgesBuildSec%.3f,"queries":$qs,"ref_search_qps_50k":$refQpsLocal%.0f,"ref_batch_qps_50k":$refQpsBatch%.0f,"ref_concurrent_qps_50k":$refQpsConc%.0f,"ref_pq_qps_50k":$refQpsPq%.0f,"ref_bq_qps_50k":$refQpsBq%.0f,"baseline_ref_qps_50k":1100,$servingVar,$servingIso,$moversJson,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","protocol":2,"reps":$REPS,"stat":"min","n_queries":${results.size},"total_median":$totalMedian%.3f,"labels_build_sec":$labelsBuildSec%.3f,"edges_build_sec":$edgesBuildSec%.3f,"queries":$qs,"ref_search_qps_50k":$refQpsLocal%.0f,"ref_batch_qps_50k":$refQpsBatch%.0f,"ref_concurrent_qps_50k":$refQpsConc%.0f,"ref_pq_qps_50k":$refQpsPq%.0f,"ref_bq_qps_50k":$refQpsBq%.0f,"ref_ivf_qps_50k":$refQpsIvf%.0f,"baseline_ref_qps_50k":1100,"serving_cold_jvm":true,$servingVar,$servingIso,$moversJson,"sf":"$sfDir"}"""
     // Compact headline (no per-query map): same schema minus "queries",
     // printed BEFORE and AFTER the full object. The driver's capture
     // window keeps a bounded TAIL of stdout (r7 and r8 both lost the full
@@ -200,7 +201,7 @@ object Bench {
     // so exactly ONE emitted line has "metric":"total" — a consumer
     // grepping the metric key can no longer pick up a field-reduced
     // headline copy in place of the full object.
-    val headline = f"""{"metric":"total_headline","value":$total%.3f,"unit":"sec","protocol":2,"reps":$REPS,"stat":"min","n_queries":${results.size},"headline":true,"labels_build_sec":$labelsBuildSec%.3f,"edges_build_sec":$edgesBuildSec%.3f,"ref_search_qps_50k":$refQpsLocal%.0f,"ref_batch_qps_50k":$refQpsBatch%.0f,"ref_concurrent_qps_50k":$refQpsConc%.0f,"ref_pq_qps_50k":$refQpsPq%.0f,"ref_bq_qps_50k":$refQpsBq%.0f,"baseline_ref_qps_50k":1100,$servingVar,$servingIso,"sf":"$sfDir"}"""
+    val headline = f"""{"metric":"total_headline","value":$total%.3f,"unit":"sec","protocol":2,"reps":$REPS,"stat":"min","n_queries":${results.size},"headline":true,"labels_build_sec":$labelsBuildSec%.3f,"edges_build_sec":$edgesBuildSec%.3f,"ref_search_qps_50k":$refQpsLocal%.0f,"ref_batch_qps_50k":$refQpsBatch%.0f,"ref_concurrent_qps_50k":$refQpsConc%.0f,"ref_pq_qps_50k":$refQpsPq%.0f,"ref_bq_qps_50k":$refQpsBq%.0f,"ref_ivf_qps_50k":$refQpsIvf%.0f,"baseline_ref_qps_50k":1100,"serving_cold_jvm":true,$servingVar,$servingIso,"sf":"$sfDir"}"""
     println(headline)
     println(line)
     println(headline)
@@ -212,9 +213,9 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: $e") }
     spark.stop()
   }
-  /** The five reference serving protocols (int8 SIMD sequential search,
-    * batch Spark job, 10-thread concurrent, PQ ADC scan, 1-bit BQ scan)
-    * at the published 50k x dim-128 operating point
+  /** The six serving protocols (int8 SIMD sequential search, batch Spark
+    * job, 10-thread concurrent, PQ ADC scan, 1-bit BQ scan, IVF-pruned
+    * routed scan) at the published 50k x dim-128 operating point
     * (benchmark_suite.py:105-121, :197-224; BASELINE.md ~1,100 QPS).
     * Returns (best QPS per protocol, per-rep QPS per protocol). Called
     * TWICE per bench run: once before the sweep (clean JVM — the cold
@@ -315,14 +316,33 @@ object Bench {
       (System.nanoTime() - t) / 1e9
     }
     val bestBq = repsBq.min
+    // IVF-pruned serving tier (LocalIvfIndex): the SAME 50k corpus behind
+    // a 64-cell coarse quantizer, probed at nprobe=8 — scan fraction
+    // 8/64 = 12.5% of the corpus per query plus the 64-dot routing cost.
+    // This is the serving shape that matters past ~1M vectors: every
+    // other local tier scans ALL rows per query. Routing quality is
+    // spec-gated (LocalIvfSpec recall curve); this tier reports the
+    // throughput of the pruned scan at the bench operating point.
+    val ivfCells = 64
+    val ivfNprobe = 8
+    val ivf = graft.store.LocalIvfIndex.train(bqIds, bqVecs, numCells = ivfCells)
+    (0 until 10).foreach(i => ivf.search(queries(i)._2, 10, ivfNprobe))
+    System.gc()
+    val repsIvf = (0 until 5).map { _ =>
+      val t = System.nanoTime()
+      queries.foreach(q => ivf.search(q._2, 10, ivfNprobe))
+      (System.nanoTime() - t) / 1e9
+    }
+    val bestIvf = repsIvf.min
     index.unpersist()
     val reps = Map("search" -> repsLocal.map(100.0 / _),
       "batch" -> repsBatch.map(100.0 / _),
       "concurrent" -> repsConc.map(500.0 / _),
       "pq" -> repsPq.map(100.0 / _),
-      "bq" -> repsBq.map(100.0 / _))
+      "bq" -> repsBq.map(100.0 / _),
+      "ivf" -> repsIvf.map(100.0 / _))
     (Map("search" -> 100.0 / bestLocal, "batch" -> 100.0 / bestBatch,
       "concurrent" -> 500.0 / bestConc, "pq" -> 100.0 / bestPq,
-      "bq" -> 100.0 / bestBq), reps)
+      "bq" -> 100.0 / bestBq, "ivf" -> 100.0 / bestIvf), reps)
   }
 }
