@@ -105,13 +105,52 @@ object IvfIndex {
       sidecars: Seq[String]): Int = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // allocate past the HIGHEST surviving archive, not the archive COUNT:
+    // after a vacuumVersions the count is smaller than the max, and a
+    // count-based allocator would reuse a dropped version number — a
+    // probe pinned to that number would silently read a different
+    // quantizer generation
     val v = Option(fs.globStatus(new Path(s"$path/centroids_v*")))
-      .map(_.length).getOrElse(0) + 1
+      .getOrElse(Array.empty)
+      .flatMap(s => "^centroids_v(\\d+)$".r.findFirstMatchIn(s.getPath.getName)
+        .map(_.group(1).toInt))
+      .foldLeft(0)(math.max) + 1
     sidecars.foreach { s =>
       require(fs.rename(new Path(s"$path/$s"), new Path(s"$path/${s}_v$v")),
         s"rebuild: could not archive ${s}_v$v")
     }
     v
+  }
+
+  /** Retention for the rebuild() sidecar archive: drop every archived
+    * `<name>_v<N>` sidecar generation under `path` except the newest
+    * `keepLast` — the GC half of the maintenance loop rebuild() opened
+    * (each rebuild archives a full quantizer generation: centroids, and
+    * for the PQ tier codebook/rotation; without retention they accumulate
+    * forever). The LIVE sidecars (`centroids/`, `codebook/`, ...) are
+    * never touched, so current probes and replicas are unaffected;
+    * probes pinned to a KEPT archived version stay reproducible. Works
+    * for all three at-rest tiers (the version counter is shared — see
+    * [[versionSidecars]]). Returns the dropped version numbers. */
+  def vacuumVersions(spark: SparkSession, path: String, keepLast: Int): Seq[Int] = {
+    import org.apache.hadoop.fs.Path
+    require(keepLast >= 0, s"keepLast must be >= 0, got $keepLast")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val archived = Option(fs.globStatus(new Path(s"$path/*_v*")))
+      .getOrElse(Array.empty).toSeq
+      .filter(_.isDirectory)
+      .flatMap { s =>
+        "^(.+)_v(\\d+)$".r.findFirstMatchIn(s.getPath.getName)
+          .map(m => (m.group(2).toInt, s.getPath))
+      }
+    val byVersion = archived.groupBy(_._1)
+    val drop = byVersion.keys.toSeq.sorted.dropRight(keepLast)
+    drop.foreach { v =>
+      byVersion(v).foreach { case (_, p) =>
+        require(fs.delete(p, true), s"vacuumVersions: could not drop $p")
+      }
+    }
+    drop
   }
 
   /** Swap the staged `data_rebuild/` layout in for `data/` — the

@@ -478,6 +478,26 @@ object VectorStore {
       .sorted
   }
 
+  /** Retention for the time-travel layer: drop every version snapshot
+    * under `path` except the newest `keepLast` — the GC half of the
+    * saveVersion checkpoint loop (without it, full snapshots accumulate
+    * forever: O(store) bytes per checkpoint). Kept versions are untouched
+    * (still complete `save` snapshots, still `loadVersion`-able); version
+    * NUMBERS are never reused, because `saveVersion` allocates from the
+    * last surviving number. Returns the dropped version numbers. */
+  def vacuum(spark: SparkSession, path: String, keepLast: Int): Seq[Int] = {
+    require(keepLast >= 1, s"vacuum must keep at least one version, got $keepLast")
+    val vs = versions(spark, path)
+    val drop = vs.dropRight(keepLast)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    drop.foreach { v =>
+      require(fs.delete(new org.apache.hadoop.fs.Path(s"$path/v$v"), true),
+        s"vacuum: could not drop version v$v")
+    }
+    drop
+  }
+
   /** Load a specific version written by `saveVersion` (default -1 =
     * latest). Historical versions are immutable full snapshots, so this
     * is the plain `load` pointed at the version directory — same

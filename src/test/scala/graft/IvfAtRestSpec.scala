@@ -201,6 +201,43 @@ class IvfAtRestSpec extends SparkSpec {
     assert(new java.io.File(s"$dir/centroids_v2").exists())
   }
 
+  test("vacuumVersions prunes old archived quantizers, keeps live + recent") {
+    val emb = Tables.embeddings(spark, sf001)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-vacuum").toString
+    IvfIndex.build(emb, dir)
+    // three rebuilds archive three quantizer generations
+    assert((1 to 3).map(_ => IvfIndex.rebuild(spark, dir)) == Seq(1, 2, 3))
+    def archivedDirs() = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.matches(".+_v\\d+")).sorted.toSeq
+    assert(archivedDirs() == Seq("centroids_v1", "centroids_v2", "centroids_v3"))
+
+    val queryRow = emb.filter(col("vec_id") === 7)
+      .select("embedding").collect().head.getSeq[Float](0).toArray
+    val before = IvfIndex.probe(spark, dir, queryRow, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    assert(IvfIndex.vacuumVersions(spark, dir, keepLast = 1) == Seq(1, 2))
+    assert(archivedDirs() == Seq("centroids_v3"))
+    // the kept archive still loads; the LIVE sidecar is untouched, so
+    // probe results are bitwise what they were before the vacuum
+    assert(spark.read.parquet(s"$dir/centroids_v3").count() ==
+      spark.read.parquet(s"$dir/centroids").count())
+    val after = IvfIndex.probe(spark, dir, queryRow, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(after == before)
+    // a later rebuild allocates past the SURVIVING max (v3 -> v4), never
+    // reusing the dropped v1/v2 — a pinned historical version number can
+    // never silently point at a different quantizer generation
+    assert(IvfIndex.rebuild(spark, dir) == 4)
+    assert(new java.io.File(s"$dir/centroids_v4").exists())
+    // nothing droppable is a no-op; keepLast 0 drops every archive
+    assert(IvfIndex.vacuumVersions(spark, dir, keepLast = 5).isEmpty)
+    assert(IvfIndex.vacuumVersions(spark, dir, keepLast = 0).nonEmpty)
+    assert(archivedDirs().isEmpty)
+    intercept[IllegalArgumentException](
+      IvfIndex.vacuumVersions(spark, dir, keepLast = -1))
+  }
+
   test("build guards: empty corpus and null cells fail loudly") {
     val emb = Tables.embeddings(spark, sf001)
     intercept[IllegalArgumentException] {

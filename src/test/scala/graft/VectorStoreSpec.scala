@@ -178,6 +178,34 @@ class VectorStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException](VectorStore.loadVersion(spark, dir, 7))
   }
 
+  test("vacuum keeps the newest versions, drops the rest, never reuses numbers") {
+    val st = VectorStore.create(spark, 4)
+    st.addVectors(mkRows(Seq(("a", Seq(1f, 0f, 0f, 0f), Map.empty[String, String]))))
+    val dir = java.nio.file.Files.createTempDirectory("vstore-vacuum").toString
+    // stack four checkpoints, mutating between them so snapshots differ
+    (0 until 4).foreach { i =>
+      if (i > 0) st.addVectors(mkRows(Seq(
+        (s"x$i", Seq(0f, 1f, 0f, 0f), Map.empty[String, String]))))
+      assert(st.saveVersion(dir) == i)
+    }
+    assert(VectorStore.versions(spark, dir) == Seq(0, 1, 2, 3))
+    // vacuum to the last two: v0/v1 gone, v2/v3 intact and loadable
+    assert(VectorStore.vacuum(spark, dir, keepLast = 2) == Seq(0, 1))
+    assert(VectorStore.versions(spark, dir) == Seq(2, 3))
+    assert(VectorStore.loadVersion(spark, dir, 2).count == 3)
+    assert(VectorStore.loadVersion(spark, dir).count == 4)
+    intercept[IllegalArgumentException](VectorStore.loadVersion(spark, dir, 0))
+    // the next checkpoint allocates past the survivors — numbers are
+    // never reused, so a pinned "v3" reference can never silently point
+    // at a different snapshot
+    assert(st.saveVersion(dir) == 4)
+    assert(VectorStore.versions(spark, dir) == Seq(2, 3, 4))
+    // keepLast must retain at least one version; idempotent when nothing
+    // is droppable
+    intercept[IllegalArgumentException](VectorStore.vacuum(spark, dir, 0))
+    assert(VectorStore.vacuum(spark, dir, keepLast = 5).isEmpty)
+  }
+
   test("mutations invalidate the at-rest lookup path (no stale disk reads)") {
     val st = VectorStore.create(spark, 4)
     st.addVectors(mkRows(Seq(("a", Seq(1f, 0f, 0f, 0f), Map.empty[String, String]))))
