@@ -473,6 +473,73 @@ object MultimodalQueries {
          |  CAST(max(flen) AS BIGINT) AS longest_scene
          |FROM scenes GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // The composed multimodal curation funnel — the image pillars wired
+    // together the way a real 100 TB media-curation run executes them
+    // (q_curation_funnel's composition discipline over the pixel domain):
+    // per SOURCE, assets in -> perceptual near-dup pruning (the dHash
+    // band join; pruned = any asset pairing with a smaller doc_id, the
+    // first-seen-wins keeper rule an LSH dedup pass applies without
+    // materializing full components) -> quality gate on the survivors
+    // (the q_image_quality flat/contrast cut, codegen'd GridStatsExpr)
+    // -> kept, plus an exact integer retention rate (kept*1000 div in —
+    // identical truncating division on both engines). Scale shape: ONE
+    // narrow codegen'd featurization pass, the band equi-join (never
+    // all-pairs), a broadcast-sized anti-set join, one source-keyed
+    // aggregate. The oracle recomputes every stage end-to-end from the
+    // shared pair CTEs.
+    Q("q_media_funnel",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .filter(length(col("text")) >= 64)
+          .withColumn("gs",
+            graft.functions.TextOps.gridStats(encode(col("text"), "UTF-8")))
+          .withColumn("sl", col("gs").getItem(0))
+          .withColumn("vs",
+            lit(64L) * col("gs").getItem(1) - col("sl") * col("sl"))
+          .withColumn("flat",
+            (col("sl") * col("sl") > lit(200L) * col("vs")).cast("long"))
+          .select(col("doc_id"), col("source"), col("flat"))
+        val pruned = dhashPairs(s, d)
+          .select(col("doc_b").as("doc_id")).distinct()
+          .withColumn("isdup", lit(1L))
+        docs.join(pruned, Seq("doc_id"), "left_outer")
+          .na.fill(0L, Seq("isdup"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_in"),
+            sum(col("isdup")).as("n_neardup_pruned"),
+            sum(when(col("isdup") === 0L && col("flat") === 1L, 1L)
+              .otherwise(0L)).as("n_flat_pruned"),
+            sum(when(col("isdup") === 0L && col("flat") === 0L, 1L)
+              .otherwise(0L)).as("n_kept"))
+          .withColumn("kept_permille",
+            expr("n_kept * 1000L div n_in"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH $dhashPairsCtes,
+         |g AS (
+         |  SELECT doc_id,
+         |    CAST(64*sum(lum*lum) - sum(lum)*sum(lum) AS BIGINT) AS vs,
+         |    CAST(sum(lum) AS BIGINT) AS sl
+         |  FROM lum GROUP BY 1),
+         |pruned AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+         |f AS (
+         |  SELECT g.doc_id, doc.source,
+         |    CASE WHEN g.sl*g.sl > 200*g.vs THEN 1 ELSE 0 END AS flat,
+         |    CASE WHEN p.doc_id IS NOT NULL THEN 1 ELSE 0 END AS isdup
+         |  FROM g JOIN documents doc ON g.doc_id = doc.doc_id
+         |  LEFT JOIN pruned p ON g.doc_id = p.doc_id),
+         |agg AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_in,
+         |    CAST(sum(isdup) AS BIGINT) AS n_neardup_pruned,
+         |    CAST(sum(CASE WHEN isdup = 0 AND flat = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_flat_pruned,
+         |    CAST(sum(CASE WHEN isdup = 0 AND flat = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_kept
+         |  FROM f GROUP BY source)
+         |SELECT source, n_in, n_neardup_pruned, n_flat_pruned, n_kept,
+         |  CAST(n_kept * 1000 // n_in AS BIGINT) AS kept_permille
+         |FROM agg ORDER BY source""".stripMargin)),
+
     // Cross-modal retrieval join (SURVEY §7 M4 "multimodal join"): batch
     // kNN over the embedding corpus for 5 query vectors, enriched with the
     // matching documents' metadata (doc_id = vec_id, 1:1 in the fixtures).
