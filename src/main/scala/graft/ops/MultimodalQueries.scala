@@ -17,15 +17,16 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalQueries {
 
-  /** q_image_neardup's confirmed pair set (doc_a, doc_b, ha, hb): dHash
-    * per payload, 3x21-bit Hamming-LSH band equi-join, exact popcount
-    * confirm at <= 4 of 63 — shared with q_image_clusters. */
-  private def dhashPairs(s: org.apache.spark.sql.SparkSession,
+  /** The dHash band join's CANDIDATE pair set (doc_a, doc_b, ha, hb) —
+    * distinct pairs sharing any of the 3 x 21-bit bands, BEFORE the exact
+    * Hamming confirm. Exposed separately so tools/DhashBandProbe can
+    * track candidate volume across SFs (the band join is the stage a
+    * fixture change could quietly blow up). */
+  private[graft] def dhashCandidates(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val BANDS = 3
     val BAND_BITS = 21
     val MASK = (1L << BAND_BITS) - 1
-    val TH = 4
     val hashed = Tables.documents(s, d)
       .filter(octet_length(col("text")) >= 64)
       .select(col("doc_id"),
@@ -44,6 +45,15 @@ object MultimodalQueries {
       .select(col("doc_id").as("doc_a"), col("doc_b"),
         col("dhash").as("ha"), col("hb"))
       .distinct()
+  }
+
+  /** q_image_neardup's confirmed pair set (doc_a, doc_b, ha, hb): dHash
+    * per payload, 3x21-bit Hamming-LSH band equi-join, exact popcount
+    * confirm at <= 4 of 63 — shared with q_image_clusters. */
+  private def dhashPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val TH = 4
+    dhashCandidates(s, d)
       .withColumn("hamming",
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
       .filter(col("hamming") <= TH)
