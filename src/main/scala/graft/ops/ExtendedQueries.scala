@@ -2677,6 +2677,219 @@ object ExtendedQueries {
          |    > 1.96 AS BIGINT) AS significant
          |FROM m, c WHERE event_type <> 'view'
          |ORDER BY event_type""".stripMargin)),
+
+    // Poisson bootstrap (Chamandy et al., "Estimating uncertainty for
+    // massive data streams", public Google report; the standard
+    // resampling design AT SCALE) — a classic bootstrap materializes B
+    // row-resamples (O(B x n) shuffled rows); the Poisson bootstrap
+    // instead gives every row an independent Poisson(1) weight per
+    // resample, so the per-resample statistic is ONE map-side-combinable
+    // weighted aggregate and the shuffle is O(B) partial rows per
+    // partition, corpus size irrelevant. Weights are DETERMINISTIC here:
+    // u = md5(event_id, b) mod 1e6 inverted through the exact Poisson(1)
+    // CDF thresholds (floor(cum x 1e6): 367879/735758/919698/981011/
+    // 996340/999405, capped at 6) — integer arithmetic both engines
+    // replay bitwise. Per-resample mean rides the P43 scaled integral
+    // division (swx*1e9 div sw); the CI bounds are ORDER STATISTICS of
+    // the B=40 resample means (rank 2 / rank 38 = the 5th/95th
+    // percentile under the ceil-rank rule), so no double re-aggregation
+    // ever happens — the one double division per bound is exact-long/1e9.
+    Q("q_bootstrap_ci",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val B = 40
+        // the PURCHASE stratum: the revenue-mean CI a growth analysis
+        // actually ships; also bounds the md5 volume (rows x B) to the
+        // stratum, the deterministic-replay cost of the weight draw
+        val ev = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"),
+            floor(col("value") * lit(100.0)).cast("long").as("x"))
+        val thresholds = Seq(367879L, 735758L, 919698L, 981011L, 996340L, 999405L)
+        val u = graft.functions.TextOps.md5Prefix60(
+          concat(lit("boot:"), col("event_id").cast("string"), lit(":"),
+            col("b").cast("string"))) % 1000000L
+        val per = ev
+          .select(col("event_id"), col("x"),
+            explode(sequence(lit(0), lit(B - 1))).as("b"))
+          .withColumn("u", u)
+          .withColumn("w", thresholds.map(t => (col("u") >= t).cast("long"))
+            .reduce(_ + _))
+          .groupBy(col("b"))
+          .agg(sum(col("w")).as("sw"), sum(col("w") * col("x")).as("swx"))
+          .withColumn("mean9", expr("swx * 1000000000L div sw"))
+          .withColumn("rn",
+            row_number().over(Window.orderBy(col("mean9"), col("b"))))
+        val lo = per.filter(col("rn") === 2)
+          .select((col("mean9").cast("double") / 1e9).as("ci_lo_cents"))
+        val hi = per.filter(col("rn") === B - 2)
+          .select((col("mean9").cast("double") / 1e9).as("ci_hi_cents"))
+        val full = ev.agg(
+          expr("sum(x) * 1000000000L div count(*)").as("m9"),
+          count(lit(1)).as("n_events"))
+          .select(col("n_events"), lit(B.toLong).as("n_resamples"),
+            (col("m9").cast("double") / 1e9).as("mean_cents"))
+        full.crossJoin(lo).crossJoin(hi)
+      },
+      Some(s"""WITH ev AS (
+         |  SELECT event_id, CAST(floor(value * 100.0) AS BIGINT) AS x
+         |  FROM events WHERE event_type = 'purchase'),
+         |e2 AS (SELECT event_id, x, b
+         |  FROM ev, (SELECT unnest(range(0, 40)) AS b) r),
+         |uw AS (
+         |  SELECT x, b,
+         |    ${graft.OracleSql.hexToLong(
+               "md5('boot:' || CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR))",
+               1, 15)} % 1000000 AS u
+         |  FROM e2),
+         |ww AS (
+         |  SELECT b, x,
+         |    (CASE WHEN u >= 367879 THEN 1 ELSE 0 END) +
+         |    (CASE WHEN u >= 735758 THEN 1 ELSE 0 END) +
+         |    (CASE WHEN u >= 919698 THEN 1 ELSE 0 END) +
+         |    (CASE WHEN u >= 981011 THEN 1 ELSE 0 END) +
+         |    (CASE WHEN u >= 996340 THEN 1 ELSE 0 END) +
+         |    (CASE WHEN u >= 999405 THEN 1 ELSE 0 END) AS w
+         |  FROM uw),
+         |per AS (
+         |  SELECT b, CAST(sum(w) AS BIGINT) AS sw,
+         |    CAST(sum(w * x) AS BIGINT) AS swx
+         |  FROM ww GROUP BY b),
+         |m AS (
+         |  SELECT b, swx * 1000000000 // sw AS mean9,
+         |    row_number() OVER (ORDER BY swx * 1000000000 // sw, b) AS rn
+         |  FROM per),
+         |f AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_events,
+         |    CAST(sum(x) AS BIGINT) * 1000000000 // count(*) AS m9
+         |  FROM ev)
+         |SELECT n_events, CAST(40 AS BIGINT) AS n_resamples,
+         |  CAST(m9 AS DOUBLE) / 1e9 AS mean_cents,
+         |  (SELECT CAST(mean9 AS DOUBLE) / 1e9 FROM m WHERE rn = 2)
+         |    AS ci_lo_cents,
+         |  (SELECT CAST(mean9 AS DOUBLE) / 1e9 FROM m WHERE rn = 38)
+         |    AS ci_hi_cents
+         |FROM f""".stripMargin)),
+
+    // Neyman (optimal) allocation for stratified sampling — the
+    // data-selection twin of q_stratified_sample: given a total budget of
+    // 10,000 samples, allocate n_h across strata proportionally to
+    // N_h x S_h (stratum size x stratum std — the allocation minimizing
+    // estimator variance; Neyman 1934, public). Moments ride the
+    // q_outliers DECIMAL route (order-independent exact sums -> identical
+    // IEEE mean/var/std on both engines); the allocation then snaps each
+    // stratum's weight to an integer grid FIRST (w6 = floor(N_h*S_h*1e6),
+    // a per-stratum double->int snap, no cross-stratum double sums), so
+    // the budget split is EXACT integer arithmetic end to end: floor
+    // shares by scaled integral division + largest-remainder rounding
+    // (rank by remainder desc, stratum asc). Scale shape: one 5-group
+    // aggregate + two 1-row broadcasts — corpus-size-independent
+    // allocation math, the same shape at 100 TB.
+    Q("q_neyman_alloc",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val BUDGET = 10000L
+        val st = Tables.events(s, d)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("nh"),
+            H.dsum(col("value")).as("s1"),
+            H.dsum(col("value") * col("value")).as("s2"))
+          .select(col("event_type"), col("nh"),
+            sqrt(col("s2") / col("nh") -
+              (col("s1") / col("nh")) * (col("s1") / col("nh"))).as("sh"))
+          .withColumn("w6",
+            floor(col("nh").cast("double") * col("sh") * lit(1e6)).cast("long"))
+        val tot = st.agg(sum(col("w6")).as("t6"))
+        val shares = st.crossJoin(broadcast(tot))
+          .withColumn("alloc0", expr(s"$BUDGET * w6 div t6"))
+          .withColumn("rem", expr(s"($BUDGET * w6) % t6"))
+        val used = shares.agg(sum(col("alloc0")).as("used"))
+        shares.crossJoin(broadcast(used))
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("rem").desc, col("event_type"))))
+          .withColumn("alloc",
+            col("alloc0") + when(col("rn") <= lit(BUDGET) - col("used"), 1L)
+              .otherwise(0L))
+          .select(col("event_type"), col("nh"),
+            (floor(col("sh") * lit(1e9)) / lit(1e9)).as("sh"),
+            col("alloc"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH st AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS nh,
+         |    CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS s1,
+         |    CAST(sum(CAST(value*value AS DECIMAL(25,6))) AS DOUBLE) AS s2
+         |  FROM events GROUP BY 1),
+         |ms AS (
+         |  SELECT event_type, nh,
+         |    sqrt(s2/nh - (s1/nh)*(s1/nh)) AS sh
+         |  FROM st),
+         |w AS (
+         |  SELECT event_type, nh, sh,
+         |    CAST(floor(CAST(nh AS DOUBLE) * sh * 1e6) AS BIGINT) AS w6
+         |  FROM ms),
+         |t AS (SELECT CAST(sum(w6) AS BIGINT) AS t6 FROM w),
+         |shares AS (
+         |  SELECT event_type, nh, sh,
+         |    10000 * w6 // t6 AS alloc0,
+         |    (10000 * w6) % t6 AS rem
+         |  FROM w, t),
+         |u AS (SELECT CAST(sum(alloc0) AS BIGINT) AS used FROM shares),
+         |r AS (
+         |  SELECT event_type, nh, sh, alloc0, rem,
+         |    row_number() OVER (ORDER BY rem DESC, event_type) AS rn
+         |  FROM shares)
+         |SELECT event_type, nh,
+         |  floor(sh * 1e9) / 1e9 AS sh,
+         |  CAST(alloc0 + CASE WHEN rn <= 10000 - u.used THEN 1 ELSE 0 END
+         |    AS BIGINT) AS alloc
+         |FROM r, u ORDER BY event_type""".stripMargin)),
+
+    // Power-law tail index (Hill 1975 estimator, public) over the order-
+    // value distribution: alpha = 1 + k / sum_{i<=k} ln(x_i / x_min) on
+    // the k = 200 largest order totals (cents grid), the standard
+    // heavy-tail diagnostic a revenue/degree distribution analysis runs.
+    // Parity: the top-k selection is an integer sort (cents, orderkey
+    // tie-break) -> TakeOrderedAndProject-class; each ln(x_i/x_min) is
+    // the same double op on identical inputs, snapped to the 9-dp grid
+    // BEFORE the DECIMAL re-aggregation (round-then-DECIMAL is exact for
+    // irrational ln values — the q_lm_score rule; ln(1) = 0 exactly for
+    // the k-th element itself), so the sum is order-independent and the
+    // final alpha floor-scales. Scale shape: global top-k (k-bounded
+    // per-partition heaps + one k-row merge), then a k-row aggregate.
+    Q("q_hill_tail",
+      (s, d) => {
+        val K = 200
+        val topk = Tables.orders(s, d)
+          .select(floor(col("o_totalprice") * lit(100.0)).cast("long").as("x"),
+            col("o_orderkey"))
+          .orderBy(col("x").desc, col("o_orderkey"))
+          .limit(K)
+        val xmin = topk.agg(min(col("x")).as("xmin"))
+        topk.crossJoin(broadcast(xmin))
+          .select(round(log(col("x").cast("double") / col("xmin").cast("double")), 9)
+            .as("lr"))
+          .agg(count(lit(1)).as("k"),
+            H.dsum12(col("lr")).as("slr"))
+          .select(col("k"),
+            (floor((lit(1.0) + col("k") / col("slr")) * lit(1e9)) / lit(1e9))
+              .as("alpha"))
+      },
+      Some("""WITH c AS (
+         |  SELECT CAST(floor(o_totalprice * 100.0) AS BIGINT) AS x,
+         |    o_orderkey
+         |  FROM orders ORDER BY x DESC, o_orderkey LIMIT 200),
+         |mn AS (SELECT min(x) AS xmin FROM c),
+         |lr AS (
+         |  SELECT round(ln(CAST(x AS DOUBLE) / CAST(xmin AS DOUBLE)), 9)
+         |    AS lr
+         |  FROM c, mn),
+         |agg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS k,
+         |    CAST(sum(CAST(lr AS DECIMAL(25,12))) AS DOUBLE) AS slr
+         |  FROM lr)
+         |SELECT k, floor((1.0 + k / slr) * 1e9) / 1e9 AS alpha
+         |FROM agg""".stripMargin)),
   )
 
   /** The market-basket edge set (distinct canonical part pairs within an
