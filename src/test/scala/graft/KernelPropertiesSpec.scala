@@ -331,4 +331,40 @@ class KernelPropertiesSpec extends AnyFunSuite {
       got == want
     })
   }
+
+  private val payloadGen: Gen[Array[Byte]] = for {
+    n <- Gen.chooseNum(64, 512) // the >= 64 query-side domain
+    bs <- Gen.listOfN(n, Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+  } yield bs.toArray
+
+  test("gridStats is exactly the fold of byteLumGrid (any payload)") {
+    import graft.functions.MediaKernels
+    check("gridStats", Prop.forAll(payloadGen) { p =>
+      val grid = MediaKernels.byteLumGrid(p)
+      val Array(sl, ss) = MediaKernels.gridStats(p)
+      // mass conservation: grid cells partition the payload, so sl is
+      // also the plain unsigned byte sum
+      val byteSum = p.map(_ & 0xff).map(_.toLong).sum
+      sl == grid.sum && ss == grid.map(x => x * x).sum && sl == byteSum
+    })
+  }
+
+  test("frameEnergies matches the naive per-frame reference (any frameLen)") {
+    import graft.functions.MediaKernels
+    val gen = for {
+      p <- payloadGen
+      f <- Gen.chooseNum(1, 96)
+      c <- Gen.chooseNum(0, 255)
+    } yield (p, f, c)
+    check("frameEnergies", Prop.forAll(gen) { case (p, f, c) =>
+      val got = MediaKernels.frameEnergies(p, f, c)
+      val nFrames = p.length / f
+      val want = (0 until nFrames).map { fi =>
+        (0 until f).map { j =>
+          val d = (p(fi * f + j) & 0xff) - c; d.toLong * d
+        }.sum
+      }
+      got.length == nFrames && got.toSeq == want
+    })
+  }
 }
