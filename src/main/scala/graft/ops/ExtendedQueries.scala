@@ -2678,6 +2678,144 @@ object ExtendedQueries {
          |FROM m, c WHERE event_type <> 'view'
          |ORDER BY event_type""".stripMargin)),
 
+    // Mann-Whitney U (Wilcoxon rank-sum) — the NONPARAMETRIC two-sample
+    // test beside q_ab_test's Welch z: compares purchase vs view on the
+    // cents grid without assuming normality, the robust check an
+    // experiment analysis runs when the metric is skewed. Formulated
+    // WITHOUT materializing per-row ranks: aggregate to distinct values
+    // first (n1(v), n2(v) per cents value), then 2*U1 = sum over values
+    // of 2*n1(v)*c2_below(v) + n1(v)*n2(v) — the pairwise-comparison
+    // definition with the tie term, ALL EXACT BIGINTs (c2_below via one
+    // cumulative window over the distinct-value grid, which is
+    // value-domain-sized, not corpus-sized). Tie-corrected normal
+    // approximation: var = (n1*n2/12) * ((N+1) - T/(N(N-1))) with
+    // T = sum(t^3 - t) over tie groups — every input an exact integer
+    // (probed: 8,053 tied values at sf0.1, so the correction genuinely
+    // bites), the double assembly shares one op order and z floor-scales.
+    // Scale shape: one map-side-combinable value aggregate, one
+    // value-grid window, one 1-row reduce.
+    Q("q_mann_whitney",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, d)
+          .filter(col("event_type").isin("purchase", "view"))
+          .select(col("event_type"),
+            floor(col("value") * lit(100.0)).cast("long").as("x"))
+        val byVal = ev.groupBy(col("x")).agg(
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n1v"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n2v"))
+        val wCum = Window.orderBy(col("x"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val parts = byVal
+          .withColumn("c2b", coalesce(sum(col("n2v")).over(wCum), lit(0L)))
+          .withColumn("t", col("n1v") + col("n2v"))
+          .agg(
+            sum(lit(2L) * col("n1v") * col("c2b") + col("n1v") * col("n2v"))
+              .as("u2x"),
+            sum(col("n1v")).as("n1"), sum(col("n2v")).as("n2"),
+            sum(col("t") * col("t") * col("t") - col("t")).as("tsum"))
+        val nn = col("n1") * col("n2")
+        val bigN = col("n1") + col("n2")
+        val u1 = col("u2x").cast("double") / lit(2.0)
+        val mu = nn.cast("double") / lit(2.0)
+        val variance = (nn.cast("double") / lit(12.0)) *
+          ((bigN + lit(1L)).cast("double") -
+            col("tsum").cast("double") / (bigN * (bigN - lit(1L))).cast("double"))
+        val z = (u1 - mu) / sqrt(variance)
+        parts.select(col("n1"), col("n2"), u1.as("u1"),
+          (floor(z * lit(1e9)) / lit(1e9)).as("z"),
+          (abs(z) > lit(1.96)).cast("long").as("significant"))
+      },
+      Some("""WITH ev AS (
+         |  SELECT event_type, CAST(floor(value * 100.0) AS BIGINT) AS x
+         |  FROM events WHERE event_type IN ('purchase', 'view')),
+         |bv AS (
+         |  SELECT x,
+         |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n1v,
+         |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n2v
+         |  FROM ev GROUP BY x),
+         |cum AS (
+         |  SELECT x, n1v, n2v,
+         |    coalesce(sum(n2v) OVER (ORDER BY x
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c2b,
+         |    n1v + n2v AS t
+         |  FROM bv),
+         |agg AS (
+         |  SELECT CAST(sum(2*n1v*c2b + n1v*n2v) AS BIGINT) AS u2x,
+         |    CAST(sum(n1v) AS BIGINT) AS n1, CAST(sum(n2v) AS BIGINT) AS n2,
+         |    CAST(sum(t*t*t - t) AS BIGINT) AS tsum
+         |  FROM cum)
+         |SELECT n1, n2, CAST(u2x AS DOUBLE) / 2.0 AS u1,
+         |  floor((CAST(u2x AS DOUBLE) / 2.0 - CAST(n1*n2 AS DOUBLE) / 2.0)
+         |    / sqrt((CAST(n1*n2 AS DOUBLE) / 12.0) *
+         |        (CAST(n1 + n2 + 1 AS DOUBLE) -
+         |         CAST(tsum AS DOUBLE) / CAST((n1+n2)*(n1+n2-1) AS DOUBLE)))
+         |    * 1e9) / 1e9 AS z,
+         |  CAST(abs((CAST(u2x AS DOUBLE) / 2.0 - CAST(n1*n2 AS DOUBLE) / 2.0)
+         |    / sqrt((CAST(n1*n2 AS DOUBLE) / 12.0) *
+         |        (CAST(n1 + n2 + 1 AS DOUBLE) -
+         |         CAST(tsum AS DOUBLE) / CAST((n1+n2)*(n1+n2-1) AS DOUBLE))))
+         |    > 1.96 AS BIGINT) AS significant
+         |FROM agg""".stripMargin)),
+
+    // Wilson score interval — the PROPORTION confidence interval beside
+    // q_bootstrap_ci's resampling CI: per event type, the fraction of
+    // high-value events (value >= 100, ~13% of the fixture) with the
+    // interval that stays inside [0,1] and behaves at small n where the
+    // naive Wald interval fails (Wilson 1927, the industry-standard CTR
+    // CI). Counts are exact BIGINTs; z^2 is PRECOMPUTED once in Scala
+    // and interpolated as the same literal into both plans (the
+    // transcendental-constant rule); the double assembly shares one op
+    // order and the bounds floor-scale. ONE 5-group aggregate.
+    Q("q_wilson_ci",
+      (s, d) => {
+        val z = 1.96
+        val z2 = z * z // 3.8415999999999997 — same literal both engines
+        val st = Tables.events(s, d)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("value") >= 100.0, 1L).otherwise(0L)).as("k"))
+        val nD = col("n").cast("double")
+        val p = col("k").cast("double") / nD
+        val denom = lit(1.0) + lit(z2) / nD
+        val center = p + lit(z2) / (lit(2.0) * nD)
+        val half = lit(z) * sqrt(p * (lit(1.0) - p) / nD +
+          lit(z2) / (lit(4.0) * nD * nD))
+        st.select(col("event_type"), col("n"), col("k"),
+          (floor(p * lit(1e9)) / lit(1e9)).as("p_hat"),
+          (floor((center - half) / denom * lit(1e9)) / lit(1e9)).as("ci_lo"),
+          (floor((center + half) / denom * lit(1e9)) / lit(1e9)).as("ci_hi"))
+          .orderBy(col("event_type"))
+      },
+      Some {
+        val z2 = (1.96 * 1.96).toString
+        s"""WITH st AS (
+           |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(CASE WHEN value >= 100.0 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS k
+           |  FROM events GROUP BY 1)
+           |SELECT event_type, n, k,
+           |  floor(CAST(k AS DOUBLE) / CAST(n AS DOUBLE) * 1e9) / 1e9
+           |    AS p_hat,
+           |  floor((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+           |      + CAST($z2 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE))
+           |      - 1.96 * sqrt(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+           |          * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+           |          / CAST(n AS DOUBLE)
+           |        + CAST($z2 AS DOUBLE) / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+           |    / (1.0 + CAST($z2 AS DOUBLE) / CAST(n AS DOUBLE)) * 1e9) / 1e9 AS ci_lo,
+           |  floor((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+           |      + CAST($z2 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE))
+           |      + 1.96 * sqrt(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+           |          * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+           |          / CAST(n AS DOUBLE)
+           |        + CAST($z2 AS DOUBLE) / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+           |    / (1.0 + CAST($z2 AS DOUBLE) / CAST(n AS DOUBLE)) * 1e9) / 1e9 AS ci_hi
+           |FROM st ORDER BY event_type""".stripMargin
+      }),
+
     // Poisson bootstrap (Chamandy et al., "Estimating uncertainty for
     // massive data streams", public Google report; the standard
     // resampling design AT SCALE) — a classic bootstrap materializes B
