@@ -2721,7 +2721,10 @@ object ExtendedQueries {
         val variance = (nn.cast("double") / lit(12.0)) *
           ((bigN + lit(1L)).cast("double") -
             col("tsum").cast("double") / (bigN * (bigN - lit(1L))).cast("double"))
-        val z = (u1 - mu) / sqrt(variance)
+        // nullif guard (the q_outliers rule): a degenerate sample
+        // (either arm empty / all values tied) has zero variance, where
+        // the engines' division semantics diverge — snap BOTH to NULL.
+        val z = (u1 - mu) / nullif(sqrt(variance), lit(0.0))
         parts.select(col("n1"), col("n2"), u1.as("u1"),
           (floor(z * lit(1e9)) / lit(1e9)).as("z"),
           (abs(z) > lit(1.96)).cast("long").as("significant"))
@@ -2749,14 +2752,14 @@ object ExtendedQueries {
          |  FROM cum)
          |SELECT n1, n2, CAST(u2x AS DOUBLE) / 2.0 AS u1,
          |  floor((CAST(u2x AS DOUBLE) / 2.0 - CAST(n1*n2 AS DOUBLE) / 2.0)
-         |    / sqrt((CAST(n1*n2 AS DOUBLE) / 12.0) *
+         |    / nullif(sqrt((CAST(n1*n2 AS DOUBLE) / 12.0) *
          |        (CAST(n1 + n2 + 1 AS DOUBLE) -
-         |         CAST(tsum AS DOUBLE) / CAST((n1+n2)*(n1+n2-1) AS DOUBLE)))
+         |         CAST(tsum AS DOUBLE) / CAST((n1+n2)*(n1+n2-1) AS DOUBLE))), 0)
          |    * 1e9) / 1e9 AS z,
          |  CAST(abs((CAST(u2x AS DOUBLE) / 2.0 - CAST(n1*n2 AS DOUBLE) / 2.0)
-         |    / sqrt((CAST(n1*n2 AS DOUBLE) / 12.0) *
+         |    / nullif(sqrt((CAST(n1*n2 AS DOUBLE) / 12.0) *
          |        (CAST(n1 + n2 + 1 AS DOUBLE) -
-         |         CAST(tsum AS DOUBLE) / CAST((n1+n2)*(n1+n2-1) AS DOUBLE))))
+         |         CAST(tsum AS DOUBLE) / CAST((n1+n2)*(n1+n2-1) AS DOUBLE))), 0))
          |    > 1.96 AS BIGINT) AS significant
          |FROM agg""".stripMargin)),
 
