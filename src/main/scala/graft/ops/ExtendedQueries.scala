@@ -2678,6 +2678,152 @@ object ExtendedQueries {
          |FROM m, c WHERE event_type <> 'view'
          |ORDER BY event_type""".stripMargin)),
 
+    // Markov (data-driven) attribution — the removal-effect model beside
+    // q_attribution's last-touch heuristic (Anderl et al. 2016 class,
+    // public): build the first-order journey chain start -> channels ->
+    // {purchase | end} from per-user event sequences (journeys truncate
+    // at the FIRST purchase; non-converting journeys absorb at '(end)'),
+    // then credit each channel by its REMOVAL EFFECT — how much the
+    // chain's start->purchase absorption probability drops when every
+    // hop into that channel is severed. Absorption probabilities come
+    // from K=16 value-iteration steps computed in EXACT INTEGERS on the
+    // 2^30 grid: v'(s) = (sum_j c(s,j) * v(j)) div n(s) with
+    // v(purchase) = 2^30 and v(end) = v(removed) = 0 — counts and
+    // truncating integral division only, so all five scenarios (full +
+    // one per removed channel) are bit-identical on both engines and the
+    // final effects/shares are exact integer ratios (re9 = 1e9 -
+    // p_removed*1e9 div p; share in ppm by integral division). Scale
+    // shape: the corpus-scale work is the distributed journey/transition
+    // aggregation (two user-keyed windows + one map-side-combinable
+    // count); the chain itself is a <= 7x7 count matrix — a bounded
+    // sidecar-sized collect (the OPQ driver-side-SVD class) iterated on
+    // the driver, while the oracle replays the identical integer
+    // iteration as 16 unrolled CTEs over a (scenario x state) vector
+    // table (the q_pagerank oracle discipline).
+    Q("q_markov_attribution",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val wSeq = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"),
+            row_number().over(wSeq).as("rn"))
+        val fp = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id")).agg(min(col("rn")).as("fp"))
+        val j = ev.join(fp, Seq("user_id"), "left_outer")
+          .filter(col("fp").isNull || col("rn") <= col("fp"))
+        val wj = Window.partitionBy(col("user_id")).orderBy(col("rn"))
+        val tr0 = j.select(
+          coalesce(lag(col("event_type"), 1).over(wj), lit("start")).as("src"),
+          col("event_type").as("dst"))
+        val ends = j
+          .withColumn("mr", max(col("rn")).over(Window.partitionBy(col("user_id"))))
+          .filter(col("rn") === col("mr") && col("fp").isNull)
+          .select(col("event_type").as("src"), lit("(end)").as("dst"))
+        // bounded collect: the transition matrix is <= (channels+2)^2
+        // cells (7x7 here) — the chain solve is driver math, like the
+        // OPQ 64x64 SVD; the corpus-scale aggregation above is what
+        // actually distributes
+        val cells = tr0.union(ends).groupBy(col("src"), col("dst"))
+          .agg(count(lit(1)).as("c"))
+          .collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        val ONE = 1L << 30
+        val K = 16
+        val n = cells.groupBy(_._1).map { case (src, rs) => src -> rs.map(_._3).sum }
+        val transient0 = cells.map(_._1).distinct.sorted
+        def solve(removed: Option[String]): Long = {
+          var v = transient0.map(_ -> 0L).toMap
+          for (_ <- 1 to K) {
+            v = transient0.map { st =>
+              val num = cells.filter(_._1 == st).map { case (_, dst, c) =>
+                val vd =
+                  if (removed.contains(dst)) 0L
+                  else if (dst == "purchase") ONE
+                  else if (dst == "(end)") 0L
+                  else v.getOrElse(dst, 0L)
+                c * vd
+              }.sum
+              st -> num / n(st)
+            }.toMap
+          }
+          v.getOrElse("start", 0L)
+        }
+        val p = solve(None)
+        require(p > 0L, "q_markov_attribution: chain never converts")
+        val channels = transient0.filter(c => c != "start").sorted
+        val re9 = channels.map(c => c -> (1000000000L - solve(Some(c)) * 1000000000L / p))
+        val tot = re9.map(_._2).sum
+        require(tot > 0L, "q_markov_attribution: all removal effects zero")
+        import s.implicits._
+        re9.map { case (c, r) =>
+          (c, r.toDouble / 1e9, r * 1000000L / tot)
+        }.toSeq.toDF("channel", "removal_effect", "share_ppm")
+          .orderBy(col("channel"))
+      },
+      Some {
+        val ONE = 1L << 30
+        val iters = (1 to 16).map { i =>
+          val prev = s"v${i - 1}"
+          s"""v$i AS MATERIALIZED (
+             |  SELECT s.scen, dn.src AS state,
+             |    CAST(sum(t.c * CASE WHEN t.dst = s.rm THEN 0
+             |                        WHEN t.dst = 'purchase' THEN $ONE
+             |                        WHEN t.dst = '(end)' THEN 0
+             |                        ELSE coalesce(pv.v, 0) END) AS BIGINT)
+             |      // dn.n AS v
+             |  FROM den dn CROSS JOIN sc s
+             |  JOIN tr t ON t.src = dn.src
+             |  LEFT JOIN $prev pv ON pv.scen = s.scen AND pv.state = t.dst
+             |  GROUP BY s.scen, dn.src, dn.n)"""
+        }.mkString(",\n")
+        s"""WITH ev AS (
+           |  SELECT user_id, event_type,
+           |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           |      AS rn
+           |  FROM events),
+           |fp AS (SELECT user_id, min(rn) AS fp FROM ev
+           |  WHERE event_type = 'purchase' GROUP BY 1),
+           |j AS (
+           |  SELECT e.user_id, e.event_type, e.rn
+           |  FROM ev e LEFT JOIN fp ON e.user_id = fp.user_id
+           |  WHERE fp.fp IS NULL OR e.rn <= fp.fp),
+           |tr0 AS (
+           |  SELECT coalesce(lag(event_type) OVER (
+           |      PARTITION BY user_id ORDER BY rn), 'start') AS src,
+           |    event_type AS dst
+           |  FROM j),
+           |ends AS (
+           |  SELECT j.event_type AS src, '(end)' AS dst
+           |  FROM j
+           |  JOIN (SELECT user_id, max(rn) AS mr FROM j GROUP BY 1) m
+           |    ON j.user_id = m.user_id AND j.rn = m.mr
+           |  LEFT JOIN fp ON j.user_id = fp.user_id
+           |  WHERE fp.fp IS NULL),
+           |tr AS MATERIALIZED (
+           |  SELECT src, dst, CAST(count(*) AS BIGINT) AS c
+           |  FROM (SELECT src, dst FROM tr0 UNION ALL SELECT src, dst FROM ends)
+           |  GROUP BY 1, 2),
+           |den AS MATERIALIZED (
+           |  SELECT src, CAST(sum(c) AS BIGINT) AS n FROM tr GROUP BY 1),
+           |sc AS (SELECT * FROM (VALUES ('full', ''), ('click', 'click'),
+           |  ('error', 'error'), ('signup', 'signup'), ('view', 'view'))
+           |  s(scen, rm)),
+           |v0 AS MATERIALIZED (
+           |  SELECT s.scen, dn.src AS state, CAST(0 AS BIGINT) AS v
+           |  FROM den dn CROSS JOIN sc s),
+           |$iters,
+           |p AS (SELECT v FROM v16 WHERE scen = 'full' AND state = 'start'),
+           |re AS (
+           |  SELECT scen AS channel,
+           |    1000000000 - (v * 1000000000 // (SELECT v FROM p)) AS re9
+           |  FROM v16 WHERE scen <> 'full' AND state = 'start'),
+           |tot AS (SELECT CAST(sum(re9) AS BIGINT) AS t FROM re)
+           |SELECT channel, CAST(re9 AS DOUBLE) / 1e9 AS removal_effect,
+           |  CAST(re9 * 1000000 // t AS BIGINT) AS share_ppm
+           |FROM re, tot ORDER BY channel""".stripMargin
+      }),
+
     // Mann-Whitney U (Wilcoxon rank-sum) — the NONPARAMETRIC two-sample
     // test beside q_ab_test's Welch z: compares purchase vs view on the
     // cents grid without assuming normality, the robust check an
