@@ -896,6 +896,27 @@ class StreamingSpec extends SparkSpec {
       "no key spanned both micro-batches — split degenerate")
   }
 
+  test("streaming media gate: codegen'd GridStatsExpr runs in a stream, totals equal batch") {
+    import graft.streaming.StreamMediaGate
+    val (table, nBatches) = StreamMediaGate.runOnce(spark, sf001, "media_gate_test")
+    // the memory sink keeps the LATEST update snapshot of the
+    // aggregation; the batch-count witness proves the split was real
+    assert(nBatches >= 2, s"expected >= 2 non-empty micro-batches, got $nBatches")
+    val streamed = table.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    val batch = StreamMediaGate.gate(
+      spark.read.parquet(s"$sf001/documents.parquet"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(batch.nonEmpty && streamed.keySet == batch.keySet)
+    val bad = batch.collect { case (s, v) if streamed(s) != v => (s, streamed(s), v) }
+    assert(bad.isEmpty, s"stream vs batch: ${bad.take(5)}")
+    // the gate genuinely fires
+    assert(batch.values.exists(_._2 > 0), "no flat asset flagged — gate vacuous")
+  }
+
   test("streaming CUSUM: an un-armed event type is skipped, not a crash") {
     import graft.streaming.StreamCusum
     val events = spark.read.parquet(s"$sf001/events.parquet")
