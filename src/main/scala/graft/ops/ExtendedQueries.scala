@@ -2678,6 +2678,88 @@ object ExtendedQueries {
          |FROM m, c WHERE event_type <> 'view'
          |ORDER BY event_type""".stripMargin)),
 
+    // Difference-in-differences — the quasi-experimental causal estimate
+    // completing the experimentation family (q_ab_test parametric,
+    // q_mann_whitney nonparametric, q_wilson_ci proportions,
+    // q_bootstrap_ci resampling; this one handles treatment WITHOUT
+    // randomized assignment by differencing out both the arm baseline
+    // and the secular time trend). Arms are a deterministic md5 user
+    // split (the q_hash_split discipline); periods cut at the fixture
+    // month's midpoint (2024-01-16 UTC, epoch-micros literal on both
+    // engines). Parity: each cell mean rides the scaled integral
+    // division (sum_cents * 1e9 div n — exact longs), and the DiD
+    // estimate is a DIFFERENCE OF EXACT LONGS on the 1e-9 grid, so the
+    // whole causal contrast is integer arithmetic with one final
+    // exact-long/1e9 display division per column. Scale shape: ONE
+    // map-side-combinable 8-way conditional aggregate over the purchase
+    // scan — corpus-size-independent output.
+    Q("q_diff_in_diff",
+      (s, d) => {
+        val CUT = 1705363200000000L // 2024-01-16T00:00:00Z in epoch micros
+        val treat = graft.functions.TextOps.md5Prefix60(
+          concat(lit("did:"), col("user_id").cast("string"))) % 1000L < 500L
+        val post = unix_micros(col("ts")) >= CUT
+        val ev = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(floor(col("value") * lit(100.0)).cast("long").as("cents"),
+            treat.as("treat"), post.as("post"))
+        def cell(t: Boolean, p: Boolean, agg: org.apache.spark.sql.Column) =
+          sum(when(col("treat") === t && col("post") === p, agg).otherwise(0L))
+        val a = ev.agg(
+          cell(true, false, lit(1L)).as("n_t0"), cell(true, false, col("cents")).as("s_t0"),
+          cell(true, true, lit(1L)).as("n_t1"), cell(true, true, col("cents")).as("s_t1"),
+          cell(false, false, lit(1L)).as("n_c0"), cell(false, false, col("cents")).as("s_c0"),
+          cell(false, true, lit(1L)).as("n_c1"), cell(false, true, col("cents")).as("s_c1"))
+        a.selectExpr(
+            "n_t0", "n_t1", "n_c0", "n_c1",
+            "s_t0 * 1000000000L div n_t0 as m9_t0",
+            "s_t1 * 1000000000L div n_t1 as m9_t1",
+            "s_c0 * 1000000000L div n_c0 as m9_c0",
+            "s_c1 * 1000000000L div n_c1 as m9_c1")
+          .select(col("n_t0"), col("n_t1"), col("n_c0"), col("n_c1"),
+            (col("m9_t0").cast("double") / 1e9).as("m_treat_pre"),
+            (col("m9_t1").cast("double") / 1e9).as("m_treat_post"),
+            (col("m9_c0").cast("double") / 1e9).as("m_ctrl_pre"),
+            (col("m9_c1").cast("double") / 1e9).as("m_ctrl_post"),
+            (((col("m9_t1") - col("m9_t0")) - (col("m9_c1") - col("m9_c0")))
+              .cast("double") / 1e9).as("did_cents"))
+      },
+      Some {
+        val bucket = graft.OracleSql.hexToLong(
+          "md5('did:' || CAST(user_id AS VARCHAR))", 1, 15)
+        s"""WITH ev AS (
+           |  SELECT CAST(floor(value * 100.0) AS BIGINT) AS cents,
+           |    $bucket % 1000 < 500 AS treat,
+           |    CAST(epoch_us(ts) AS BIGINT) >= 1705363200000000 AS post
+           |  FROM events WHERE event_type = 'purchase'),
+           |a AS (
+           |  SELECT
+           |    CAST(sum(CASE WHEN treat AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS n_t0,
+           |    CAST(sum(CASE WHEN treat AND NOT post THEN cents ELSE 0 END) AS BIGINT) AS s_t0,
+           |    CAST(sum(CASE WHEN treat AND post THEN 1 ELSE 0 END) AS BIGINT) AS n_t1,
+           |    CAST(sum(CASE WHEN treat AND post THEN cents ELSE 0 END) AS BIGINT) AS s_t1,
+           |    CAST(sum(CASE WHEN NOT treat AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS n_c0,
+           |    CAST(sum(CASE WHEN NOT treat AND NOT post THEN cents ELSE 0 END) AS BIGINT) AS s_c0,
+           |    CAST(sum(CASE WHEN NOT treat AND post THEN 1 ELSE 0 END) AS BIGINT) AS n_c1,
+           |    CAST(sum(CASE WHEN NOT treat AND post THEN cents ELSE 0 END) AS BIGINT) AS s_c1
+           |  FROM ev),
+           |m AS (
+           |  SELECT n_t0, n_t1, n_c0, n_c1,
+           |    s_t0 * 1000000000 // n_t0 AS m9_t0,
+           |    s_t1 * 1000000000 // n_t1 AS m9_t1,
+           |    s_c0 * 1000000000 // n_c0 AS m9_c0,
+           |    s_c1 * 1000000000 // n_c1 AS m9_c1
+           |  FROM a)
+           |SELECT n_t0, n_t1, n_c0, n_c1,
+           |  CAST(m9_t0 AS DOUBLE) / 1e9 AS m_treat_pre,
+           |  CAST(m9_t1 AS DOUBLE) / 1e9 AS m_treat_post,
+           |  CAST(m9_c0 AS DOUBLE) / 1e9 AS m_ctrl_pre,
+           |  CAST(m9_c1 AS DOUBLE) / 1e9 AS m_ctrl_post,
+           |  CAST((m9_t1 - m9_t0) - (m9_c1 - m9_c0) AS DOUBLE) / 1e9
+           |    AS did_cents
+           |FROM m""".stripMargin
+      }),
+
     // Markov (data-driven) attribution — the removal-effect model beside
     // q_attribution's last-touch heuristic (Anderl et al. 2016 class,
     // public): build the first-order journey chain start -> channels ->
