@@ -2678,6 +2678,191 @@ object ExtendedQueries {
          |FROM m, c WHERE event_type <> 'view'
          |ORDER BY event_type""".stripMargin)),
 
+    // CUPED variance reduction (Deng et al., WSDM 2013, public — the
+    // technique every large experiment platform applies before reading
+    // a lift): use each user's PRE-period spend as a control covariate
+    // for their post-period metric, subtracting theta * (x - xbar) with
+    // theta = Cov(x,y)/Var(x), which shrinks metric variance by rho^2
+    // without biasing the effect. Parity is the q_acf discipline end to
+    // end: per-user (pre, post) cents ride one user-keyed aggregate;
+    // the pooled moments and centered cross-moments are EXACT
+    // DECIMAL(38,0)/HUGEINT sums (n*Sxy - Sx*Sy class — magnitudes past
+    // 2^53, so no double ever touches them); theta and rho^2 are scaled
+    // integral divisions; and the CUPED-adjusted arm means multiply
+    // through by n so the adjustment (sya*1e9*n - theta9*sxa*n +
+    // theta9*n_arm*Sx) div (n_arm*n) stays an exact integer — the
+    // adjusted lift is a DIFFERENCE OF EXACT LONGS like q_diff_in_diff.
+    // Scale shape: one user aggregate, one 2-group arm aggregate, two
+    // 1-row broadcasts.
+    Q("q_cuped",
+      (s, d) => {
+        val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val CUT = 1705363200000000L
+        val treat = graft.functions.TextOps.md5Prefix60(
+          concat(lit("cuped:"), col("user_id").cast("string"))) % 1000L < 500L
+        val per = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"),
+            floor(col("value") * lit(100.0)).cast("long").as("cents"),
+            (unix_micros(col("ts")) >= CUT).as("post"))
+          .groupBy(col("user_id"))
+          .agg(sum(when(!col("post"), col("cents")).otherwise(0L)).as("x"),
+            sum(when(col("post"), col("cents")).otherwise(0L)).as("y"))
+          .withColumn("treat", treat)
+        val mo = per.agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x").cast(dec38) * col("x").cast(dec38)).as("sxx"),
+            sum(col("x").cast(dec38) * col("y").cast(dec38)).as("sxy"),
+            sum(col("y").cast(dec38) * col("y").cast(dec38)).as("syy"))
+          .select(col("n"), col("sx"), col("sy"),
+            (col("n").cast(dec38) * col("sxy") -
+              col("sx").cast(dec38) * col("sy").cast(dec38)).as("cxy"),
+            (col("n").cast(dec38) * col("sxx") -
+              col("sx").cast(dec38) * col("sx").cast(dec38)).as("cxx"),
+            (col("n").cast(dec38) * col("syy") -
+              col("sy").cast(dec38) * col("sy").cast(dec38)).as("cyy"))
+          .withColumn("theta9", expr("(cxy * 1000000000) div cxx"))
+          .withColumn("rho2_9",
+            expr("(CAST(theta9 AS DECIMAL(38,0)) * cxy) div cyy"))
+        val arms = per.groupBy(col("treat"))
+          .agg(count(lit(1)).as("n_arm"),
+            sum(col("x")).as("sxa"), sum(col("y")).as("sya"))
+          .groupBy()
+          .agg(
+            max(when(col("treat"), col("n_arm"))).as("n_t"),
+            max(when(col("treat"), col("sxa"))).as("sx_t"),
+            max(when(col("treat"), col("sya"))).as("sy_t"),
+            max(when(!col("treat"), col("n_arm"))).as("n_c"),
+            max(when(!col("treat"), col("sxa"))).as("sx_c"),
+            max(when(!col("treat"), col("sya"))).as("sy_c"))
+        def adj9(sy: String, sx: String, na: String) =
+          s"""(CAST($sy AS DECIMAL(38,0)) * 1000000000 * n
+             | - CAST(theta9 AS DECIMAL(38,0)) * CAST($sx AS DECIMAL(38,0)) * n
+             | + CAST(theta9 AS DECIMAL(38,0)) * $na * sx)
+             | div ($na * n)""".stripMargin.replaceAll("\n", "")
+        arms.crossJoin(broadcast(mo))
+          .withColumn("madj9_t", expr(adj9("sy_t", "sx_t", "n_t")))
+          .withColumn("madj9_c", expr(adj9("sy_c", "sx_c", "n_c")))
+          .withColumn("raw9_t", expr("sy_t * 1000000000L div n_t"))
+          .withColumn("raw9_c", expr("sy_c * 1000000000L div n_c"))
+          .select(col("n"), col("n_t"), col("n_c"),
+            (col("theta9").cast("double") / 1e9).as("theta"),
+            (col("rho2_9").cast("double") / 1e9).as("rho2"),
+            ((col("raw9_t") - col("raw9_c")).cast("double") / 1e9)
+              .as("raw_lift_cents"),
+            ((col("madj9_t") - col("madj9_c")).cast("double") / 1e9)
+              .as("cuped_lift_cents"))
+      },
+      Some {
+        val bucket = graft.OracleSql.hexToLong(
+          "md5('cuped:' || CAST(user_id AS VARCHAR))", 1, 15)
+        s"""WITH per AS (
+           |  SELECT user_id,
+           |    CAST(sum(CASE WHEN epoch_us(ts) < 1705363200000000
+           |      THEN CAST(floor(value * 100.0) AS BIGINT) ELSE 0 END)
+           |      AS BIGINT) AS x,
+           |    CAST(sum(CASE WHEN epoch_us(ts) >= 1705363200000000
+           |      THEN CAST(floor(value * 100.0) AS BIGINT) ELSE 0 END)
+           |      AS BIGINT) AS y,
+           |    $bucket % 1000 < 500 AS treat
+           |  FROM events WHERE event_type = 'purchase'
+           |  GROUP BY user_id),
+           |mo AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+           |    sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+           |    sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+           |  FROM per),
+           |cm AS (
+           |  SELECT n, sx, sy,
+           |    CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS cxy,
+           |    CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS cxx,
+           |    CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS cyy
+           |  FROM mo),
+           |th AS (
+           |  SELECT n, sx, cxy, cyy,
+           |    (cxy * 1000000000) // cxx AS theta9
+           |  FROM cm),
+           |th2 AS (
+           |  SELECT n, sx, theta9,
+           |    (CAST(theta9 AS HUGEINT) * cxy) // cyy AS rho2_9
+           |  FROM th),
+           |arms AS (
+           |  SELECT
+           |    CAST(sum(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+           |    CAST(sum(CASE WHEN treat THEN x ELSE 0 END) AS BIGINT) AS sx_t,
+           |    CAST(sum(CASE WHEN treat THEN y ELSE 0 END) AS BIGINT) AS sy_t,
+           |    CAST(sum(CASE WHEN treat THEN 0 ELSE 1 END) AS BIGINT) AS n_c,
+           |    CAST(sum(CASE WHEN treat THEN 0 ELSE x END) AS BIGINT) AS sx_c,
+           |    CAST(sum(CASE WHEN treat THEN 0 ELSE y END) AS BIGINT) AS sy_c
+           |  FROM per)
+           |SELECT n, n_t, n_c,
+           |  CAST(theta9 AS DOUBLE) / 1e9 AS theta,
+           |  CAST(rho2_9 AS DOUBLE) / 1e9 AS rho2,
+           |  CAST(sy_t * 1000000000 // n_t - sy_c * 1000000000 // n_c
+           |    AS DOUBLE) / 1e9 AS raw_lift_cents,
+           |  CAST(
+           |    (CAST(sy_t AS HUGEINT) * 1000000000 * n
+           |      - CAST(theta9 AS HUGEINT) * CAST(sx_t AS HUGEINT) * n
+           |      + CAST(theta9 AS HUGEINT) * n_t * sx) // (CAST(n_t AS HUGEINT) * n)
+           |    - (CAST(sy_c AS HUGEINT) * 1000000000 * n
+           |      - CAST(theta9 AS HUGEINT) * CAST(sx_c AS HUGEINT) * n
+           |      + CAST(theta9 AS HUGEINT) * n_c * sx) // (CAST(n_c AS HUGEINT) * n)
+           |    AS DOUBLE) / 1e9 AS cuped_lift_cents
+           |FROM arms, th2""".stripMargin
+      }),
+
+    // Sample-ratio-mismatch guard — the health check every experiment
+    // platform runs BEFORE reading any metric: if the md5 user split
+    // doesn't land 50/50, the assignment pipeline is broken and all
+    // downstream stats are invalid. One-df chi-square against the
+    // expected even split reduces to (n_t - n_c)^2 / n, computed as an
+    // exact scaled integral division so the decision threshold compares
+    // scaled longs — integer arithmetic end to end. The threshold is the
+    // INDUSTRY one, p < 0.001 (chi2 > 10.8276): platforms page at
+    // stricter-than-95% cuts because a fair split fails p < 0.05 one
+    // run in twenty — exactly what this fixture demonstrates (the srm:
+    // salt lands 709/791 on 1,500 users, chi2 = 4.48: suspicious at 95%,
+    // rightly NOT paged at the production threshold). ONE distinct-user
+    // aggregate; corpus-size-independent output.
+    Q("q_srm_check",
+      (s, d) => {
+        val treat = graft.functions.TextOps.md5Prefix60(
+          concat(lit("srm:"), col("user_id").cast("string"))) % 1000L < 500L
+        Tables.events(s, d)
+          .select(col("user_id")).distinct()
+          .select(when(treat, 1L).otherwise(0L).as("t"))
+          .agg(sum(col("t")).as("n_treat"),
+            sum(lit(1L) - col("t")).as("n_ctrl"))
+          .withColumn("chi2_9", expr(
+            "(n_treat - n_ctrl) * (n_treat - n_ctrl) * 1000000000L div (n_treat + n_ctrl)"))
+          .select(col("n_treat"), col("n_ctrl"),
+            (col("chi2_9").cast("double") / 1e9).as("chi2"),
+            (col("chi2_9") > 10827566170L).cast("long").as("srm"))
+      },
+      Some {
+        val bucket = graft.OracleSql.hexToLong(
+          "md5('srm:' || CAST(user_id AS VARCHAR))", 1, 15)
+        s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+           |a AS (
+           |  SELECT
+           |    CAST(sum(CASE WHEN $bucket % 1000 < 500 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_treat,
+           |    CAST(sum(CASE WHEN $bucket % 1000 < 500 THEN 0 ELSE 1 END)
+           |      AS BIGINT) AS n_ctrl
+           |  FROM u),
+           |c AS (
+           |  SELECT n_treat, n_ctrl,
+           |    (n_treat - n_ctrl) * (n_treat - n_ctrl) * 1000000000
+           |      // (n_treat + n_ctrl) AS chi2_9
+           |  FROM a)
+           |SELECT n_treat, n_ctrl,
+           |  CAST(chi2_9 AS DOUBLE) / 1e9 AS chi2,
+           |  CAST(chi2_9 > 10827566170 AS BIGINT) AS srm
+           |FROM c""".stripMargin
+      }),
+
     // Difference-in-differences — the quasi-experimental causal estimate
     // completing the experimentation family (q_ab_test parametric,
     // q_mann_whitney nonparametric, q_wilson_ci proportions,
