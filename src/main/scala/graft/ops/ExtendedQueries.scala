@@ -3019,6 +3019,14 @@ object ExtendedQueries {
         val p = solve(None)
         require(p > 0L, "q_markov_attribution: chain never converts")
         val channels = transient0.filter(c => c != "start").sorted
+        // The oracle's removal-scenario VALUES list is pinned to the
+        // fixture's four non-converting channels; if the fixture's event
+        // domain ever drifts (a channel stops appearing as a transition
+        // source, or a new event type appears) the two row sets would
+        // silently diverge — fail loudly instead.
+        require(channels.toSeq == Seq("click", "error", "signup", "view"),
+          s"q_markov_attribution: observed channel set ${channels.mkString(",")} " +
+            "no longer matches the oracle's pinned scenario list — update both")
         val re9 = channels.map(c => c -> (1000000000L - solve(Some(c)) * 1000000000L / p))
         val tot = re9.map(_._2).sum
         require(tot > 0L, "q_markov_attribution: all removal effects zero")
@@ -3271,7 +3279,13 @@ object ExtendedQueries {
             .reduce(_ + _))
           .groupBy(col("b"))
           .agg(sum(col("w")).as("sw"), sum(col("w") * col("x")).as("swx"))
-          .withColumn("mean9", expr("swx * 1000000000L div sw"))
+          // swx*1e9 in plain Long wraps silently at ~10x the sf0.1
+          // purchase volume (Spark wraps, DuckDB errors — a larger
+          // fixture would corrupt Spark-side while the oracle crashes);
+          // route the product through DECIMAL(38,0)/HUGEINT, the q_cuped
+          // discipline. `div` on decimals still returns an exact long.
+          .withColumn("mean9",
+            expr("CAST(swx AS DECIMAL(38,0)) * 1000000000 div sw"))
           .withColumn("rn",
             row_number().over(Window.orderBy(col("mean9"), col("b"))))
         val lo = per.filter(col("rn") === 2)
@@ -3279,7 +3293,7 @@ object ExtendedQueries {
         val hi = per.filter(col("rn") === B - 2)
           .select((col("mean9").cast("double") / 1e9).as("ci_hi_cents"))
         val full = ev.agg(
-          expr("sum(x) * 1000000000L div count(*)").as("m9"),
+          expr("CAST(sum(x) AS DECIMAL(38,0)) * 1000000000 div count(*)").as("m9"),
           count(lit(1)).as("n_events"))
           .select(col("n_events"), lit(B.toLong).as("n_resamples"),
             (col("m9").cast("double") / 1e9).as("mean_cents"))
@@ -3310,12 +3324,13 @@ object ExtendedQueries {
          |    CAST(sum(w * x) AS BIGINT) AS swx
          |  FROM ww GROUP BY b),
          |m AS (
-         |  SELECT b, swx * 1000000000 // sw AS mean9,
-         |    row_number() OVER (ORDER BY swx * 1000000000 // sw, b) AS rn
+         |  SELECT b, CAST(swx AS HUGEINT) * 1000000000 // sw AS mean9,
+         |    row_number() OVER (
+         |      ORDER BY CAST(swx AS HUGEINT) * 1000000000 // sw, b) AS rn
          |  FROM per),
          |f AS (
          |  SELECT CAST(count(*) AS BIGINT) AS n_events,
-         |    CAST(sum(x) AS BIGINT) * 1000000000 // count(*) AS m9
+         |    CAST(sum(x) AS HUGEINT) * 1000000000 // count(*) AS m9
          |  FROM ev)
          |SELECT n_events, CAST(40 AS BIGINT) AS n_resamples,
          |  CAST(m9 AS DOUBLE) / 1e9 AS mean_cents,

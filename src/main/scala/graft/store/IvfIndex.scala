@@ -134,7 +134,11 @@ object IvfIndex {
     * [[versionSidecars]]). Returns the dropped version numbers. */
   def vacuumVersions(spark: SparkSession, path: String, keepLast: Int): Seq[Int] = {
     import org.apache.hadoop.fs.Path
-    require(keepLast >= 0, s"keepLast must be >= 0, got $keepLast")
+    // keepLast=0 would drop the HIGHEST archived version; versionSidecars
+    // then allocates max-surviving+1 = 1 again, reusing dropped version
+    // numbers — the exact pinned-probe hazard versionSidecars exists to
+    // prevent. Same invariant VectorStore.vacuum guards.
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val archived = Option(fs.globStatus(new Path(s"$path/*_v*")))
       .getOrElse(Array.empty).toSeq

@@ -236,29 +236,41 @@ object LocalIvfIndex {
     // cells are hive-partition values; remap (possibly sparse) ids to a
     // dense [0, numCells) routing index
     val cellOf = centRows.map(_._1).zipWithIndex.toMap
+    // quantize EXECUTOR-side (codegen'd QuantizeInt8Expr — the same
+    // VectorKernels.quantize the driver loop used to run) so what crosses
+    // to the driver is a compact (long, dim bytes, int) row, and stream
+    // it with toLocalIterator so only ~one partition of rows is ever
+    // resident beside the packed arrays — a full collect() materializes
+    // boxed Seq[Float] Rows at 5-10x the 4-bytes-per-float the old peak
+    // estimate charged, which could OOM the driver inside the guard.
     val data = spark.read.parquet(s"$path/data")
-      .select(col("vec_id"), col("embedding"), col("cell"))
+      .select(col("vec_id"),
+        graft.functions.VectorOps.quantizeInt8(
+          col("embedding").cast("array<float>")).as("code"),
+        col("cell"))
     val n = data.count()
+    require(n <= Int.MaxValue, s"fromAtRest: corpus too large ($n rows)")
     val dim = centRows(0)._2.length
     // replica peak: short data (2*dim) + ids (8) + norms (8) per vector,
-    // plus the collected float rows (~4*dim) during the build
-    val peak = n * (6L * dim + 16L)
+    // plus the streamed byte codes (dim + ~48 object overhead) per vector
+    val peak = n * (7L * dim + 64L)
     require(peak <= maxLocalBytes,
       s"fromAtRest refused: materializing this corpus needs ~$peak bytes " +
         s"of driver heap at peak (> limit $maxLocalBytes). Use IvfIndex" +
         ".probe (distributed), or raise the limit explicitly.")
-    val rows = data.collect()
-    val ids = new Array[Long](rows.length)
-    val codes = new Array[Array[Byte]](rows.length)
-    val cells = new Array[Int](rows.length)
+    val ids = new Array[Long](n.toInt)
+    val codes = new Array[Array[Byte]](n.toInt)
+    val cells = new Array[Int](n.toInt)
     var i = 0
-    while (i < rows.length) {
-      val r = rows(i)
+    val it = data.toLocalIterator()
+    while (it.hasNext) {
+      val r = it.next()
       ids(i) = r.getLong(0)
-      codes(i) = VectorKernels.quantize(r.getSeq[Float](1).toArray)
+      codes(i) = r.getAs[Array[Byte]](1)
       cells(i) = cellOf(r.getInt(2))
       i += 1
     }
+    require(i == n, s"fromAtRest: row count changed during load ($n -> $i)")
     pack(centRows.map(_._2), ids, codes, cells, dim)
   }
 }

@@ -75,8 +75,10 @@ object StreamMediaGate {
     } finally {
       import java.nio.file.{Files, Path}
       import java.util.Comparator
-      Files.walk(inPath).sorted(Comparator.reverseOrder[Path]())
+      val walk = Files.walk(inPath)
+      try walk.sorted(Comparator.reverseOrder[Path]())
         .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
     }
   }
 }

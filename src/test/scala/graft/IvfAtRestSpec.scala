@@ -230,10 +230,13 @@ class IvfAtRestSpec extends SparkSpec {
     // never silently point at a different quantizer generation
     assert(IvfIndex.rebuild(spark, dir) == 4)
     assert(new java.io.File(s"$dir/centroids_v4").exists())
-    // nothing droppable is a no-op; keepLast 0 drops every archive
+    // nothing droppable is a no-op; keepLast 0 is REJECTED — it would
+    // drop the highest archived version and let versionSidecars reuse
+    // its number, the pinned-probe hazard this spec proves impossible
     assert(IvfIndex.vacuumVersions(spark, dir, keepLast = 5).isEmpty)
-    assert(IvfIndex.vacuumVersions(spark, dir, keepLast = 0).nonEmpty)
-    assert(archivedDirs().isEmpty)
+    intercept[IllegalArgumentException](
+      IvfIndex.vacuumVersions(spark, dir, keepLast = 0))
+    assert(archivedDirs() == Seq("centroids_v3", "centroids_v4"))
     intercept[IllegalArgumentException](
       IvfIndex.vacuumVersions(spark, dir, keepLast = -1))
   }
