@@ -44,6 +44,8 @@ object Bench {
     val refQpsPq = firstServing.getOrElse("pq", 0.0)
     val refQpsBq = firstServing.getOrElse("bq", 0.0)
     val refQpsIvf = firstServing.getOrElse("ivf", 0.0)
+    val refQpsIvfPq = firstServing.getOrElse("ivfpq", 0.0)
+    val refQpsIvfBq = firstServing.getOrElse("ivfbq", 0.0)
     // decouple the sweep from serving-section heap state: drop dangling
     // broadcast/block refs before the first measured query (untimed)
     System.gc()
@@ -82,22 +84,39 @@ object Bench {
     // variance-robust statistic for "cost of this plan" (the reference's
     // protocol, benchmark_suite.py:105-121, also reports best-case
     // throughput); a real regression moves the min too.
+    // r13 protocol 3: the REPS are INTERLEAVED full sweeps (sweep 1 runs
+    // every query once, then sweep 2, then sweep 3) instead of 3
+    // back-to-back reps per query. Rationale (r12 verdict item 1): five
+    // r12 close sweeps on identical code spanned 152-180 s of pure
+    // machine-heat drift, and with CONSECUTIVE reps that drift biases
+    // every one of a query's reps the same way — whole sweeps ran hot or
+    // cool, so cross-round per-query diffs measured the thermal epoch,
+    // not the plan. Interleaving samples each query's reps from three
+    // epochs ~3 minutes apart, so a per-query min rides the coolest of
+    // three DIFFERENT thermal states and heat drift cancels per-query
+    // instead of biasing whole sweeps.
     val REPS = 3
-    val results = SparkEntry.registry.map { q =>
-      val ts = (1 to REPS).map { _ =>
+    val names = SparkEntry.registry
+    val timesByQ = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    for (rep <- 1 to REPS) {
+      names.foreach { q =>
         val t0 = System.nanoTime()
         try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: $e") }
         val sec = (System.nanoTime() - t0) / 1e9
-        // hygiene between reps (untimed): drop any cached/checkpointed
-        // blocks a query pinned (MLlib fits, store localCheckpoints) so
-        // later runs aren't measured under earlier runs' heap pressure
+        // hygiene between measurements (untimed): drop any cached blocks
+        // a query pinned, and pay heavyweight queries' allocation debt
+        // here instead of inside the next query's measurement (cheap
+        // queries accrue no meaningful debt — skipping their GC keeps
+        // the 3x-sweep overhead bounded)
         spark.catalog.clearCache()
-        sec
+        if (sec > 0.3) System.gc()
+        timesByQ(q.name) = timesByQ.getOrElse(q.name, Vector.empty) :+ sec
       }
-      // untimed inter-query GC: pay each query's allocation debt HERE
-      // instead of inside the next query's measurement
-      System.gc()
+      System.err.println(f"[bench] sweep $rep/$REPS done: ${timesByQ.valuesIterator.map(_.last).sum}%.1f s")
+    }
+    val results = names.map { q =>
+      val ts = timesByQ(q.name)
       q.name -> (ts.min, ts.sorted.apply(REPS / 2))
     }
     val qs = results
@@ -172,6 +191,12 @@ object Bench {
       if (skipServing) (Map.empty[String, Double], Map.empty[String, Seq[Double]])
       else servingProtocols(spark)
     System.gc()
+    // the 500k serving point (run once, after the isolated block — its
+    // own builds are heavyweight and must not heat the 50k readings)
+    val s500 =
+      if (skipServing) """"serving_500k":null"""
+      else serving500k(spark)
+    System.gc()
     // [worst, best] QPS across the isolated reps — the worst WARM reading
     // is the number the 2x-vs-baseline gate should be judged on.
     val servingIso =
@@ -189,7 +214,7 @@ object Bench {
       else servingReps.toSeq.sortBy(_._1).map { case (k, reps) =>
         f""""$k":[${reps.min}%.0f,${reps.max}%.0f]"""
       }.mkString(""""serving_variance":{""", ",", "}")
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","protocol":2,"reps":$REPS,"stat":"min","n_queries":${results.size},"total_median":$totalMedian%.3f,"labels_build_sec":$labelsBuildSec%.3f,"edges_build_sec":$edgesBuildSec%.3f,"queries":$qs,"ref_search_qps_50k":$refQpsLocal%.0f,"ref_batch_qps_50k":$refQpsBatch%.0f,"ref_concurrent_qps_50k":$refQpsConc%.0f,"ref_pq_qps_50k":$refQpsPq%.0f,"ref_bq_qps_50k":$refQpsBq%.0f,"ref_ivf_qps_50k":$refQpsIvf%.0f,"baseline_ref_qps_50k":1100,"serving_cold_jvm":true,$servingVar,$servingIso,$moversJson,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","protocol":3,"reps":$REPS,"stat":"min","interleaved":true,"n_queries":${results.size},"total_median":$totalMedian%.3f,"labels_build_sec":$labelsBuildSec%.3f,"edges_build_sec":$edgesBuildSec%.3f,"queries":$qs,"ref_search_qps_50k":$refQpsLocal%.0f,"ref_batch_qps_50k":$refQpsBatch%.0f,"ref_concurrent_qps_50k":$refQpsConc%.0f,"ref_pq_qps_50k":$refQpsPq%.0f,"ref_bq_qps_50k":$refQpsBq%.0f,"ref_ivf_qps_50k":$refQpsIvf%.0f,"ref_ivfpq_qps_50k":$refQpsIvfPq%.0f,"ref_ivfbq_qps_50k":$refQpsIvfBq%.0f,"baseline_ref_qps_50k":1100,"serving_cold_jvm":true,$servingVar,$servingIso,$s500,$moversJson,"sf":"$sfDir"}"""
     // Compact headline (no per-query map): same schema minus "queries",
     // printed BEFORE and AFTER the full object. The driver's capture
     // window keeps a bounded TAIL of stdout (r7 and r8 both lost the full
@@ -201,7 +226,7 @@ object Bench {
     // so exactly ONE emitted line has "metric":"total" — a consumer
     // grepping the metric key can no longer pick up a field-reduced
     // headline copy in place of the full object.
-    val headline = f"""{"metric":"total_headline","value":$total%.3f,"unit":"sec","protocol":2,"reps":$REPS,"stat":"min","n_queries":${results.size},"headline":true,"labels_build_sec":$labelsBuildSec%.3f,"edges_build_sec":$edgesBuildSec%.3f,"ref_search_qps_50k":$refQpsLocal%.0f,"ref_batch_qps_50k":$refQpsBatch%.0f,"ref_concurrent_qps_50k":$refQpsConc%.0f,"ref_pq_qps_50k":$refQpsPq%.0f,"ref_bq_qps_50k":$refQpsBq%.0f,"ref_ivf_qps_50k":$refQpsIvf%.0f,"baseline_ref_qps_50k":1100,"serving_cold_jvm":true,$servingVar,$servingIso,"sf":"$sfDir"}"""
+    val headline = f"""{"metric":"total_headline","value":$total%.3f,"unit":"sec","protocol":3,"reps":$REPS,"stat":"min","interleaved":true,"n_queries":${results.size},"headline":true,"labels_build_sec":$labelsBuildSec%.3f,"edges_build_sec":$edgesBuildSec%.3f,"ref_search_qps_50k":$refQpsLocal%.0f,"ref_batch_qps_50k":$refQpsBatch%.0f,"ref_concurrent_qps_50k":$refQpsConc%.0f,"ref_pq_qps_50k":$refQpsPq%.0f,"ref_bq_qps_50k":$refQpsBq%.0f,"ref_ivf_qps_50k":$refQpsIvf%.0f,"ref_ivfpq_qps_50k":$refQpsIvfPq%.0f,"ref_ivfbq_qps_50k":$refQpsIvfBq%.0f,"baseline_ref_qps_50k":1100,"serving_cold_jvm":true,$servingVar,$servingIso,$s500,"sf":"$sfDir"}"""
     println(headline)
     println(line)
     println(headline)
@@ -213,9 +238,10 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: $e") }
     spark.stop()
   }
-  /** The six serving protocols (int8 SIMD sequential search, batch Spark
+  /** The eight serving protocols (int8 SIMD sequential search, batch Spark
     * job, 10-thread concurrent, PQ ADC scan, 1-bit BQ scan, IVF-pruned
-    * routed scan) at the published 50k x dim-128 operating point
+    * routed scan, and the composed IVF+PQ / IVF+BQ rescored tiers)
+    * at the published 50k x dim-128 operating point
     * (benchmark_suite.py:105-121, :197-224; BASELINE.md ~1,100 QPS).
     * Returns (best QPS per protocol, per-rep QPS per protocol). Called
     * TWICE per bench run: once before the sweep (clean JVM — the cold
@@ -334,15 +360,135 @@ object Bench {
       (System.nanoTime() - t) / 1e9
     }
     val bestIvf = repsIvf.min
+    // IVF+PQ composed tier (LocalIvfPqIndex): route on the same 64-cell
+    // coarse quantizer, ADC-scan the probed cells' 8-byte codes, exact-
+    // rescore the top candK=512 — pruning STACKED on compression, the
+    // FAISS production serving shape (LocalIvfQuantSpec owns correctness).
+    val ivfCandK = 512
+    val ivfpq = graft.store.LocalIvfPqIndex.train(
+      bqIds, bqVecs, numCells = ivfCells, m = pqM, kSub = pqK, cb)
+    (0 until 10).foreach(i => ivfpq.search(qFloats(i), 10, ivfNprobe, ivfCandK))
+    System.gc()
+    val repsIvfPq = (0 until 5).map { _ =>
+      val t = System.nanoTime()
+      qFloats.foreach(q => ivfpq.search(q, 10, ivfNprobe, ivfCandK))
+      (System.nanoTime() - t) / 1e9
+    }
+    val bestIvfPq = repsIvfPq.min
+    // IVF+BQ composed tier (LocalIvfBqIndex): same routing, XOR+popcount
+    // scan of the probed cells' sign bits, exact rescore of candK=512.
+    val ivfbq = graft.store.LocalIvfBqIndex.train(bqIds, bqVecs, numCells = ivfCells)
+    (0 until 10).foreach(i => ivfbq.search(qFloats(i), 10, ivfNprobe, ivfCandK))
+    System.gc()
+    val repsIvfBq = (0 until 5).map { _ =>
+      val t = System.nanoTime()
+      qFloats.foreach(q => ivfbq.search(q, 10, ivfNprobe, ivfCandK))
+      (System.nanoTime() - t) / 1e9
+    }
+    val bestIvfBq = repsIvfBq.min
     index.unpersist()
     val reps = Map("search" -> repsLocal.map(100.0 / _),
       "batch" -> repsBatch.map(100.0 / _),
       "concurrent" -> repsConc.map(500.0 / _),
       "pq" -> repsPq.map(100.0 / _),
       "bq" -> repsBq.map(100.0 / _),
-      "ivf" -> repsIvf.map(100.0 / _))
+      "ivf" -> repsIvf.map(100.0 / _),
+      "ivfpq" -> repsIvfPq.map(100.0 / _),
+      "ivfbq" -> repsIvfBq.map(100.0 / _))
     (Map("search" -> 100.0 / bestLocal, "batch" -> 100.0 / bestBatch,
       "concurrent" -> 500.0 / bestConc, "pq" -> 100.0 / bestPq,
-      "bq" -> 100.0 / bestBq, "ivf" -> 100.0 / bestIvf), reps)
+      "bq" -> 100.0 / bestBq, "ivf" -> 100.0 / bestIvf,
+      "ivfpq" -> 100.0 / bestIvfPq, "ivfbq" -> 100.0 / bestIvfBq), reps)
+  }
+
+  /** The 500k serving point (r12 verdict item 2): the operating point
+    * where IVF pruning actually SHOWS. At 50k vectors the ~150 us fixed
+    * per-query cost dominates both flat and pruned scans (IvfServeProbe,
+    * NOTES_r12 §3) — at 500k the flat scan is 10x the work while the
+    * pruned scan grows only with nprobe/numCells of it, so the pruning
+    * multiple becomes measurable. The corpus is CLUSTERED (1,000 centers,
+    * the natural extension of benchmark_suite.py:96's size ladder to a
+    * routable distribution — IVF on an isotropic Gaussian has nothing to
+    * route on), and the artifact records recall@10 vs the flat scan
+    * BESIDE each pruned tier's QPS so the throughput multiple is read at
+    * a known recall, never for free.
+    *
+    * Reported: flat / ivf / ivfpq / ivfbq QPS + recall@10 at
+    * nprobe=8/128, candK=1024. */
+  private def serving500k(spark: SparkSession): String = {
+    val dim = 128
+    val n = 500000
+    val nCenters = 1000
+    val rnd = new scala.util.Random(97)
+    val centers = Array.fill(nCenters)(Array.fill(dim)(rnd.nextGaussian().toFloat * 3f))
+    val vecs = Array.tabulate(n) { i =>
+      val c = centers(i % nCenters)
+      Array.tabulate(dim)(j => c(j) + rnd.nextGaussian().toFloat * 1.0f)
+    }
+    val ids = Array.tabulate(n)(_.toLong)
+    // flat exact tier at 500k: the same LocalIndex the 50k point serves
+    import spark.implicits._
+    val embDf = ids.zip(vecs).toSeq.toDF("vec_id", "embedding").repartition(32)
+    val index = graft.store.QuantizedIndex.build(embDf, dim, numBlocks = 32).persist()
+    index.count
+    val flat = index.toLocal
+    val queries = (0 until 100).map { i =>
+      // queries = corpus points + fresh noise (the serving distribution)
+      val c = centers(rnd.nextInt(nCenters))
+      Array.tabulate(dim)(j => c(j) + rnd.nextGaussian().toFloat * 1.0f)
+    }.toArray
+    val qBytes = queries.map(graft.functions.VectorKernels.quantize)
+    (0 until 10).foreach(i => flat.search(qBytes(i), 10))
+    System.gc()
+    val repsFlat = (0 until 3).map { _ =>
+      val t = System.nanoTime()
+      qBytes.foreach(q => flat.search(q, 10))
+      (System.nanoTime() - t) / 1e9
+    }
+    val truth = qBytes.map(q => flat.search(q, 10).map(_._1).toSet)
+    def recall(got: Array[Seq[(Long, Double)]]): Double =
+      got.zip(truth).map { case (g, t) => g.map(_._1).count(t).toDouble / 10 }
+        .sum / truth.length
+    val cells = 128
+    val nprobe = 8
+    // the recall-1.0 knee on this corpus (IvfQuantServeProbe: candK 256 ->
+    // 0.68/0.75, candK 512 -> 1.000/1.000): the rescore funnel is
+    // corpus-size-INDEPENDENT work, so the composed tiers sit at IVF-flat
+    // parity at 500k and pull ahead as the scan term grows with corpus
+    val candK = 512
+    val ivf = graft.store.LocalIvfIndex.train(ids, vecs, numCells = cells)
+    (0 until 10).foreach(i => ivf.search(qBytes(i), 10, nprobe))
+    System.gc()
+    val repsIvf = (0 until 3).map { _ =>
+      val t = System.nanoTime()
+      qBytes.foreach(q => ivf.search(q, 10, nprobe))
+      (System.nanoTime() - t) / 1e9
+    }
+    val recIvf = recall(qBytes.map(q => ivf.search(q, 10, nprobe)))
+    val scanFrac = qBytes.map(q => ivf.probedRows(q, nprobe).toDouble / n).sum / qBytes.length
+    val cb = graft.ops.PqQueries.trainCodebookOn(embDf)
+    val ivfpq = graft.store.LocalIvfPqIndex.train(ids, vecs, numCells = cells,
+      m = graft.ops.PqQueries.M, kSub = graft.ops.PqQueries.K, cb)
+    (0 until 10).foreach(i => ivfpq.search(queries(i), 10, nprobe, candK))
+    System.gc()
+    val repsIvfPq = (0 until 3).map { _ =>
+      val t = System.nanoTime()
+      queries.foreach(q => ivfpq.search(q, 10, nprobe, candK))
+      (System.nanoTime() - t) / 1e9
+    }
+    val recIvfPq = recall(queries.map(q => ivfpq.search(q, 10, nprobe, candK)))
+    val ivfbq = graft.store.LocalIvfBqIndex.train(ids, vecs, numCells = cells)
+    (0 until 10).foreach(i => ivfbq.search(queries(i), 10, nprobe, candK))
+    System.gc()
+    val repsIvfBq = (0 until 3).map { _ =>
+      val t = System.nanoTime()
+      queries.foreach(q => ivfbq.search(q, 10, nprobe, candK))
+      (System.nanoTime() - t) / 1e9
+    }
+    val recIvfBq = recall(queries.map(q => ivfbq.search(q, 10, nprobe, candK)))
+    index.unpersist()
+    val flatQps = 100.0 / repsFlat.min
+    val ivfQps = 100.0 / repsIvf.min
+    f""""serving_500k":{"corpus":$n,"cells":$cells,"nprobe":$nprobe,"cand_k":$candK,"mean_scan_frac":$scanFrac%.4f,"flat_qps":$flatQps%.0f,"ivf_qps":$ivfQps%.0f,"ivf_recall10":$recIvf%.3f,"ivf_speedup":${ivfQps / flatQps}%.2f,"ivfpq_qps":${100.0 / repsIvfPq.min}%.0f,"ivfpq_recall10":$recIvfPq%.3f,"ivfbq_qps":${100.0 / repsIvfBq.min}%.0f,"ivfbq_recall10":$recIvfBq%.3f}"""
   }
 }

@@ -157,7 +157,7 @@ object LocalIvfIndex {
     new LocalIvfIndex(normalize(centroids), cellIds, cellData, cellNorms, dim)
   }
 
-  private def normalize(cs: Array[Array[Float]]): Array[Array[Float]] =
+  private[store] def normalize(cs: Array[Array[Float]]): Array[Array[Float]] =
     cs.map { c =>
       var n = 0.0
       var i = 0
@@ -166,7 +166,7 @@ object LocalIvfIndex {
       c.map(x => (x * inv).toFloat)
     }
 
-  private def argmaxCell(v: Array[Float], unitCents: Array[Array[Float]]): Int = {
+  private[store] def argmaxCell(v: Array[Float], unitCents: Array[Array[Float]]): Int = {
     // cosine argmax = dot argmax against unit centroids (|v| constant)
     var best = 0
     var bestS = Double.NegativeInfinity
@@ -188,9 +188,21 @@ object LocalIvfIndex {
     * bounded like the other local replicas' builds. */
   def train(ids: Array[Long], vecs: Array[Array[Float]], numCells: Int,
       nprobeSample: Int = 10000, iters: Int = 5, seed: Long = 11L): LocalIvfIndex = {
-    require(vecs.nonEmpty, "LocalIvfIndex.train: empty corpus")
+    val cents = trainCentroids(vecs, numCells, nprobeSample, iters, seed)
+    val dim = vecs(0).length
+    val codes = vecs.map(VectorKernels.quantize)
+    val cells = vecs.map(argmaxCell(_, cents))
+    pack(cents, ids, codes, cells, dim)
+  }
+
+  /** The coarse quantizer shared by all three local IVF tiers (flat /
+    * PQ / BQ): seeded sample init + `iters` Lloyd refinements over a
+    * bounded sample. Returns UNIT centroids (routing ranks by dot). */
+  private[store] def trainCentroids(vecs: Array[Array[Float]], numCells: Int,
+      nprobeSample: Int = 10000, iters: Int = 5, seed: Long = 11L): Array[Array[Float]] = {
+    require(vecs.nonEmpty, "trainCentroids: empty corpus")
     require(numCells > 0 && numCells <= vecs.length,
-      s"LocalIvfIndex.train: numCells $numCells out of range for ${vecs.length} vectors")
+      s"trainCentroids: numCells $numCells out of range for ${vecs.length} vectors")
     val dim = vecs(0).length
     val rnd = new scala.util.Random(seed)
     val sample =
@@ -216,9 +228,7 @@ object LocalIvfIndex {
       })
       it += 1
     }
-    val codes = vecs.map(VectorKernels.quantize)
-    val cells = vecs.map(argmaxCell(_, cents))
-    pack(cents, ids, codes, cells, dim)
+    cents
   }
 
   /** In-process replica of an at-rest [[IvfIndex]] layout: routes on the

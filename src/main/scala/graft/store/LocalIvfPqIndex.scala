@@ -1,0 +1,236 @@
+package graft.store
+
+import graft.functions.{SimdSupport, TopKBuffer, VectorKernels}
+
+/** IVF routing composed with PQ compression + exact rescore — the standard
+  * production serving shape for large in-process replicas (the FAISS
+  * `IVFx,PQy` + refine layout): a query
+  *
+  *  1. ROUTES on the coarse centroids (numCells float dots),
+  *  2. ADC-SCANS only its `nprobe` cells' PQ codes (m LUT adds per row
+  *     over m bytes/row — the only per-row cost that touches the big
+  *     resident array, so the scan working set is `nprobe/numCells` of
+  *     an already-16x-compressed corpus),
+  *  3. RESCORES the top `candK` ADC candidates exactly on their int8
+  *     codes (the same SimdSupport cosine as the flat tier), so the
+  *     final ranking is exact over the candidate set.
+  *
+  * Compared to the single-axis tiers this composes BOTH levers: the scan
+  * fraction of LocalIvfIndex and the bytes/row of LocalPqIndex. The int8
+  * codes are kept beside the PQ codes for the rescore step only — per
+  * query it touches candK rows, not the corpus, which is why production
+  * replicas can afford to spill that array cold (here it stays on heap;
+  * the SCAN path never reads it).
+  *
+  * Determinism: ADC candidate selection breaks ties by cell-major row
+  * index; the exact rescore re-ranks by (score DESC, vec_id ASC) — with a
+  * fixed build, results are bitwise reproducible, and with candK >= the
+  * probed row count they EQUAL the cell-restricted exact search
+  * (spec-gated, LocalIvfQuantSpec).
+  *
+  * Flat cell-major layout: row r of cell c lives at flat index
+  * [cellStart(c), cellStart(c+1)); `ids`/`norms` align, PQ codes at
+  * r*m, int8 at r*dim.
+  */
+final class LocalIvfPqIndex private (
+    unitCentroids: Array[Array[Float]],
+    cellStart: Array[Int],
+    idsFlat: Array[Long],
+    pqCodes: Array[Byte],
+    int8: Array[Short],
+    norms: Array[Long],
+    m: Int, kSub: Int, codebook: Array[Double],
+    val dim: Int) {
+
+  val numCells: Int = unitCentroids.length
+  val count: Int = idsFlat.length
+
+  /** Rows ADC-scanned by an `nprobe`-cell probe of this query. */
+  def probedRows(q: Array[Float], nprobe: Int): Int =
+    routeCells(q, nprobe).map(c => cellStart(c + 1) - cellStart(c)).sum
+
+  private[store] def routeCells(q: Array[Float], nprobe: Int): Array[Int] = {
+    val scores = new Array[Double](numCells)
+    var c = 0
+    while (c < numCells) {
+      val cent = unitCentroids(c)
+      var s = 0.0
+      var i = 0
+      while (i < dim) { s += q(i).toDouble * cent(i); i += 1 }
+      scores(c) = s
+      c += 1
+    }
+    val order = (0 until numCells).sortBy(c => (-scores(c), c))
+    order.take(math.min(nprobe, numCells)).toArray
+  }
+
+  // gang sizing mirrors the other local tiers (cells are the scan units)
+  private val MinChunk = 2048
+  private val maxThreads =
+    math.max(1, math.min(Runtime.getRuntime.availableProcessors(), 16))
+  private val gangSize = math.max(1, math.min(maxThreads, count / MinChunk))
+  private val gang = if (gangSize > 1) new ScanGang(gangSize) else null
+  private val gangLock = new java.util.concurrent.locks.ReentrantLock()
+
+  /** ADC-scan one cell's PQ codes, candidates keyed by FLAT ROW INDEX
+    * (the rescore handle; deterministic cell-major tie order). */
+  private def adcScanCell(c: Int, lut: Array[Double], buf: CandidateHeap): Unit = {
+    var r = cellStart(c)
+    val end = cellStart(c + 1)
+    while (r < end) {
+      val base = r * m
+      var acc = 0.0
+      var sub = 0
+      while (sub < m) {
+        acc += lut(sub * kSub + (pqCodes(base + sub) & 0xff))
+        sub += 1
+      }
+      buf.insert(acc, r.toLong)
+      r += 1
+    }
+  }
+
+  /** The rescore-everything reference path: identical routing, exact int8
+    * scan of EVERY probed row (no ADC stage). search() with candK >= the
+    * probed row count must equal this bitwise (spec-gated); at
+    * nprobe = numCells it equals the flat tier's exact search. */
+  def exactInProbe(q: Array[Float], topK: Int, nprobe: Int): Seq[(Long, Double)] = {
+    require(q.length == dim, s"query dimension ${q.length} != $dim")
+    val qb = VectorKernels.quantize(q)
+    val qShort = new Array[Short](dim)
+    var i = 0
+    while (i < dim) { qShort(i) = qb(i).toShort; i += 1 }
+    val nq = VectorKernels.normSqInt8(qb)
+    val out = new TopKBuffer(topK)
+    routeCells(q, nprobe).foreach { c =>
+      SimdSupport.scan(int8, norms, idsFlat, cellStart(c), cellStart(c + 1),
+        dim, qShort, nq, out)
+    }
+    (0 until out.size).map(k => (out.ids(k), out.scores(k)))
+  }
+
+  /** Route -> ADC scan probed cells -> exact int8 rescore of the top
+    * `candK` candidates -> top-`topK` (score DESC, vec_id ASC). */
+  def search(q: Array[Float], topK: Int, nprobe: Int, candK: Int): Seq[(Long, Double)] = {
+    require(q.length == dim, s"query dimension ${q.length} != $dim")
+    require(candK >= topK, s"candK $candK < topK $topK")
+    val lut = VectorKernels.pqLut(q, codebook, m, kSub)
+    val cells = routeCells(q, nprobe)
+    val qb = VectorKernels.quantize(q)
+    val qShort = new Array[Short](dim)
+    var i = 0
+    while (i < dim) { qShort(i) = qb(i).toShort; i += 1 }
+    val nq = VectorKernels.normSqInt8(qb)
+    val out = new TopKBuffer(topK)
+    if (gang != null && cells.length > 1 && gangLock.tryLock()) {
+      try {
+        // ONE gang dispatch per query — gang.run's wake/join latency
+        // (~100-300 us) dominates the composed tier's actual work
+        // (measured: a second gang.run halved QPS), so the three phases
+        // run inside a single dispatch with an internal barrier:
+        //  A (parallel): stride cells over workers, each keeps ITS
+        //    top-candK and heap-sorts it in place — the near-tie
+        //    sift-down work stays on the worker cores;
+        //  B (one worker): the LAST worker through the barrier runs the
+        //    global top-candK k-way head select over the sorted lists
+        //    (candK x gang.n compares, ~10 us; no duplicates — each row
+        //    is scanned by exactly one worker) while the rest spin;
+        //  C (parallel): exact rescore of the scattered candidate rows —
+        //    DRAM-latency bound sequentially (~4 cold lines per row), so
+        //    the independent misses stride over the gang. TopKBuffer's
+        //    total order keeps the merged result bitwise equal to the
+        //    sequential path.
+        val bufs = new Array[CandidateHeap](gang.n)
+        val outs = new Array[TopKBuffer](gang.n)
+        val candIdx = new Array[Int](candK)
+        val doneA = new java.util.concurrent.atomic.AtomicInteger(0)
+        val cnBox = new java.util.concurrent.atomic.AtomicInteger(-1)
+        gang.run { w =>
+          val buf = new CandidateHeap(candK)
+          var ci = w
+          while (ci < cells.length) { adcScanCell(cells(ci), lut, buf); ci += gang.n }
+          buf.sortIntoDesc()
+          bufs(w) = buf
+          if (doneA.incrementAndGet() == gang.n) {
+            val cn = CandidateSelect.kWayTopIdx(bufs, candK, candIdx)
+            cnBox.set(cn) // release: publishes candIdx to the spinners
+          } else {
+            while (cnBox.get() < 0) Thread.onSpinWait()
+          }
+          val cn = cnBox.get()
+          val o = new TopKBuffer(topK)
+          var j = w
+          while (j < cn) {
+            val r = candIdx(j)
+            SimdSupport.scan(int8, norms, idsFlat, r, r + 1, dim, qShort, nq, o)
+            j += gang.n
+          }
+          outs(w) = o
+        }
+        outs.foreach(out.mergeFrom)
+      } finally gangLock.unlock()
+    } else {
+      val cand = new CandidateHeap(candK)
+      var ci = 0
+      while (ci < cells.length) { adcScanCell(cells(ci), lut, cand); ci += 1 }
+      // exact rescore: candK single-row exact cosines — identical scoring
+      // to the flat int8 tier on the surviving candidates
+      var j = 0
+      while (j < cand.size) {
+        val r = cand.ids(j).toInt
+        SimdSupport.scan(int8, norms, idsFlat, r, r + 1, dim, qShort, nq, out)
+        j += 1
+      }
+    }
+    (0 until out.size).map(k => (out.ids(k), out.scores(k)))
+  }
+}
+
+object LocalIvfPqIndex {
+
+  /** Train: coarse centroids via the shared bounded k-means, rows packed
+    * cell-major, PQ codes + int8 rescore codes per row. The PQ codebook
+    * is caller-supplied (the PqQueries training path), matching how the
+    * flat LocalPqIndex is fed. */
+  def train(ids: Array[Long], vecs: Array[Array[Float]], numCells: Int,
+      m: Int, kSub: Int, codebook: Array[Double],
+      nprobeSample: Int = 10000, iters: Int = 5, seed: Long = 11L): LocalIvfPqIndex = {
+    require(ids.length == vecs.length && ids.nonEmpty, "mismatched build input")
+    val cents = LocalIvfIndex.trainCentroids(vecs, numCells, nprobeSample, iters, seed)
+    val dim = vecs(0).length
+    val cells = vecs.map(LocalIvfIndex.argmaxCell(_, cents))
+    val counts = new Array[Int](numCells)
+    cells.foreach(c => counts(c) += 1)
+    val cellStart = new Array[Int](numCells + 1)
+    var c = 0
+    while (c < numCells) { cellStart(c + 1) = cellStart(c) + counts(c); c += 1 }
+    val n = ids.length
+    val idsFlat = new Array[Long](n)
+    val pqCodes = new Array[Byte](n * m)
+    val int8 = new Array[Short](n * dim)
+    val norms = new Array[Long](n)
+    val fill = cellStart.clone()
+    var r = 0
+    while (r < n) {
+      val slot = fill(cells(r))
+      fill(cells(r)) = slot + 1
+      idsFlat(slot) = ids(r)
+      val pc = VectorKernels.pqEncode(vecs(r), codebook, m, kSub)
+      System.arraycopy(pc, 0, pqCodes, slot * m, m)
+      val qb = VectorKernels.quantize(vecs(r))
+      val base = slot * dim
+      var i = 0
+      var nn = 0L
+      while (i < dim) {
+        val x = qb(i)
+        int8(base + i) = x.toShort
+        nn += x.toLong * x
+        i += 1
+      }
+      norms(slot) = nn
+      r += 1
+    }
+    new LocalIvfPqIndex(cents, cellStart, idsFlat, pqCodes, int8, norms,
+      m, kSub, codebook, dim)
+  }
+}
