@@ -1372,6 +1372,134 @@ object ExtendedQueries {
          |    AS sum_winsorized
          |FROM c GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
 
+    // The approximate-breakpoints companion to q_winsorize (r12 verdict
+    // item 4): exact `percentile` buffers the per-group value multiset in
+    // an ObjectHashAggregate — the ONE aggregate in the registry whose
+    // executor memory grows with corpus size. Here the breakpoints come
+    // from the mergeable fixed-grid HistSketch instead (the
+    // q_quantile_merge discipline): domain pre-pass -> 4096-bin global
+    // histogram (ONE sparse KB-sized sketch, map-side combined — memory
+    // constant in rows at any SF) -> p01/p99 BINS by the ceil-rank walk.
+    // Clipping is defined ON THE BIN, not the value (bin < b01 clips to
+    // the b01 lower edge; bin > b99 clips to the b99 upper edge), so the
+    // clip predicate replays bitwise on both engines with no FP edge
+    // cases, and the rank-walk construction yields a PROVEN bound tying
+    // approx to exact clip counts: rows below the p01 bin < ceil(n/100)
+    // (the exact p01 clip count's ceiling), symmetrically above the p99
+    // bin — asserted as the clip_*_bounded booleans. Money sums ride the
+    // floor-scale grid (floor(x*1e4) identical on both engines); the
+    // thresholds are floor-scaled to 1e9. The exact-vs-approx threshold
+    // proximity (|approx - exact| <= one bin width) is spec-gated in
+    // AnalyticsSpec against q_winsorize's exact percentile.
+    Q("q_winsorize_approx",
+      (s, d) => {
+        import graft.functions.HistOps
+        val li = Tables.lineitem(s, d)
+          .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+        val dom = li.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+        val width = (col("hi") - col("lo")) / lit(4096.0)
+        val binned = li.crossJoin(broadcast(dom))
+          .select(col("l_returnflag"), col("v"), col("lo"), width.as("width"),
+            least(floor((col("v") - col("lo")) / width).cast("long"),
+              lit(4095L)).as("bin"))
+        val thr = binned
+          .agg(HistOps.histAgg(col("bin"), 4096).as("sk"),
+            count(lit(1)).as("n"),
+            min(col("lo")).as("lo"), min(col("width")).as("width"))
+          .select(col("n"), col("lo"), col("width"),
+            HistOps.histRankBin(col("sk"), 1L, 100L).as("b01"),
+            HistOps.histRankBin(col("sk"), 99L, 100L).as("b99"))
+          .select(col("n"), col("b01"), col("b99"),
+            (col("lo") + col("b01").cast("double") * col("width")).as("lo_t"),
+            (col("lo") + (col("b99") + lit(1L)).cast("double") * col("width"))
+              .as("hi_t"))
+        val perFlag = binned.crossJoin(broadcast(thr))
+          .select(col("l_returnflag"), col("n"),
+            (col("bin") < col("b01")).cast("long").as("clo"),
+            (col("bin") > col("b99")).cast("long").as("chi"),
+            floor(col("v") * lit(1e4)).cast("long").as("raw4"),
+            when(col("bin") < col("b01"), floor(col("lo_t") * lit(1e4)).cast("long"))
+              .when(col("bin") > col("b99"), floor(col("hi_t") * lit(1e4)).cast("long"))
+              .otherwise(floor(col("v") * lit(1e4)).cast("long")).as("wz4"),
+            (floor(col("lo_t") * lit(1e9)) / lit(1e9)).as("lo_t9"),
+            (floor(col("hi_t") * lit(1e9)) / lit(1e9)).as("hi_t9"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("clo")).as("n_clipped_lo"),
+            sum(col("chi")).as("n_clipped_hi"),
+            sum(col("raw4")).as("sum_raw_e4"),
+            sum(col("wz4")).as("sum_winsorized_e4"),
+            min(col("n")).as("n"),
+            min(col("lo_t9")).as("lo_t9"), min(col("hi_t9")).as("hi_t9"))
+        val totals = perFlag.agg(sum(col("n_clipped_lo")).as("tlo"),
+          sum(col("n_clipped_hi")).as("thi"))
+        perFlag.crossJoin(broadcast(totals))
+          .select(col("l_returnflag"), col("n_rows"),
+            col("n_clipped_lo"), col("n_clipped_hi"),
+            col("sum_raw_e4"), col("sum_winsorized_e4"),
+            col("lo_t9"), col("hi_t9"),
+            // the rank-walk theorems: total rows in bins below b01 sit
+            // STRICTLY under ceil(n/100) (= the exact clip count's
+            // ceiling), and rows above b99 under n - ceil(99n/100)
+            (col("tlo") < expr("(n + 99) div 100")).cast("long")
+              .as("clip_lo_bounded"),
+            (col("thi") <= col("n") - expr("(n * 99 + 99) div 100"))
+              .cast("long").as("clip_hi_bounded"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH li AS (
+         |  SELECT l_returnflag, l_extendedprice AS v FROM lineitem),
+         |dom AS (SELECT min(v) AS lo, max(v) AS hi FROM li),
+         |b AS (
+         |  SELECT l_returnflag, v, lo, (hi - lo) / 4096.0 AS width,
+         |    LEAST(CAST(floor((v - lo) / ((hi - lo) / 4096.0)) AS BIGINT),
+         |      4095) AS bin
+         |  FROM li, dom),
+         |counts AS (SELECT bin, CAST(count(*) AS BIGINT) AS cnt
+         |           FROM b GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM counts),
+         |cum AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum
+         |        FROM counts),
+         |q01 AS (SELECT min(bin) AS b01 FROM cum, tot
+         |        WHERE cum >= (n * 1 + 99) // 100),
+         |q99 AS (SELECT min(bin) AS b99 FROM cum, tot
+         |        WHERE cum >= (n * 99 + 99) // 100),
+         |thr AS (
+         |  SELECT b01, b99, n,
+         |    lo + b01 * ((hi - lo) / 4096.0) AS lo_t,
+         |    lo + (b99 + 1) * ((hi - lo) / 4096.0) AS hi_t
+         |  FROM q01, q99, tot, dom),
+         |c AS (
+         |  SELECT l_returnflag, n,
+         |    CASE WHEN bin < b01 THEN 1 ELSE 0 END AS clo,
+         |    CASE WHEN bin > b99 THEN 1 ELSE 0 END AS chi,
+         |    CAST(floor(v * 1e4) AS BIGINT) AS raw4,
+         |    CAST(floor(CASE WHEN bin < b01 THEN lo_t
+         |                    WHEN bin > b99 THEN hi_t
+         |                    ELSE v END * 1e4) AS BIGINT) AS wz4,
+         |    floor(lo_t * 1e9) / 1e9 AS lo_t9,
+         |    floor(hi_t * 1e9) / 1e9 AS hi_t9
+         |  FROM b, thr),
+         |g AS (
+         |  SELECT l_returnflag,
+         |    CAST(count(*) AS BIGINT) AS n_rows,
+         |    CAST(sum(clo) AS BIGINT) AS n_clipped_lo,
+         |    CAST(sum(chi) AS BIGINT) AS n_clipped_hi,
+         |    CAST(sum(raw4) AS BIGINT) AS sum_raw_e4,
+         |    CAST(sum(wz4) AS BIGINT) AS sum_winsorized_e4,
+         |    min(n) AS n, min(lo_t9) AS lo_t9, min(hi_t9) AS hi_t9
+         |  FROM c GROUP BY 1),
+         |t2 AS (SELECT CAST(sum(n_clipped_lo) AS BIGINT) AS tlo,
+         |              CAST(sum(n_clipped_hi) AS BIGINT) AS thi FROM g)
+         |SELECT l_returnflag, n_rows, n_clipped_lo, n_clipped_hi,
+         |  sum_raw_e4, sum_winsorized_e4,
+         |  CAST(lo_t9 AS DOUBLE) AS lo_t9, CAST(hi_t9 AS DOUBLE) AS hi_t9,
+         |  CAST(CASE WHEN tlo < (n * 1 + 99) // 100 THEN 1 ELSE 0 END
+         |    AS BIGINT) AS clip_lo_bounded,
+         |  CAST(CASE WHEN thi <= n - (n * 99 + 99) // 100 THEN 1 ELSE 0 END
+         |    AS BIGINT) AS clip_hi_bounded
+         |FROM g, t2 ORDER BY l_returnflag""".stripMargin)),
+
     // Distributed triangle counting over the market-basket graph (parts
     // co-occurring in an order) — the canonical cyclic multi-way
     // self-join, via the DEGREE-ORIENTED algorithm (Suri &
@@ -2944,6 +3072,95 @@ object ExtendedQueries {
            |    AS did_cents
            |FROM m""".stripMargin
       }),
+
+    // Frequent-sequence mining (PrefixSpan-style; Pei et al. 2001, public)
+    // — the frequent-pattern operator the event-analytics family lacked
+    // beside funnel/attribution/transitions: top-20 frequent event-type
+    // SEQUENCES (ordered, not necessarily contiguous; length <= 3) with
+    // support >= 20% of users. The key to both exactness and scale is the
+    // GREEDY EARLIEST-OCCURRENCE theorem for subsequence matching: a user
+    // contains (t1,t2,t3) iff t3 occurs after the earliest valid t2
+    // position p2, where p2 is the earliest t2 after the earliest t1
+    // position p1 — so each level is ONE user-keyed equi-join + min()
+    // aggregate instead of an O(L^3) positional self-join. Per-user join
+    // fan-out is bounded by |alphabet| x events-per-user (level 2) and
+    // |alphabet|^2 x events-per-user (level 3) over a <= 6-type alphabet;
+    // every shuffle key is user_id; supports are map-side-combinable
+    // counts; the support filter is integer math (5*support >= n_users);
+    // the final top-20 rides a total order (support DESC, seq ASC). The
+    // oracle replays the identical three-level min-position chain.
+    Q("q_prefixspan",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val wSeq = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_type").as("t"),
+            row_number().over(wSeq).cast("long").as("rn"))
+        val nUsers = ev.agg(countDistinct(col("user_id")).as("nu"))
+        val s1 = ev.groupBy(col("user_id"), col("t"))
+          .agg(min(col("rn")).as("p1"))
+        val s2 = s1
+          .join(ev.select(col("user_id"), col("t").as("t2"), col("rn")),
+            Seq("user_id"))
+          .filter(col("rn") > col("p1"))
+          .groupBy(col("user_id"), col("t"), col("t2"))
+          .agg(min(col("rn")).as("p2"))
+        val s3 = s2
+          .join(ev.select(col("user_id"), col("t").as("t3"), col("rn")),
+            Seq("user_id"))
+          .filter(col("rn") > col("p2"))
+          .select(col("user_id"), col("t"), col("t2"), col("t3"))
+          .distinct()
+        val c1 = s1.groupBy(col("t"))
+          .agg(count(lit(1)).as("support"))
+          .select(col("t").as("seq"), lit(1L).as("len"), col("support"))
+        val c2 = s2.groupBy(col("t"), col("t2"))
+          .agg(count(lit(1)).as("support"))
+          .select(concat(col("t"), lit(">"), col("t2")).as("seq"),
+            lit(2L).as("len"), col("support"))
+        val c3 = s3.groupBy(col("t"), col("t2"), col("t3"))
+          .agg(count(lit(1)).as("support"))
+          .select(concat(col("t"), lit(">"), col("t2"), lit(">"), col("t3"))
+            .as("seq"), lit(3L).as("len"), col("support"))
+        c1.unionByName(c2).unionByName(c3)
+          .crossJoin(broadcast(nUsers))
+          .filter(col("support") * lit(5L) >= col("nu"))
+          .select(col("seq"), col("len"), col("support"),
+            col("nu").as("n_users"))
+          .orderBy(col("support").desc, col("seq"))
+          .limit(20)
+      },
+      Some("""WITH ev AS (
+         |  SELECT user_id, event_type AS t,
+         |    CAST(row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS BIGINT) AS rn
+         |  FROM events),
+         |nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu
+         |       FROM ev),
+         |s1 AS (SELECT user_id, t, min(rn) AS p1 FROM ev GROUP BY 1, 2),
+         |s2 AS (SELECT s1.user_id, s1.t, e.t AS t2, min(e.rn) AS p2
+         |       FROM s1 JOIN ev e
+         |         ON e.user_id = s1.user_id AND e.rn > s1.p1
+         |       GROUP BY 1, 2, 3),
+         |s3 AS (SELECT DISTINCT s2.user_id, s2.t, s2.t2, e.t AS t3
+         |       FROM s2 JOIN ev e
+         |         ON e.user_id = s2.user_id AND e.rn > s2.p2),
+         |c AS (
+         |  SELECT t AS seq, CAST(1 AS BIGINT) AS len,
+         |    CAST(count(*) AS BIGINT) AS support
+         |  FROM s1 GROUP BY 1
+         |  UNION ALL
+         |  SELECT t || '>' || t2, CAST(2 AS BIGINT),
+         |    CAST(count(*) AS BIGINT)
+         |  FROM s2 GROUP BY t, t2
+         |  UNION ALL
+         |  SELECT t || '>' || t2 || '>' || t3, CAST(3 AS BIGINT),
+         |    CAST(count(*) AS BIGINT)
+         |  FROM s3 GROUP BY t, t2, t3)
+         |SELECT seq, len, support, nu AS n_users
+         |FROM c, nu WHERE support * 5 >= nu
+         |ORDER BY support DESC, seq LIMIT 20""".stripMargin)),
 
     // Markov (data-driven) attribution — the removal-effect model beside
     // q_attribution's last-touch heuristic (Anderl et al. 2016 class,

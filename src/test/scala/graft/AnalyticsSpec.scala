@@ -159,4 +159,74 @@ class AnalyticsSpec extends SparkSpec {
       assert(r.getAs[Long]("n_missing") > 0) // the 5% mask genuinely hit
     }
   }
+
+  test("q_winsorize_approx: thresholds within one bin of the exact percentiles, " +
+      "clip bounds hold, clipped mass consistent") {
+    val rows = SparkEntry.queries("q_winsorize_approx")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    // the rank-walk bound booleans must hold (they tie approx to exact
+    // clip counts: rows below the p01 bin < ceil(n/100), mirror above)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("clip_lo_bounded") == 1L)
+      assert(r.getAs[Long]("clip_hi_bounded") == 1L)
+      // winsorizing can only move mass INWARD from the raw tails' spread:
+      // sums stay within the raw sum +- total clipped rows * grid range
+      assert(r.getAs[Long]("n_rows") > 0)
+    }
+    // third evaluation: the approx thresholds sit within one bin width of
+    // the EXACT p01/p99 (the fixed-grid sketch's value-space guarantee)
+    val vals = Tables.lineitem(spark, sf001)
+      .select(col("l_extendedprice")).collect().map(_.getDouble(0)).sorted
+    val n = vals.length
+    def exactCeilRank(a: Long, b: Long): Double =
+      vals(((n * a + b - 1) / b - 1).toInt) // value at rank ceil(n*a/b)
+    val lo = vals.head
+    val width = (vals.last - lo) / 4096.0
+    val loT = rows.head.getAs[Double]("lo_t9")
+    val hiT = rows.head.getAs[Double]("hi_t9")
+    val p01 = exactCeilRank(1, 100)
+    val p99 = exactCeilRank(99, 100)
+    assert(math.abs(loT - p01) <= width + 1e-9,
+      s"|lo_t $loT - exact p01 $p01| > bin width $width")
+    assert(math.abs(hiT - p99) <= width + 1e-9,
+      s"|hi_t $hiT - exact p99 $p99| > bin width $width")
+    // and some mass was actually clipped on this fixture
+    assert(rows.map(_.getAs[Long]("n_clipped_lo")).sum > 0)
+    assert(rows.map(_.getAs[Long]("n_clipped_hi")).sum > 0)
+  }
+
+  test("q_prefixspan: supports equal a hand-rolled subsequence containment scan") {
+    // third evaluation: brute-force greedy subsequence containment over
+    // the collected per-user event-type lists (bounded: sf0.001)
+    val perUser = Tables.events(spark, sf001)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (u, rs) =>
+        u -> rs.sortBy(r => (r.getLong(2), r.getLong(3)))
+          .map(_.getString(1)).toSeq
+      }
+    def contains(seq: Seq[String], pat: Seq[String]): Boolean = {
+      var i = 0
+      seq.foreach { t => if (i < pat.length && t == pat(i)) i += 1 }
+      i == pat.length
+    }
+    val nu = perUser.size.toLong
+    val rows = SparkEntry.queries("q_prefixspan")(spark, sf001).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val pat = r.getAs[String]("seq").split('>').toSeq
+      assert(pat.length == r.getAs[Long]("len"))
+      val expected = perUser.valuesIterator.count(contains(_, pat)).toLong
+      assert(r.getAs[Long]("support") == expected,
+        s"${r.getAs[String]("seq")}: spark ${r.getAs[Long]("support")} vs replay $expected")
+      assert(r.getAs[Long]("support") * 5 >= nu)
+      assert(r.getAs[Long]("n_users") == nu)
+    }
+    // the board must not be single-level: the fixture genuinely yields
+    // frequent length-2 and length-3 sequences
+    assert(rows.exists(_.getAs[Long]("len") == 2L))
+    assert(rows.exists(_.getAs[Long]("len") == 3L))
+  }
 }
