@@ -917,6 +917,37 @@ class StreamingSpec extends SparkSpec {
     assert(batch.values.exists(_._2 > 0), "no flat asset flagged — gate vacuous")
   }
 
+  test("streaming perceptual (dHash) near-dup pairs equal the batch band join") {
+    import graft.streaming.StreamDhashDedup
+    import org.apache.spark.sql.functions.{bit_count, col}
+    val (table, nBatches) = StreamDhashDedup.runOnce(spark, sf001, "dhash_stream_test")
+    assert(nBatches >= 2, s"expected >= 2 non-empty micro-batches, got $nBatches")
+    // a pair colliding in several bands is emitted once per band (same
+    // hamming each time) — DISTINCT (a, b, ham) sets must equal batch
+    val streamed = table.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.ops.MultimodalQueries.dhashCandidates(spark, sf001)
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= 4)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty, "batch dHash pair set vacuous at sf0.001")
+    assert(streamed == batch,
+      s"stream-only=${(streamed -- batch).take(5)} batch-only=${(batch -- streamed).take(5)}")
+  }
+
+  test("streaming dHash near-dup bucket cap bounds state (degenerate-bucket guard)") {
+    import graft.streaming.StreamDhashDedup
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val capped = StreamDhashDedup.pairs(docs, maxBucket = 2).count()
+    val full = StreamDhashDedup.pairs(docs).count()
+    // with per-bucket membership capped at 2, each bucket emits at most
+    // one pair's worth of confirms — strictly fewer than the full run
+    assert(capped <= full)
+    assert(full > 0)
+  }
+
   test("streaming CUSUM: an un-armed event type is skipped, not a crash") {
     import graft.streaming.StreamCusum
     val events = spark.read.parquet(s"$sf001/events.parquet")
