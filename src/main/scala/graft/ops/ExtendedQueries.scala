@@ -3401,6 +3401,96 @@ object ExtendedQueries {
          |    > 1.96 AS BIGINT) AS significant
          |FROM agg""".stripMargin)),
 
+    // Two-sample Kolmogorov-Smirnov — the DISTRIBUTION-SHAPE test beside
+    // q_mann_whitney's location shift: purchase vs view spend on the
+    // cents grid, D = sup_x |F1(x) - F2(x)|. Fully exact integers end to
+    // end: per distinct grid value, cumulative counts c1/c2 over the
+    // value-ordered walk (the q_mann_whitney single-partition window —
+    // scale-safe because the walk is over DISTINCT GRID VALUES, bounded
+    // by the price grid, not the corpus), and the sup statistic is
+    // max |c1*n2 - c2*n1| — a BIGINT, the rational D's numerator over
+    // the common denominator n1*n2 (products via DECIMAL(38,0)/HUGEINT,
+    // the q_cuped rule, so a 10^4x fixture cannot wrap). The one double
+    // per bound is exact-integer / sqrt: IEEE sqrt is correctly rounded,
+    // so d_stat and the Smirnov asymptotic critical value
+    // c(0.05)=1.358 * sqrt((n1+n2)/(n1*n2)) are bit-identical on both
+    // engines; both are floor-snapped to the 1e9 grid anyway.
+    Q("q_ks_test",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, d)
+          .filter(col("event_type").isin("purchase", "view"))
+          .select(col("event_type"),
+            floor(col("value") * lit(100.0)).cast("long").as("x"))
+        val byVal = ev.groupBy(col("x")).agg(
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n1v"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n2v"))
+        val wCum = Window.orderBy(col("x"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.orderBy(col("x"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val agg = byVal
+          .withColumn("c1", sum(col("n1v")).over(wCum))
+          .withColumn("c2", sum(col("n2v")).over(wCum))
+          .withColumn("n1", sum(col("n1v")).over(wAll))
+          .withColumn("n2", sum(col("n2v")).over(wAll))
+          .select(col("n1"), col("n2"),
+            abs(expr("CAST(c1 AS DECIMAL(38,0)) * n2") -
+              expr("CAST(c2 AS DECIMAL(38,0)) * n1")).as("dn"))
+          .groupBy(col("n1"), col("n2"))
+          .agg(max(col("dn")).as("d_num"))
+        agg.select(col("n1"), col("n2"),
+          (expr("CAST(d_num AS DECIMAL(38,0)) * 1000000000 div " +
+            "(CAST(n1 AS DECIMAL(38,0)) * n2)").cast("double") / lit(1e9))
+            .as("d_stat"),
+          (floor(lit(1.358) *
+            sqrt((col("n1") + col("n2")).cast("double") /
+              (col("n1").cast("double") * col("n2").cast("double"))) *
+            lit(1e9)) / lit(1e9)).as("d_crit_05"),
+          (expr("CAST(d_num AS DECIMAL(38,0)) * 1000000000 div " +
+            "(CAST(n1 AS DECIMAL(38,0)) * n2)").cast("double") / lit(1e9) >
+            floor(lit(1.358) *
+              sqrt((col("n1") + col("n2")).cast("double") /
+                (col("n1").cast("double") * col("n2").cast("double"))) *
+              lit(1e9)) / lit(1e9)).cast("long").as("reject_05"))
+      },
+      Some("""WITH ev AS (
+         |  SELECT event_type, CAST(floor(value * 100.0) AS BIGINT) AS x
+         |  FROM events WHERE event_type IN ('purchase', 'view')),
+         |bv AS (
+         |  SELECT x,
+         |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n1v,
+         |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n2v
+         |  FROM ev GROUP BY x),
+         |cum AS (
+         |  SELECT x,
+         |    sum(n1v) OVER (ORDER BY x) AS c1,
+         |    sum(n2v) OVER (ORDER BY x) AS c2,
+         |    sum(n1v) OVER () AS n1, sum(n2v) OVER () AS n2
+         |  FROM bv),
+         |agg AS (
+         |  SELECT CAST(min(n1) AS BIGINT) AS n1,
+         |    CAST(min(n2) AS BIGINT) AS n2,
+         |    max(abs(CAST(c1 AS HUGEINT) * n2 - CAST(c2 AS HUGEINT) * n1))
+         |      AS d_num
+         |  FROM cum)
+         |SELECT n1, n2,
+         |  CAST(d_num * 1000000000 // (CAST(n1 AS HUGEINT) * n2) AS DOUBLE)
+         |    / 1e9 AS d_stat,
+         |  floor(CAST(1.358 AS DOUBLE) *
+         |    sqrt(CAST(n1 + n2 AS DOUBLE) /
+         |      (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) * 1e9) / 1e9
+         |    AS d_crit_05,
+         |  CAST(CAST(d_num * 1000000000 // (CAST(n1 AS HUGEINT) * n2)
+         |      AS DOUBLE) / 1e9 >
+         |    floor(CAST(1.358 AS DOUBLE) *
+         |      sqrt(CAST(n1 + n2 AS DOUBLE) /
+         |        (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) * 1e9) / 1e9
+         |    AS BIGINT) AS reject_05
+         |FROM agg""".stripMargin)),
+
     // Wilson score interval — the PROPORTION confidence interval beside
     // q_bootstrap_ci's resampling CI: per event type, the fraction of
     // high-value events (value >= 100, ~13% of the fixture) with the

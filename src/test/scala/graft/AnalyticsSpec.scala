@@ -195,6 +195,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_clipped_hi")).sum > 0)
   }
 
+  test("q_ks_test: D equals a hand-rolled sup over the merged empirical CDFs") {
+    val rows = Tables.events(spark, sf001)
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(col("event_type"), floor(col("value") * lit(100.0)).cast("long"))
+      .collect()
+    val s1 = rows.filter(_.getString(0) == "purchase").map(_.getLong(1)).sorted
+    val s2 = rows.filter(_.getString(0) == "view").map(_.getLong(1)).sorted
+    val grid = (s1 ++ s2).distinct.sorted
+    def cdfCount(s: Array[Long], v: Long): Long = s.count(_ <= v).toLong
+    val dNum = grid.map(v =>
+      math.abs(cdfCount(s1, v) * s2.length - cdfCount(s2, v) * s1.length)).max
+    val r = SparkEntry.queries("q_ks_test")(spark, sf001).collect().head
+    assert(r.getAs[Long]("n1") == s1.length && r.getAs[Long]("n2") == s2.length)
+    val expectedD = (dNum * 1000000000L / (s1.length.toLong * s2.length)).toDouble / 1e9
+    assert(r.getAs[Double]("d_stat") == expectedD,
+      s"d_stat ${r.getAs[Double]("d_stat")} vs replay $expectedD")
+    // critical value is positive and the reject flag is consistent
+    assert(r.getAs[Double]("d_crit_05") > 0.0)
+    assert((r.getAs[Long]("reject_05") == 1L) ==
+      (r.getAs[Double]("d_stat") > r.getAs[Double]("d_crit_05")))
+  }
+
   test("q_prefixspan: supports equal a hand-rolled subsequence containment scan") {
     // third evaluation: brute-force greedy subsequence containment over
     // the collected per-user event-type lists (bounded: sf0.001)
