@@ -188,6 +188,103 @@ final class LocalIvfPqIndex private (
 
 object LocalIvfPqIndex {
 
+  /** In-process replica of an at-rest [[IvfPqIndex]] layout (plain-PQ
+    * form only): routes on the SAME saved centroids sidecar the
+    * distributed probes use, ADC-scans the SAME frozen-codebook codes,
+    * and rescores on int8 codes quantized EXECUTOR-side from the
+    * caller-supplied float source — the at-rest layout keeps no floats,
+    * so the rescore source is a parameter exactly as in
+    * IvfPqIndex.probeRescored. Refuses OPQ-rotated and residual-coded
+    * layouts (their coding spaces need the probe-side rotation /
+    * per-cell q·c constants — use the distributed probes there); the
+    * refusal is the format-flag sidecar check, so a replica can never
+    * silently mis-score a rotated index. Guarded like
+    * LocalIvfIndex.fromAtRest: refuses corpora whose replica exceeds
+    * `maxLocalBytes`, streams rows via toLocalIterator. */
+  def fromAtRest(spark: org.apache.spark.sql.SparkSession, path: String,
+      emb: org.apache.spark.sql.DataFrame,
+      maxLocalBytes: Long = QuantizedIndex.DefaultMaxLocalBytes): LocalIvfPqIndex = {
+    import org.apache.spark.sql.functions._
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/rotation")),
+      "fromAtRest: OPQ-rotated layout — the replica scans original-space " +
+        "LUTs; use IvfPqIndex.probe (distributed) for rotated indexes")
+    require(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/residual")),
+      "fromAtRest: residual-coded layout — ADC needs per-cell q·c " +
+        "constants; use IvfPqIndex.probe (distributed)")
+    val m = graft.ops.PqQueries.M
+    val kSub = graft.ops.PqQueries.K
+    val centRows = spark.read.parquet(s"$path/centroids")
+      .select(col("cell"), col("centroid").cast("array<float>"))
+      .collect() // numCells rows — sidecar-sized
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    require(centRows.nonEmpty, s"fromAtRest: no centroids under $path")
+    val cellOf = centRows.map(_._1).zipWithIndex.toMap
+    val dim = centRows(0)._2.length
+    val cb = spark.read.parquet(s"$path/codebook")
+      .orderBy("idx").collect().map(_.getDouble(1))
+    val data = spark.read.parquet(s"$path/data")
+      .select(col("vec_id"), col("codes"), col("cell"))
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("vec_id"), col("codes"), col("cell"),
+        graft.functions.VectorOps.quantizeInt8(
+          col("embedding").cast("array<float>")).as("q"))
+    // cell histogram first (tiny aggregate) so the flat arrays fill in
+    // one streamed pass without buffering the corpus twice
+    val cellCounts = spark.read.parquet(s"$path/data")
+      .groupBy(col("cell")).count().collect()
+      .map(r => cellOf(r.getInt(0)) -> r.getLong(1)).toMap
+    val numCells = centRows.length
+    val cellStart = new Array[Int](numCells + 1)
+    var c = 0
+    while (c < numCells) {
+      cellStart(c + 1) = cellStart(c) + cellCounts.getOrElse(c, 0L).toInt
+      c += 1
+    }
+    val n = cellStart(numCells).toLong
+    val peak = n * (m + 7L * dim + 96L)
+    require(peak <= maxLocalBytes,
+      s"fromAtRest refused: materializing this corpus needs ~$peak bytes " +
+        s"of driver heap at peak (> limit $maxLocalBytes). Use IvfPqIndex" +
+        ".probe (distributed), or raise the limit explicitly.")
+    val idsFlat = new Array[Long](n.toInt)
+    val pqCodes = new Array[Byte](n.toInt * m)
+    val int8 = new Array[Short](n.toInt * dim)
+    val norms = new Array[Long](n.toInt)
+    val fill = cellStart.clone()
+    var filled = 0L
+    val it = data.toLocalIterator()
+    while (it.hasNext) {
+      val r = it.next()
+      val cell = cellOf(r.getInt(2))
+      val slot = fill(cell)
+      fill(cell) = slot + 1
+      idsFlat(slot) = r.getLong(0)
+      val pc = r.getAs[Array[Byte]](1)
+      require(pc.length == m, s"fromAtRest: code width ${pc.length} != $m")
+      System.arraycopy(pc, 0, pqCodes, slot * m, m)
+      val qb = r.getAs[Array[Byte]](3)
+      require(qb.length == dim, s"fromAtRest: embedding dim ${qb.length} != $dim")
+      val base = slot * dim
+      var i = 0
+      var nn = 0L
+      while (i < dim) {
+        val x = qb(i)
+        int8(base + i) = x.toShort
+        nn += x.toLong * x
+        i += 1
+      }
+      norms(slot) = nn
+      filled += 1
+    }
+    require(filled == n,
+      s"fromAtRest: $filled of $n code rows joined a float row — the " +
+        "rescore source must cover every indexed vec_id")
+    new LocalIvfPqIndex(centRows.map(_._2), cellStart, idsFlat, pqCodes,
+      int8, norms, m, kSub, cb, dim)
+  }
+
   /** Train: coarse centroids via the shared bounded k-means, rows packed
     * cell-major, PQ codes + int8 rescore codes per row. The PQ codebook
     * is caller-supplied (the PqQueries training path), matching how the

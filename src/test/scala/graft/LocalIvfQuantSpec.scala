@@ -187,6 +187,39 @@ class LocalIvfQuantSpec extends SparkSpec {
     }
   }
 
+  test("fromAtRest replica serves an at-rest IvfPq layout on its frozen sidecars") {
+    import graft.store.{IvfPqIndex, QuantizedIndex}
+    val emb = Tables.embeddings(spark, sf001)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-local").toString
+    IvfPqIndex.build(emb, dir)
+    val rep = LocalIvfPqIndex.fromAtRest(spark, dir, emb)
+    assert(rep.count == emb.count())
+    val flat64 = QuantizedIndex
+      .build(emb.select(col("vec_id"), col("embedding")), dim = 64, numBlocks = 4)
+      .toLocal
+    val qs = emb.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(_.getSeq[Float](1).toArray)
+    qs.foreach { q =>
+      // full probe + covering candK recovers the flat exact scan — the
+      // replica's routing, codes and rescore all line up with the layout
+      val exact = flat64.search(VectorKernels.quantize(q), K)
+      assert(rep.search(q, K, rep.numCells, candK = rep.count) == exact)
+      // at a small nprobe the rescored probe equals the cell-restricted
+      // exact search (same chain as the trained tiers)
+      val cover = rep.probedRows(q, 2)
+      assert(rep.search(q, K, 2, candK = cover) == rep.exactInProbe(q, K, 2))
+    }
+    // a rescore source missing indexed ids fails loudly
+    intercept[IllegalArgumentException](
+      LocalIvfPqIndex.fromAtRest(spark, dir, emb.filter(col("vec_id") < 100)))
+    // an OPQ layout is refused (format-flag check)
+    val dirOpq = java.nio.file.Files.createTempDirectory("ivfpq-local-opq").toString
+    IvfPqIndex.buildOpq(emb, dirOpq)
+    intercept[IllegalArgumentException](
+      LocalIvfPqIndex.fromAtRest(spark, dirOpq, emb))
+  }
+
   test("guards: dimension mismatch and candK < topK fail loudly") {
     intercept[IllegalArgumentException](ivfPq.search(new Array[Float](Dim + 1), K, 2, 100))
     intercept[IllegalArgumentException](ivfBq.search(new Array[Float](Dim + 1), K, 2, 100))
