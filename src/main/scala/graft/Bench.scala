@@ -105,12 +105,14 @@ object Bench {
         catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: $e") }
         val sec = (System.nanoTime() - t0) / 1e9
         // hygiene between measurements (untimed): drop any cached blocks
-        // a query pinned, and pay heavyweight queries' allocation debt
-        // here instead of inside the next query's measurement (cheap
-        // queries accrue no meaningful debt — skipping their GC keeps
-        // the 3x-sweep overhead bounded)
+        // a query pinned and collect BEFORE the next measurement, so
+        // every rep starts from a collected heap — for the ~150 sub-
+        // second queries a single young-GC pause landing inside the rep
+        // is 50-100% of the reading, and the first protocol-3 cut (GC
+        // only after >0.3s reps) measurably widened their run-to-run
+        // spread
         spark.catalog.clearCache()
-        if (sec > 0.3) System.gc()
+        System.gc()
         timesByQ(q.name) = timesByQ.getOrElse(q.name, Vector.empty) :+ sec
       }
       System.err.println(f"[bench] sweep $rep/$REPS done: ${timesByQ.valuesIterator.map(_.last).sum}%.1f s")
