@@ -3491,6 +3491,77 @@ object ExtendedQueries {
          |    AS BIGINT) AS reject_05
          |FROM agg""".stripMargin)),
 
+    // 1-D Wasserstein-1 (earth mover's) distance between the SAME two
+    // spend distributions q_ks_test contrasts — the L1 companion to the
+    // KS sup-norm, and the drift metric ML pipelines use where PSI's
+    // fixed binning is too coarse: W1 = integral |F1 - F2| dx. On the
+    // cents grid this is EXACT integers end to end: per distinct value,
+    // the CDF-difference numerator d = c1*n2 - c2*n1 (the q_ks_test
+    // walk) weighted by the gap to the next grid value, summed as a
+    // DECIMAL(38,0)/HUGEINT (a term can reach |d| <= n1*n2 times a
+    // cents gap — far past 2^63 at 100x the fixture), then ONE scaled
+    // integral division by n1*n2 gives W1 in cents on the 1e9 grid.
+    Q("q_wasserstein",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, d)
+          .filter(col("event_type").isin("purchase", "view"))
+          .select(col("event_type"),
+            floor(col("value") * lit(100.0)).cast("long").as("x"))
+        val byVal = ev.groupBy(col("x")).agg(
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n1v"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n2v"))
+        val wCum = Window.orderBy(col("x"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.orderBy(col("x"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val wLead = Window.orderBy(col("x"))
+        byVal
+          .withColumn("c1", sum(col("n1v")).over(wCum))
+          .withColumn("c2", sum(col("n2v")).over(wCum))
+          .withColumn("n1", sum(col("n1v")).over(wAll))
+          .withColumn("n2", sum(col("n2v")).over(wAll))
+          .withColumn("gap", lead(col("x"), 1).over(wLead) - col("x"))
+          .filter(col("gap").isNotNull) // the last grid point carries no mass gap
+          .select(col("n1"), col("n2"),
+            (abs(expr("CAST(c1 AS DECIMAL(38,0)) * n2") -
+              expr("CAST(c2 AS DECIMAL(38,0)) * n1")) * col("gap")).as("term"))
+          .groupBy(col("n1"), col("n2"))
+          .agg(sum(col("term")).as("wnum"))
+          .select(col("n1"), col("n2"),
+            (expr("CAST(wnum AS DECIMAL(38,0)) * 1000000000 div " +
+              "(CAST(n1 AS DECIMAL(38,0)) * n2)").cast("double") / lit(1e9))
+              .as("w1_cents"))
+      },
+      Some("""WITH ev AS (
+         |  SELECT event_type, CAST(floor(value * 100.0) AS BIGINT) AS x
+         |  FROM events WHERE event_type IN ('purchase', 'view')),
+         |bv AS (
+         |  SELECT x,
+         |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n1v,
+         |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n2v
+         |  FROM ev GROUP BY x),
+         |cum AS (
+         |  SELECT x,
+         |    sum(n1v) OVER (ORDER BY x) AS c1,
+         |    sum(n2v) OVER (ORDER BY x) AS c2,
+         |    sum(n1v) OVER () AS n1, sum(n2v) OVER () AS n2,
+         |    lead(x) OVER (ORDER BY x) - x AS gap
+         |  FROM bv),
+         |agg AS (
+         |  SELECT CAST(min(n1) AS BIGINT) AS n1,
+         |    CAST(min(n2) AS BIGINT) AS n2,
+         |    sum(abs(CAST(c1 AS HUGEINT) * n2 - CAST(c2 AS HUGEINT) * n1)
+         |      * gap) AS wnum
+         |  FROM cum WHERE gap IS NOT NULL)
+         |SELECT n1, n2,
+         |  CAST(wnum * 1000000000 // (CAST(n1 AS HUGEINT) * n2) AS DOUBLE)
+         |    / 1e9 AS w1_cents
+         |FROM agg""".stripMargin)),
+
+
     // Wilson score interval — the PROPORTION confidence interval beside
     // q_bootstrap_ci's resampling CI: per event type, the fraction of
     // high-value events (value >= 100, ~13% of the fixture) with the

@@ -158,6 +158,85 @@ final class LocalIvfBqIndex private (
 
 object LocalIvfBqIndex {
 
+  /** In-process replica of an at-rest [[IvfBqIndex]] layout: routes on
+    * the SAME saved centroids sidecar, Hamming-scans the SAME at-rest
+    * sign codes (training-free — there is no quantizer that can be
+    * stale), rescores on int8 quantized EXECUTOR-side from the
+    * caller-supplied float source (the at-rest layout keeps no floats).
+    * Same guards as LocalIvfPqIndex.fromAtRest: heap-limited,
+    * toLocalIterator-streamed, every indexed id must join a float row. */
+  def fromAtRest(spark: org.apache.spark.sql.SparkSession, path: String,
+      emb: org.apache.spark.sql.DataFrame,
+      maxLocalBytes: Long = QuantizedIndex.DefaultMaxLocalBytes): LocalIvfBqIndex = {
+    import org.apache.spark.sql.functions._
+    val centRows = spark.read.parquet(s"$path/centroids")
+      .select(col("cell"), col("centroid").cast("array<float>"))
+      .collect() // numCells rows — sidecar-sized
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    require(centRows.nonEmpty, s"fromAtRest: no centroids under $path")
+    val cellOf = centRows.map(_._1).zipWithIndex.toMap
+    val dim = centRows(0)._2.length
+    val words = (dim + 63) / 64
+    val data = spark.read.parquet(s"$path/data")
+      .select(col("vec_id"), col("code"), col("cell"))
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("vec_id"), col("code"), col("cell"),
+        graft.functions.VectorOps.quantizeInt8(
+          col("embedding").cast("array<float>")).as("q"))
+    val cellCounts = spark.read.parquet(s"$path/data")
+      .groupBy(col("cell")).count().collect()
+      .map(r => cellOf(r.getInt(0)) -> r.getLong(1)).toMap
+    val numCells = centRows.length
+    val cellStart = new Array[Int](numCells + 1)
+    var c = 0
+    while (c < numCells) {
+      cellStart(c + 1) = cellStart(c) + cellCounts.getOrElse(c, 0L).toInt
+      c += 1
+    }
+    val n = cellStart(numCells).toLong
+    val peak = n * (8L * words + 7L * dim + 96L)
+    require(peak <= maxLocalBytes,
+      s"fromAtRest refused: materializing this corpus needs ~$peak bytes " +
+        s"of driver heap at peak (> limit $maxLocalBytes). Use IvfBqIndex" +
+        ".probe (distributed), or raise the limit explicitly.")
+    val idsFlat = new Array[Long](n.toInt)
+    val bqCodes = new Array[Long](n.toInt * words)
+    val int8 = new Array[Short](n.toInt * dim)
+    val norms = new Array[Long](n.toInt)
+    val fill = cellStart.clone()
+    var filled = 0L
+    val it = data.toLocalIterator()
+    while (it.hasNext) {
+      val r = it.next()
+      val cell = cellOf(r.getInt(2))
+      val slot = fill(cell)
+      fill(cell) = slot + 1
+      idsFlat(slot) = r.getLong(0)
+      val code = r.getSeq[Long](1)
+      require(code.length == words, s"fromAtRest: code width ${code.length} != $words")
+      var w = 0
+      while (w < words) { bqCodes(slot * words + w) = code(w); w += 1 }
+      val qb = r.getAs[Array[Byte]](3)
+      require(qb.length == dim, s"fromAtRest: embedding dim ${qb.length} != $dim")
+      val base = slot * dim
+      var i = 0
+      var nn = 0L
+      while (i < dim) {
+        val x = qb(i)
+        int8(base + i) = x.toShort
+        nn += x.toLong * x
+        i += 1
+      }
+      norms(slot) = nn
+      filled += 1
+    }
+    require(filled == n,
+      s"fromAtRest: $filled of $n code rows joined a float row — the " +
+        "rescore source must cover every indexed vec_id")
+    new LocalIvfBqIndex(centRows.map(_._2), cellStart, idsFlat, bqCodes,
+      int8, norms, words, dim)
+  }
+
   /** Train: shared bounded k-means centroids, rows packed cell-major with
     * sign-bit scan codes + int8 rescore codes. */
   def train(ids: Array[Long], vecs: Array[Array[Float]], numCells: Int,

@@ -217,6 +217,33 @@ class AnalyticsSpec extends SparkSpec {
       (r.getAs[Double]("d_stat") > r.getAs[Double]("d_crit_05")))
   }
 
+  test("q_wasserstein: W1 equals a hand-rolled CDF-gap integral, and bounds KS") {
+    val rows = Tables.events(spark, sf001)
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(col("event_type"), floor(col("value") * lit(100.0)).cast("long"))
+      .collect()
+    val s1 = rows.filter(_.getString(0) == "purchase").map(_.getLong(1)).sorted
+    val s2 = rows.filter(_.getString(0) == "view").map(_.getLong(1)).sorted
+    val grid = (s1 ++ s2).distinct.sorted
+    def cdf(s: Array[Long], v: Long): Long = s.count(_ <= v).toLong
+    val wNum = grid.zip(grid.tail).map { case (x, xn) =>
+      BigInt(math.abs(cdf(s1, x) * s2.length - cdf(s2, x) * s1.length)) *
+        BigInt(xn - x)
+    }.sum
+    val nn = BigInt(s1.length.toLong * s2.length)
+    val expected = ((wNum * BigInt(1000000000L)) / nn).toDouble / 1e9
+    val r = SparkEntry.queries("q_wasserstein")(spark, sf001).collect().head
+    assert(r.getAs[Double]("w1_cents") == expected,
+      s"w1 ${r.getAs[Double]("w1_cents")} vs replay $expected")
+    // W1 >= D * min-gap is not generally tight, but W1 must be positive
+    // here and consistent with the KS statistic over the same grid:
+    // W1 <= D * range (|F1-F2| <= D everywhere)
+    val ks = SparkEntry.queries("q_ks_test")(spark, sf001).collect().head
+    val range = (grid.last - grid.head).toDouble
+    assert(r.getAs[Double]("w1_cents") > 0.0)
+    assert(r.getAs[Double]("w1_cents") <= ks.getAs[Double]("d_stat") * range + 1e-6)
+  }
+
   test("q_prefixspan: supports equal a hand-rolled subsequence containment scan") {
     // third evaluation: brute-force greedy subsequence containment over
     // the collected per-user event-type lists (bounded: sf0.001)

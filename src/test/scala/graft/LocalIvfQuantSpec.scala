@@ -220,6 +220,28 @@ class LocalIvfQuantSpec extends SparkSpec {
       LocalIvfPqIndex.fromAtRest(spark, dirOpq, emb))
   }
 
+  test("fromAtRest replica serves an at-rest IvfBq layout on its frozen sidecars") {
+    import graft.store.{IvfBqIndex, QuantizedIndex}
+    val emb = Tables.embeddings(spark, sf001)
+    val dir = java.nio.file.Files.createTempDirectory("ivfbq-local").toString
+    IvfBqIndex.build(emb, dir)
+    val rep = LocalIvfBqIndex.fromAtRest(spark, dir, emb)
+    assert(rep.count == emb.count())
+    val flat64 = QuantizedIndex
+      .build(emb.select(col("vec_id"), col("embedding")), dim = 64, numBlocks = 4)
+      .toLocal
+    val qs = emb.filter(col("vec_id") % 25 === 0)
+      .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
+    qs.foreach { q =>
+      val exact = flat64.search(VectorKernels.quantize(q), K)
+      assert(rep.search(q, K, rep.numCells, candK = rep.count) == exact)
+      val cover = rep.probedRows(q, 2)
+      assert(rep.search(q, K, 2, candK = cover) == rep.exactInProbe(q, K, 2))
+    }
+    intercept[IllegalArgumentException](
+      LocalIvfBqIndex.fromAtRest(spark, dir, emb.filter(col("vec_id") < 100)))
+  }
+
   test("guards: dimension mismatch and candK < topK fail loudly") {
     intercept[IllegalArgumentException](ivfPq.search(new Array[Float](Dim + 1), K, 2, 100))
     intercept[IllegalArgumentException](ivfBq.search(new Array[Float](Dim + 1), K, 2, 100))
