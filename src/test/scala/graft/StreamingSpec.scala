@@ -948,6 +948,36 @@ class StreamingSpec extends SparkSpec {
     assert(full > 0)
   }
 
+  test("streaming HistSketch quantiles equal the batch sketch across the split") {
+    import graft.streaming.StreamQuantiles
+    val (table, nBatches, dom) =
+      StreamQuantiles.runOnce(spark, sf001, "squant_stream_test")
+    assert(nBatches >= 2, s"expected >= 2 non-empty micro-batches, got $nBatches")
+    // the memory sink keeps the LATEST update snapshot; the batch-count
+    // witness proves the split was real. Histogram merge is count
+    // addition, so the final streamed sketch quantiles must equal the
+    // batch sketch over the same rows BITWISE — rank bins and snapped
+    // estimates alike.
+    val streamed = table.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    val batch = StreamQuantiles.quantiles(
+      graft.Tables.events(spark, sf001)
+        .select(org.apache.spark.sql.functions.col("event_type"),
+          org.apache.spark.sql.functions.col("value")),
+      dom._1, dom._2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5)))).toMap
+    assert(batch.nonEmpty && streamed.keySet == batch.keySet)
+    val bad = batch.collect { case (k, v) if streamed(k) != v => (k, streamed(k), v) }
+    assert(bad.isEmpty, s"stream vs batch: ${bad.take(5)}")
+    // the quantiles are non-degenerate: p90 bin at or above p50 bin,
+    // and at least one type separates them on this fixture
+    assert(batch.values.forall { case (_, b50, b90, _, _) => b90 >= b50 })
+    assert(batch.values.exists { case (_, b50, b90, _, _) => b90 > b50 })
+  }
+
   test("streaming CUSUM: an un-armed event type is skipped, not a crash") {
     import graft.streaming.StreamCusum
     val events = spark.read.parquet(s"$sf001/events.parquet")
