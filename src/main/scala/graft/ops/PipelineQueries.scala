@@ -734,6 +734,91 @@ object PipelineQueries {
          |FROM orders GROUP BY 1, 2
          |ORDER BY month, prio""".stripMargin)),
 
+    // t-closeness audit (Li et al. 2007) — the THIRD privacy lens,
+    // completing k-anonymity (class size) and l-diversity (distinct
+    // sensitive values): a class can be large AND diverse yet still leak
+    // if its sensitive DISTRIBUTION differs from the global one (the
+    // skewness attack). Per quasi-identifier class (month x priority),
+    // the total-variation distance between the class's status
+    // distribution and the global status distribution — the paper's EMD
+    // with unit ground distance over a categorical domain. EXACT
+    // integers end to end: per observed (class, status) the numerator
+    // term |ncv*N - nv*nc| over the common denominator nc*N, statuses
+    // ABSENT from a class contribute (N - sum_observed nv)*nc in one
+    // closed form (|0*N - nv*nc| summed over the missing v), products
+    // through DECIMAL(38,0)/HUGEINT, one scaled integral division by
+    // 2*nc*N. The fixture honestly flags most classes at t=0.2: TPC-H
+    // order status is nearly a function of order DATE, so the month
+    // quasi-identifier is intrinsically disclosive — exactly what a
+    // t-closeness audit exists to surface. Scale shape: two keyed
+    // aggregates + a status-sized broadcast join; the audit table is
+    // class-count-sized.
+    Q("q_t_closeness",
+      (s, d) => {
+        val T9 = 200000000L // t = 0.2 on the 1e9 grid
+        val byCS = Tables.orders(s, d)
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+            col("o_orderpriority").as("prio"),
+            col("o_orderstatus").as("status"))
+          .agg(count(lit(1)).as("ncv"))
+        val byClass = byCS.groupBy(col("month"), col("prio"))
+          .agg(sum(col("ncv")).as("nc"))
+        val byStatus = byCS.groupBy(col("status")).agg(sum(col("ncv")).as("nv"))
+        val total = byStatus.agg(sum(col("nv")).as("nn"))
+        val terms = byCS
+          .join(byClass, Seq("month", "prio"))
+          .join(broadcast(byStatus), Seq("status"))
+          .crossJoin(broadcast(total))
+          .select(col("month"), col("prio"), col("nc"), col("nn"), col("nv"),
+            abs(expr("CAST(ncv AS DECIMAL(38,0)) * nn") -
+              expr("CAST(nv AS DECIMAL(38,0)) * nc")).as("term"))
+        terms.groupBy(col("month"), col("prio"))
+          .agg(min(col("nc")).as("nc"), min(col("nn")).as("nn"),
+            sum(col("term")).as("t_obs"), sum(col("nv")).as("nv_obs"))
+          .withColumn("tnum",
+            col("t_obs") +
+              expr("(nn - nv_obs) * CAST(nc AS DECIMAL(38,0))"))
+          .withColumn("t9",
+            expr("CAST(tnum AS DECIMAL(38,0)) * 1000000000 div " +
+              "(2 * CAST(nc AS DECIMAL(38,0)) * nn)"))
+          .select(col("month"), col("prio"), col("nc").as("class_size"),
+            (col("t9").cast("double") / lit(1e9)).as("t_dist"),
+            (col("t9") > lit(T9)).cast("long").as("exceeds_t"))
+          .orderBy(col("month"), col("prio"))
+      },
+      Some("""WITH cs AS (
+         |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         |    o_orderpriority AS prio, o_orderstatus AS status,
+         |    CAST(count(*) AS BIGINT) AS ncv
+         |  FROM orders GROUP BY 1, 2, 3),
+         |cl AS (SELECT month, prio, CAST(sum(ncv) AS BIGINT) AS nc
+         |       FROM cs GROUP BY 1, 2),
+         |st AS (SELECT status, CAST(sum(ncv) AS BIGINT) AS nv
+         |       FROM cs GROUP BY 1),
+         |tot AS (SELECT CAST(sum(nv) AS BIGINT) AS nn FROM st),
+         |terms AS (
+         |  SELECT cs.month, cs.prio, cl.nc, tot.nn, st.nv,
+         |    abs(CAST(cs.ncv AS HUGEINT) * tot.nn
+         |      - CAST(st.nv AS HUGEINT) * cl.nc) AS term
+         |  FROM cs
+         |  JOIN cl ON cs.month = cl.month AND cs.prio = cl.prio
+         |  JOIN st ON cs.status = st.status
+         |  CROSS JOIN tot),
+         |agg AS (
+         |  SELECT month, prio, min(nc) AS nc, min(nn) AS nn,
+         |    sum(term) AS t_obs, CAST(sum(nv) AS BIGINT) AS nv_obs
+         |  FROM terms GROUP BY 1, 2),
+         |fin AS (
+         |  SELECT month, prio, nc,
+         |    (t_obs + (nn - nv_obs) * CAST(nc AS HUGEINT)) * 1000000000
+         |      // (2 * CAST(nc AS HUGEINT) * nn) AS t9
+         |  FROM agg)
+         |SELECT month, prio, nc AS class_size,
+         |  CAST(t9 AS DOUBLE) / 1e9 AS t_dist,
+         |  CAST(CASE WHEN t9 > 200000000 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS exceeds_t
+         |FROM fin ORDER BY month, prio""".stripMargin)),
+
     // Differentially-private release counts — the publishable companion
     // of the k-anonymity audit: per-language document counts with
     // Laplace(1/eps) noise via the inverse CDF, eps = 1. The noise draw

@@ -244,6 +244,44 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Double]("w1_cents") <= ks.getAs[Double]("d_stat") * range + 1e-6)
   }
 
+  test("q_t_closeness: t_dist equals a hand-rolled total-variation replay") {
+    val rows = Tables.orders(spark, sf001)
+      .select(date_format(col("o_orderdate"), "yyyy-MM"),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getString(2)))
+    val global = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nn = rows.length.toLong
+    val statuses = global.keySet
+    val out = SparkEntry.queries("q_t_closeness")(spark, sf001).collect()
+    assert(out.nonEmpty)
+    val byClass = rows.groupBy(_._1)
+    out.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      val members = byClass(key).map(_._2)
+      val nc = members.length.toLong
+      assert(r.getAs[Long]("class_size") == nc)
+      val tnum = statuses.toSeq.map { v =>
+        val ncv = members.count(_ == v).toLong
+        (BigInt(ncv) * BigInt(nn) - BigInt(global(v)) * BigInt(nc)).abs
+      }.sum
+      val expected =
+        ((tnum * BigInt(1000000000L)) / (BigInt(2) * BigInt(nc) * BigInt(nn)))
+          .toDouble / 1e9
+      assert(r.getAs[Double]("t_dist") == expected,
+        s"$key: ${r.getAs[Double]("t_dist")} vs replay $expected")
+      // t9 is an exact integer on the 1e9 grid, and 1e-9 steps are far
+      // coarser than double spacing near 0.2 — the flag is recomputable
+      // from the double without an epsilon
+      assert((r.getAs[Long]("exceeds_t") == 1L) == (expected > 0.2))
+    }
+    // the audit is non-vacuous BOTH ways on this fixture: some classes
+    // exceed t (status is nearly a function of order date) and t_dist
+    // is a genuine distance (all in [0, 1])
+    assert(out.exists(_.getAs[Long]("exceeds_t") == 1L))
+    assert(out.forall(r => r.getAs[Double]("t_dist") >= 0.0 &&
+      r.getAs[Double]("t_dist") <= 1.0))
+  }
+
   test("q_prefixspan: supports equal a hand-rolled subsequence containment scan") {
     // third evaluation: brute-force greedy subsequence containment over
     // the collected per-user event-type lists (bounded: sf0.001)
