@@ -118,16 +118,23 @@ final class LocalIvfBqIndex private (
         val doneA = new java.util.concurrent.atomic.AtomicInteger(0)
         val cnBox = new java.util.concurrent.atomic.AtomicInteger(-1)
         gang.run { w =>
-          val buf = new CandidateHeap(candK)
-          var ci = w
-          while (ci < cells.length) { hammingScanCell(cells(ci), qc, buf); ci += gang.n }
-          buf.sortIntoDesc()
-          bufs(w) = buf
-          if (doneA.incrementAndGet() == gang.n) {
-            val cn = CandidateSelect.kWayTopIdx(bufs, candK, candIdx)
-            cnBox.set(cn) // release: publishes candIdx to the spinners
-          } else {
-            while (cnBox.get() < 0) Thread.onSpinWait()
+          // Crash-safe barrier + select-publish — see LocalIvfPqIndex
+          // .search for the rationale (peers spin on cnBox; a missed
+          // publish is a process-wide hang under gangLock).
+          try {
+            val buf = new CandidateHeap(candK)
+            var ci = w
+            while (ci < cells.length) { hammingScanCell(cells(ci), qc, buf); ci += gang.n }
+            buf.sortIntoDesc()
+            bufs(w) = buf
+          } finally {
+            if (doneA.incrementAndGet() == gang.n) {
+              var cn = 0
+              try cn = CandidateSelect.kWayTopIdx(bufs, candK, candIdx)
+              finally cnBox.set(cn) // release: publishes candIdx (or the sentinel)
+            } else {
+              while (cnBox.get() < 0) Thread.onSpinWait()
+            }
           }
           val cn = cnBox.get()
           val o = new TopKBuffer(topK)
@@ -187,10 +194,17 @@ object LocalIvfBqIndex {
       .groupBy(col("cell")).count().collect()
       .map(r => cellOf(r.getInt(0)) -> r.getLong(1)).toMap
     val numCells = centRows.length
+    // guard BEFORE the .toInt conversions (LocalIvfIndex.fromAtRest's
+    // n <= Int.MaxValue check, mirrored — truncation must not precede
+    // the refusal)
+    val total = cellCounts.valuesIterator.sum
+    require(total <= Int.MaxValue, s"fromAtRest: corpus too large ($total rows)")
     val cellStart = new Array[Int](numCells + 1)
     var c = 0
+    var acc = 0L
     while (c < numCells) {
-      cellStart(c + 1) = cellStart(c) + cellCounts.getOrElse(c, 0L).toInt
+      acc += cellCounts.getOrElse(c, 0L)
+      cellStart(c + 1) = acc.toInt
       c += 1
     }
     val n = cellStart(numCells).toLong

@@ -146,16 +146,27 @@ final class LocalIvfPqIndex private (
         val doneA = new java.util.concurrent.atomic.AtomicInteger(0)
         val cnBox = new java.util.concurrent.atomic.AtomicInteger(-1)
         gang.run { w =>
-          val buf = new CandidateHeap(candK)
-          var ci = w
-          while (ci < cells.length) { adcScanCell(cells(ci), lut, buf); ci += gang.n }
-          buf.sortIntoDesc()
-          bufs(w) = buf
-          if (doneA.incrementAndGet() == gang.n) {
-            val cn = CandidateSelect.kWayTopIdx(bufs, candK, candIdx)
-            cnBox.set(cn) // release: publishes candIdx to the spinners
-          } else {
-            while (cnBox.get() < 0) Thread.onSpinWait()
+          // The barrier MUST be reached (finally) and the select MUST
+          // publish (finally, 0-candidate sentinel on failure): a crash
+          // in phase A or in the select would otherwise leave peers
+          // spinning on cnBox forever — done never reaches gang.n and
+          // the query thread hangs inside gang.run holding gangLock.
+          // The crash itself still surfaces: ScanGang.run rethrows the
+          // first stashed worker failure on the query thread.
+          try {
+            val buf = new CandidateHeap(candK)
+            var ci = w
+            while (ci < cells.length) { adcScanCell(cells(ci), lut, buf); ci += gang.n }
+            buf.sortIntoDesc()
+            bufs(w) = buf
+          } finally {
+            if (doneA.incrementAndGet() == gang.n) {
+              var cn = 0
+              try cn = CandidateSelect.kWayTopIdx(bufs, candK, candIdx)
+              finally cnBox.set(cn) // release: publishes candIdx (or the sentinel)
+            } else {
+              while (cnBox.get() < 0) Thread.onSpinWait()
+            }
           }
           val cn = cnBox.get()
           val o = new TopKBuffer(topK)
@@ -236,10 +247,18 @@ object LocalIvfPqIndex {
       .groupBy(col("cell")).count().collect()
       .map(r => cellOf(r.getInt(0)) -> r.getLong(1)).toMap
     val numCells = centRows.length
+    // guard BEFORE the .toInt conversions: a per-cell count past 2^31
+    // would silently truncate and the peak-bytes require below would be
+    // evaluated on the wrapped value (LocalIvfIndex.fromAtRest's guard,
+    // mirrored here)
+    val total = cellCounts.valuesIterator.sum
+    require(total <= Int.MaxValue, s"fromAtRest: corpus too large ($total rows)")
     val cellStart = new Array[Int](numCells + 1)
     var c = 0
+    var acc = 0L
     while (c < numCells) {
-      cellStart(c + 1) = cellStart(c) + cellCounts.getOrElse(c, 0L).toInt
+      acc += cellCounts.getOrElse(c, 0L)
+      cellStart(c + 1) = acc.toInt
       c += 1
     }
     val n = cellStart(numCells).toLong

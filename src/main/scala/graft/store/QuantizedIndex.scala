@@ -227,6 +227,9 @@ private[store] final class ScanGang(val n: Int) {
 
   private val epoch = new AtomicLong(0)
   private val done = new AtomicInteger(0)
+  // first failure of the current job; rethrown on the query thread by run()
+  private val failure =
+    new java.util.concurrent.atomic.AtomicReference[Throwable](null)
   @volatile private var job: Int => Unit = null
   // ~100k onSpinWait iterations ~ a few hundred microseconds of hot wait
   private val SpinBudget = 100000
@@ -251,7 +254,12 @@ private[store] final class ScanGang(val n: Int) {
           }
         }
         seen = epoch.get()
+        // A throwing job must NOT propagate out of run(): it would kill
+        // this daemon thread and every later gang.run would hang waiting
+        // for done == n. Stash the first failure; run() rethrows it on
+        // the query thread after the barrier.
         try job(id)
+        catch { case t: Throwable => failure.compareAndSet(null, t) }
         finally done.incrementAndGet()
       }
     }
@@ -275,6 +283,8 @@ private[store] final class ScanGang(val n: Int) {
     }
     while (done.get() < n) Thread.onSpinWait()
     job = null
+    val t = failure.getAndSet(null)
+    if (t != null) throw t // worker crash surfaces here, workers stay alive
   }
 }
 

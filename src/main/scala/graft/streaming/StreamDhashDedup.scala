@@ -61,7 +61,8 @@ object StreamDhashDedup {
     val rows = bandRows(docs).as[BandRow]
     rows.groupByKey(r => (r.band, r.bv))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: (Int, Long), it: Iterator[BandRow], state: GroupState[Seq[(Long, Long)]]) =>
+        (key: (Int, Long), it: Iterator[BandRow], state: GroupState[Seq[(Long, Long)]]) =>
+          val band = key._1
           var members = state.getOption.getOrElse(Seq.empty)
           val out = Seq.newBuilder[NearDupPair]
           // deterministic intra-batch order; replays stay idempotent
@@ -70,7 +71,18 @@ object StreamDhashDedup {
               if (!members.exists(_._1 == d) && members.size < maxBucket) {
                 members.foreach { case (od, oh) =>
                   val ham = java.lang.Long.bitCount(h ^ oh).toLong
-                  if (ham <= TH)
+                  // emit only from the LOWEST band the two hashes collide
+                  // in: a pair colliding in >1 band would otherwise be
+                  // emitted once per band (both hashes are in hand, so
+                  // every band's collision is recomputable here). Each
+                  // lower band that collides is guaranteed to hold both
+                  // docs in its bucket — band values are pure functions
+                  // of the hash — so exactly one bucket owns the pair.
+                  // (A capped-out lower bucket can drop its pair; the cap
+                  // already means "stops emitting, batch is backstop".)
+                  val lowest = (0 until band).forall(b =>
+                    ((h >>> (b * BAND_BITS)) & MASK) != ((oh >>> (b * BAND_BITS)) & MASK))
+                  if (ham <= TH && lowest)
                     out += NearDupPair(math.min(od, d), math.max(od, d), ham)
                 }
                 members = members :+ ((d, h))

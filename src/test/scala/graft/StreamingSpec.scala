@@ -922,10 +922,15 @@ class StreamingSpec extends SparkSpec {
     import org.apache.spark.sql.functions.{bit_count, col}
     val (table, nBatches) = StreamDhashDedup.runOnce(spark, sf001, "dhash_stream_test")
     assert(nBatches >= 2, s"expected >= 2 non-empty micro-batches, got $nBatches")
-    // a pair colliding in several bands is emitted once per band (same
-    // hamming each time) — DISTINCT (a, b, ham) sets must equal batch
-    val streamed = table.collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // r13 ADVICE fix: a pair colliding in several bands is emitted from
+    // its LOWEST colliding band only — the output stream must be
+    // duplicate-free as a multiset, not just as a set
+    val streamedRows = table.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(streamedRows.size == streamedRows.distinct.size,
+      s"duplicate pair rows emitted: ${streamedRows.groupBy(identity)
+        .filter(_._2.size > 1).keys.take(5)}")
+    val streamed = streamedRows.toSet
     val batch = graft.ops.MultimodalQueries.dhashCandidates(spark, sf001)
       .withColumn("hamming",
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
