@@ -316,4 +316,56 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("len") == 2L))
     assert(rows.exists(_.getAs[Long]("len") == 3L))
   }
+
+  test("q_theil_sen equals the hand-rolled exact-rational median of pairwise slopes") {
+    // third evaluation with BigInt RATIONALS sorted by true cross-
+    // multiplication order — no order-key scaling, no integral division
+    // until the final e6 snap — so a shared misformulation of the order
+    // isomorphism or the even-median assembly in BOTH engines would
+    // fail here
+    val m = Tables.orders(spark, sf001)
+      .join(Tables.customer(spark, sf001), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"),
+        (year(col("o_orderdate")) * lit(12) + month(col("o_orderdate")))
+          .cast("long").as("mi"))
+      .agg(sum(floor(col("o_totalprice") * lit(100.0)).cast("long")).as("rev"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val m0 = m.map(_._2).min
+    val bySeg = m.groupBy(_._1).view.mapValues(
+      _.map(t => (BigInt(t._2 - m0), BigInt(t._3))).sortBy(_._1)).toMap
+    // rational comparator: a/b < c/d  <=>  a*d < c*b for b, d > 0
+    def lt(x: (BigInt, BigInt), y: (BigInt, BigInt)): Boolean =
+      x._1 * y._2 < y._1 * x._2
+    def trunc(n: BigInt, d: BigInt): BigInt = n / d // BigInt / truncates toward zero
+    val rows = SparkEntry.queries("q_theil_sen")(spark, sf001).collect()
+    assert(rows.length == bySeg.count(_._2.length >= 2))
+    rows.foreach { r =>
+      val seg = r.getAs[String]("seg")
+      val pts = bySeg(seg)
+      val slopes = (for {
+        i <- pts.indices; j <- (i + 1) until pts.length
+      } yield (pts(j)._2 - pts(i)._2, pts(j)._1 - pts(i)._1)) // (dy, dx)
+        .sortWith(lt)
+      val np = slopes.length
+      assert(r.getAs[Long]("n_pairs") == np.toLong)
+      assert(r.getAs[Long]("n_months") == pts.length.toLong)
+      val (dyl, dxl) = slopes((np + 1) / 2 - 1)
+      val (dyh, dxh) = slopes((np + 2) / 2 - 1)
+      val num = dyl * dxh + dyh * dxl
+      val den = 2 * dxl * dxh
+      assert(r.getAs[Long]("slope_e6") == trunc(num * 1000000, den).toLong,
+        s"$seg slope")
+      val resid = pts.map { case (x, rev) => rev * den - num * x }.sorted
+      val nm = pts.length
+      val rnl = resid((nm + 1) / 2 - 1)
+      val rnh = resid((nm + 2) / 2 - 1)
+      assert(r.getAs[Long]("intercept_e6") ==
+        trunc((rnl + rnh) * 1000000, 2 * den).toLong, s"$seg intercept")
+      assert(r.getAs[Double]("slope") ==
+        r.getAs[Long]("slope_e6").toDouble / 1e6)
+    }
+    // the estimator must genuinely differ from a single pair: every
+    // segment needs a non-degenerate pair set
+    assert(rows.forall(_.getAs[Long]("n_pairs") > 10L))
+  }
 }
