@@ -573,6 +573,121 @@ object SimilarityQueries {
            |  UNION ALL
            |  SELECT qid, CAST(3 AS BIGINT), s3, score3 FROM s3) u
            |ORDER BY qid, rank""".stripMargin
+      }),
+
+    // DBSCAN density clustering over the embedding corpus (Ester et al.
+    // 1996, public) — the density tool for embedding-space curation the
+    // family lacked beside the k-means cells (q_ivf_*) and component
+    // dedup: CORE points have >= DbscanMinPts neighbors (self included,
+    // per the paper's N_eps(p)) at cosine >= DbscanTau; clusters are the
+    // connected components of the core-core eps-graph (labeled by min
+    // core id); BORDER points (non-core with a core neighbor) join their
+    // minimum-labeled core neighbor's cluster (the deterministic answer
+    // to the paper's order-dependent border tie); everything else is
+    // NOISE (reported as the cluster = -1 row). The eps-neighborhood is
+    // CELL-RESTRICTED (the q_semdedup SemDeDup discipline): candidate
+    // pairs are bounded by sum(cell_i^2), never all-pairs — at 100 TB
+    // the cell count scales with the corpus so cells stay task-sized
+    // (tools/DbscanProbe asserts the measured candidate volume per SF).
+    // Components run on the pointer-jumping labeler (O(log diameter)
+    // rounds — the sf0.1 fixture's densest cluster has 150+ cores, so
+    // diameter is genuinely multi-hop). Oracle: the same frozen cells
+    // (asg CTEs), the same fold-order float cosine, and recursive-CTE
+    // components — exact hash parity, no invariant reduction.
+    Q("q_dbscan",
+      (s, d) => {
+        val asg = cellAssignments(s, d)
+        val nbr = asg.select(col("cell"), col("vec_id").as("src"),
+            col("embedding").as("a_e"))
+          .join(asg.select(col("cell"), col("vec_id").as("dst"),
+            col("embedding").as("b_e")), "cell")
+          .filter(col("src") =!= col("dst"))
+          .filter(VectorOps.cosineFloat(col("a_e"), col("b_e")) >= lit(DbscanTau))
+          .select(col("src"), col("dst"))
+          .localCheckpoint(true) // symmetric by construction; reused 3x
+        val deg = nbr.groupBy(col("src").as("vec_id"))
+          .agg((count(lit(1)) + lit(1L)).as("deg"))
+        val core = deg.filter(col("deg") >= DbscanMinPts)
+          .select(col("vec_id")).localCheckpoint(true)
+        val coreEdges = nbr
+          .join(core.select(col("vec_id").as("src")), "src")
+          .join(core.select(col("vec_id").as("dst")), "dst")
+          .select(col("src"), col("dst")).localCheckpoint(true)
+        val (linked, _) = GraphOps.doublingLabels(coreEdges, maxIter = 12)
+        // isolated cores (no core-core edge) are singleton clusters
+        val coreLab = core
+          .join(linked.withColumnRenamed("doc_id", "vec_id"),
+            Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("label"), col("vec_id")).as("label"))
+        val border = nbr
+          .join(coreLab.select(col("vec_id").as("dst"), col("label")), "dst")
+          .join(core.select(col("vec_id").as("src")), Seq("src"), "left_anti")
+          .groupBy(col("src").as("vec_id"))
+          .agg(min(col("label")).as("label"))
+        val cl = coreLab.groupBy(col("label").as("cluster"))
+          .agg(count(lit(1)).as("n_core"))
+        val bc = border.groupBy(col("label").as("cluster"))
+          .agg(count(lit(1)).as("n_border"))
+        val clusters = cl.join(bc, Seq("cluster"), "left")
+          .select(col("cluster"),
+            (col("n_core") + coalesce(col("n_border"), lit(0L))).as("n_points"),
+            col("n_core"),
+            coalesce(col("n_border"), lit(0L)).as("n_border"))
+        val noise = asg.agg(count(lit(1)).as("n_total"))
+          .crossJoin(clusters.agg(
+            coalesce(sum(col("n_points")), lit(0L)).as("n_assigned")))
+          .select(lit(-1L).as("cluster"),
+            (col("n_total") - col("n_assigned")).as("n_points"),
+            lit(0L).as("n_core"), lit(0L).as("n_border"))
+        clusters.unionByName(noise).orderBy(col("cluster"))
+      },
+      Some {
+        s"""WITH RECURSIVE $asgCtes,
+           |nbr AS MATERIALIZED (
+           |  SELECT a.vec_id AS src, b.vec_id AS dst
+           |  FROM asg a JOIN asg b USING (cell)
+           |  WHERE a.vec_id <> b.vec_id
+           |    AND ${OracleSql.floatCos("a.embedding", "b.embedding")} >= $DbscanTau),
+           |deg AS (
+           |  SELECT src AS vec_id, CAST(count(*) + 1 AS BIGINT) AS deg
+           |  FROM nbr GROUP BY 1),
+           |core AS MATERIALIZED (
+           |  SELECT vec_id FROM deg WHERE deg >= $DbscanMinPts),
+           |ce AS MATERIALIZED (
+           |  SELECT n.src, n.dst FROM nbr n
+           |  JOIN core c1 ON n.src = c1.vec_id
+           |  JOIN core c2 ON n.dst = c2.vec_id),
+           |reach(node, lbl) AS (
+           |  SELECT vec_id, vec_id FROM core
+           |  UNION
+           |  SELECT e.dst, r.lbl FROM reach r JOIN ce e ON e.src = r.node),
+           |lab AS (SELECT node, min(lbl) AS label FROM reach GROUP BY node),
+           |bord AS (
+           |  SELECT n.src AS vec_id, min(l.label) AS label
+           |  FROM nbr n JOIN lab l ON n.dst = l.node
+           |  WHERE n.src NOT IN (SELECT vec_id FROM core)
+           |  GROUP BY 1),
+           |cl AS (SELECT label AS cluster, CAST(count(*) AS BIGINT) AS n_core
+           |  FROM lab GROUP BY 1),
+           |bc AS (SELECT label AS cluster, CAST(count(*) AS BIGINT) AS n_border
+           |  FROM bord GROUP BY 1),
+           |clusters AS (
+           |  SELECT cl.cluster,
+           |    cl.n_core + CAST(COALESCE(bc.n_border, 0) AS BIGINT) AS n_points,
+           |    cl.n_core,
+           |    CAST(COALESCE(bc.n_border, 0) AS BIGINT) AS n_border
+           |  FROM cl LEFT JOIN bc USING (cluster)),
+           |noise AS (
+           |  SELECT CAST(-1 AS BIGINT) AS cluster,
+           |    CAST((SELECT count(*) FROM asg)
+           |      - (SELECT COALESCE(sum(n_points), 0) FROM clusters)
+           |      AS BIGINT) AS n_points,
+           |    CAST(0 AS BIGINT) AS n_core, CAST(0 AS BIGINT) AS n_border)
+           |SELECT cluster, CAST(n_points AS BIGINT) AS n_points, n_core,
+           |  n_border
+           |FROM (SELECT * FROM clusters UNION ALL SELECT * FROM noise) u
+           |ORDER BY cluster""".stripMargin
       })
   )
 
@@ -594,12 +709,23 @@ object SimilarityQueries {
     * vectors, so within-cell pairs clear it sooner than global ones). */
   final val SemTau = 0.4
 
+  /** q_dbscan eps (as a cosine floor) and core threshold (neighbor count
+    * INCLUDING self, Ester et al.'s |N_eps(p)|). Probed on the fixture
+    * (near-random embeddings; the cell restriction thins neighborhoods):
+    * 0.30/4 yields non-degenerate cores/borders/noise AND multi-core
+    * components at all three SFs (sf0.001: 27 cores, 21 clusters;
+    * sf0.1: 1,228 cores, 15 clusters, densest 159 cores). */
+  final val DbscanTau = 0.3
+  final val DbscanMinPts = 4
+
   /** Per-label-centroid cell assignment — the shared coarse quantizer of
     * q_ivf_search and q_semdedup: per-label means (2^43 exact-integer
     * trick), nearest-centroid assignment by float-double cosine with a
     * deterministic cell tie-break, materialized once (localCheckpoint) so
     * downstream plans don't run the assignment pass twice. */
-  private def cellAssignments(s: SparkSession, d: String): DataFrame =
+  // private[graft]: tools/DbscanProbe measures the cell-restricted
+  // candidate volume on the same frozen assignment the queries use
+  private[graft] def cellAssignments(s: SparkSession, d: String): DataFrame =
     cellAssignmentsOn(Tables.embeddings(s, d), None)
 
   /** Spilled (multi-)assignment: every vector lands in its `keep` nearest

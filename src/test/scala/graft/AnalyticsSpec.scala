@@ -368,4 +368,63 @@ class AnalyticsSpec extends SparkSpec {
     // segment needs a non-degenerate pair set
     assert(rows.forall(_.getAs[Long]("n_pairs") > 10L))
   }
+
+  test("q_dbscan equals a hand-rolled union-find DBSCAN on the same cell graph") {
+    // third evaluation of everything DOWNSTREAM of the frozen cell
+    // assignment: neighbor degrees, the core threshold, component
+    // labeling (the query uses pointer-jumping; this replay uses
+    // union-find), border min-label assignment, and noise accounting
+    val asg = ops.SimilarityQueries.cellAssignments(spark, sf001)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"),
+        r.getAs[Seq[Float]]("embedding").toArray))
+    val n = asg.length
+    val nbr = Array.fill(n)(List.empty[Int])
+    for (i <- 0 until n; j <- 0 until n)
+      if (i != j && asg(i)._2 == asg(j)._2 &&
+          graft.functions.VectorKernels.cosineFloat(asg(i)._3, asg(j)._3)
+            >= ops.SimilarityQueries.DbscanTau)
+        nbr(i) ::= j
+    val core = (0 until n).map(i =>
+      1 + nbr(i).size >= ops.SimilarityQueries.DbscanMinPts).toArray
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    for (i <- 0 until n if core(i); j <- nbr(i) if core(j)) {
+      val (ri, rj) = (find(i), find(j))
+      if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+    }
+    // component label = min core VEC_ID (not index) in the component
+    val lbl = scala.collection.mutable.Map.empty[Int, Long]
+    for (i <- 0 until n if core(i)) {
+      val r = find(i)
+      lbl(r) = math.min(lbl.getOrElse(r, Long.MaxValue), asg(i)._1)
+    }
+    val clusterOf = scala.collection.mutable.Map.empty[Long, Long] // vec_id -> cluster
+    for (i <- 0 until n if core(i)) clusterOf(asg(i)._1) = lbl(find(i))
+    var nBorder = 0
+    val borderCl = scala.collection.mutable.Map.empty[Long, Long]
+    for (i <- 0 until n if !core(i)) {
+      val coreNbrLabels = nbr(i).filter(core).map(j => lbl(find(j)))
+      if (coreNbrLabels.nonEmpty) { borderCl(asg(i)._1) = coreNbrLabels.min; nBorder += 1 }
+    }
+    val expected = (clusterOf.groupBy(_._2).view.mapValues(_.size).toMap,
+      borderCl.groupBy(_._2).view.mapValues(_.size).toMap)
+    val rows = SparkEntry.queries("q_dbscan")(spark, sf001).collect()
+    val clusterRows = rows.filter(_.getLong(0) >= 0)
+    assert(clusterRows.map(_.getLong(0)).toSet == expected._1.keySet)
+    clusterRows.foreach { r =>
+      val c = r.getLong(0)
+      assert(r.getLong(2) == expected._1(c).toLong, s"cluster $c n_core")
+      assert(r.getLong(3) == expected._2.getOrElse(c, 0).toLong, s"cluster $c n_border")
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3), s"cluster $c n_points")
+    }
+    val noiseRow = rows.find(_.getLong(0) == -1L).get
+    assert(noiseRow.getLong(1) == (n - clusterOf.size - nBorder).toLong)
+    // non-degenerate: the fixture genuinely produces all three classes
+    assert(clusterRows.length > 1 && nBorder > 0 && noiseRow.getLong(1) > 0)
+  }
 }
