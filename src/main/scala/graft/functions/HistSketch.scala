@@ -86,6 +86,71 @@ object HistSketchKernels {
     }
     bins(nz - 1).toLong
   }
+
+  private def sparse(bytes: Array[Byte]): (Array[Int], Array[Long], Long) = {
+    val bb = ByteBuffer.wrap(bytes)
+    bb.getInt() // nbins
+    val nz = bb.getInt()
+    val bins = new Array[Int](nz)
+    val cnts = new Array[Long](nz)
+    var total = 0L
+    var j = 0
+    while (j < nz) {
+      bins(j) = bb.getInt(); cnts(j) = bb.getLong(); total += cnts(j); j += 1
+    }
+    (bins, cnts, total)
+  }
+
+  /** KS sup-norm between two same-grid sketches, e9-scaled: the exact
+    * integer walk of q_ks_test (ExtendedQueries) lifted onto sketch bin
+    * counts — D_num = max over the UNION of occupied bins of
+    * |cumL*nR - cumR*nL| (the empirical CDF difference only changes at
+    * mass points), returned as trunc(D_num * 1e9 / (nL*nR)) via BigInt
+    * (the product overflows a long). -1 if either sketch is empty. */
+  def ksE9(live: Array[Byte], ref: Array[Byte]): Long = {
+    val (lb, lc, nL) = sparse(live)
+    val (rb, rc, nR) = sparse(ref)
+    if (nL == 0L || nR == 0L) return -1L
+    var i = 0; var j = 0
+    var cumL = 0L; var cumR = 0L
+    var dNum = 0L
+    while (i < lb.length || j < rb.length) {
+      val bi = if (i < lb.length) lb(i) else Int.MaxValue
+      val bj = if (j < rb.length) rb(j) else Int.MaxValue
+      if (bi <= bj) { cumL += lc(i); i += 1 }
+      if (bj <= bi) { cumR += rc(j); j += 1 }
+      val d = math.abs(cumL * nR - cumR * nL) // |sums| <= nL*nR <= 2^62 for corpora < 2^31 rows each
+      if (d > dNum) dNum = d
+    }
+    (BigInt(dNum) * 1000000000L / (BigInt(nL) * nR)).toLong
+  }
+
+  /** Wasserstein-1 between two same-grid sketches in BIN units,
+    * e9-scaled: q_wasserstein's exact gap-weighted CDF-difference
+    * integral on the union grid — W_num = sum over consecutive occupied
+    * union bins of |cumL*nR - cumR*nL| * gap, returned as
+    * trunc(W_num * 1e9 / (nL*nR)) via BigInt. Multiply by the armed bin
+    * width for value units. -1 if either sketch is empty. */
+  def w1E9(live: Array[Byte], ref: Array[Byte]): Long = {
+    val (lb, lc, nL) = sparse(live)
+    val (rb, rc, nR) = sparse(ref)
+    if (nL == 0L || nR == 0L) return -1L
+    var i = 0; var j = 0
+    var cumL = 0L; var cumR = 0L
+    var wNum = BigInt(0)
+    var prevBin = -1
+    while (i < lb.length || j < rb.length) {
+      val bi = if (i < lb.length) lb(i) else Int.MaxValue
+      val bj = if (j < rb.length) rb(j) else Int.MaxValue
+      val b = math.min(bi, bj)
+      if (prevBin >= 0 && b > prevBin)
+        wNum += BigInt(math.abs(cumL * nR - cumR * nL)) * (b - prevBin)
+      if (bi <= bj) { cumL += lc(i); i += 1 }
+      if (bj <= bi) { cumR += rc(j); j += 1 }
+      prevBin = b
+    }
+    (wNum * 1000000000L / (BigInt(nL) * nR)).toLong
+  }
 }
 
 /** `hist_agg(bin, nbins)`: binary histogram sketch of 0-based bin indices
@@ -209,6 +274,50 @@ case class HistRankBinExpr(left: Expression, right: Expression, den: Long)
     copy(left = l, right = r)
 }
 
+/** binary x binary -> bigint: e9-scaled KS sup-norm between two same-grid
+  * sketches (live vs armed reference). Codegen'd via the static kernel. */
+case class HistKsE9Expr(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "hist_ks_e9"
+
+  override def nullSafeEval(live: Any, ref: Any): Any =
+    HistSketchKernels.ksE9(live.asInstanceOf[Array[Byte]],
+      ref.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) =>
+      s"graft.functions.HistSketchKernels.ksE9($l, $r)")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): HistKsE9Expr =
+    copy(left = l, right = r)
+}
+
+/** binary x binary -> bigint: e9-scaled W1 (bin units) between two
+  * same-grid sketches. Codegen'd via the static kernel. */
+case class HistW1E9Expr(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "hist_w1_e9"
+
+  override def nullSafeEval(live: Any, ref: Any): Any =
+    HistSketchKernels.w1E9(live.asInstanceOf[Array[Byte]],
+      ref.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) =>
+      s"graft.functions.HistSketchKernels.w1E9($l, $r)")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): HistW1E9Expr =
+    copy(left = l, right = r)
+}
+
 /** Column wrappers (same bridge style as VectorOps). */
 object HistOps {
   import org.apache.spark.sql.Column
@@ -226,4 +335,10 @@ object HistOps {
 
   def histRankBin(sketch: Column, num: Long, den: Long): Column =
     c(HistRankBinExpr(e(sketch), e(lit(num)), den))
+
+  def histKsE9(live: Column, ref: Column): Column =
+    c(HistKsE9Expr(e(live), e(ref)))
+
+  def histW1E9(live: Column, ref: Column): Column =
+    c(HistW1E9Expr(e(live), e(ref)))
 }

@@ -983,6 +983,53 @@ class StreamingSpec extends SparkSpec {
     assert(batch.values.exists { case (_, b50, b90, _, _) => b90 > b50 })
   }
 
+  test("streaming drift monitor (tier 23): streamed KS/W1 equal the batch walk across the split") {
+    import graft.streaming.StreamDrift
+    val (table, nBatches, dom, ref, live) =
+      StreamDrift.runOnce(spark, sf001, "sdrift_stream_test")
+    assert(nBatches >= 2, s"expected >= 2 non-empty micro-batches, got $nBatches")
+    assert(ref.size >= 2, "arming should cover several event types")
+    // frozen grid + lossless sketch merge + exact integer walks => the
+    // final streamed statistic equals the batch computation over the
+    // same streamed rows BITWISE (e9 longs and display doubles alike)
+    val streamed = table.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    val batch = StreamDrift.drift(live, dom._1, dom._2, ref)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5)))).toMap
+    assert(batch.nonEmpty && streamed.keySet == batch.keySet)
+    val bad = batch.collect { case (k, v) if streamed(k) != v => (k, streamed(k), v) }
+    assert(bad.isEmpty, s"stream vs batch: ${bad.take(5)}")
+    // non-vacuous: a finite live sample never matches history exactly,
+    // so some key shows strictly positive KS and W1
+    assert(streamed.values.exists(_._2 > 0L), "all KS zero — monitor vacuous")
+    assert(streamed.values.exists(_._3 > 0L), "all W1 zero — monitor vacuous")
+    // sanity bound: KS is a probability difference, <= 1 by construction
+    assert(streamed.values.forall(v => v._2 >= 0L && v._2 <= 1000000000L))
+  }
+
+  test("streaming drift monitor: an un-armed key is dropped, not a crash") {
+    import graft.streaming.StreamDrift
+    import graft.streaming.StreamQuantiles
+    import org.apache.spark.sql.functions.col
+    val raw = graft.Tables.events(spark, sf001)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val dom = StreamQuantiles.armDomain(raw)
+    val full = StreamDrift.armReference(raw, dom._1, dom._2)
+    val droppedKey = full.keys.min
+    val armed = full - droppedKey
+    val out = StreamDrift.drift(raw, dom._1, dom._2, armed).collect()
+    assert(out.nonEmpty)
+    assert(!out.exists(_.getString(0) == droppedKey),
+      s"un-armed key '$droppedKey' should be filtered out")
+    // self-drift of the arming slice against itself is exactly zero
+    val self = StreamDrift.drift(raw, dom._1, dom._2, full).collect()
+    assert(self.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L),
+      "a distribution must have zero drift against itself")
+  }
+
   test("streaming CUSUM: an un-armed event type is skipped, not a crash") {
     import graft.streaming.StreamCusum
     val events = spark.read.parquet(s"$sf001/events.parquet")
