@@ -95,15 +95,28 @@ object Bench {
     // epochs ~3 minutes apart, so a per-query min rides the coolest of
     // three DIFFERENT thermal states and heat drift cancels per-query
     // instead of biasing whole sweeps.
+    // r14: every measurement also samples the host-steal counter
+    // (HostSteal.stealSeconds — see that file for the measured evidence
+    // that steal bursts, not plans, produced the r13 "monotone drift").
+    // The per-query statistic stays the min (a steal-poisoned rep is
+    // strictly slower, so the min self-selects the cleanest rep when one
+    // exists); the artifact additionally carries per-sweep steal totals
+    // and the queries whose MIN rep was itself steal-poisoned (> 2 CPU-s
+    // — empirically clean reps carry <= 0.9, poisoned >= 8).
     val REPS = 3
     val names = SparkEntry.registry
     val timesByQ = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    val stealByQ = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    val sweepSteal = scala.collection.mutable.ArrayBuffer.empty[Double]
     for (rep <- 1 to REPS) {
+      val sweepSteal0 = HostSteal.stealSeconds()
       names.foreach { q =>
+        val st0 = HostSteal.stealSeconds()
         val t0 = System.nanoTime()
         try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: $e") }
         val sec = (System.nanoTime() - t0) / 1e9
+        val steal = if (st0 < 0) -1.0 else HostSteal.stealSeconds() - st0
         // hygiene between measurements (untimed): drop any cached blocks
         // a query pinned and collect BEFORE the next measurement, so
         // every rep starts from a collected heap — for the ~150 sub-
@@ -114,12 +127,28 @@ object Bench {
         spark.catalog.clearCache()
         System.gc()
         timesByQ(q.name) = timesByQ.getOrElse(q.name, Vector.empty) :+ sec
+        stealByQ(q.name) = stealByQ.getOrElse(q.name, Vector.empty) :+ steal
       }
-      System.err.println(f"[bench] sweep $rep/$REPS done: ${timesByQ.valuesIterator.map(_.last).sum}%.1f s")
+      sweepSteal += (if (sweepSteal0 < 0) -1.0 else HostSteal.stealSeconds() - sweepSteal0)
+      System.err.println(f"[bench] sweep $rep/$REPS done: ${timesByQ.valuesIterator.map(_.last).sum}%.1f s (host steal ${sweepSteal.last}%.0f cpu-s)")
     }
     val results = names.map { q =>
       val ts = timesByQ(q.name)
       q.name -> (ts.min, ts.sorted.apply(REPS / 2))
+    }
+    // queries whose CHOSEN (min) rep carried heavy steal — their sweep
+    // reading is flagged as host-epoch-contaminated in the artifact
+    val stealSuspect = names.flatMap { q =>
+      val ts = timesByQ(q.name)
+      val minIdx = ts.indexOf(ts.min)
+      val st = stealByQ(q.name)(minIdx)
+      if (st > 2.0) Some(q.name -> st) else None
+    }
+    val stealJson = {
+      val sweeps = sweepSteal.map(s => f"$s%.0f").mkString("[", ",", "]")
+      val suspects = stealSuspect
+        .map { case (k, s) => f""""$k":$s%.1f""" }.mkString("{", ",", "}")
+      s""""sweep_steal_sec":$sweeps,"steal_suspect":$suspects"""
     }
     val qs = results
       .map { case (k, (v, _)) => "\"" + k + "\":" + f"$v%.3f" }
@@ -143,6 +172,12 @@ object Bench {
     // fields) so each round's JSON self-reports its cross-run movers
     // instead of leaving them on stderr
     var moversJson = """"movers":null,"board_dropped":null"""
+    // r14 (structural mover attribution, r13 verdict item 1): the movers
+    // list escapes the diff block so each >1.3x cross-round mover above
+    // ~1 s gets an ISOLATED re-measure in this same run — the artifact
+    // then carries its own A/B ("movers_isolated") instead of leaving
+    // the next round an investigation.
+    var moverList: Seq[(String, Double, Double)] = Seq.empty
     try {
       val prevPath = java.nio.file.Paths.get("bench_last.json")
       if (java.nio.file.Files.exists(prevPath)) {
@@ -179,9 +214,42 @@ object Bench {
             .mkString("[", ",", "]")
           val droppedArr = dropped.map("\"" + _ + "\"").mkString("[", ",", "]")
           moversJson = s""""movers":$moversArr,"board_dropped":$droppedArr"""
+          moverList = movers
         }
       }
     } catch { case e: Throwable => System.err.println(s"[bench-diff] skipped: $e") }
+    // Isolated A/B for this run's own movers (the QTime protocol inlined:
+    // 4 reps, min, untimed clearCache+GC between reps). Sub-second movers
+    // are the documented noise class (NOTES_r12 §4) — only movers whose
+    // prev or sweep reading is >= 1 s are re-measured. The interpretation
+    // contract: iso_min ~ prev means the sweep reading was epoch state
+    // (heat/GC/registry growth), iso_min ~ sweep(now) means the plan
+    // itself moved and needs a code-level explanation.
+    var moverIso = """"movers_isolated":null"""
+    val isoTargets = moverList.filter { case (_, o, n) => math.max(o, n) >= 1.0 }
+    if (isoTargets.nonEmpty) {
+      System.gc()
+      val isoJson = isoTargets.map { case (k, o, n) =>
+        val q = names.find(_.name == k).get
+        val reps = (1 to 4).map { _ =>
+          val st0 = HostSteal.stealSeconds()
+          val t0 = System.nanoTime()
+          try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable => System.err.println(s"[bench-iso] $k: $e") }
+          val sec = (System.nanoTime() - t0) / 1e9
+          val steal = if (st0 < 0) -1.0 else HostSteal.stealSeconds() - st0
+          spark.catalog.clearCache(); System.gc()
+          (sec, steal)
+        }
+        // the steal-clean minimum is THE attribution number: ~prev means
+        // the sweep mover was host epoch, ~sweep means the plan moved
+        val clean = reps.filter(_._2 <= 2.0).map(_._1)
+        val cleanMin = if (clean.nonEmpty) f"${clean.min}%.3f" else "null"
+        System.err.println(f"[bench-iso] $k%-24s prev=$o%.2f sweep=$n%.2f iso_min=${reps.map(_._1).min}%.2f iso_min_clean=$cleanMin")
+        f""""$k":{"prev":$o%.3f,"sweep":$n%.3f,"iso_min":${reps.map(_._1).min}%.3f,"iso_min_clean":$cleanMin,"iso_reps":[${reps.map(t => f"${t._1}%.3f").mkString(",")}],"iso_steal":[${reps.map(t => f"${t._2}%.1f").mkString(",")}]}"""
+      }.mkString("{", ",", "}")
+      moverIso = s""""movers_isolated":$isoJson"""
+    }
     // Post-sweep isolated serving re-measure (round-10 verdict item 1):
     // the pre-sweep run is the cold/clean-JVM reading (its first reps sit
     // below baseline before JIT warm-up — BENCH_r10's in-run spread was
@@ -197,7 +265,18 @@ object Bench {
     // own builds are heavyweight and must not heat the 50k readings)
     val s500 =
       if (skipServing) """"serving_500k":null"""
-      else serving500k(spark)
+      else servingClustered(spark, "serving_500k", n = 500000, nCenters = 1000)
+    System.gc()
+    // the 1M crossover point (r13 verdict item 2): at 500k the composed
+    // tiers sit at or below flat-IVF QPS — the corpus-size-INDEPENDENT
+    // candK rescore still rivals the scan term. Same cells/nprobe (scan
+    // fraction constant) so doubling the corpus doubles each query's
+    // scan work: IVF's scan grows at 128 int8 B/row, IVFPQ's at 8 B/row,
+    // IVFBQ's at 16 B/row — the point where compression stacked on
+    // pruning must pull ahead, or the artifact honestly shows it doesn't.
+    val s1m =
+      if (skipServing) """"serving_1m":null"""
+      else servingClustered(spark, "serving_1m", n = 1000000, nCenters = 2000)
     System.gc()
     // [worst, best] QPS across the isolated reps — the worst WARM reading
     // is the number the 2x-vs-baseline gate should be judged on.
@@ -216,7 +295,7 @@ object Bench {
       else servingReps.toSeq.sortBy(_._1).map { case (k, reps) =>
         f""""$k":[${reps.min}%.0f,${reps.max}%.0f]"""
       }.mkString(""""serving_variance":{""", ",", "}")
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","protocol":3,"reps":$REPS,"stat":"min","interleaved":true,"n_queries":${results.size},"total_median":$totalMedian%.3f,"labels_build_sec":$labelsBuildSec%.3f,"edges_build_sec":$edgesBuildSec%.3f,"queries":$qs,"ref_search_qps_50k":$refQpsLocal%.0f,"ref_batch_qps_50k":$refQpsBatch%.0f,"ref_concurrent_qps_50k":$refQpsConc%.0f,"ref_pq_qps_50k":$refQpsPq%.0f,"ref_bq_qps_50k":$refQpsBq%.0f,"ref_ivf_qps_50k":$refQpsIvf%.0f,"ref_ivfpq_qps_50k":$refQpsIvfPq%.0f,"ref_ivfbq_qps_50k":$refQpsIvfBq%.0f,"baseline_ref_qps_50k":1100,"serving_cold_jvm":true,$servingVar,$servingIso,$s500,$moversJson,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","protocol":3,"reps":$REPS,"stat":"min","interleaved":true,"n_queries":${results.size},"total_median":$totalMedian%.3f,"labels_build_sec":$labelsBuildSec%.3f,"edges_build_sec":$edgesBuildSec%.3f,"queries":$qs,"ref_search_qps_50k":$refQpsLocal%.0f,"ref_batch_qps_50k":$refQpsBatch%.0f,"ref_concurrent_qps_50k":$refQpsConc%.0f,"ref_pq_qps_50k":$refQpsPq%.0f,"ref_bq_qps_50k":$refQpsBq%.0f,"ref_ivf_qps_50k":$refQpsIvf%.0f,"ref_ivfpq_qps_50k":$refQpsIvfPq%.0f,"ref_ivfbq_qps_50k":$refQpsIvfBq%.0f,"baseline_ref_qps_50k":1100,"serving_cold_jvm":true,$servingVar,$servingIso,$s500,$s1m,$moversJson,$moverIso,$stealJson,"sf":"$sfDir"}"""
     // Compact headline (no per-query map): same schema minus "queries",
     // printed BEFORE and AFTER the full object. The driver's capture
     // window keeps a bounded TAIL of stdout (r7 and r8 both lost the full
@@ -228,7 +307,7 @@ object Bench {
     // so exactly ONE emitted line has "metric":"total" — a consumer
     // grepping the metric key can no longer pick up a field-reduced
     // headline copy in place of the full object.
-    val headline = f"""{"metric":"total_headline","value":$total%.3f,"unit":"sec","protocol":3,"reps":$REPS,"stat":"min","interleaved":true,"n_queries":${results.size},"headline":true,"labels_build_sec":$labelsBuildSec%.3f,"edges_build_sec":$edgesBuildSec%.3f,"ref_search_qps_50k":$refQpsLocal%.0f,"ref_batch_qps_50k":$refQpsBatch%.0f,"ref_concurrent_qps_50k":$refQpsConc%.0f,"ref_pq_qps_50k":$refQpsPq%.0f,"ref_bq_qps_50k":$refQpsBq%.0f,"ref_ivf_qps_50k":$refQpsIvf%.0f,"ref_ivfpq_qps_50k":$refQpsIvfPq%.0f,"ref_ivfbq_qps_50k":$refQpsIvfBq%.0f,"baseline_ref_qps_50k":1100,"serving_cold_jvm":true,$servingVar,$servingIso,$s500,"sf":"$sfDir"}"""
+    val headline = f"""{"metric":"total_headline","value":$total%.3f,"unit":"sec","protocol":3,"reps":$REPS,"stat":"min","interleaved":true,"n_queries":${results.size},"headline":true,"labels_build_sec":$labelsBuildSec%.3f,"edges_build_sec":$edgesBuildSec%.3f,"ref_search_qps_50k":$refQpsLocal%.0f,"ref_batch_qps_50k":$refQpsBatch%.0f,"ref_concurrent_qps_50k":$refQpsConc%.0f,"ref_pq_qps_50k":$refQpsPq%.0f,"ref_bq_qps_50k":$refQpsBq%.0f,"ref_ivf_qps_50k":$refQpsIvf%.0f,"ref_ivfpq_qps_50k":$refQpsIvfPq%.0f,"ref_ivfbq_qps_50k":$refQpsIvfBq%.0f,"baseline_ref_qps_50k":1100,"serving_cold_jvm":true,$servingVar,$servingIso,$s500,$s1m,$moverIso,$stealJson,"sf":"$sfDir"}"""
     println(headline)
     println(line)
     println(headline)
@@ -417,10 +496,9 @@ object Bench {
     *
     * Reported: flat / ivf / ivfpq / ivfbq QPS + recall@10 at
     * nprobe=8/128, candK=1024. */
-  private def serving500k(spark: SparkSession): String = {
+  private def servingClustered(spark: SparkSession, label: String,
+      n: Int, nCenters: Int): String = {
     val dim = 128
-    val n = 500000
-    val nCenters = 1000
     val rnd = new scala.util.Random(97)
     val centers = Array.fill(nCenters)(Array.fill(dim)(rnd.nextGaussian().toFloat * 3f))
     val vecs = Array.tabulate(n) { i =>
@@ -491,6 +569,6 @@ object Bench {
     index.unpersist()
     val flatQps = 100.0 / repsFlat.min
     val ivfQps = 100.0 / repsIvf.min
-    f""""serving_500k":{"corpus":$n,"cells":$cells,"nprobe":$nprobe,"cand_k":$candK,"mean_scan_frac":$scanFrac%.4f,"flat_qps":$flatQps%.0f,"ivf_qps":$ivfQps%.0f,"ivf_recall10":$recIvf%.3f,"ivf_speedup":${ivfQps / flatQps}%.2f,"ivfpq_qps":${100.0 / repsIvfPq.min}%.0f,"ivfpq_recall10":$recIvfPq%.3f,"ivfbq_qps":${100.0 / repsIvfBq.min}%.0f,"ivfbq_recall10":$recIvfBq%.3f}"""
+    f""""$label":{"corpus":$n,"cells":$cells,"nprobe":$nprobe,"cand_k":$candK,"mean_scan_frac":$scanFrac%.4f,"flat_qps":$flatQps%.0f,"ivf_qps":$ivfQps%.0f,"ivf_recall10":$recIvf%.3f,"ivf_speedup":${ivfQps / flatQps}%.2f,"ivfpq_qps":${100.0 / repsIvfPq.min}%.0f,"ivfpq_recall10":$recIvfPq%.3f,"ivfbq_qps":${100.0 / repsIvfBq.min}%.0f,"ivfbq_recall10":$recIvfBq%.3f}"""
   }
 }
