@@ -3980,6 +3980,214 @@ object ExtendedQueries {
          |  CAST(CAST((rnl + rnh) * 1000000 // (2 * den) AS BIGINT)
          |    AS DOUBLE) / 1e6 AS intercept
          |FROM lo2 JOIN hi2 USING (seg) ORDER BY seg""".stripMargin)),
+
+    // Spearman rank correlation — the MONOTONE-dependence measure beside
+    // q_ols/q_theil_sen's linear fits and q_acf's serial correlation:
+    // quantity vs extended price per lineitem. Formulated WITHOUT
+    // materializing per-row ranks as a global sort (the q_mann_whitney
+    // discipline): aggregate each variable to its distinct-value grid,
+    // compute tie-averaged ranks there as EXACT 2-scaled integers
+    // (rx2 = 2*cum_before + cnt + 1 — the average of ranks cb+1..cb+cnt
+    // is cb + (cnt+1)/2, always a half-integer), then map rows to rank
+    // pairs by two equi-joins and take Pearson on the rank pairs via
+    // exact DECIMAL(38,0)/HUGEINT moment sums (rho is shift/scale
+    // invariant, so the 2x scaling cancels). The one double step is the
+    // final assembly: num/ (sqrt(ax)*sqrt(ay)) with both factors exact
+    // integers cast to double — one shared op order, floor-snapped e9.
+    // Scale shape: two grid aggregates (value-domain-sized, saturating),
+    // one broadcast join (quantity grid: 50 values), one keyed join on
+    // the price grid, one 1-row reduce. No corpus-wide window, no sort.
+    Q("q_spearman",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = Tables.lineitem(s, d).select(
+          col("l_quantity").cast("long").as("x"),
+          floor(col("l_extendedprice") * lit(100.0)).cast("long").as("y"))
+        def rankGrid(keyCol: String): org.apache.spark.sql.DataFrame = {
+          val wCum = Window.orderBy(col(keyCol))
+            .rowsBetween(Window.unboundedPreceding, -1)
+          base.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+            .withColumn("cb", coalesce(sum(col("cnt")).over(wCum), lit(0L)))
+            .select(col(keyCol),
+              (lit(2L) * col("cb") + col("cnt") + lit(1L))
+                .as(s"r${keyCol}2"))
+        }
+        val joined = base
+          .join(broadcast(rankGrid("x")), "x")
+          .join(rankGrid("y"), "y")
+          .select(col("rx2"), col("ry2"))
+        val a = joined.agg(
+          count(lit(1)).as("n"),
+          sum(expr("CAST(rx2 AS DECIMAL(38,0))")).as("sx"),
+          sum(expr("CAST(ry2 AS DECIMAL(38,0))")).as("sy"),
+          sum(expr("CAST(rx2 AS DECIMAL(38,0)) * rx2")).as("sxx"),
+          sum(expr("CAST(ry2 AS DECIMAL(38,0)) * ry2")).as("syy"),
+          sum(expr("CAST(rx2 AS DECIMAL(38,0)) * ry2")).as("sxy"))
+        val num = expr("CAST(n AS DECIMAL(38,0)) * sxy - sx * sy")
+        val ax = expr("CAST(n AS DECIMAL(38,0)) * sxx - sx * sx")
+        val ay = expr("CAST(n AS DECIMAL(38,0)) * syy - sy * sy")
+        val rho = num.cast("double") /
+          nullif(sqrt(ax.cast("double")) * sqrt(ay.cast("double")), lit(0.0))
+        a.select(col("n"),
+          floor(rho * lit(1e9)).cast("long").as("rho_e9"),
+          (floor(rho * lit(1e9)) / lit(1e9)).as("rho"))
+      },
+      Some("""WITH b AS (
+         |  SELECT CAST(l_quantity AS BIGINT) AS x,
+         |    CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS y
+         |  FROM lineitem),
+         |gx0 AS (SELECT x, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY x),
+         |gx AS (
+         |  SELECT x, 2 * coalesce(CAST(sum(cnt) OVER (ORDER BY x
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+         |      0) + cnt + 1 AS rx2
+         |  FROM gx0),
+         |gy0 AS (SELECT y, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY y),
+         |gy AS (
+         |  SELECT y, 2 * coalesce(CAST(sum(cnt) OVER (ORDER BY y
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+         |      0) + cnt + 1 AS ry2
+         |  FROM gy0),
+         |j AS (SELECT rx2, ry2 FROM b JOIN gx USING (x) JOIN gy USING (y)),
+         |a AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    sum(CAST(rx2 AS HUGEINT)) AS sx, sum(CAST(ry2 AS HUGEINT)) AS sy,
+         |    sum(CAST(rx2 AS HUGEINT) * rx2) AS sxx,
+         |    sum(CAST(ry2 AS HUGEINT) * ry2) AS syy,
+         |    sum(CAST(rx2 AS HUGEINT) * ry2) AS sxy
+         |  FROM j)
+         |SELECT n,
+         |  CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+         |    / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+         |             * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0) * 1e9)
+         |    AS BIGINT) AS rho_e9,
+         |  floor(CAST(n * sxy - sx * sy AS DOUBLE)
+         |    / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+         |             * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0) * 1e9)
+         |    / 1e9 AS rho
+         |FROM a""".stripMargin)),
+
+    // Median-absolute-deviation outlier report — the ROBUST companion to
+    // q_outliers' 3-sigma rule (one gross outlier corrupts both the mean
+    // and sigma it is judged by; the median/MAD pair has a 50% breakdown
+    // point). Per order priority: exact median and MAD of the order
+    // total, then the modified z-score rule |0.6745*(x-med)/MAD| > 3.5
+    // (Iglewicz-Hoaglin) — ALL in exact integer arithmetic on the cents
+    // grid: med2 = x_lo + x_hi (2-scaled exact median, even/odd counts
+    // both covered by the (n+1)/2,(n+2)/2 rank pair), deviations
+    // d = |2v - med2| live on a 2-scaled grid, mad4 = d_lo + d_hi
+    // (4-scaled MAD), and the flag 0.6745*(x-med)/MAD > 3.5 cross-
+    // multiplies to 13490*d > 35000*mad4 — no division anywhere; the
+    // max robust z is one e6 integral division per group.
+    // Scale shape: ONE corpus aggregate to the (priority, cents) grid;
+    // every median/deviation walk after it is grid-sized (windows
+    // partition by the 5 priorities over distinct cents values). The
+    // same degenerate-group guard as q_outliers: mad4 = 0 (over half
+    // the group at one value) snaps z/outliers to NULL on both engines.
+    Q("q_mad",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val g = Tables.orders(s, d)
+          .select(col("o_orderpriority").as("grp"),
+            floor(col("o_totalprice") * lit(100.0)).cast("long").as("v"))
+          .groupBy(col("grp"), col("v")).agg(count(lit(1)).as("cnt"))
+        def medianOf(grid: org.apache.spark.sql.DataFrame, keyCol: String,
+            out: String): org.apache.spark.sql.DataFrame = {
+          val wCum = Window.partitionBy(col("grp")).orderBy(col(keyCol))
+            .rowsBetween(Window.unboundedPreceding, -1)
+          val wAll = Window.partitionBy(col("grp"))
+          val gg = grid
+            .withColumn("cb", coalesce(sum(col("cnt")).over(wCum), lit(0L)))
+            .withColumn("nn", sum(col("cnt")).over(wAll))
+          val k1 = expr("(nn + 1) div 2")
+          val k2 = expr("(nn + 2) div 2")
+          val lo = gg.filter(col("cb") < k1 && k1 <= col("cb") + col("cnt"))
+            .select(col("grp"), col(keyCol).as("vlo"), col("nn"))
+          val hi = gg.filter(col("cb") < k2 && k2 <= col("cb") + col("cnt"))
+            .select(col("grp").as("grp_h"), col(keyCol).as("vhi"))
+          lo.join(hi, col("grp") === col("grp_h"))
+            .select(col("grp"), col("nn"), (col("vlo") + col("vhi")).as(out))
+        }
+        val med = medianOf(g, "v", "med2")
+          .select(col("grp").as("grp_m"), col("nn").as("n"), col("med2"))
+        val dg = g.join(med, col("grp") === col("grp_m"))
+          .select(col("grp"), col("n"), col("med2"),
+            abs(lit(2L) * col("v") - col("med2")).as("dv"), col("cnt"))
+          .groupBy(col("grp"), col("n"), col("med2"), col("dv"))
+          .agg(sum(col("cnt")).as("cnt"))
+        val mad = medianOf(dg.select(col("grp"), col("dv"), col("cnt")),
+            "dv", "mad4")
+          .select(col("grp").as("grp_d"), col("mad4"))
+        dg.join(mad, col("grp") === col("grp_d"))
+          .groupBy(col("grp"), col("n"), col("med2"), col("mad4"))
+          .agg(
+            sum(when(col("mad4") === 0L, lit(null).cast("long"))
+              .when(lit(13490L) * col("dv") > lit(35000L) * col("mad4"),
+                col("cnt")).otherwise(lit(0L))).as("n_outliers"),
+            max(when(col("mad4") === 0L, lit(null).cast("long"))
+              .otherwise(expr(
+                "(13490 * dv * 1000000) div (10000 * mad4)")))
+              .as("max_z_e6"))
+          .select(col("grp"), col("n"),
+            (col("med2").cast("double") / lit(2.0)).as("median"),
+            (col("mad4").cast("double") / lit(4.0)).as("mad"),
+            col("n_outliers"), col("max_z_e6"),
+            (col("max_z_e6").cast("double") / lit(1e6)).as("max_z"))
+          .orderBy(col("grp"))
+      },
+      Some("""WITH g AS (
+         |  SELECT o_orderpriority AS grp,
+         |    CAST(floor(o_totalprice * 100.0) AS BIGINT) AS v,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM orders GROUP BY 1, 2),
+         |gg AS (
+         |  SELECT grp, v, cnt,
+         |    coalesce(CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+         |      0) AS cb,
+         |    CAST(sum(cnt) OVER (PARTITION BY grp) AS BIGINT) AS nn
+         |  FROM g),
+         |med AS (
+         |  SELECT lo.grp, lo.nn AS n, lo.v + hi.v AS med2
+         |  FROM (SELECT grp, v, nn FROM gg
+         |        WHERE cb < (nn + 1) // 2 AND (nn + 1) // 2 <= cb + cnt) lo
+         |  JOIN (SELECT grp, v FROM gg
+         |        WHERE cb < (nn + 2) // 2 AND (nn + 2) // 2 <= cb + cnt) hi
+         |  USING (grp)),
+         |dg AS (
+         |  SELECT g.grp, n, med2, abs(2 * g.v - med2) AS dv,
+         |    CAST(sum(cnt) AS BIGINT) AS cnt
+         |  FROM g JOIN med ON g.grp = med.grp
+         |  GROUP BY 1, 2, 3, 4),
+         |dgg AS (
+         |  SELECT grp, dv, cnt,
+         |    coalesce(CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY dv
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+         |      0) AS cb,
+         |    CAST(sum(cnt) OVER (PARTITION BY grp) AS BIGINT) AS nn
+         |  FROM dg),
+         |mad AS (
+         |  SELECT lo.grp, lo.dv + hi.dv AS mad4
+         |  FROM (SELECT grp, dv, nn FROM dgg
+         |        WHERE cb < (nn + 1) // 2 AND (nn + 1) // 2 <= cb + cnt) lo
+         |  JOIN (SELECT grp, dv FROM dgg
+         |        WHERE cb < (nn + 2) // 2 AND (nn + 2) // 2 <= cb + cnt) hi
+         |  USING (grp))
+         |SELECT dg.grp, n,
+         |  CAST(med2 AS DOUBLE) / 2.0 AS median,
+         |  CAST(mad4 AS DOUBLE) / 4.0 AS mad,
+         |  CAST(sum(CASE WHEN mad4 = 0 THEN NULL
+         |    WHEN 13490 * dv > 35000 * mad4 THEN cnt ELSE 0 END)
+         |    AS BIGINT) AS n_outliers,
+         |  CAST(max(CASE WHEN mad4 = 0 THEN NULL
+         |    ELSE (13490 * dv * 1000000) // (10000 * mad4) END)
+         |    AS BIGINT) AS max_z_e6,
+         |  CAST(CAST(max(CASE WHEN mad4 = 0 THEN NULL
+         |    ELSE (13490 * dv * 1000000) // (10000 * mad4) END)
+         |    AS BIGINT) AS DOUBLE) / 1e6 AS max_z
+         |FROM dg JOIN mad ON dg.grp = mad.grp
+         |GROUP BY 1, 2, 3, 4
+         |ORDER BY dg.grp""".stripMargin)),
   )
 
   /** The market-basket edge set (distinct canonical part pairs within an

@@ -427,4 +427,108 @@ class AnalyticsSpec extends SparkSpec {
     // non-degenerate: the fixture genuinely produces all three classes
     assert(clusterRows.length > 1 && nBorder > 0 && noiseRow.getLong(1) > 0)
   }
+
+  /** Hand-rolled Spearman rho_e9 via POSITIONAL tie-averaged ranks (sort
+    * the multiset, average positions across each tie group — not the
+    * query's grid-cum formulation) + BigInt moments; the shared final
+    * double assembly num / (sqrt(ax) * sqrt(ay)), floor-snapped e9. */
+  private def spearmanE9(xs: Array[Long], ys: Array[Long]): Long = {
+    def ranks2(v: Array[Long]): Map[Long, BigInt] = {
+      val sorted = v.sorted
+      // 2-scaled average rank of each distinct value: positions are
+      // 1-based; a tie group spanning positions p..p+c-1 averages to
+      // (2p + c - 1) / 2
+      val out = scala.collection.mutable.Map.empty[Long, BigInt]
+      var i = 0
+      while (i < sorted.length) {
+        var j = i
+        while (j < sorted.length && sorted(j) == sorted(i)) j += 1
+        out(sorted(i)) = BigInt(2 * (i + 1) + (j - i) - 1)
+        i = j
+      }
+      out.toMap
+    }
+    val rx = ranks2(xs)
+    val ry = ranks2(ys)
+    val n = BigInt(xs.length)
+    var sx, sy, sxx, syy, sxy = BigInt(0)
+    xs.indices.foreach { i =>
+      val a = rx(xs(i)); val b = ry(ys(i))
+      sx += a; sy += b; sxx += a * a; syy += b * b; sxy += a * b
+    }
+    val num = n * sxy - sx * sy
+    val ax = n * sxx - sx * sx
+    val ay = n * syy - sy * sy
+    math.floor(num.toDouble /
+      (math.sqrt(ax.toDouble) * math.sqrt(ay.toDouble)) * 1e9).toLong
+  }
+
+  test("q_spearman equals a positional-rank replay; monotone data scores ±1") {
+    // the helper itself must detect monotone dependence the fixture
+    // honestly lacks (quantity and price are drawn independently there):
+    // perfect increasing => 1, decreasing => -1, both WITH tie groups
+    // (>= 999999999, not == 1e9: the floor snap may land one ulp short
+    // when sqrt(ax)*sqrt(ay) rounds a hair above the exact num)
+    val up = Array(1L, 2L, 2L, 3L, 5L, 8L, 8L, 9L)
+    val upY = Array(10L, 20L, 20L, 30L, 50L, 80L, 80L, 90L)
+    assert(spearmanE9(up, upY) >= 999999999L)
+    assert(spearmanE9(up, upY.map(-_)) <= -999999999L)
+    val rows = Tables.lineitem(spark, sf001)
+      .select(col("l_quantity").cast("long"),
+        floor(col("l_extendedprice") * lit(100.0)).cast("long"))
+      .collect()
+    val xs = rows.map(_.getLong(0))
+    val ys = rows.map(_.getLong(1))
+    val r = SparkEntry.queries("q_spearman")(spark, sf001).collect().head
+    assert(r.getAs[Long]("n") == xs.length.toLong)
+    assert(r.getAs[Long]("rho_e9") == spearmanE9(xs, ys),
+      s"rho_e9 ${r.getAs[Long]("rho_e9")} vs replay ${spearmanE9(xs, ys)}")
+    assert(r.getAs[Double]("rho") == r.getAs[Long]("rho_e9").toDouble / 1e9)
+  }
+
+  /** Hand-rolled q_mad per-group columns from a sorted value multiset:
+    * (n, med2, mad4, n_outliers, max_z_e6 or None when mad4 == 0). */
+  private def madReplay(vs: Array[Long])
+      : (Long, Long, Long, Option[Long], Option[Long]) = {
+    val s = vs.sorted
+    val n = s.length
+    val med2 = s((n + 1) / 2 - 1) + s((n + 2) / 2 - 1)
+    val ds = vs.map(v => math.abs(2 * v - med2)).sorted
+    val mad4 = ds((n + 1) / 2 - 1) + ds((n + 2) / 2 - 1)
+    if (mad4 == 0L) (n.toLong, med2, mad4, None, None)
+    else {
+      val out = ds.count(d => 13490L * d > 35000L * mad4).toLong
+      val mz = (BigInt(13490) * ds.last * 1000000 /
+        (BigInt(10000) * mad4)).toLong
+      (n.toLong, med2, mad4, Some(out), Some(mz))
+    }
+  }
+
+  test("q_mad equals a sorted-multiset replay; planted outliers fire the rule") {
+    // the modified-z rule must fire on planted data (the fixture's
+    // order totals are honestly tail-free, all groups report 0):
+    // 1..101 with one gross outlier => exactly that point flagged
+    val planted = (1L to 101L).toArray :+ 100000L
+    val (_, _, _, Some(nOut), Some(mz)) = madReplay(planted)
+    assert(nOut == 1L && mz > 3500000L)
+    // and a degenerate over-half-constant group snaps to None
+    val (_, _, m0, o0, _) = madReplay(Array(5L, 5L, 5L, 5L, 9L))
+    assert(m0 == 0L && o0.isEmpty)
+    val rows = Tables.orders(spark, sf001)
+      .select(col("o_orderpriority"),
+        floor(col("o_totalprice") * lit(100.0)).cast("long"))
+      .collect()
+    val byGrp = rows.groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(1))).toMap
+    val got = SparkEntry.queries("q_mad")(spark, sf001).collect()
+    assert(got.length == byGrp.size)
+    got.foreach { r =>
+      val (n, med2, mad4, out, mz6) = madReplay(byGrp(r.getAs[String]("grp")))
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Double]("median") == med2.toDouble / 2.0)
+      assert(r.getAs[Double]("mad") == mad4.toDouble / 4.0)
+      assert(Option(r.getAs[Any]("n_outliers")).map(_.asInstanceOf[Long]) == out)
+      assert(Option(r.getAs[Any]("max_z_e6")).map(_.asInstanceOf[Long]) == mz6)
+    }
+  }
 }
