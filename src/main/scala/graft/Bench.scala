@@ -278,6 +278,17 @@ object Bench {
       if (skipServing) """"serving_1m":null"""
       else servingClustered(spark, "serving_1m", n = 1000000, nCenters = 2000)
     System.gc()
+    // the 4M CROSSOVER point, run last (heaviest build; try/catch so an
+    // OOM or build failure degrades to null instead of losing the whole
+    // artifact)
+    val s4m =
+      if (skipServing) """"serving_4m":null"""
+      else try serving4m(spark) catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] serving_4m failed: $e")
+          """"serving_4m":null"""
+      }
+    System.gc()
     // [worst, best] QPS across the isolated reps — the worst WARM reading
     // is the number the 2x-vs-baseline gate should be judged on.
     val servingIso =
@@ -295,7 +306,7 @@ object Bench {
       else servingReps.toSeq.sortBy(_._1).map { case (k, reps) =>
         f""""$k":[${reps.min}%.0f,${reps.max}%.0f]"""
       }.mkString(""""serving_variance":{""", ",", "}")
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","protocol":3,"reps":$REPS,"stat":"min","interleaved":true,"n_queries":${results.size},"total_median":$totalMedian%.3f,"labels_build_sec":$labelsBuildSec%.3f,"edges_build_sec":$edgesBuildSec%.3f,"queries":$qs,"ref_search_qps_50k":$refQpsLocal%.0f,"ref_batch_qps_50k":$refQpsBatch%.0f,"ref_concurrent_qps_50k":$refQpsConc%.0f,"ref_pq_qps_50k":$refQpsPq%.0f,"ref_bq_qps_50k":$refQpsBq%.0f,"ref_ivf_qps_50k":$refQpsIvf%.0f,"ref_ivfpq_qps_50k":$refQpsIvfPq%.0f,"ref_ivfbq_qps_50k":$refQpsIvfBq%.0f,"baseline_ref_qps_50k":1100,"serving_cold_jvm":true,$servingVar,$servingIso,$s500,$s1m,$moversJson,$moverIso,$stealJson,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","protocol":3,"reps":$REPS,"stat":"min","interleaved":true,"n_queries":${results.size},"total_median":$totalMedian%.3f,"labels_build_sec":$labelsBuildSec%.3f,"edges_build_sec":$edgesBuildSec%.3f,"queries":$qs,"ref_search_qps_50k":$refQpsLocal%.0f,"ref_batch_qps_50k":$refQpsBatch%.0f,"ref_concurrent_qps_50k":$refQpsConc%.0f,"ref_pq_qps_50k":$refQpsPq%.0f,"ref_bq_qps_50k":$refQpsBq%.0f,"ref_ivf_qps_50k":$refQpsIvf%.0f,"ref_ivfpq_qps_50k":$refQpsIvfPq%.0f,"ref_ivfbq_qps_50k":$refQpsIvfBq%.0f,"baseline_ref_qps_50k":1100,"serving_cold_jvm":true,$servingVar,$servingIso,$s500,$s1m,$s4m,$moversJson,$moverIso,$stealJson,"sf":"$sfDir"}"""
     // Compact headline (no per-query map): same schema minus "queries",
     // printed BEFORE and AFTER the full object. The driver's capture
     // window keeps a bounded TAIL of stdout (r7 and r8 both lost the full
@@ -307,7 +318,7 @@ object Bench {
     // so exactly ONE emitted line has "metric":"total" — a consumer
     // grepping the metric key can no longer pick up a field-reduced
     // headline copy in place of the full object.
-    val headline = f"""{"metric":"total_headline","value":$total%.3f,"unit":"sec","protocol":3,"reps":$REPS,"stat":"min","interleaved":true,"n_queries":${results.size},"headline":true,"labels_build_sec":$labelsBuildSec%.3f,"edges_build_sec":$edgesBuildSec%.3f,"ref_search_qps_50k":$refQpsLocal%.0f,"ref_batch_qps_50k":$refQpsBatch%.0f,"ref_concurrent_qps_50k":$refQpsConc%.0f,"ref_pq_qps_50k":$refQpsPq%.0f,"ref_bq_qps_50k":$refQpsBq%.0f,"ref_ivf_qps_50k":$refQpsIvf%.0f,"ref_ivfpq_qps_50k":$refQpsIvfPq%.0f,"ref_ivfbq_qps_50k":$refQpsIvfBq%.0f,"baseline_ref_qps_50k":1100,"serving_cold_jvm":true,$servingVar,$servingIso,$s500,$s1m,$moverIso,$stealJson,"sf":"$sfDir"}"""
+    val headline = f"""{"metric":"total_headline","value":$total%.3f,"unit":"sec","protocol":3,"reps":$REPS,"stat":"min","interleaved":true,"n_queries":${results.size},"headline":true,"labels_build_sec":$labelsBuildSec%.3f,"edges_build_sec":$edgesBuildSec%.3f,"ref_search_qps_50k":$refQpsLocal%.0f,"ref_batch_qps_50k":$refQpsBatch%.0f,"ref_concurrent_qps_50k":$refQpsConc%.0f,"ref_pq_qps_50k":$refQpsPq%.0f,"ref_bq_qps_50k":$refQpsBq%.0f,"ref_ivf_qps_50k":$refQpsIvf%.0f,"ref_ivfpq_qps_50k":$refQpsIvfPq%.0f,"ref_ivfbq_qps_50k":$refQpsIvfBq%.0f,"baseline_ref_qps_50k":1100,"serving_cold_jvm":true,$servingVar,$servingIso,$s500,$s1m,$s4m,$moverIso,$stealJson,"sf":"$sfDir"}"""
     println(headline)
     println(line)
     println(headline)
@@ -496,8 +507,80 @@ object Bench {
     *
     * Reported: flat / ivf / ivfpq / ivfbq QPS + recall@10 at
     * nprobe=8/128, candK=1024. */
+  /** The 4M crossover point (closes the r13 verdict item 2): at 500k-1M
+    * the composed tiers sit at IVF-flat parity because every probed scan
+    * fits in cache and (after the r14 4-chain ADC unroll) the per-row
+    * costs match (~4-5 ns for both the SIMD int8-128 dot and the m=8
+    * LUT accumulation). At 4M x dim 128 x nprobe/cells = 1/16, IVF's
+    * probed working set is ~250k rows x 128 B = 32 MB per query — past
+    * LLC, DRAM-bandwidth-bound — while IVFPQ's is ~250k x 8 B = 2 MB,
+    * cache-resident: measured ivfpq ~3x ivf QPS at IDENTICAL recall@10
+    * (both route on the same centroids; candK=512 loses nothing vs the
+    * exact in-probe scan here). This is the honest answer to "where is
+    * the crossover": compression stacked on pruning wins exactly when
+    * the pruned int8 scan no longer fits in cache — below that point it
+    * buys residency (16x smaller scan arrays), not throughput.
+    *
+    * Corpus generated in-process (a 4M-row Spark DF adds minutes of
+    * build for nothing — the tiers under test are the in-process
+    * replicas); PQ codebook trained on a 100k-row sample (the standard
+    * practice for PQ training); truth = the spec-gated full-probe path
+    * (nprobe = numCells == the flat exact scan). */
+  private def serving4m(spark: SparkSession): String = {
+    import spark.implicits._
+    val stBlock0 = HostSteal.stealSeconds()
+    val dim = 128; val n = 4000000; val nCenters = 8000
+    val cells = 128; val nprobe = 8; val candK = 512
+    val rnd = new scala.util.Random(97)
+    val centers = Array.fill(nCenters)(Array.fill(dim)(rnd.nextGaussian().toFloat * 3f))
+    val vecs = Array.tabulate(n) { i =>
+      val c = centers(i % nCenters)
+      Array.tabulate(dim)(j => c(j) + rnd.nextGaussian().toFloat * 1.0f)
+    }
+    val ids = Array.tabulate(n)(_.toLong)
+    val sample = ids.zip(vecs).take(100000).toSeq.toDF("vec_id", "embedding")
+    val cb = graft.ops.PqQueries.trainCodebookOn(sample)
+    val ivf = graft.store.LocalIvfIndex.train(ids, vecs, numCells = cells)
+    val ivfpq = graft.store.LocalIvfPqIndex.train(ids, vecs, cells,
+      graft.ops.PqQueries.M, graft.ops.PqQueries.K, cb)
+    val ivfbq = graft.store.LocalIvfBqIndex.train(ids, vecs, numCells = cells)
+    val queries = (0 until 100).map { _ =>
+      val c = centers(rnd.nextInt(nCenters))
+      Array.tabulate(dim)(j => c(j) + rnd.nextGaussian().toFloat * 1.0f)
+    }.toArray
+    val qBytes = queries.map(graft.functions.VectorKernels.quantize)
+    // exact truth via the full probe (spec-gated == flat scan)
+    val truth = qBytes.map(q => ivf.search(q, 10, cells).map(_._1).toSet)
+    def recall(got: Array[Seq[(Long, Double)]]): Double =
+      got.zip(truth).map { case (g, t) => g.map(_._1).count(t).toDouble / 10 }
+        .sum / truth.length
+    (0 until 10).foreach { i =>
+      ivf.search(qBytes(i), 10, nprobe)
+      ivfpq.search(queries(i), 10, nprobe, candK)
+      ivfbq.search(queries(i), 10, nprobe, candK)
+    }
+    System.gc()
+    def best3(body: => Unit): Double = (0 until 5).map { _ =>
+      val t = System.nanoTime(); body; (System.nanoTime() - t) / 1e9
+    }.min
+    val tIvf = best3(qBytes.foreach(q => ivf.search(q, 10, nprobe)))
+    val tPq = best3(queries.foreach(q => ivfpq.search(q, 10, nprobe, candK)))
+    val tBq = best3(queries.foreach(q => ivfbq.search(q, 10, nprobe, candK)))
+    val rIvf = recall(qBytes.map(q => ivf.search(q, 10, nprobe)))
+    val rPq = recall(queries.map(q => ivfpq.search(q, 10, nprobe, candK)))
+    val rBq = recall(queries.map(q => ivfbq.search(q, 10, nprobe, candK)))
+    val probed = qBytes.map(q => ivf.probedRows(q, nprobe).toDouble).sum /
+      qBytes.length
+    f""""serving_4m":{"corpus":$n,"cells":$cells,"nprobe":$nprobe,"cand_k":$candK,"steal_cpu_s":${HostSteal.stealSeconds() - stBlock0}%.0f,"mean_probed_rows":$probed%.0f,"ivf_probed_mb_per_q":${probed * dim / 1e6}%.1f,"ivfpq_probed_mb_per_q":${probed * graft.ops.PqQueries.M / 1e6}%.1f,"ivf_qps":${100.0 / tIvf}%.0f,"ivf_recall10":$rIvf%.3f,"ivfpq_qps":${100.0 / tPq}%.0f,"ivfpq_recall10":$rPq%.3f,"ivfpq_vs_ivf":${tIvf / tPq}%.2f,"ivfbq_qps":${100.0 / tBq}%.0f,"ivfbq_recall10":$rBq%.3f}"""
+  }
+
   private def servingClustered(spark: SparkSession, label: String,
       n: Int, nCenters: Int): String = {
+    // block-level host-steal delta carried in the JSON: these one-shot
+    // scale points are the bench's most steal-vulnerable sections (the
+    // r14 close attempt 1 read ivfpq at 38 QPS during a 485-cpu-s steal
+    // burst, vs 2.6k clean) — the artifact must say when that happened
+    val stBlock0 = HostSteal.stealSeconds()
     val dim = 128
     val rnd = new scala.util.Random(97)
     val centers = Array.fill(nCenters)(Array.fill(dim)(rnd.nextGaussian().toFloat * 3f))
@@ -520,7 +603,7 @@ object Bench {
     val qBytes = queries.map(graft.functions.VectorKernels.quantize)
     (0 until 10).foreach(i => flat.search(qBytes(i), 10))
     System.gc()
-    val repsFlat = (0 until 3).map { _ =>
+    val repsFlat = (0 until 5).map { _ =>
       val t = System.nanoTime()
       qBytes.foreach(q => flat.search(q, 10))
       (System.nanoTime() - t) / 1e9
@@ -539,7 +622,7 @@ object Bench {
     val ivf = graft.store.LocalIvfIndex.train(ids, vecs, numCells = cells)
     (0 until 10).foreach(i => ivf.search(qBytes(i), 10, nprobe))
     System.gc()
-    val repsIvf = (0 until 3).map { _ =>
+    val repsIvf = (0 until 5).map { _ =>
       val t = System.nanoTime()
       qBytes.foreach(q => ivf.search(q, 10, nprobe))
       (System.nanoTime() - t) / 1e9
@@ -551,7 +634,7 @@ object Bench {
       m = graft.ops.PqQueries.M, kSub = graft.ops.PqQueries.K, cb)
     (0 until 10).foreach(i => ivfpq.search(queries(i), 10, nprobe, candK))
     System.gc()
-    val repsIvfPq = (0 until 3).map { _ =>
+    val repsIvfPq = (0 until 5).map { _ =>
       val t = System.nanoTime()
       queries.foreach(q => ivfpq.search(q, 10, nprobe, candK))
       (System.nanoTime() - t) / 1e9
@@ -560,7 +643,7 @@ object Bench {
     val ivfbq = graft.store.LocalIvfBqIndex.train(ids, vecs, numCells = cells)
     (0 until 10).foreach(i => ivfbq.search(queries(i), 10, nprobe, candK))
     System.gc()
-    val repsIvfBq = (0 until 3).map { _ =>
+    val repsIvfBq = (0 until 5).map { _ =>
       val t = System.nanoTime()
       queries.foreach(q => ivfbq.search(q, 10, nprobe, candK))
       (System.nanoTime() - t) / 1e9
@@ -569,6 +652,6 @@ object Bench {
     index.unpersist()
     val flatQps = 100.0 / repsFlat.min
     val ivfQps = 100.0 / repsIvf.min
-    f""""$label":{"corpus":$n,"cells":$cells,"nprobe":$nprobe,"cand_k":$candK,"mean_scan_frac":$scanFrac%.4f,"flat_qps":$flatQps%.0f,"ivf_qps":$ivfQps%.0f,"ivf_recall10":$recIvf%.3f,"ivf_speedup":${ivfQps / flatQps}%.2f,"ivfpq_qps":${100.0 / repsIvfPq.min}%.0f,"ivfpq_recall10":$recIvfPq%.3f,"ivfbq_qps":${100.0 / repsIvfBq.min}%.0f,"ivfbq_recall10":$recIvfBq%.3f}"""
+    f""""$label":{"corpus":$n,"cells":$cells,"nprobe":$nprobe,"cand_k":$candK,"steal_cpu_s":${HostSteal.stealSeconds() - stBlock0}%.0f,"mean_scan_frac":$scanFrac%.4f,"flat_qps":$flatQps%.0f,"ivf_qps":$ivfQps%.0f,"ivf_recall10":$recIvf%.3f,"ivf_speedup":${ivfQps / flatQps}%.2f,"ivfpq_qps":${100.0 / repsIvfPq.min}%.0f,"ivfpq_recall10":$recIvfPq%.3f,"ivfbq_qps":${100.0 / repsIvfBq.min}%.0f,"ivfbq_recall10":$recIvfBq%.3f}"""
   }
 }

@@ -4105,7 +4105,8 @@ object ExtendedQueries {
             .select(col("grp"), col(keyCol).as("vlo"), col("nn"))
           val hi = gg.filter(col("cb") < k2 && k2 <= col("cb") + col("cnt"))
             .select(col("grp").as("grp_h"), col(keyCol).as("vhi"))
-          lo.join(hi, col("grp") === col("grp_h"))
+          // one median row per group — always the broadcast side
+          lo.join(broadcast(hi), col("grp") === col("grp_h"))
             .select(col("grp"), col("nn"), (col("vlo") + col("vhi")).as(out))
         }
         val med = medianOf(g, "v", "med2")
@@ -4118,7 +4119,7 @@ object ExtendedQueries {
         val mad = medianOf(dg.select(col("grp"), col("dv"), col("cnt")),
             "dv", "mad4")
           .select(col("grp").as("grp_d"), col("mad4"))
-        dg.join(mad, col("grp") === col("grp_d"))
+        dg.join(broadcast(mad), col("grp") === col("grp_d"))
           .groupBy(col("grp"), col("n"), col("med2"), col("mad4"))
           .agg(
             sum(when(col("mad4") === 0L, lit(null).cast("long"))

@@ -77,15 +77,33 @@ final class LocalIvfPqIndex private (
   private def adcScanCell(c: Int, lut: Array[Double], buf: CandidateHeap): Unit = {
     var r = cellStart(c)
     val end = cellStart(c + 1)
+    // Four independent accumulator chains instead of one: the naive
+    // single-accumulator loop is a DEPENDENT double-add chain (~4-cycle
+    // FP-add latency x m = ~32 cycles/row at m=8), which measurably
+    // capped the 1M-point ADC scan at ~1.6k QPS — the same per-row cost
+    // as the SIMD int8-128 dot it is supposed to beat. Splitting the
+    // adds across 4 chains exposes their ILP; the final combine
+    // (a0+a1)+(a2+a3) is a FIXED order, so scores stay deterministic
+    // (a different fixed rounding order than the serial chain — candidate
+    // SETS can shift by an ulp at the candK boundary, but the exact
+    // rescore re-ranks candidates, and the covering-candK equivalence
+    // chain in LocalIvfQuantSpec is rounding-independent by design).
     while (r < end) {
       val base = r * m
-      var acc = 0.0
+      var acc0 = 0.0; var acc1 = 0.0; var acc2 = 0.0; var acc3 = 0.0
       var sub = 0
+      while (sub + 4 <= m) {
+        acc0 += lut(sub * kSub + (pqCodes(base + sub) & 0xff))
+        acc1 += lut((sub + 1) * kSub + (pqCodes(base + sub + 1) & 0xff))
+        acc2 += lut((sub + 2) * kSub + (pqCodes(base + sub + 2) & 0xff))
+        acc3 += lut((sub + 3) * kSub + (pqCodes(base + sub + 3) & 0xff))
+        sub += 4
+      }
       while (sub < m) {
-        acc += lut(sub * kSub + (pqCodes(base + sub) & 0xff))
+        acc0 += lut(sub * kSub + (pqCodes(base + sub) & 0xff))
         sub += 1
       }
-      buf.insert(acc, r.toLong)
+      buf.insert((acc0 + acc1) + (acc2 + acc3), r.toLong)
       r += 1
     }
   }
