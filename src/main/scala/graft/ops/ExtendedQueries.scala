@@ -3981,6 +3981,104 @@ object ExtendedQueries {
          |    AS DOUBLE) / 1e6 AS intercept
          |FROM lo2 JOIN hi2 USING (seg) ORDER BY seg""".stripMargin)),
 
+    // Isotonic regression of the monthly revenue series per market
+    // segment — the monotone-trend RESTORATION beside q_theil_sen's
+    // robust line and q_ols's least squares: the best monotone
+    // (non-decreasing) fit in L2, the standard calibration tool
+    // (Barlow et al. 1972; classifier-score calibration uses exactly
+    // this). Formulated for SQL via the MINIMAX identity
+    //   iso[i] = max_{j<=i} min_{k>=i} mean(y[j..k])
+    // instead of the sequential pool-adjacent-violators stack (which a
+    // declarative plan cannot express): subrange means come from exact
+    // BIGINT prefix sums on the cents grid, and each mean enters the
+    // min/max as its e6-truncated integral division — a legitimate
+    // order key BECAUSE distinct subrange means differ by >= 1/den1*den2
+    // >= 1/84^2 cents ~ 142 e6-units, so truncation (monotone,
+    // injective on this set) commutes with min and max and the final
+    // value is EXACTLY trunc(iso * 1e6). AnalyticsSpec replays the
+    // classic PAVA stack in BigInt rationals — a genuinely different
+    // algorithm whose agreement is the Barlow minimax THEOREM, not a
+    // shared formulation.
+    // Scale shape: the theil_sen contract — ONE corpus month-grid
+    // aggregate; the (j,k) pair and (j,i,k) triple relations are
+    // calendar-bounded (<= 84^3/6 rows per segment, corpus-independent).
+    Q("q_isotonic",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val wSeg = Window.partitionBy(col("seg")).orderBy(col("mi"))
+        val m = Tables.orders(s, d)
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment").as("seg"),
+            (year(col("o_orderdate")) * lit(12) + month(col("o_orderdate")))
+              .cast("long").as("mi"))
+          .agg(sum(floor(col("o_totalprice") * lit(100.0)).cast("long"))
+            .as("rev"))
+          .withColumn("i", row_number().over(wSeg).cast("long"))
+          .withColumn("p", sum(col("rev")).over(wSeg))
+        val a = m.select(col("seg"), col("i").as("j"),
+          (col("p") - col("rev")).as("q"))
+        val b = m.select(col("seg").as("seg_b"), col("i").as("k"),
+          col("p").as("pk"))
+        val pairs = a.join(b,
+            col("seg") === col("seg_b") && col("j") <= col("k"))
+          .select(col("seg"), col("j"), col("k"),
+            // cum-revenue x 1e6 runs through DECIMAL(38,0) (the q_cuped
+            // rule) so a large-SF month grid cannot wrap; the quotient
+            // is a mean x 1e6 — comfortably BIGINT
+            expr("CAST((CAST(pk - q AS DECIMAL(38,0)) * 1000000) div (k - j + 1) AS BIGINT)")
+              .as("v_e6"))
+        val trip = pairs.join(
+            m.select(col("seg").as("seg_i"), col("i")),
+            col("seg") === col("seg_i") &&
+              col("j") <= col("i") && col("i") <= col("k"))
+          .select(col("seg"), col("i"), col("j"), col("k"), col("v_e6"))
+        val inner = trip.groupBy(col("seg"), col("i"), col("j"))
+          .agg(min(col("v_e6")).as("lo"))
+        val iso = inner.groupBy(col("seg"), col("i"))
+          .agg(max(col("lo")).as("fit_e6"))
+        m.select(col("seg").as("seg_m"), col("i").as("i_m"),
+            col("mi"), col("rev"))
+          .join(iso, col("seg_m") === col("seg") && col("i_m") === col("i"))
+          .select(col("seg"), col("i"), col("mi"), col("rev"),
+            col("fit_e6"),
+            (col("fit_e6").cast("double") / lit(1e6)).as("fit_cents"))
+          .orderBy(col("seg"), col("i"))
+      },
+      Some("""WITH m0 AS (
+         |  SELECT c_mktsegment AS seg,
+         |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+         |      AS mi,
+         |    CAST(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+         |      AS BIGINT) AS rev
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  GROUP BY 1, 2),
+         |m AS (
+         |  SELECT seg, mi, rev,
+         |    CAST(row_number() OVER (PARTITION BY seg ORDER BY mi)
+         |      AS BIGINT) AS i,
+         |    CAST(sum(rev) OVER (PARTITION BY seg ORDER BY mi
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS p
+         |  FROM m0),
+         |pairs AS (
+         |  SELECT a.seg, a.i AS j, b.i AS k,
+         |    CAST((CAST(b.p - (a.p - a.rev) AS HUGEINT) * 1000000)
+         |      // (b.i - a.i + 1) AS BIGINT) AS v_e6
+         |  FROM m a JOIN m b ON a.seg = b.seg AND a.i <= b.i),
+         |trip AS (
+         |  SELECT p.seg, c.i, p.j, p.v_e6
+         |  FROM pairs p JOIN m c
+         |    ON p.seg = c.seg AND p.j <= c.i AND c.i <= p.k),
+         |inner_min AS (
+         |  SELECT seg, i, j, min(v_e6) AS lo FROM trip GROUP BY 1, 2, 3),
+         |iso AS (
+         |  SELECT seg, i, CAST(max(lo) AS BIGINT) AS fit_e6
+         |  FROM inner_min GROUP BY 1, 2)
+         |SELECT m.seg, m.i, m.mi, m.rev, fit_e6,
+         |  CAST(fit_e6 AS DOUBLE) / 1e6 AS fit_cents
+         |FROM m JOIN iso ON m.seg = iso.seg AND m.i = iso.i
+         |ORDER BY m.seg, m.i""".stripMargin)),
+
     // Spearman rank correlation — the MONOTONE-dependence measure beside
     // q_ols/q_theil_sen's linear fits and q_acf's serial correlation:
     // quantity vs extended price per lineitem. Formulated WITHOUT

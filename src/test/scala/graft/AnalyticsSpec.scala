@@ -428,6 +428,58 @@ class AnalyticsSpec extends SparkSpec {
     assert(clusterRows.length > 1 && nBorder > 0 && noiseRow.getLong(1) > 0)
   }
 
+  test("q_isotonic equals the PAVA stack (the Barlow minimax theorem, live)") {
+    // The query computes iso via max-min over subrange means; this
+    // replay runs the POOL-ADJACENT-VIOLATORS stack in BigInt rationals
+    // — a genuinely different algorithm. Their agreement is the classic
+    // isotonic-regression theorem, so a shared misformulation of either
+    // side cannot hide.
+    def pavaE6(ys: Array[Long]): Array[Long] = {
+      case class Block(var sum: BigInt, var cnt: Long)
+      val st = scala.collection.mutable.ArrayBuffer.empty[Block]
+      ys.foreach { y =>
+        st += Block(BigInt(y), 1L)
+        while (st.length >= 2 &&
+            st(st.length - 2).sum * st.last.cnt >=
+              st.last.sum * st(st.length - 2).cnt) {
+          val t = st.remove(st.length - 1)
+          st.last.sum += t.sum; st.last.cnt += t.cnt
+        }
+      }
+      st.iterator.flatMap(b =>
+        Iterator.fill(b.cnt.toInt)((b.sum * 1000000 / b.cnt).toLong)).toArray
+    }
+    // the stack must genuinely pool on a violating series
+    assert(pavaE6(Array(5L, 3L, 4L, 10L)).toSeq ==
+      Seq(4000000L, 4000000L, 4000000L, 10000000L))
+    val m = Tables.orders(spark, sf001)
+      .join(Tables.customer(spark, sf001), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"),
+        (year(col("o_orderdate")) * lit(12) + month(col("o_orderdate")))
+          .cast("long").as("mi"))
+      .agg(sum(floor(col("o_totalprice") * lit(100.0)).cast("long")).as("rev"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val bySeg = m.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toArray).toMap
+    val rows = SparkEntry.queries("q_isotonic")(spark, sf001).collect()
+    assert(rows.length == m.length)
+    val expected = bySeg.view.mapValues(pavaE6).toMap
+    rows.foreach { r =>
+      val seg = r.getAs[String]("seg")
+      val i = r.getAs[Long]("i").toInt
+      assert(r.getAs[Long]("fit_e6") == expected(seg)(i - 1),
+        s"$seg month $i: ${r.getAs[Long]("fit_e6")} vs PAVA ${expected(seg)(i - 1)}")
+    }
+    // the fit is genuinely monotone per segment and genuinely POOLS
+    // somewhere (a fit equal to the raw series would be vacuous)
+    rows.groupBy(_.getAs[String]("seg")).foreach { case (_, rs) =>
+      val fits = rs.sortBy(_.getAs[Long]("i")).map(_.getAs[Long]("fit_e6"))
+      assert(fits.zip(fits.tail).forall { case (x, y) => x <= y })
+    }
+    assert(rows.exists(r =>
+      r.getAs[Long]("fit_e6") != r.getAs[Long]("rev") * 1000000L))
+  }
+
   /** Hand-rolled Spearman rho_e9 via POSITIONAL tie-averaged ranks (sort
     * the multiset, average positions across each tie group — not the
     * query's grid-cum formulation) + BigInt moments; the shared final
