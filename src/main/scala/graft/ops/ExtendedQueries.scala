@@ -4165,6 +4165,107 @@ object ExtendedQueries {
          |    / 1e9 AS rho
          |FROM a""".stripMargin)),
 
+    // Kendall tau-b rank stability — the RANKING-agreement measure the
+    // family lacked beside q_spearman's value correlation: do the top
+    // suppliers rank the same by revenue in the first and second half of
+    // the shipping range? (The eval-pipeline question: is a leaderboard
+    // stable across time slices, or is its order noise?) The entity set
+    // is the BOUNDED top-10 by total revenue (deterministic revenue-then-
+    // key order), the time cut is DERIVED from the data (epoch-day
+    // midpoint of min/max shipdate — no fixture-pinned date, the
+    // q_markov_attribution lesson), and tau-b is exact integer
+    // concordance arithmetic over the C(10,2) pairs: sign products via
+    // CASE (portable, no double signum), tie terms t1/t2 per the tau-b
+    // convention, one shared-op-order double assembly
+    // (C - D) / (sqrt(n0-t1) * sqrt(n0-t2)), floor-snapped e9.
+    // Scale shape: ONE corpus aggregate to per-supplier half-revenues
+    // (map-side combinable), a supplier-count-bounded top-k, and a
+    // 45-row pair join — corpus-size-independent after the first pass.
+    Q("q_kendall",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(
+          col("l_suppkey").cast("long").as("sk"),
+          datediff(col("l_shipdate").cast("date"),
+            to_date(lit("1970-01-01"))).cast("long").as("day"),
+          floor(col("l_extendedprice") * lit(100.0)).cast("long").as("rev"))
+        val mid = li.agg(
+          ((min(col("day")) + max(col("day"))) / lit(2L)).cast("long")
+            .as("mid"))
+        val sup = li.crossJoin(broadcast(mid))
+          .groupBy(col("sk"))
+          .agg(
+            sum(when(col("day") <= col("mid"), col("rev")).otherwise(0L))
+              .as("rev_a"),
+            sum(when(col("day") > col("mid"), col("rev")).otherwise(0L))
+              .as("rev_b"),
+            sum(col("rev")).as("rev_t"))
+          .orderBy(col("rev_t").desc, col("sk"))
+          .limit(10)
+        val p = sup.select(col("sk").as("ska"), col("rev_a").as("aa"),
+            col("rev_b").as("ab"))
+          .join(sup.select(col("sk").as("skb"), col("rev_a").as("ba"),
+            col("rev_b").as("bb")), col("ska") < col("skb"))
+          .select(
+            (when(col("aa") > col("ba"), 1L)
+              .when(col("aa") < col("ba"), -1L).otherwise(0L)).as("sa"),
+            (when(col("ab") > col("bb"), 1L)
+              .when(col("ab") < col("bb"), -1L).otherwise(0L)).as("sb"))
+        val agg = p.agg(
+          count(lit(1)).as("n0"),
+          sum(when(col("sa") * col("sb") === 1L, 1L).otherwise(0L)).as("nc"),
+          sum(when(col("sa") * col("sb") === -1L, 1L).otherwise(0L)).as("nd"),
+          sum(when(col("sa") === 0L, 1L).otherwise(0L)).as("t1"),
+          sum(when(col("sb") === 0L, 1L).otherwise(0L)).as("t2"))
+        val tau = (col("nc") - col("nd")).cast("double") /
+          nullif(sqrt((col("n0") - col("t1")).cast("double")) *
+            sqrt((col("n0") - col("t2")).cast("double")), lit(0.0))
+        agg.select(col("n0"), col("nc"), col("nd"), col("t1"), col("t2"),
+          floor(tau * lit(1e9)).cast("long").as("tau_e9"),
+          (floor(tau * lit(1e9)) / lit(1e9)).as("tau"))
+      },
+      Some("""WITH li AS (
+         |  SELECT CAST(l_suppkey AS BIGINT) AS sk,
+         |    CAST(date_diff('day', DATE '1970-01-01',
+         |      CAST(l_shipdate AS DATE)) AS BIGINT) AS day,
+         |    CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS rev
+         |  FROM lineitem),
+         |mid AS (SELECT (min(day) + max(day)) // 2 AS mid FROM li),
+         |sup AS (
+         |  SELECT sk,
+         |    CAST(sum(CASE WHEN day <= mid THEN rev ELSE 0 END) AS BIGINT)
+         |      AS rev_a,
+         |    CAST(sum(CASE WHEN day > mid THEN rev ELSE 0 END) AS BIGINT)
+         |      AS rev_b,
+         |    CAST(sum(rev) AS BIGINT) AS rev_t
+         |  FROM li, mid GROUP BY sk, mid
+         |  ORDER BY rev_t DESC, sk LIMIT 10),
+         |p AS (
+         |  SELECT
+         |    CASE WHEN a.rev_a > b.rev_a THEN 1
+         |         WHEN a.rev_a < b.rev_a THEN -1 ELSE 0 END AS sa,
+         |    CASE WHEN a.rev_b > b.rev_b THEN 1
+         |         WHEN a.rev_b < b.rev_b THEN -1 ELSE 0 END AS sb
+         |  FROM sup a JOIN sup b ON a.sk < b.sk),
+         |agg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n0,
+         |    CAST(sum(CASE WHEN sa * sb = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS nc,
+         |    CAST(sum(CASE WHEN sa * sb = -1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS nd,
+         |    CAST(sum(CASE WHEN sa = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t1,
+         |    CAST(sum(CASE WHEN sb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t2
+         |  FROM p)
+         |SELECT n0, nc, nd, t1, t2,
+         |  CAST(floor(CAST(nc - nd AS DOUBLE)
+         |    / nullif(sqrt(CAST(n0 - t1 AS DOUBLE))
+         |             * sqrt(CAST(n0 - t2 AS DOUBLE)), 0) * 1e9)
+         |    AS BIGINT) AS tau_e9,
+         |  floor(CAST(nc - nd AS DOUBLE)
+         |    / nullif(sqrt(CAST(n0 - t1 AS DOUBLE))
+         |             * sqrt(CAST(n0 - t2 AS DOUBLE)), 0) * 1e9) / 1e9
+         |    AS tau
+         |FROM agg""".stripMargin)),
+
     // Median-absolute-deviation outlier report — the ROBUST companion to
     // q_outliers' 3-sigma rule (one gross outlier corrupts both the mean
     // and sigma it is judged by; the median/MAD pair has a 50% breakdown

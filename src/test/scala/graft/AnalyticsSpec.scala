@@ -538,6 +538,54 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Double]("rho") == r.getAs[Long]("rho_e9").toDouble / 1e9)
   }
 
+  /** Hand-rolled Kendall tau_e9 over (a, b) value pairs: all C(n,2) sign
+    * products, tau-b tie terms, the query's shared double assembly. */
+  private def kendallE9(xs: Array[(Long, Long)]): Long = {
+    var nc, nd, t1, t2, n0 = 0L
+    for (i <- xs.indices; j <- (i + 1) until xs.length) {
+      val sa = java.lang.Long.signum(xs(i)._1 - xs(j)._1).toLong
+      val sb = java.lang.Long.signum(xs(i)._2 - xs(j)._2).toLong
+      n0 += 1
+      if (sa * sb == 1L) nc += 1
+      if (sa * sb == -1L) nd += 1
+      if (sa == 0L) t1 += 1
+      if (sb == 0L) t2 += 1
+    }
+    math.floor((nc - nd).toDouble /
+      (math.sqrt((n0 - t1).toDouble) * math.sqrt((n0 - t2).toDouble)) *
+      1e9).toLong
+  }
+
+  test("q_kendall equals an all-pairs replay; planted rankings score ±1") {
+    // perfect agreement => +1, full reversal => -1, each within one
+    // floor-snap unit (sqrt(n0)*sqrt(n0) rounds an ulp off n0, so the
+    // ratio can floor one unit past the exact ±1e9)
+    val agree = Array((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))
+    assert(math.abs(kendallE9(agree) - 1000000000L) <= 1L)
+    assert(math.abs(kendallE9(agree.map { case (a, b) => (a, -b) })
+      + 1000000000L) <= 1L)
+    // a tie in one list lands in t1/t2, not in nc/nd
+    assert(kendallE9(Array((1L, 1L), (1L, 2L), (2L, 3L))) < 1000000000L)
+    val li = Tables.lineitem(spark, sf001).select(
+      col("l_suppkey").cast("long"),
+      datediff(col("l_shipdate").cast("date"),
+        to_date(lit("1970-01-01"))).cast("long"),
+      floor(col("l_extendedprice") * lit(100.0)).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val mid = (li.map(_._2).min + li.map(_._2).max) / 2
+    val sup = li.groupBy(_._1).map { case (sk, rows) =>
+      (sk, rows.filter(_._2 <= mid).map(_._3).sum,
+        rows.filter(_._2 > mid).map(_._3).sum,
+        rows.map(_._3).sum)
+    }.toArray.sortBy(t => (-t._4, t._1)).take(10)
+    val r = SparkEntry.queries("q_kendall")(spark, sf001).collect().head
+    assert(r.getAs[Long]("n0") == sup.length.toLong * (sup.length - 1) / 2)
+    assert(r.getAs[Long]("tau_e9") ==
+      kendallE9(sup.map(t => (t._2, t._3))),
+      s"tau_e9 ${r.getAs[Long]("tau_e9")} vs replay")
+    assert(r.getAs[Double]("tau") == r.getAs[Long]("tau_e9").toDouble / 1e9)
+  }
+
   /** Hand-rolled q_mad per-group columns from a sorted value multiset:
     * (n, med2, mad4, n_outliers, max_z_e6 or None when mad4 == 0). */
   private def madReplay(vs: Array[Long])
