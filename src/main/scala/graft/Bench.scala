@@ -528,50 +528,52 @@ object Bench {
     * (nprobe = numCells == the flat exact scan). */
   private def serving4m(spark: SparkSession): String = {
     import spark.implicits._
-    val stBlock0 = HostSteal.stealSeconds()
-    val dim = 128; val n = 4000000; val nCenters = 8000
-    val cells = 128; val nprobe = 8; val candK = 512
+    // The measurement itself runs in a CLEAN CHILD JVM (tools/Serving4m):
+    // two close attempts measured the in-bench 4M ADC scan at 141-452
+    // QPS while a fresh JVM reproduces 754-805 (~3x IVF) every time —
+    // after three sweeps of 224 codegen'd queries the close JVM's
+    // JIT/code-cache state degrades this one hot loop, and a number
+    // that depends on how much unrelated work the JVM did first is not
+    // a measurement of the index. The parent contributes the one
+    // Spark-dependent input: the PQ codebook, trained on the corpus
+    // recipe's first 100k vectors (same seed stream, so the sample is
+    // bit-identical to the child's first 100k rows).
+    val dim = 128; val n = 4000000
+    val nCenters = n / 500
     val rnd = new scala.util.Random(97)
     val centers = Array.fill(nCenters)(Array.fill(dim)(rnd.nextGaussian().toFloat * 3f))
-    val vecs = Array.tabulate(n) { i =>
+    val sampleVecs = Array.tabulate(100000) { i =>
       val c = centers(i % nCenters)
       Array.tabulate(dim)(j => c(j) + rnd.nextGaussian().toFloat * 1.0f)
     }
-    val ids = Array.tabulate(n)(_.toLong)
-    val sample = ids.zip(vecs).take(100000).toSeq.toDF("vec_id", "embedding")
+    val sample = Array.tabulate(100000)(_.toLong).zip(sampleVecs).toSeq
+      .toDF("vec_id", "embedding")
     val cb = graft.ops.PqQueries.trainCodebookOn(sample)
-    val ivf = graft.store.LocalIvfIndex.train(ids, vecs, numCells = cells)
-    val ivfpq = graft.store.LocalIvfPqIndex.train(ids, vecs, cells,
-      graft.ops.PqQueries.M, graft.ops.PqQueries.K, cb)
-    val ivfbq = graft.store.LocalIvfBqIndex.train(ids, vecs, numCells = cells)
-    val queries = (0 until 100).map { _ =>
-      val c = centers(rnd.nextInt(nCenters))
-      Array.tabulate(dim)(j => c(j) + rnd.nextGaussian().toFloat * 1.0f)
-    }.toArray
-    val qBytes = queries.map(graft.functions.VectorKernels.quantize)
-    // exact truth via the full probe (spec-gated == flat scan)
-    val truth = qBytes.map(q => ivf.search(q, 10, cells).map(_._1).toSet)
-    def recall(got: Array[Seq[(Long, Double)]]): Double =
-      got.zip(truth).map { case (g, t) => g.map(_._1).count(t).toDouble / 10 }
-        .sum / truth.length
-    (0 until 10).foreach { i =>
-      ivf.search(qBytes(i), 10, nprobe)
-      ivfpq.search(queries(i), 10, nprobe, candK)
-      ivfbq.search(queries(i), 10, nprobe, candK)
-    }
-    System.gc()
-    def best3(body: => Unit): Double = (0 until 5).map { _ =>
-      val t = System.nanoTime(); body; (System.nanoTime() - t) / 1e9
-    }.min
-    val tIvf = best3(qBytes.foreach(q => ivf.search(q, 10, nprobe)))
-    val tPq = best3(queries.foreach(q => ivfpq.search(q, 10, nprobe, candK)))
-    val tBq = best3(queries.foreach(q => ivfbq.search(q, 10, nprobe, candK)))
-    val rIvf = recall(qBytes.map(q => ivf.search(q, 10, nprobe)))
-    val rPq = recall(queries.map(q => ivfpq.search(q, 10, nprobe, candK)))
-    val rBq = recall(queries.map(q => ivfbq.search(q, 10, nprobe, candK)))
-    val probed = qBytes.map(q => ivf.probedRows(q, nprobe).toDouble).sum /
-      qBytes.length
-    f""""serving_4m":{"corpus":$n,"cells":$cells,"nprobe":$nprobe,"cand_k":$candK,"steal_cpu_s":${HostSteal.stealSeconds() - stBlock0}%.0f,"mean_probed_rows":$probed%.0f,"ivf_probed_mb_per_q":${probed * dim / 1e6}%.1f,"ivfpq_probed_mb_per_q":${probed * graft.ops.PqQueries.M / 1e6}%.1f,"ivf_qps":${100.0 / tIvf}%.0f,"ivf_recall10":$rIvf%.3f,"ivfpq_qps":${100.0 / tPq}%.0f,"ivfpq_recall10":$rPq%.3f,"ivfpq_vs_ivf":${tIvf / tPq}%.2f,"ivfbq_qps":${100.0 / tBq}%.0f,"ivfbq_recall10":$rBq%.3f}"""
+    val cbPath = java.nio.file.Files.createTempFile("graft-cb", ".bin")
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      java.nio.file.Files.newOutputStream(cbPath)))
+    try { out.writeInt(cb.length); cb.foreach(out.writeDouble) }
+    finally out.close()
+    try {
+      val java = System.getProperty("java.home") + "/bin/java"
+      val cp = System.getProperty("java.class.path")
+      val cmd = Seq(java, "--add-modules", "jdk.incubator.vector",
+        "-Xmx12g", "-cp", cp, "graft.tools.Serving4m",
+        cbPath.toString, graft.ops.PqQueries.M.toString,
+        graft.ops.PqQueries.K.toString, n.toString)
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectErrorStream(false)
+      val proc = pb.start()
+      val outLines = scala.io.Source.fromInputStream(proc.getInputStream)
+        .getLines().toList
+      proc.waitFor()
+      outLines.find(_.startsWith("{\"corpus\"")) match {
+        case Some(json) => s""""serving_4m":$json"""
+        case None =>
+          System.err.println(s"[bench] serving_4m child produced no JSON (exit ${proc.exitValue()})")
+          """"serving_4m":null"""
+      }
+    } finally java.nio.file.Files.deleteIfExists(cbPath)
   }
 
   private def servingClustered(spark: SparkSession, label: String,
