@@ -4266,6 +4266,94 @@ object ExtendedQueries {
          |    AS tau
          |FROM agg""".stripMargin)),
 
+    // Jensen-Shannon divergence between the event-type mixes of the two
+    // time halves — completes the drift family's metric set: q_psi_drift
+    // (binned PSI), q_ks_test (sup-norm), q_wasserstein (L1 transport)
+    // and now the SYMMETRIC, BOUNDED information divergence (0..ln 2,
+    // finite even with zero cells — the reason production monitors
+    // prefer it over raw KL). The cut is derived from the data (epoch-
+    // micros midpoint), the category grid is the observed type set, and
+    // the one inherently-double stage (p ln(p/m) terms) follows the
+    // q_psi_drift discipline: pinned per-term op order, floor-snap to
+    // the 2^43 grid, order-independent DECIMAL(38,0) sum. Zero cells
+    // contribute exactly 0 (the 0 log 0 limit), via CASE on the exact
+    // integer count — never on a computed double.
+    // Scale shape: ONE map-side-combinable corpus aggregate to the
+    // (type, half) grid; everything after is category-sized.
+    Q("q_jsd",
+      (s, d) => {
+        val P43 = 8796093022208.0
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val ev = Tables.events(s, d).select(col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        val mid = ev.agg(
+          ((min(col("us")) + max(col("us"))) / lit(2L)).cast("long")
+            .as("mid"))
+        val g = ev.crossJoin(broadcast(mid))
+          .groupBy(col("event_type"))
+          .agg(
+            sum(when(col("us") <= col("mid"), 1L).otherwise(0L)).as("ca"),
+            sum(when(col("us") > col("mid"), 1L).otherwise(0L)).as("cb"))
+        val tot = g.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+          count(lit(1)).as("n_types"))
+        val terms = g.crossJoin(broadcast(tot))
+          .select(col("na"), col("nb"), col("n_types"),
+            (col("ca").cast("double") / col("na").cast("double")).as("p"),
+            (col("cb").cast("double") / col("nb").cast("double")).as("q"),
+            col("ca"), col("cb"))
+          .withColumn("m", (col("p") + col("q")) / lit(2.0))
+          .withColumn("t",
+            when(col("ca") === 0L, lit(0.0))
+              .otherwise(col("p") * log(col("p") / col("m"))) * lit(0.5) +
+            when(col("cb") === 0L, lit(0.0))
+              .otherwise(col("q") * log(col("q") / col("m"))) * lit(0.5))
+        val jsd = sum(floor(col("t") * lit(P43)).cast(dec))
+          .cast("double") / lit(P43)
+        terms.groupBy(col("na"), col("nb"), col("n_types"))
+          .agg(jsd.as("jsd_nats"))
+          .select(col("na"), col("nb"), col("n_types"), col("jsd_nats"),
+            (col("jsd_nats") / lit(0.6931471805599453)).as("jsd_norm"))
+      },
+      Some {
+        val P = "8796093022208.0"
+        s"""WITH ev AS (
+          |  SELECT event_type,
+          |    CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us
+          |  FROM events),
+          |mid AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+          |g AS (
+          |  SELECT event_type,
+          |    CAST(sum(CASE WHEN us <= mid THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS ca,
+          |    CAST(sum(CASE WHEN us > mid THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS cb
+          |  FROM ev, mid GROUP BY event_type, mid),
+          |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+          |               CAST(sum(cb) AS BIGINT) AS nb,
+          |               CAST(count(*) AS BIGINT) AS n_types FROM g),
+          |terms AS (
+          |  SELECT na, nb, n_types, ca, cb,
+          |    CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) AS p,
+          |    CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE) AS q,
+          |    (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+          |      + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) / 2.0 AS m
+          |  FROM g, tot),
+          |tt AS (
+          |  SELECT na, nb, n_types,
+          |    (CASE WHEN ca = 0 THEN 0.0 ELSE p * ln(p / m) END) * 0.5
+          |    + (CASE WHEN cb = 0 THEN 0.0 ELSE q * ln(q / m) END) * 0.5
+          |      AS t
+          |  FROM terms),
+          |agg AS (
+          |  SELECT na, nb, n_types,
+          |    CAST(sum(CAST(floor(t * $P) AS HUGEINT)) AS DOUBLE) / $P
+          |      AS jsd_nats
+          |  FROM tt GROUP BY 1, 2, 3)
+          |SELECT na, nb, n_types, jsd_nats,
+          |  jsd_nats / 0.6931471805599453 AS jsd_norm
+          |FROM agg""".stripMargin
+      }),
+
     // Median-absolute-deviation outlier report — the ROBUST companion to
     // q_outliers' 3-sigma rule (one gross outlier corrupts both the mean
     // and sigma it is judged by; the median/MAD pair has a 50% breakdown

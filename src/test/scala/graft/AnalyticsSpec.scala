@@ -538,6 +538,47 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Double]("rho") == r.getAs[Long]("rho_e9").toDouble / 1e9)
   }
 
+  /** Hand-rolled JSD in nats with the query's P43 snap: counts -> p/q/m
+    * doubles in the query's op order, 0 log 0 handled on the count. */
+  private def jsdP43(cs: Array[(Long, Long)]): Double = {
+    val P43 = 8796093022208.0
+    val na = cs.map(_._1).sum.toDouble
+    val nb = cs.map(_._2).sum.toDouble
+    cs.map { case (ca, cb) =>
+      val p = ca.toDouble / na
+      val q = cb.toDouble / nb
+      val m = (p + q) / 2.0
+      val t = (if (ca == 0L) 0.0 else p * math.log(p / m)) * 0.5 +
+        (if (cb == 0L) 0.0 else q * math.log(q / m)) * 0.5
+      BigInt(math.floor(t * P43).toLong)
+    }.sum.toDouble / P43
+  }
+
+  test("q_jsd equals a hand-rolled replay; disjoint mixes score ln 2") {
+    // identical mixes => 0; fully disjoint supports => ln 2 (within one
+    // P43 snap unit); zero cells are finite (the reason JSD is the
+    // production drift metric over raw KL)
+    assert(jsdP43(Array((10L, 10L), (20L, 20L))) == 0.0)
+    val disjoint = jsdP43(Array((10L, 0L), (0L, 10L)))
+    assert(math.abs(disjoint - math.log(2.0)) < 1e-9)
+    val rows = Tables.events(spark, sf001)
+      .select(col("event_type"), unix_micros(col("ts")))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val mid = (rows.map(_._2).min + rows.map(_._2).max) / 2
+    val byType = rows.groupBy(_._1).view.mapValues { rs =>
+      (rs.count(_._2 <= mid).toLong, rs.count(_._2 > mid).toLong)
+    }.toMap
+    val r = SparkEntry.queries("q_jsd")(spark, sf001).collect().head
+    assert(r.getAs[Long]("na") == byType.values.map(_._1).sum)
+    assert(r.getAs[Long]("nb") == byType.values.map(_._2).sum)
+    assert(r.getAs[Long]("n_types") == byType.size.toLong)
+    val expected = jsdP43(byType.values.toArray)
+    assert(r.getAs[Double]("jsd_nats") == expected,
+      s"jsd ${r.getAs[Double]("jsd_nats")} vs replay $expected")
+    assert(r.getAs[Double]("jsd_nats") >= 0.0 &&
+      r.getAs[Double]("jsd_nats") <= math.log(2.0))
+  }
+
   /** Hand-rolled Kendall tau_e9 over (a, b) value pairs: all C(n,2) sign
     * products, tau-b tie terms, the query's shared double assembly. */
   private def kendallE9(xs: Array[(Long, Long)]): Long = {
