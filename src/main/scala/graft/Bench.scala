@@ -562,12 +562,32 @@ object Bench {
         cbPath.toString, graft.ops.PqQueries.M.toString,
         graft.ops.PqQueries.K.toString, n.toString)
       val pb = new ProcessBuilder(cmd: _*)
-      pb.redirectErrorStream(false)
+      // child stderr goes straight to ours: an undrained pipe blocks the
+      // child after ~64 KB (e.g. repeated GC/OOM traces during the 4M
+      // build) and a blocked child hangs waitFor forever
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val proc = pb.start()
-      val outLines = scala.io.Source.fromInputStream(proc.getInputStream)
-        .getLines().toList
-      proc.waitFor()
-      outLines.find(_.startsWith("{\"corpus\"")) match {
+      // stdout read on its own thread so the main thread can enforce a
+      // hard timeout — reading to EOF inline would block exactly when
+      // the child hangs, which is the case the timeout exists for
+      val outBuf = new _root_.java.util.concurrent.atomic.AtomicReference[List[String]](Nil)
+      val reader = new Thread(() =>
+        try outBuf.set(scala.io.Source.fromInputStream(proc.getInputStream)
+          .getLines().toList)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] serving_4m stdout read: $e") })
+      reader.setDaemon(true)
+      reader.start()
+      val done = proc.waitFor(30, _root_.java.util.concurrent.TimeUnit.MINUTES)
+      if (!done) {
+        System.err.println("[bench] serving_4m child timed out after 30 min — killed")
+        proc.destroyForcibly()
+        proc.waitFor(10, _root_.java.util.concurrent.TimeUnit.SECONDS)
+      }
+      reader.join(10000)
+      val outLines = outBuf.get()
+      if (!done) """"serving_4m":null"""
+      else outLines.find(_.startsWith("{\"corpus\"")) match {
         case Some(json) => s""""serving_4m":$json"""
         case None =>
           System.err.println(s"[bench] serving_4m child produced no JSON (exit ${proc.exitValue()})")
@@ -654,6 +674,10 @@ object Bench {
     index.unpersist()
     val flatQps = 100.0 / repsFlat.min
     val ivfQps = 100.0 / repsIvf.min
-    f""""$label":{"corpus":$n,"cells":$cells,"nprobe":$nprobe,"cand_k":$candK,"steal_cpu_s":${HostSteal.stealSeconds() - stBlock0}%.0f,"mean_scan_frac":$scanFrac%.4f,"flat_qps":$flatQps%.0f,"ivf_qps":$ivfQps%.0f,"ivf_recall10":$recIvf%.3f,"ivf_speedup":${ivfQps / flatQps}%.2f,"ivfpq_qps":${100.0 / repsIvfPq.min}%.0f,"ivfpq_recall10":$recIvfPq%.3f,"ivfbq_qps":${100.0 / repsIvfBq.min}%.0f,"ivfbq_recall10":$recIvfBq%.3f}"""
+    // -1 sentinel when /proc/stat is unreadable (both reads -1): a raw
+    // difference would report 0, which reads as "clean" instead of
+    // "unknown" — mirror every other call site's guard
+    val blockSteal = if (stBlock0 < 0) -1.0 else HostSteal.stealSeconds() - stBlock0
+    f""""$label":{"corpus":$n,"cells":$cells,"nprobe":$nprobe,"cand_k":$candK,"steal_cpu_s":$blockSteal%.0f,"mean_scan_frac":$scanFrac%.4f,"flat_qps":$flatQps%.0f,"ivf_qps":$ivfQps%.0f,"ivf_recall10":$recIvf%.3f,"ivf_speedup":${ivfQps / flatQps}%.2f,"ivfpq_qps":${100.0 / repsIvfPq.min}%.0f,"ivfpq_recall10":$recIvfPq%.3f,"ivfbq_qps":${100.0 / repsIvfBq.min}%.0f,"ivfbq_recall10":$recIvfBq%.3f}"""
   }
 }

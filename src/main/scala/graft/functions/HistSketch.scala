@@ -125,6 +125,40 @@ object HistSketchKernels {
     (BigInt(dNum) * 1000000000L / (BigInt(nL) * nR)).toLong
   }
 
+  /** Jensen-Shannon divergence (nats) between two same-grid sketches,
+    * e9-scaled: q_jsd's P43 snap-sum discipline lifted onto sketch bin
+    * counts — per occupied union bin, p = lc/nL, q = rc/nR,
+    * m = (p+q)/2, t = [lc>0] p*ln(p/m)*0.5 + [rc>0] q*ln(q/m)*0.5 (the
+    * exact operation order of ExtendedQueries q_jsd, so zero cells
+    * contribute exact 0 and JSD stays finite on disjoint supports);
+    * the bin terms are floor-snapped to the 2^43 grid and summed as
+    * integers (order-independent), then one BigInt integral division
+    * rescales the snap-sum to e9. trunc((sum floor(t*2^43)) * 1e9 /
+    * 2^43) — deterministic across partitionings and trigger splits.
+    * -1 if either sketch is empty. */
+  def jsdE9(live: Array[Byte], ref: Array[Byte]): Long = {
+    val (lb, lc, nL) = sparse(live)
+    val (rb, rc, nR) = sparse(ref)
+    if (nL == 0L || nR == 0L) return -1L
+    val P43 = 8796093022208.0
+    var snap = 0L // |terms| <= ln2 * 2^43 * nbins — safe in a long
+    var i = 0; var j = 0
+    while (i < lb.length || j < rb.length) {
+      val bi = if (i < lb.length) lb(i) else Int.MaxValue
+      val bj = if (j < rb.length) rb(j) else Int.MaxValue
+      var cl = 0L; var cr = 0L
+      if (bi <= bj) { cl = lc(i); i += 1 }
+      if (bj <= bi) { cr = rc(j); j += 1 }
+      val p = cl.toDouble / nL
+      val q = cr.toDouble / nR
+      val m = (p + q) / 2.0
+      val t = (if (cl == 0L) 0.0 else p * math.log(p / m)) * 0.5 +
+        (if (cr == 0L) 0.0 else q * math.log(q / m)) * 0.5
+      snap += math.floor(t * P43).toLong
+    }
+    (BigInt(snap) * 1000000000L / 8796093022208L).toLong
+  }
+
   /** Wasserstein-1 between two same-grid sketches in BIN units,
     * e9-scaled: q_wasserstein's exact gap-weighted CDF-difference
     * integral on the union grid — W_num = sum over consecutive occupied
@@ -296,6 +330,28 @@ case class HistKsE9Expr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** binary x binary -> bigint: e9-scaled Jensen-Shannon divergence (nats)
+  * between two same-grid sketches. Codegen'd via the static kernel. */
+case class HistJsdE9Expr(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "hist_jsd_e9"
+
+  override def nullSafeEval(live: Any, ref: Any): Any =
+    HistSketchKernels.jsdE9(live.asInstanceOf[Array[Byte]],
+      ref.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) =>
+      s"graft.functions.HistSketchKernels.jsdE9($l, $r)")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): HistJsdE9Expr =
+    copy(left = l, right = r)
+}
+
 /** binary x binary -> bigint: e9-scaled W1 (bin units) between two
   * same-grid sketches. Codegen'd via the static kernel. */
 case class HistW1E9Expr(left: Expression, right: Expression)
@@ -341,4 +397,7 @@ object HistOps {
 
   def histW1E9(live: Column, ref: Column): Column =
     c(HistW1E9Expr(e(live), e(ref)))
+
+  def histJsdE9(live: Column, ref: Column): Column =
+    c(HistJsdE9Expr(e(live), e(ref)))
 }

@@ -4023,9 +4023,18 @@ object ExtendedQueries {
             col("seg") === col("seg_b") && col("j") <= col("k"))
           .select(col("seg"), col("j"), col("k"),
             // cum-revenue x 1e6 runs through DECIMAL(38,0) (the q_cuped
-            // rule) so a large-SF month grid cannot wrap; the quotient
-            // is a mean x 1e6 — comfortably BIGINT
-            expr("CAST((CAST(pk - q AS DECIMAL(38,0)) * 1000000) div (k - j + 1) AS BIGINT)")
+            // rule) so a large-SF month grid cannot wrap — and the
+            // e6-scaled mean STAYS DECIMAL through the min/max stages:
+            // `div` would return BIGINT, whose silent-NULL overflow at
+            // ~9.2e18 (an SF100-class month revenue is within 2x of it)
+            // would drop the month from the fit instead of failing
+            // loudly. The integral division is exact decimal arithmetic
+            // (num - num % den is divisible by den); BIGINT appears only
+            // at the final output cast, where both engines convert the
+            // same exact value.
+            expr("CAST(((CAST(pk - q AS DECIMAL(38,0)) * 1000000) - " +
+              "((CAST(pk - q AS DECIMAL(38,0)) * 1000000) % (k - j + 1))) " +
+              "/ (k - j + 1) AS DECIMAL(38,0))")
               .as("v_e6"))
         val trip = pairs.join(
             m.select(col("seg").as("seg_i"), col("i")),
@@ -4040,8 +4049,8 @@ object ExtendedQueries {
             col("mi"), col("rev"))
           .join(iso, col("seg_m") === col("seg") && col("i_m") === col("i"))
           .select(col("seg"), col("i"), col("mi"), col("rev"),
-            col("fit_e6"),
-            (col("fit_e6").cast("double") / lit(1e6)).as("fit_cents"))
+            col("fit_e6").cast("long").as("fit_e6"),
+            (col("fit_e6").cast("long").cast("double") / lit(1e6)).as("fit_cents"))
           .orderBy(col("seg"), col("i"))
       },
       Some("""WITH m0 AS (
@@ -4062,8 +4071,8 @@ object ExtendedQueries {
          |  FROM m0),
          |pairs AS (
          |  SELECT a.seg, a.i AS j, b.i AS k,
-         |    CAST((CAST(b.p - (a.p - a.rev) AS HUGEINT) * 1000000)
-         |      // (b.i - a.i + 1) AS BIGINT) AS v_e6
+         |    (CAST(b.p - (a.p - a.rev) AS HUGEINT) * 1000000)
+         |      // (b.i - a.i + 1) AS v_e6
          |  FROM m a JOIN m b ON a.seg = b.seg AND a.i <= b.i),
          |trip AS (
          |  SELECT p.seg, c.i, p.j, p.v_e6

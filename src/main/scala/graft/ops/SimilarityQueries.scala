@@ -688,8 +688,66 @@ object SimilarityQueries {
            |  n_border
            |FROM (SELECT * FROM clusters UNION ALL SELECT * FROM noise) u
            |ORDER BY cluster""".stripMargin
+      }),
+
+    // kNN join / kNN graph — the corpus-vs-corpus building block the
+    // SemDeDup/graph-based-filtering curation papers assume: for EVERY
+    // embedding row, its KnnJoinK nearest neighbors by float cosine.
+    // Routing is the IVF discipline applied to a join: the PROBE side is
+    // spill-assigned to its 2 nearest cells (cellAssignmentsSpill — the
+    // nprobe=2 recall lever of q_ivf_spill), the BUILD side sits in its
+    // primary cell only, so a (q, n) candidate appears at most once
+    // (q's two cells are distinct; n lives in one) and candidate volume
+    // is bounded by 2 * sum(cell_i^2) — never all-pairs
+    // (tools/KnnJoinProbe asserts the measured fraction per SF). The
+    // per-query top-k runs as TopKAgg — a map-side-combining k-element
+    // heap per qid, so the shuffle after candidate scoring is n x k
+    // rows, not the candidate volume. At 100 TB the cell id is the
+    // partition key on both sides (co-located join), cells scale with
+    // the corpus so tasks stay bounded, and k rows/vector is the output
+    // — the kNN graph materializes in O(n) shuffle.
+    // Oracle: exact per-row top-k over the SAME frozen spill cells with
+    // the established fold-order float cosine and (score DESC, id ASC)
+    // tie-break — exact hash parity, no invariant reduction.
+    Q("q_knn_join",
+      (s, d) => {
+        val asg = cellAssignmentsSpill(s, d)
+        val probe = asg.select(col("cell"), col("vec_id").as("qid"),
+          col("embedding").as("qe"))
+        val build = asg.filter(col("arn") === 1)
+          .select(col("cell"), col("vec_id").as("nid"),
+            col("embedding").as("ne"))
+        probe.join(build, "cell")
+          .filter(col("qid") =!= col("nid"))
+          .select(col("qid"), col("nid"),
+            VectorOps.cosineFloat(col("qe"), col("ne")).as("score"))
+          .groupBy(col("qid"))
+          .agg(VectorOps.topK(col("score"), col("nid"), KnnJoinK).as("top"))
+          .select(col("qid"), posexplode(col("top")).as(Seq("pos", "t")))
+          .select(col("qid"), (col("pos") + lit(1)).cast("long").as("rank"),
+            col("t.vec_id").as("nid"), col("t.score").as("score"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some {
+        s"""WITH $asgSpillCtes,
+           |cand AS (
+           |  SELECT p.vec_id AS qid, b.vec_id AS nid,
+           |    ${OracleSql.floatCos("p.embedding", "b.embedding")} AS score
+           |  FROM asg p JOIN asg b USING (cell)
+           |  WHERE b.arn = 1 AND b.vec_id <> p.vec_id),
+           |r AS (
+           |  SELECT qid, nid, score,
+           |    CAST(row_number() OVER (
+           |      PARTITION BY qid ORDER BY score DESC, nid) AS BIGINT)
+           |      AS rank
+           |  FROM cand)
+           |SELECT qid, rank, nid, score FROM r WHERE rank <= $KnnJoinK
+           |ORDER BY qid, rank""".stripMargin
       })
   )
+
+  /** q_knn_join neighbors per row (the k of the kNN graph). */
+  final val KnnJoinK = 5
 
   /** q_mmr_rerank: queries, candidate depth, selections, and the MMR
     * relevance/diversity trade-off. MmrOneMinus is a SEPARATE literal
@@ -731,7 +789,9 @@ object SimilarityQueries {
   /** Spilled (multi-)assignment: every vector lands in its `keep` nearest
     * cells (arn = assignment rank) — the build-side recall lever of
     * q_ivf_spill. Storage cost x keep, probe cost unchanged. */
-  private def cellAssignmentsSpill(s: SparkSession, d: String): DataFrame =
+  // private[graft]: tools/KnnJoinProbe measures the spilled candidate
+  // volume on the same frozen assignment q_knn_join uses
+  private[graft] def cellAssignmentsSpill(s: SparkSession, d: String): DataFrame =
     cellAssignmentsOn(Tables.embeddings(s, d), None, keep = 2)
 
   /** As cellAssignments with the centroids trained on a FILTERED slice

@@ -56,8 +56,12 @@ object StreamDrift {
   }
 
   /** Per-key drift of a (streaming or batch) frame against the armed
-    * reference: n, e9-scaled exact KS/W1, and display doubles (W1 in
-    * value units via the armed bin width). */
+    * reference: n, e9-scaled exact KS/W1/JSD (the complete batch drift
+    * quartet minus PSI, whose binning convention q_psi_drift owns), and
+    * display doubles (W1 in value units via the armed bin width; JSD in
+    * nats). JSD rides the same post-aggregation projection as KS/W1 —
+    * the bin counts were already in the state sketches, so tier 24 costs
+    * one more codegen'd expression over <= nbins pairs per trigger. */
   def drift(events: DataFrame, lo: Double, width: Double,
       ref: Map[String, Array[Byte]]): DataFrame = {
     sketched(events, lo, width)
@@ -65,11 +69,14 @@ object StreamDrift {
       .filter(col("ref").isNotNull)
       .select(col("event_type"), col("n"),
         HistOps.histKsE9(col("sk"), col("ref")).as("ks_e9"),
-        HistOps.histW1E9(col("sk"), col("ref")).as("w1_bins_e9"))
+        HistOps.histW1E9(col("sk"), col("ref")).as("w1_bins_e9"),
+        HistOps.histJsdE9(col("sk"), col("ref")).as("jsd_e9"))
       .select(col("event_type"), col("n"), col("ks_e9"), col("w1_bins_e9"),
+        col("jsd_e9"),
         (col("ks_e9").cast("double") / lit(1e9)).as("ks"),
         (floor(col("w1_bins_e9").cast("double") / lit(1e9) * lit(width) * lit(1e9))
-          / lit(1e9)).as("w1_value"))
+          / lit(1e9)).as("w1_value"),
+        (col("jsd_e9").cast("double") / lit(1e9)).as("jsd_nats"))
   }
 
   /** Test/demo driver: arm on the event_id % 4 < 2 history half, stream

@@ -1,0 +1,59 @@
+package graft.tools
+
+import graft.Sessions
+import org.apache.spark.sql.functions._
+
+/** Candidate-volume probe for q_knn_join's cell-routed kNN graph (the
+  * DbscanProbe pattern): the probe side spills into its 2 nearest cells
+  * and the build side sits in its primary cell, so the scored pair count
+  * is sum over cells of spill_c * (prim_c - overlap) ~ 2 * sum(cell_i^2)
+  * ordered pairs — the assert bound (0.5 of all ORDERED pairs) is ~2.5x
+  * the measured ~10-balanced-cell plateau; above it the coarse cells
+  * have lost their pruning power (skewed assignment) and the tier needs
+  * more cells before its cost model can be trusted. Also guards the
+  * OPERATING POINT: every row must emit a full k = KnnJoinK neighbor
+  * list at every SF (a fixture change that starves cells below k+1
+  * members would silently shrink rows instead of failing a recall
+  * floor), and the spill routing must give every probe row at least k
+  * candidates. Emits one SCALE.md-style row per fixture.
+  */
+object KnnJoinProbe {
+
+  private val Bound = 0.5
+
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.fromEnv("8", appName = "knnjoin-probe")
+    val sfs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+      "/root/testdata/sf0.1")
+    try {
+      sfs.foreach { d =>
+        val asg = graft.ops.SimilarityQueries.cellAssignmentsSpill(spark, d)
+        val n = asg.filter(col("arn") === 1).count()
+        // scored candidates = ordered (probe-row, build-row) pairs
+        // sharing a cell, minus self-pairs — computable from cell sizes
+        val sizes = asg.groupBy(col("cell"))
+          .agg(sum(when(col("arn") === 1, 1L).otherwise(0L)).as("prim"),
+            count(lit(1)).as("spill"))
+        val cand = sizes
+          .agg(sum(col("spill") * col("prim")).cast("long")).head().getLong(0) - n
+        val allPairs = n * (n - 1)
+        val ratio = cand.toDouble / allPairs
+        val k = graft.ops.SimilarityQueries.KnnJoinK
+        val rows = graft.SparkEntry.queries("q_knn_join")(spark, d)
+          .groupBy(col("qid")).agg(count(lit(1)).as("nn"))
+          .agg(count(lit(1)).as("n_q"), min(col("nn")).as("min_k")).head()
+        val (nQ, minK) = (rows.getLong(0), rows.getLong(1))
+        println(f"KNNJOIN sf=$d n=$n cand_pairs=$cand " +
+          f"cand_frac=$ratio%.3f rows_out=${nQ * k} min_k=$minK")
+        assert(ratio <= Bound,
+          f"knn-join cell routing blew up: cand/allpairs = $ratio%.3f > " +
+            s"$Bound at $d — the coarse cells no longer prune; add cells " +
+            "or rebalance before trusting the tier")
+        assert(nQ == n && minK == k,
+          s"knn-join operating point degenerate at $d: $nQ of $n rows " +
+            s"emitted, min neighbors $minK < $k — a cell starved below " +
+            "k+1 members; re-probe the spill factor for this fixture")
+      }
+    } finally spark.stop()
+  }
+}

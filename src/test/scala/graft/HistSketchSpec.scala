@@ -74,4 +74,35 @@ class HistSketchSpec extends AnyFunSuite {
   test("rankBin on an empty sketch is -1") {
     assert(HistSketchKernels.rankBin(sk(8), 1L, 2L) === -1L)
   }
+
+  test("jsdE9 pins: identical mixes -> 0, disjoint supports -> ln 2, empty -> -1") {
+    // identical distributions: p = q per bin, every term ln 1 = 0
+    val a = sk(16, 1 -> 3L, 4 -> 5L, 9 -> 2L)
+    assert(HistSketchKernels.jsdE9(a, a) === 0L)
+    // scale invariance: 2x the counts is the same distribution
+    val a2 = sk(16, 1 -> 6L, 4 -> 10L, 9 -> 4L)
+    assert(HistSketchKernels.jsdE9(a, a2) === 0L)
+    // disjoint supports: JSD = ln 2 nats exactly; the P43 snap-sum
+    // truncates each bin term so the e9 reading sits at or just below
+    // trunc(ln2 * 1e9) = 693147180
+    val b = sk(16, 2 -> 4L, 7 -> 6L)
+    val d = HistSketchKernels.jsdE9(a, b)
+    assert(d <= 693147180L && d >= 693147170L, s"disjoint JSD read $d")
+    // symmetry (JSD is symmetric; the walk visits the same union bins)
+    assert(HistSketchKernels.jsdE9(b, a) === d)
+    // empty side -> -1 sentinel, matching ksE9/w1E9
+    assert(HistSketchKernels.jsdE9(sk(16), a) === -1L)
+    assert(HistSketchKernels.jsdE9(a, sk(16)) === -1L)
+    // a hand-replayed asymmetric case: bins {0:1} vs {0:1, 1:1} —
+    // p0=1, q0=0.5, m0=0.75; q1=0.5, m1=0.25
+    // t0 = 0.5*ln(4/3) + 0.25*ln(2/3); t1 = 0.25*ln 2
+    val c1 = sk(4, 0 -> 1L)
+    val c2 = sk(4, 0 -> 1L, 1 -> 1L)
+    val p43 = 8796093022208.0
+    val t0 = 1.0 * math.log(1.0 / 0.75) * 0.5 + 0.5 * math.log(0.5 / 0.75) * 0.5
+    val t1 = 0.5 * math.log(0.5 / 0.25) * 0.5
+    val snap = math.floor(t0 * p43).toLong + math.floor(t1 * p43).toLong
+    val want = (BigInt(snap) * 1000000000L / 8796093022208L).toLong
+    assert(HistSketchKernels.jsdE9(c1, c2) === want)
+  }
 }

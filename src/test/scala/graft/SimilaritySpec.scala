@@ -98,6 +98,43 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q_knn_join: TopKAgg heap path bit-equals a window replay; full k per row") {
+    // the query's per-qid top-k runs through TopKAgg (map-side-combining
+    // heap) — replay the SAME cell-restricted candidate relation through
+    // the declarative row_number window (the oracle's formulation) and
+    // demand bit-equality: any heap-ordering or merge bug diverges here
+    val asg = SimilarityQueries.cellAssignmentsSpill(spark, sf001)
+    val probe = asg.select(col("cell"), col("vec_id").as("qid"),
+      col("embedding").as("qe"))
+    val build = asg.filter(col("arn") === 1)
+      .select(col("cell"), col("vec_id").as("nid"), col("embedding").as("ne"))
+    val cand = probe.join(build, "cell")
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        VectorOps.cosineFloat(col("qe"), col("ne")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
+    val k = SimilarityQueries.KnnJoinK
+    val replay = cand.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("score"))
+      .orderBy(col("qid"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val got = SparkEntry.queries("q_knn_join")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == replay.toSeq,
+      s"TopKAgg kNN graph diverged from the window replay at $sf001")
+    // operating point: every vector emits a FULL k-list with ranks 1..k
+    val n = Tables.embeddings(spark, sf001).count()
+    assert(got.length == n * k, s"expected ${n * k} rows, got ${got.length}")
+    got.grouped(k).foreach { g =>
+      assert(g.map(_._2).toSeq == (1L to k).toSeq, s"ranks broken for qid ${g.head._1}")
+      assert(g.sliding(2).forall(p => p.head._4 >= p.last._4),
+        s"scores not non-increasing for qid ${g.head._1}")
+      assert(g.forall(t => t._3 != t._1), s"self-neighbor for qid ${g.head._1}")
+    }
+  }
+
   test("ndPlanes are seed-deterministic and correctly sized") {
     assert(SimilarityQueries.NdTables * SimilarityQueries.NdBits * SimilarityQueries.NdDim == 8192)
     val rng = new scala.util.Random(777)

@@ -983,31 +983,34 @@ class StreamingSpec extends SparkSpec {
     assert(batch.values.exists { case (_, b50, b90, _, _) => b90 > b50 })
   }
 
-  test("streaming drift monitor (tier 23): streamed KS/W1 equal the batch walk across the split") {
+  test("streaming drift monitor (tier 23/24): streamed KS/W1/JSD equal the batch walk across the split") {
     import graft.streaming.StreamDrift
     val (table, nBatches, dom, ref, live) =
       StreamDrift.runOnce(spark, sf001, "sdrift_stream_test")
     assert(nBatches >= 2, s"expected >= 2 non-empty micro-batches, got $nBatches")
     assert(ref.size >= 2, "arming should cover several event types")
-    // frozen grid + lossless sketch merge + exact integer walks => the
-    // final streamed statistic equals the batch computation over the
-    // same streamed rows BITWISE (e9 longs and display doubles alike)
-    val streamed = table.collect().map(r => r.getString(0) ->
-      ((r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getDouble(4), r.getDouble(5)))).toMap
+    // frozen grid + lossless sketch merge + exact integer walks (KS/W1)
+    // + the P43 snap-sum (JSD) => the final streamed statistic equals
+    // the batch computation over the same streamed rows BITWISE
+    // (e9 longs and display doubles alike)
+    def row(r: org.apache.spark.sql.Row) = r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+    val streamed = table.collect().map(row).toMap
     val batch = StreamDrift.drift(live, dom._1, dom._2, ref)
-      .collect().map(r => r.getString(0) ->
-        ((r.getLong(1), r.getLong(2), r.getLong(3),
-          r.getDouble(4), r.getDouble(5)))).toMap
+      .collect().map(row).toMap
     assert(batch.nonEmpty && streamed.keySet == batch.keySet)
     val bad = batch.collect { case (k, v) if streamed(k) != v => (k, streamed(k), v) }
     assert(bad.isEmpty, s"stream vs batch: ${bad.take(5)}")
     // non-vacuous: a finite live sample never matches history exactly,
-    // so some key shows strictly positive KS and W1
+    // so some key shows strictly positive KS, W1 and JSD
     assert(streamed.values.exists(_._2 > 0L), "all KS zero — monitor vacuous")
     assert(streamed.values.exists(_._3 > 0L), "all W1 zero — monitor vacuous")
-    // sanity bound: KS is a probability difference, <= 1 by construction
+    assert(streamed.values.exists(_._4 > 0L), "all JSD zero — monitor vacuous")
+    // sanity bounds: KS is a probability difference (<= 1); JSD is
+    // bounded by ln 2 nats by construction
     assert(streamed.values.forall(v => v._2 >= 0L && v._2 <= 1000000000L))
+    assert(streamed.values.forall(v => v._4 >= 0L && v._4 <= 693147181L))
   }
 
   test("streaming drift monitor: an un-armed key is dropped, not a crash") {
@@ -1024,9 +1027,12 @@ class StreamingSpec extends SparkSpec {
     assert(out.nonEmpty)
     assert(!out.exists(_.getString(0) == droppedKey),
       s"un-armed key '$droppedKey' should be filtered out")
-    // self-drift of the arming slice against itself is exactly zero
+    // self-drift of the arming slice against itself is exactly zero —
+    // KS, W1 and JSD alike (for JSD: p = q per bin, both ln(p/m) terms
+    // are ln 1 = 0, the snap-sum is exactly 0)
     val self = StreamDrift.drift(raw, dom._1, dom._2, full).collect()
-    assert(self.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L),
+    assert(self.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L &&
+        r.getLong(4) == 0L),
       "a distribution must have zero drift against itself")
   }
 
