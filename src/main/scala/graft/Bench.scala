@@ -105,11 +105,32 @@ object Bench {
     // — empirically clean reps carry <= 0.9, poisoned >= 8).
     val REPS = 3
     val names = SparkEntry.registry
-    val timesByQ = scala.collection.mutable.Map.empty[String, Vector[Double]]
-    val stealByQ = scala.collection.mutable.Map.empty[String, Vector[Double]]
-    val sweepSteal = scala.collection.mutable.ArrayBuffer.empty[Double]
-    for (rep <- 1 to REPS) {
+    // r15 epoch gate (r14 verdict item 3): the r14 graded headline
+    // (+65%) rode a 1,361-CPU-s steal sweep even though min-of-3 had
+    // two cleaner sweeps available — per-query min still mixed epochs.
+    // A sweep is now ACCEPTED only if its steal total fits the budget
+    // AND its bounding/midpoint canary readings are clean (CpuCanary —
+    // the two-sided detector steal alone is not); a rejected sweep is
+    // re-run (up to MaxSweeps attempts total), every attempt is logged
+    // in "sweep_attempts", and per-query statistics come from ACCEPTED
+    // sweeps only. If the host never yields REPS clean sweeps the
+    // artifact says "epoch_dirty":true and falls back to the accepted
+    // subset (or all attempts if none passed) — stated, never silent.
+    val MaxSweeps = 5
+    val SweepStealBudget = 50.0
+    val (calAlu, calGather) = CpuCanary.calibrate()
+    case class SweepRec(times: Map[String, Double],
+        steals: Map[String, Double], stealTotal: Double,
+        cPre: (Double, Double), cMid: (Double, Double),
+        cPost: (Double, Double), accepted: Boolean)
+    val sweeps = scala.collection.mutable.ArrayBuffer.empty[SweepRec]
+    while (sweeps.length < MaxSweeps && sweeps.count(_.accepted) < REPS) {
+      val cPre = CpuCanary.reading()
       val sweepSteal0 = HostSteal.stealSeconds()
+      val times = scala.collection.mutable.Map.empty[String, Double]
+      val steals = scala.collection.mutable.Map.empty[String, Double]
+      var cMid = cPre
+      var qi = 0
       names.foreach { q =>
         val st0 = HostSteal.stealSeconds()
         val t0 = System.nanoTime()
@@ -126,15 +147,35 @@ object Bench {
         // spread
         spark.catalog.clearCache()
         System.gc()
-        timesByQ(q.name) = timesByQ.getOrElse(q.name, Vector.empty) :+ sec
-        stealByQ(q.name) = stealByQ.getOrElse(q.name, Vector.empty) :+ steal
+        times(q.name) = sec
+        steals(q.name) = steal
+        qi += 1
+        if (qi == names.length / 2) cMid = CpuCanary.reading()
       }
-      sweepSteal += (if (sweepSteal0 < 0) -1.0 else HostSteal.stealSeconds() - sweepSteal0)
-      System.err.println(f"[bench] sweep $rep/$REPS done: ${timesByQ.valuesIterator.map(_.last).sum}%.1f s (host steal ${sweepSteal.last}%.0f cpu-s)")
+      val stealTotal =
+        if (sweepSteal0 < 0) -1.0 else HostSteal.stealSeconds() - sweepSteal0
+      val cPost = CpuCanary.reading()
+      val accepted = (stealTotal < 0 || stealTotal <= SweepStealBudget) &&
+        CpuCanary.isClean(cPre) && CpuCanary.isClean(cMid) &&
+        CpuCanary.isClean(cPost)
+      sweeps += SweepRec(times.toMap, steals.toMap, stealTotal,
+        cPre, cMid, cPost, accepted)
+      System.err.println(f"[bench] sweep ${sweeps.length}/$MaxSweeps done: " +
+        f"${times.values.sum}%.1f s (steal $stealTotal%.0f cpu-s, canary " +
+        f"alu [${cPre._1}%.2f,${cMid._1}%.2f,${cPost._1}%.2f] gather " +
+        f"[${cPre._2}%.2f,${cMid._2}%.2f,${cPost._2}%.2f], " +
+        f"accepted=$accepted; ${sweeps.count(_.accepted)}/$REPS clean)")
     }
+    val epochDirty = sweeps.count(_.accepted) < REPS
+    val used =
+      if (sweeps.exists(_.accepted)) sweeps.filter(_.accepted).toVector
+      else sweeps.toVector
+    val timesByQ = names.map(q => q.name -> used.map(_.times(q.name))).toMap
+    val stealByQ = names.map(q => q.name -> used.map(_.steals(q.name))).toMap
+    val sweepSteal = sweeps.map(_.stealTotal)
     val results = names.map { q =>
       val ts = timesByQ(q.name)
-      q.name -> (ts.min, ts.sorted.apply(REPS / 2))
+      q.name -> (ts.min, ts.sorted.apply(ts.length / 2))
     }
     // queries whose CHOSEN (min) rep carried heavy steal — their sweep
     // reading is flagged as host-epoch-contaminated in the artifact
@@ -145,10 +186,19 @@ object Bench {
       if (st > 2.0) Some(q.name -> st) else None
     }
     val stealJson = {
-      val sweeps = sweepSteal.map(s => f"$s%.0f").mkString("[", ",", "]")
+      val sweepsArr = sweepSteal.map(s => f"$s%.0f").mkString("[", ",", "]")
       val suspects = stealSuspect
         .map { case (k, s) => f""""$k":$s%.1f""" }.mkString("{", ",", "}")
-      s""""sweep_steal_sec":$sweeps,"steal_suspect":$suspects"""
+      // every attempt, accepted or not, with its steal + canary evidence
+      val attempts = sweeps.map { s =>
+        f"""{"total":${s.times.values.sum}%.1f,"steal":${s.stealTotal}%.0f,""" +
+          f""""canary_alu":[${s.cPre._1}%.2f,${s.cMid._1}%.2f,${s.cPost._1}%.2f],""" +
+          f""""canary_gather":[${s.cPre._2}%.2f,${s.cMid._2}%.2f,${s.cPost._2}%.2f],""" +
+          s""""accepted":${s.accepted}}"""
+      }.mkString("[", ",", "]")
+      s""""sweep_steal_sec":$sweepsArr,"steal_suspect":$suspects,""" +
+        s""""sweep_attempts":$attempts,"sweeps_used":${used.length},""" +
+        f""""epoch_dirty":$epochDirty,"canary_cal":[$calAlu%.4f,$calGather%.4f]"""
     }
     val qs = results
       .map { case (k, (v, _)) => "\"" + k + "\":" + f"$v%.3f" }
@@ -227,11 +277,19 @@ object Bench {
     // itself moved and needs a code-level explanation.
     var moverIso = """"movers_isolated":null"""
     val isoTargets = moverList.filter { case (_, o, n) => math.max(o, n) >= 1.0 }
+    // at most 3 child-JVM re-measures per run (each spawns a fresh Spark
+    // session — minutes, not seconds)
+    var childBudget = 3
     if (isoTargets.nonEmpty) {
       System.gc()
       val isoJson = isoTargets.map { case (k, o, n) =>
         val q = names.find(_.name == k).get
         val reps = (1 to 4).map { _ =>
+          // canary BEFORE the rep: a rep is clean only if the window
+          // could deliver calibrated throughput (r14 verdict item 2 —
+          // three movers carried "clean" steal at 1.6-2.9x their r13
+          // values; steal alone is one-sided)
+          val c = CpuCanary.reading()
           val st0 = HostSteal.stealSeconds()
           val t0 = System.nanoTime()
           try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -239,14 +297,27 @@ object Bench {
           val sec = (System.nanoTime() - t0) / 1e9
           val steal = if (st0 < 0) -1.0 else HostSteal.stealSeconds() - st0
           spark.catalog.clearCache(); System.gc()
-          (sec, steal)
+          (sec, steal, c)
         }
-        // the steal-clean minimum is THE attribution number: ~prev means
-        // the sweep mover was host epoch, ~sweep means the plan moved
-        val clean = reps.filter(_._2 <= 2.0).map(_._1)
+        // the steal- AND canary-clean minimum is THE attribution number:
+        // ~prev means the sweep mover was host epoch, ~sweep means the
+        // plan moved (or this JVM degraded — see child_min below)
+        val clean = reps.filter(r => r._2 <= 2.0 && CpuCanary.isClean(r._3))
+          .map(_._1)
         val cleanMin = if (clean.nonEmpty) f"${clean.min}%.3f" else "null"
-        System.err.println(f"[bench-iso] $k%-24s prev=$o%.2f sweep=$n%.2f iso_min=${reps.map(_._1).min}%.2f iso_min_clean=$cleanMin")
-        f""""$k":{"prev":$o%.3f,"sweep":$n%.3f,"iso_min":${reps.map(_._1).min}%.3f,"iso_min_clean":$cleanMin,"iso_reps":[${reps.map(t => f"${t._1}%.3f").mkString(",")}],"iso_steal":[${reps.map(t => f"${t._2}%.1f").mkString(",")}]}"""
+        // when the clean reading STILL sits >1.3x prev, the remaining
+        // suspect is this JVM's own JIT/code-cache state after 3+
+        // sweeps of 225 codegen'd queries (the mechanism Serving4m
+        // documents for the ADC loop) — re-measure once in a fresh
+        // child JVM; child_min ~ prev convicts the session JVM,
+        // child_min ~ sweep convicts the plan
+        val childMin =
+          if (clean.nonEmpty && clean.min > o * 1.3 && childBudget > 0) {
+            childBudget -= 1
+            qtimeChildMin(k, sfDir).map(v => f"$v%.3f").getOrElse("null")
+          } else "null"
+        System.err.println(f"[bench-iso] $k%-24s prev=$o%.2f sweep=$n%.2f iso_min=${reps.map(_._1).min}%.2f iso_min_clean=$cleanMin child_min=$childMin")
+        f""""$k":{"prev":$o%.3f,"sweep":$n%.3f,"iso_min":${reps.map(_._1).min}%.3f,"iso_min_clean":$cleanMin,"child_min":$childMin,"iso_reps":[${reps.map(t => f"${t._1}%.3f").mkString(",")}],"iso_steal":[${reps.map(t => f"${t._2}%.1f").mkString(",")}],"iso_canary_alu":[${reps.map(t => f"${t._3._1}%.2f").mkString(",")}],"iso_canary_gather":[${reps.map(t => f"${t._3._2}%.2f").mkString(",")}]}"""
       }.mkString("{", ",", "}")
       moverIso = s""""movers_isolated":$isoJson"""
     }
@@ -257,15 +328,38 @@ object Bench {
     // uncontended, so the artifact carries an unambiguous cold/hot pair
     // instead of asking the review to reason about best-of-reps.
     System.gc()
-    val (isoServing, isoReps) =
-      if (skipServing) (Map.empty[String, Double], Map.empty[String, Seq[Double]])
-      else servingProtocols(spark)
+    // r15: the isolated serving block is the 2x-vs-baseline gate number
+    // — it now carries a steal + canary verdict and re-runs once if its
+    // window was dirty (the r14 graded floor of 2,563 QPS vs the
+    // builder's 7,285+ was a contended one-shot)
+    def isoServingRun(): (Map[String, Double], Map[String, Seq[Double]], Boolean) = {
+      val cPre = CpuCanary.reading()
+      val st0 = HostSteal.stealSeconds()
+      val (best, reps) = servingProtocols(spark)
+      val steal = if (st0 < 0) -1.0 else HostSteal.stealSeconds() - st0
+      val cPost = CpuCanary.reading()
+      val dirty = steal > 10.0 ||
+        !CpuCanary.isClean(cPre) || !CpuCanary.isClean(cPost)
+      (best, reps, dirty)
+    }
+    val (isoServing, isoReps, isoDirty) =
+      if (skipServing)
+        (Map.empty[String, Double], Map.empty[String, Seq[Double]], false)
+      else {
+        val a1 = isoServingRun()
+        if (!a1._3) a1
+        else {
+          System.err.println("[bench] serving_isolated epoch dirty — one retry")
+          System.gc()
+          isoServingRun()
+        }
+      }
     System.gc()
     // the 500k serving point (run once, after the isolated block — its
     // own builds are heavyweight and must not heat the 50k readings)
     val s500 =
       if (skipServing) """"serving_500k":null"""
-      else servingClustered(spark, "serving_500k", n = 500000, nCenters = 1000)
+      else servingClusteredGated(spark, "serving_500k", n = 500000, nCenters = 1000)
     System.gc()
     // the 1M crossover point (r13 verdict item 2): at 500k the composed
     // tiers sit at or below flat-IVF QPS — the corpus-size-INDEPENDENT
@@ -276,7 +370,7 @@ object Bench {
     // pruning must pull ahead, or the artifact honestly shows it doesn't.
     val s1m =
       if (skipServing) """"serving_1m":null"""
-      else servingClustered(spark, "serving_1m", n = 1000000, nCenters = 2000)
+      else servingClusteredGated(spark, "serving_1m", n = 1000000, nCenters = 2000)
     System.gc()
     // the 4M CROSSOVER point, run last (heaviest build; try/catch so an
     // OOM or build failure degrades to null instead of losing the whole
@@ -292,10 +386,11 @@ object Bench {
     // [worst, best] QPS across the isolated reps — the worst WARM reading
     // is the number the 2x-vs-baseline gate should be judged on.
     val servingIso =
-      if (isoServing.isEmpty) """"serving_isolated":null"""
+      if (isoServing.isEmpty) """"serving_isolated":null,"serving_isolated_dirty":false"""
       else isoReps.toSeq.sortBy(_._1).map { case (k, reps) =>
         f""""$k":[${reps.min}%.0f,${reps.max}%.0f]"""
-      }.mkString(""""serving_isolated":{""", ",", "}")
+      }.mkString(""""serving_isolated":{""", ",",
+        s"""},"serving_isolated_dirty":$isoDirty""")
     // variance-annotated serving block: per-protocol QPS range across the
     // in-process reps ([min, max], best = the published number). Serving
     // QPS has measured ±2x cross-SESSION drift (r7: 4,254; r8 sessions:
@@ -555,45 +650,121 @@ object Bench {
     try { out.writeInt(cb.length); cb.foreach(out.writeDouble) }
     finally out.close()
     try {
-      val java = System.getProperty("java.home") + "/bin/java"
-      val cp = System.getProperty("java.class.path")
-      val cmd = Seq(java, "--add-modules", "jdk.incubator.vector",
-        "-Xmx12g", "-cp", cp, "graft.tools.Serving4m",
-        cbPath.toString, graft.ops.PqQueries.M.toString,
-        graft.ops.PqQueries.K.toString, n.toString)
+      // one shot + one retry if the child reports its own epoch dirty
+      // (no interleaved epoch was steal- AND canary-clean) — the r14
+      // verdict's "a claim that flips between clean-LOOKING runs isn't
+      // a measurement" demands the artifact carry a certified-clean
+      // reading or say it could not get one
+      def attempt(): Option[String] =
+        runChild("graft.tools.Serving4m",
+          Seq(cbPath.toString, graft.ops.PqQueries.M.toString,
+            graft.ops.PqQueries.K.toString, n.toString),
+          timeoutMin = 30, heap = "12g")
+          .flatMap(_.find(_.startsWith("{\"corpus\"")))
+      attempt() match {
+        case None =>
+          System.err.println("[bench] serving_4m child produced no JSON")
+          """"serving_4m":null"""
+        case Some(json) if json.contains("\"epoch_dirty\":true") =>
+          System.err.println("[bench] serving_4m epoch dirty — one retry")
+          System.gc()
+          attempt() match {
+            case Some(j2) => s""""serving_4m":$j2"""
+            case None => s""""serving_4m":$json"""
+          }
+        case Some(json) => s""""serving_4m":$json"""
+      }
+    } finally java.nio.file.Files.deleteIfExists(cbPath)
+  }
+
+  /** Spawn a child JVM inheriting this JVM's module/system flags and
+    * classpath, run `mainClass args`, and return its stdout lines —
+    * None on timeout (child force-killed). stderr is INHERITED: an
+    * undrained pipe blocks the child after ~64 KB and a blocked child
+    * hangs waitFor forever. stdout is read on its own thread so the
+    * main thread can enforce the hard timeout. */
+  private def runChild(mainClass: String, args: Seq[String],
+      timeoutMin: Long, heap: String): Option[List[String]] = {
+    try {
+      val javaBin = System.getProperty("java.home") + "/bin/java"
+      // re-assemble this JVM's module flags (--add-opens comes through
+      // the runtime MXBean as two consecutive entries)
+      val raw = _root_.java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments
+      val it = raw.iterator()
+      val jvmArgs = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val a = it.next()
+        if (a == "--add-opens" || a == "--add-modules" || a == "--add-exports") {
+          jvmArgs += a
+          if (it.hasNext) jvmArgs += it.next()
+        } else if (a.startsWith("--add-opens") || a.startsWith("--add-modules") ||
+          a.startsWith("--add-exports") || a.startsWith("-D")) jvmArgs += a
+      }
+      if (!jvmArgs.exists(_.contains("jdk.incubator.vector"))) {
+        jvmArgs += "--add-modules"; jvmArgs += "jdk.incubator.vector"
+      }
+      jvmArgs += s"-Xmx$heap"
+      val cmd = Seq(javaBin) ++ jvmArgs.toSeq ++
+        Seq("-cp", System.getProperty("java.class.path"), mainClass) ++ args
       val pb = new ProcessBuilder(cmd: _*)
-      // child stderr goes straight to ours: an undrained pipe blocks the
-      // child after ~64 KB (e.g. repeated GC/OOM traces during the 4M
-      // build) and a blocked child hangs waitFor forever
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val proc = pb.start()
-      // stdout read on its own thread so the main thread can enforce a
-      // hard timeout — reading to EOF inline would block exactly when
-      // the child hangs, which is the case the timeout exists for
-      val outBuf = new _root_.java.util.concurrent.atomic.AtomicReference[List[String]](Nil)
+      val outBuf = new _root_.java.util.concurrent.atomic
+        .AtomicReference[List[String]](Nil)
       val reader = new Thread(() =>
         try outBuf.set(scala.io.Source.fromInputStream(proc.getInputStream)
           .getLines().toList)
         catch { case e: Throwable =>
-          System.err.println(s"[bench] serving_4m stdout read: $e") })
+          System.err.println(s"[bench] $mainClass stdout read: $e") })
       reader.setDaemon(true)
       reader.start()
-      val done = proc.waitFor(30, _root_.java.util.concurrent.TimeUnit.MINUTES)
+      val done = proc.waitFor(timeoutMin,
+        _root_.java.util.concurrent.TimeUnit.MINUTES)
       if (!done) {
-        System.err.println("[bench] serving_4m child timed out after 30 min — killed")
+        System.err.println(s"[bench] $mainClass child timed out after $timeoutMin min — killed")
         proc.destroyForcibly()
         proc.waitFor(10, _root_.java.util.concurrent.TimeUnit.SECONDS)
       }
       reader.join(10000)
-      val outLines = outBuf.get()
-      if (!done) """"serving_4m":null"""
-      else outLines.find(_.startsWith("{\"corpus\"")) match {
-        case Some(json) => s""""serving_4m":$json"""
-        case None =>
-          System.err.println(s"[bench] serving_4m child produced no JSON (exit ${proc.exitValue()})")
-          """"serving_4m":null"""
-      }
-    } finally java.nio.file.Files.deleteIfExists(cbPath)
+      if (done) Some(outBuf.get()) else None
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] $mainClass child failed: $e")
+        None
+    }
+  }
+
+  /** Re-measure one registry query in a FRESH child JVM (the QTime
+    * protocol, 2 reps): after 3+ sweeps of 225 codegen'd queries the
+    * session JVM's JIT/code-cache state measurably degrades hot loops
+    * (tools/Serving4m.scala documents the 4M ADC case) — so when a
+    * mover's isolated reps are steal- and canary-clean yet still sit
+    * >1.3x prev, the last suspect is THIS JVM and the A/B must leave
+    * it. Returns the child's min, or None on spawn/parse failure. */
+  private def qtimeChildMin(q: String, sfDir: String): Option[Double] = {
+    runChild("graft.QTime", Seq(sfDir, "2", q), timeoutMin = 10,
+      heap = "16g").flatMap { lines =>
+      val re = """min=([0-9.]+)""".r
+      lines.find(_.startsWith(s"QTIME $q"))
+        .flatMap(l => re.findFirstMatchIn(l).map(_.group(1).toDouble))
+    }
+  }
+
+  /** servingClustered with the r15 one-shot-block epoch gate: if the
+    * block's steal or canary readings say the window was dirty, re-run
+    * it ONCE (the builds are minutes — one retry bounds the cost); the
+    * emitted JSON always carries its own epoch_dirty verdict either
+    * way, so a reading that never got a clean window says so. */
+  private def servingClusteredGated(spark: SparkSession, label: String,
+      n: Int, nCenters: Int): String = {
+    val first = servingClustered(spark, label, n, nCenters)
+    if (!first.contains("\"epoch_dirty\":true")) first
+    else {
+      System.err.println(s"[bench] $label epoch dirty — one retry")
+      System.gc()
+      servingClustered(spark, label, n, nCenters)
+    }
   }
 
   private def servingClustered(spark: SparkSession, label: String,
@@ -601,7 +772,9 @@ object Bench {
     // block-level host-steal delta carried in the JSON: these one-shot
     // scale points are the bench's most steal-vulnerable sections (the
     // r14 close attempt 1 read ivfpq at 38 QPS during a 485-cpu-s steal
-    // burst, vs 2.6k clean) — the artifact must say when that happened
+    // burst, vs 2.6k clean) — the artifact must say when that happened.
+    // r15: bounding canary readings beside it (two-sided).
+    val cPre = CpuCanary.reading()
     val stBlock0 = HostSteal.stealSeconds()
     val dim = 128
     val rnd = new scala.util.Random(97)
@@ -678,6 +851,9 @@ object Bench {
     // difference would report 0, which reads as "clean" instead of
     // "unknown" — mirror every other call site's guard
     val blockSteal = if (stBlock0 < 0) -1.0 else HostSteal.stealSeconds() - stBlock0
-    f""""$label":{"corpus":$n,"cells":$cells,"nprobe":$nprobe,"cand_k":$candK,"steal_cpu_s":$blockSteal%.0f,"mean_scan_frac":$scanFrac%.4f,"flat_qps":$flatQps%.0f,"ivf_qps":$ivfQps%.0f,"ivf_recall10":$recIvf%.3f,"ivf_speedup":${ivfQps / flatQps}%.2f,"ivfpq_qps":${100.0 / repsIvfPq.min}%.0f,"ivfpq_recall10":$recIvfPq%.3f,"ivfbq_qps":${100.0 / repsIvfBq.min}%.0f,"ivfbq_recall10":$recIvfBq%.3f}"""
+    val cPost = CpuCanary.reading()
+    val dirty = blockSteal > 10.0 ||
+      !CpuCanary.isClean(cPre) || !CpuCanary.isClean(cPost)
+    f""""$label":{"corpus":$n,"cells":$cells,"nprobe":$nprobe,"cand_k":$candK,"steal_cpu_s":$blockSteal%.0f,"canary_alu":[${cPre._1}%.2f,${cPost._1}%.2f],"canary_gather":[${cPre._2}%.2f,${cPost._2}%.2f],"epoch_dirty":$dirty,"mean_scan_frac":$scanFrac%.4f,"flat_qps":$flatQps%.0f,"ivf_qps":$ivfQps%.0f,"ivf_recall10":$recIvf%.3f,"ivf_speedup":${ivfQps / flatQps}%.2f,"ivfpq_qps":${100.0 / repsIvfPq.min}%.0f,"ivfpq_recall10":$recIvfPq%.3f,"ivfbq_qps":${100.0 / repsIvfBq.min}%.0f,"ivfbq_recall10":$recIvfBq%.3f}"""
   }
 }

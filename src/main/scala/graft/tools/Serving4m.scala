@@ -4,13 +4,31 @@ import graft.functions.VectorKernels
 
 /** Clean-JVM 4M serving crossover measurement, spawned by Bench as a
   * child process (see Bench.serving4m): the close-bench JVM has run
-  * three full sweeps of 224 codegen'd queries before the 4M block, and
-  * its ADC scan measurably degrades there (141-452 QPS across close
-  * attempts) while a fresh JVM reproduces ~3x IVF (754-805 QPS) every
+  * three full sweeps of 225 codegen'd queries before the 4M block, and
+  * its ADC scan measurably degrades there (141-452 QPS across r14 close
+  * attempts) while a fresh JVM reproduces 754-805 (~3x IVF) every
   * time — long-session JIT/code-cache state, not the scan. A
   * measurement whose value depends on how much unrelated work the JVM
   * did first is not a measurement of the INDEX, so the crossover point
   * runs isolated and says so in the artifact ("isolated_jvm": true).
+  *
+  * r15 (the r14 verdict's "make the crossover reproduce or retract"):
+  * the r14 graded child run CONTRADICTED the crossover (ivfpq_vs_ivf
+  * 0.55 at steal 0) while the builder's standalone runs reproduced it
+  * (2.9-3.1x) — a burst that hits one tier's best-of-5-consecutive
+  * block but not another's can invert the ratio, and steal cannot see
+  * clock/IPC/cache contention. Two structural answers, both in the
+  * artifact:
+  *  - the tiers are INTERLEAVED: each of 5 epochs times one ivf pass,
+  *    one ivfpq pass, one ivfbq pass back to back, so a contention
+  *    burst lands on all three tiers of an epoch instead of one
+  *    tier's whole block; per-tier rep spreads are reported;
+  *  - a fixed-work CPU canary (graft.CpuCanary: ALU spin + LLC gather,
+  *    calibrated in THIS JVM) runs before/between/after the epochs;
+  *    an epoch is CLEAN only if its steal delta is ≤ 2 CPU-s and its
+  *    bounding canary readings are clean. The headline per-tier QPS is
+  *    the best CLEAN epoch; if no epoch is clean the artifact says
+  *    "epoch_dirty": true and the ratio must not be graded.
   *
   * Spark-free by construction (the parent trains the PQ codebook — the
   * one Spark-dependent input — and passes it as a file of doubles):
@@ -71,19 +89,52 @@ object Serving4m {
       ivfbq.search(queries(i), 10, nprobe, candK)
     }
     System.gc()
-    val st0 = graft.HostSteal.stealSeconds()
-    def best5(body: => Unit): Double = (0 until 5).map { _ =>
-      val t = System.nanoTime(); body; (System.nanoTime() - t) / 1e9
-    }.min
-    val tIvf = best5(qBytes.foreach(q => ivf.search(q, 10, nprobe)))
-    val tPq = best5(queries.foreach(q => ivfpq.search(q, 10, nprobe, candK)))
-    val tBq = best5(queries.foreach(q => ivfbq.search(q, 10, nprobe, candK)))
-    val steal = if (st0 < 0) -1.0 else graft.HostSteal.stealSeconds() - st0
+    val (calA, calG) = graft.CpuCanary.calibrate()
+    def t(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    // interleaved epochs: a burst hits all three tiers of one epoch, not
+    // one tier's whole block — the inter-tier RATIO survives contention
+    // that would poison per-tier blocks
+    val Epochs = 5
+    val tIvf = new Array[Double](Epochs)
+    val tPq = new Array[Double](Epochs)
+    val tBq = new Array[Double](Epochs)
+    val epochSteal = new Array[Double](Epochs)
+    val canaries = new Array[(Double, Double)](Epochs + 1)
+    canaries(0) = graft.CpuCanary.reading()
+    var e = 0
+    while (e < Epochs) {
+      val st0 = graft.HostSteal.stealSeconds()
+      tIvf(e) = t(qBytes.foreach(q => ivf.search(q, 10, nprobe)))
+      tPq(e) = t(queries.foreach(q => ivfpq.search(q, 10, nprobe, candK)))
+      tBq(e) = t(queries.foreach(q => ivfbq.search(q, 10, nprobe, candK)))
+      epochSteal(e) =
+        if (st0 < 0) -1.0 else graft.HostSteal.stealSeconds() - st0
+      canaries(e + 1) = graft.CpuCanary.reading()
+      e += 1
+    }
+    // an epoch is CLEAN iff steal ≤ 2 CPU-s and both bounding canary
+    // readings are clean — the two-sided verdict
+    val cleanEpochs = (0 until Epochs).filter { e =>
+      epochSteal(e) >= 0 && epochSteal(e) <= 2.0 &&
+        graft.CpuCanary.isClean(canaries(e)) &&
+        graft.CpuCanary.isClean(canaries(e + 1))
+    }
+    val epochDirty = cleanEpochs.isEmpty
+    val pick = if (epochDirty) 0 until Epochs else cleanEpochs
+    val bIvf = pick.map(tIvf).min
+    val bPq = pick.map(tPq).min
+    val bBq = pick.map(tBq).min
     val rIvf = recall(qBytes.map(q => ivf.search(q, 10, nprobe)))
     val rPq = recall(queries.map(q => ivfpq.search(q, 10, nprobe, candK)))
     val rBq = recall(queries.map(q => ivfbq.search(q, 10, nprobe, candK)))
     val probed = qBytes.map(q => ivf.probedRows(q, nprobe).toDouble).sum /
       qBytes.length
-    println(f"""{"corpus":$n,"cells":$cells,"nprobe":$nprobe,"cand_k":$candK,"isolated_jvm":true,"steal_cpu_s":$steal%.0f,"mean_probed_rows":$probed%.0f,"ivf_probed_mb_per_q":${probed * dim / 1e6}%.1f,"ivfpq_probed_mb_per_q":${probed * m / 1e6}%.1f,"ivf_qps":${100.0 / tIvf}%.0f,"ivf_recall10":$rIvf%.3f,"ivfpq_qps":${100.0 / tPq}%.0f,"ivfpq_recall10":$rPq%.3f,"ivfpq_vs_ivf":${tIvf / tPq}%.2f,"ivfbq_qps":${100.0 / tBq}%.0f,"ivfbq_recall10":$rBq%.3f}""")
+    def qpsArr(a: Array[Double]): String =
+      a.map(x => f"${100.0 / x}%.0f").mkString("[", ",", "]")
+    def canArr(sel: ((Double, Double)) => Double): String =
+      canaries.map(c => f"${sel(c)}%.2f").mkString("[", ",", "]")
+    println(f"""{"corpus":$n,"cells":$cells,"nprobe":$nprobe,"cand_k":$candK,"isolated_jvm":true,"interleaved_epochs":$Epochs,"clean_epochs":${cleanEpochs.length},"epoch_dirty":$epochDirty,"epoch_steal":${epochSteal.map(s => f"$s%.1f").mkString("[", ",", "]")},"canary_cal":[$calA%.4f,$calG%.4f],"canary_alu":${canArr(_._1)},"canary_gather":${canArr(_._2)},"mean_probed_rows":$probed%.0f,"ivf_probed_mb_per_q":${probed * dim / 1e6}%.1f,"ivfpq_probed_mb_per_q":${probed * m / 1e6}%.1f,"ivf_qps":${100.0 / bIvf}%.0f,"ivf_reps_qps":${qpsArr(tIvf)},"ivf_recall10":$rIvf%.3f,"ivfpq_qps":${100.0 / bPq}%.0f,"ivfpq_reps_qps":${qpsArr(tPq)},"ivfpq_recall10":$rPq%.3f,"ivfpq_vs_ivf":${bIvf / bPq}%.2f,"ivfbq_qps":${100.0 / bBq}%.0f,"ivfbq_reps_qps":${qpsArr(tBq)},"ivfbq_recall10":$rBq%.3f}""")
   }
 }
