@@ -118,6 +118,16 @@ object Bench {
     // subset (or all attempts if none passed) — stated, never silent.
     val MaxSweeps = 5
     val SweepStealBudget = 50.0
+    // The SWEEP gate uses a looser gather bound than CpuCanary's
+    // serving-block verdict: a canary read seconds after a 32-thread
+    // Spark stage finishes sees the JVM's own residual LLC/TLB traffic
+    // (measured: sweep-adjacent gather 1.4-2.4 while the quiesced
+    // serving blocks minutes later read 1.0-1.2 in the same run), so
+    // 1.4 would reject sweeps for self-inflicted cache state. ALU and
+    // steal keep their tight bounds — they are not self-confounded.
+    val SweepGatherClean = 2.0
+    def sweepCanaryOk(c: (Double, Double)): Boolean =
+      c._1 <= CpuCanary.AluClean && c._2 <= SweepGatherClean
     val (calAlu, calGather) = CpuCanary.calibrate()
     case class SweepRec(times: Map[String, Double],
         steals: Map[String, Double], stealTotal: Double,
@@ -156,8 +166,7 @@ object Bench {
         if (sweepSteal0 < 0) -1.0 else HostSteal.stealSeconds() - sweepSteal0
       val cPost = CpuCanary.reading()
       val accepted = (stealTotal < 0 || stealTotal <= SweepStealBudget) &&
-        CpuCanary.isClean(cPre) && CpuCanary.isClean(cMid) &&
-        CpuCanary.isClean(cPost)
+        sweepCanaryOk(cPre) && sweepCanaryOk(cMid) && sweepCanaryOk(cPost)
       sweeps += SweepRec(times.toMap, steals.toMap, stealTotal,
         cPre, cMid, cPost, accepted)
       System.err.println(f"[bench] sweep ${sweeps.length}/$MaxSweeps done: " +

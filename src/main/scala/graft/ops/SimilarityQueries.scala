@@ -711,43 +711,133 @@ object SimilarityQueries {
     // tie-break — exact hash parity, no invariant reduction.
     Q("q_knn_join",
       (s, d) => {
-        val asg = cellAssignmentsSpill(s, d)
-        val probe = asg.select(col("cell"), col("vec_id").as("qid"),
-          col("embedding").as("qe"))
-        val build = asg.filter(col("arn") === 1)
-          .select(col("cell"), col("vec_id").as("nid"),
-            col("embedding").as("ne"))
-        probe.join(build, "cell")
-          .filter(col("qid") =!= col("nid"))
-          .select(col("qid"), col("nid"),
-            VectorOps.cosineFloat(col("qe"), col("ne")).as("score"))
-          .groupBy(col("qid"))
-          .agg(VectorOps.topK(col("score"), col("nid"), KnnJoinK).as("top"))
-          .select(col("qid"), posexplode(col("top")).as(Seq("pos", "t")))
-          .select(col("qid"), (col("pos") + lit(1)).cast("long").as("rank"),
-            col("t.vec_id").as("nid"), col("t.score").as("score"))
+        knnJoinRelation(s, d)
+          .select(col("qid"), col("rank"), col("nid"), col("score"))
           .orderBy(col("qid"), col("rank"))
       },
       Some {
-        s"""WITH $asgSpillCtes,
-           |cand AS (
-           |  SELECT p.vec_id AS qid, b.vec_id AS nid,
-           |    ${OracleSql.floatCos("p.embedding", "b.embedding")} AS score
-           |  FROM asg p JOIN asg b USING (cell)
-           |  WHERE b.arn = 1 AND b.vec_id <> p.vec_id),
-           |r AS (
-           |  SELECT qid, nid, score,
-           |    CAST(row_number() OVER (
-           |      PARTITION BY qid ORDER BY score DESC, nid) AS BIGINT)
-           |      AS rank
-           |  FROM cand)
-           |SELECT qid, rank, nid, score FROM r WHERE rank <= $KnnJoinK
+        s"""WITH $knnCtes
+           |SELECT qid, rank, nid, score FROM knn
            |ORDER BY qid, rank""".stripMargin
+      }),
+
+    // Mutual-kNN clustering — the graph-based-curation step that
+    // CONSUMES the kNN graph (cf. SemDeDup's companion "graph-based
+    // filtering" designs): a pair (a, b) is a mutual edge iff b is in
+    // a's top-k AND a is in b's top-k (reciprocity is the standard
+    // symmetrization: a hub appears in many neighbor lists but
+    // reciprocates only k of them, so mutual DEGREE is capped at k),
+    // and clusters are the connected components of the mutual graph
+    // (labeled by min member id via the pointer-jumping labeler).
+    // Output: per cluster, member count and internal edge count.
+    // HONEST fixture behavior (the q_spearman null-result discipline):
+    // on the near-random embeddings the mutual graph PERCOLATES — mean
+    // mutual degree ~2.4 > the ~1 giant-component threshold, so one
+    // component holds ~90% of rows (451/500 at sf0.001) with small
+    // crumbs beside it. That is the correct answer on data with no
+    // cluster structure; SimilaritySpec proves on PLANTED well-
+    // separated clusters that the same machinery recovers exactly the
+    // true groups. Scale shape: the kNN graph is n x k rows (see
+    // q_knn_join); the mutuality check is a self-equi-join on the
+    // (qid, nid) key of that n*k-row relation; components run
+    // O(log diameter) rounds on a mutual edge set bounded by n*k/2.
+    // Oracle: the same frozen-cell kNN CTEs + a reciprocity self-join
+    // + recursive-CTE components — exact hash parity.
+    Q("q_mutual_knn",
+      (s, d) => {
+        val knn = knnJoinRelation(s, d)
+          .select(col("qid"), col("nid")).localCheckpoint(true)
+        val mut = knn
+          .intersect(knn.select(col("nid").as("qid"), col("qid").as("nid")))
+          .filter(col("qid") < col("nid"))
+          .select(col("qid").as("ida"), col("nid").as("idb"))
+          .localCheckpoint(true) // reused: component edges + edge counts
+        val sym = mut.select(col("ida").as("src"), col("idb").as("dst"))
+          .unionAll(mut.select(col("idb").as("src"), col("ida").as("dst")))
+        val (linked, _) = GraphOps.doublingLabels(sym, maxIter = 12)
+        val members = linked.withColumnRenamed("doc_id", "vec_id")
+        val mc = members.groupBy(col("label").as("cluster"))
+          .agg(count(lit(1)).as("n_members"))
+        val ec = mut
+          .join(members.select(col("vec_id").as("ida"), col("label")), "ida")
+          .groupBy(col("label").as("cluster"))
+          .agg(count(lit(1)).as("n_edges"))
+        mc.join(ec, "cluster")
+          .select(col("cluster"), col("n_members"), col("n_edges"))
+          .orderBy(col("cluster"))
+      },
+      Some {
+        s"""WITH RECURSIVE $knnCtes,
+           |mut AS MATERIALIZED (
+           |  SELECT a.qid AS ida, a.nid AS idb
+           |  FROM knn a JOIN knn b ON b.qid = a.nid AND b.nid = a.qid
+           |  WHERE a.qid < a.nid),
+           |sym AS MATERIALIZED (
+           |  SELECT ida AS src, idb AS dst FROM mut
+           |  UNION ALL
+           |  SELECT idb AS src, ida AS dst FROM mut),
+           |reach(node, lbl) AS (
+           |  SELECT src, src FROM sym
+           |  UNION
+           |  SELECT e.dst, r.lbl FROM reach r JOIN sym e ON e.src = r.node),
+           |lab AS (SELECT node AS vec_id, min(lbl) AS label
+           |  FROM reach GROUP BY node),
+           |mc AS (SELECT label AS cluster, CAST(count(*) AS BIGINT)
+           |  AS n_members FROM lab GROUP BY 1),
+           |ec AS (
+           |  SELECT l.label AS cluster, CAST(count(*) AS BIGINT) AS n_edges
+           |  FROM mut m JOIN lab l ON m.ida = l.vec_id GROUP BY 1)
+           |SELECT mc.cluster, mc.n_members, ec.n_edges
+           |FROM mc JOIN ec USING (cluster)
+           |ORDER BY mc.cluster""".stripMargin
       })
   )
 
   /** q_knn_join neighbors per row (the k of the kNN graph). */
   final val KnnJoinK = 5
+
+  /** The shared kNN-graph relation of q_knn_join / q_mutual_knn:
+    * (qid, rank, nid, score) — every vector's top-KnnJoinK float-cosine
+    * neighbors under the spill-cell routing documented at q_knn_join. */
+  private def knnJoinRelation(s: SparkSession, d: String): DataFrame =
+    knnJoinRelationOn(cellAssignmentsSpill(s, d))
+
+  // private[graft]: SimilaritySpec runs the same machinery on PLANTED
+  // clustered embeddings (the planted-data proof of cluster recovery)
+  private[graft] def knnJoinRelationOn(asg: DataFrame): DataFrame = {
+    val probe = asg.select(col("cell"), col("vec_id").as("qid"),
+      col("embedding").as("qe"))
+    val build = asg.filter(col("arn") === 1)
+      .select(col("cell"), col("vec_id").as("nid"),
+        col("embedding").as("ne"))
+    probe.join(build, "cell")
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        VectorOps.cosineFloat(col("qe"), col("ne")).as("score"))
+      .groupBy(col("qid"))
+      .agg(VectorOps.topK(col("score"), col("nid"), KnnJoinK).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("qid"), (col("pos") + lit(1)).cast("long").as("rank"),
+        col("t.vec_id").as("nid"), col("t.score").as("score"))
+  }
+
+  /** Oracle twin of [[knnJoinRelation]]: the spill-cell CTE chain
+    * extended to `knn(qid, rank, nid, score)`. */
+  private lazy val knnCtes: String =
+    s"""$asgSpillCtes,
+       |kcand AS (
+       |  SELECT p.vec_id AS qid, b.vec_id AS nid,
+       |    ${OracleSql.floatCos("p.embedding", "b.embedding")} AS score
+       |  FROM asg p JOIN asg b USING (cell)
+       |  WHERE b.arn = 1 AND b.vec_id <> p.vec_id),
+       |knn AS MATERIALIZED (
+       |  SELECT qid, nid, score, rank FROM (
+       |    SELECT qid, nid, score,
+       |      CAST(row_number() OVER (
+       |        PARTITION BY qid ORDER BY score DESC, nid) AS BIGINT)
+       |        AS rank
+       |    FROM kcand) t
+       |  WHERE rank <= $KnnJoinK)""".stripMargin
 
   /** q_mmr_rerank: queries, candidate depth, selections, and the MMR
     * relevance/diversity trade-off. MmrOneMinus is a SEPARATE literal
@@ -799,7 +889,9 @@ object SimilarityQueries {
     * full corpus — behavior-identical to the original single-def form.
     * `keep` > 1 spills each vector into its `keep` nearest cells (the
     * assignment rank rides along as `arn`). */
-  private def cellAssignmentsOn(emb: DataFrame,
+  // private[graft]: SimilaritySpec plants clustered embeddings through
+  // the same assignment + kNN machinery (q_mutual_knn recovery proof)
+  private[graft] def cellAssignmentsOn(emb: DataFrame,
       trainFilter: Option[org.apache.spark.sql.Column],
       keep: Int = 1): DataFrame = {
     val P43 = 8796093022208.0

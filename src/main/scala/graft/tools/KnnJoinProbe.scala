@@ -43,8 +43,25 @@ object KnnJoinProbe {
           .groupBy(col("qid")).agg(count(lit(1)).as("nn"))
           .agg(count(lit(1)).as("n_q"), min(col("nn")).as("min_k")).head()
         val (nQ, minK) = (rows.getLong(0), rows.getLong(1))
+        // q_mutual_knn regime on the same graph: the near-random
+        // fixture PERCOLATES (mean mutual degree ~2.4 > the ~1
+        // giant-component threshold — one cluster holds ~90% of rows).
+        // That is the documented honest-null regime (cluster recovery
+        // on structured data is proven on planted groups in
+        // SimilaritySpec); pin it so a fixture change that flips the
+        // regime is loud, and record the giant fraction per SF.
+        val clusters = graft.SparkEntry.queries("q_mutual_knn")(spark, d)
+          .collect().map(r => (r.getLong(1), r.getLong(2)))
+        val maxMembers = if (clusters.isEmpty) 0L else clusters.map(_._1).max
         println(f"KNNJOIN sf=$d n=$n cand_pairs=$cand " +
-          f"cand_frac=$ratio%.3f rows_out=${nQ * k} min_k=$minK")
+          f"cand_frac=$ratio%.3f rows_out=${nQ * k} min_k=$minK " +
+          f"mutual_clusters=${clusters.length} max_members=$maxMembers " +
+          f"giant_frac=${maxMembers.toDouble / n}%.2f " +
+          f"mutual_edges=${clusters.map(_._2).sum}")
+        assert(clusters.nonEmpty && maxMembers > n / 2,
+          s"mutual-kNN regime flipped at $d: ${clusters.length} clusters, " +
+            s"largest $maxMembers of $n — the fixture stopped " +
+            "percolating; re-derive the documented regime")
         assert(ratio <= Bound,
           f"knn-join cell routing blew up: cand/allpairs = $ratio%.3f > " +
             s"$Bound at $d — the coarse cells no longer prune; add cells " +

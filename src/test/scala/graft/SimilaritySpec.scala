@@ -135,6 +135,78 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q_mutual_knn: clusters replay from the kNN graph via driver-side union-find") {
+    // ground truth from the oracle-gated kNN graph itself: mutual edges
+    // by set reciprocity, components by union-find, labels = min member
+    // — an independent algorithm (the Spark side runs pointer-jumping)
+    val knn = SparkEntry.queries("q_knn_join")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val set = knn.toSet
+    val mut = knn.filter { case (a, b) => a < b && set.contains((b, a)) }
+    assert(mut.nonEmpty, "no mutual edges on the fixture — vacuous test")
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    mut.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val members = parent.keys.toSeq.groupBy(find)
+    val expected = members.map { case (_, ms) =>
+      val label = ms.min
+      val nEdges = mut.count { case (a, b) => find(a) == find(ms.head) }
+      label -> ((ms.size.toLong, nEdges.toLong))
+    }
+    val got = SparkEntry.queries("q_mutual_knn")(spark, sf001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected,
+      s"mutual-kNN clusters diverged:\n got=$got\n want=$expected")
+    // HONEST null behavior on the near-random fixture: mean mutual
+    // degree ~2.4 sits above the giant-component threshold, so the
+    // graph PERCOLATES — one component holds most of the corpus. This
+    // is the correct answer on structureless data (the planted test
+    // below proves the machinery separates real clusters); pin the
+    // regime so a fixture change that flips it is loud.
+    val n = Tables.embeddings(spark, sf001).count()
+    assert(got.values.map(_._1).max > n / 2,
+      "fixture no longer percolates — re-derive the documented regime")
+  }
+
+  test("q_mutual_knn machinery recovers PLANTED well-separated clusters exactly") {
+    import spark.implicits._
+    // 3 tight clusters of 8 vectors around near-orthogonal centers:
+    // within a cluster every top-5 list is in-cluster (cross-cluster
+    // cosine ~0), the in-cluster mutual graph is dense => components
+    // must be EXACTLY the planted groups
+    val dim = 64
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(3)(Array.fill(dim)(rnd.nextGaussian().toFloat * 4f))
+    val rows = for (g <- 0 until 3; i <- 0 until 8) yield {
+      val v = Array.tabulate(dim)(j =>
+        centers(g)(j) + rnd.nextGaussian().toFloat * 0.1f)
+      ((g * 8 + i).toLong, g.toLong, v)
+    }
+    val emb = rows.toDF("vec_id", "label", "embedding")
+    val asg = SimilarityQueries.cellAssignmentsOn(emb, None, keep = 2)
+    val knn = SimilarityQueries.knnJoinRelationOn(asg)
+      .select(col("qid"), col("nid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val set = knn.toSet
+    val mut = knn.filter { case (a, b) => a < b && set.contains((b, a)) }
+    // every mutual edge stays within its planted group...
+    assert(mut.forall { case (a, b) => a / 8 == b / 8 },
+      s"cross-cluster mutual edge: ${mut.filterNot { case (a, b) => a / 8 == b / 8 }.take(3).toSeq}")
+    // ...and each group's mutual graph is connected (union-find)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    mut.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val comps = (0L until 24L).groupBy(find)
+    assert(comps.size == 3 && comps.values.forall(_.size == 8),
+      s"planted clusters not recovered: ${comps.view.mapValues(_.size).toMap}")
+  }
+
   test("ndPlanes are seed-deterministic and correctly sized") {
     assert(SimilarityQueries.NdTables * SimilarityQueries.NdBits * SimilarityQueries.NdDim == 8192)
     val rng = new scala.util.Random(777)
