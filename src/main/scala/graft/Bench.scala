@@ -341,7 +341,11 @@ object Bench {
     // — it now carries a steal + canary verdict and re-runs once if its
     // window was dirty (the r14 graded floor of 2,563 QPS vs the
     // builder's 7,285+ was a contended one-shot)
-    def isoServingRun(): (Map[String, Double], Map[String, Seq[Double]], Boolean) = {
+    // (steal, canary pre, canary post) ride beside the verdict: a
+    // mid-block burst that dodges the edge canaries still shows as an
+    // in-artifact rep spread, and the evidence says what the edges saw
+    def isoServingRun(): (Map[String, Double], Map[String, Seq[Double]],
+        Boolean, Double, (Double, Double), (Double, Double)) = {
       val cPre = CpuCanary.reading()
       val st0 = HostSteal.stealSeconds()
       val (best, reps) = servingProtocols(spark)
@@ -349,11 +353,12 @@ object Bench {
       val cPost = CpuCanary.reading()
       val dirty = steal > 10.0 ||
         !CpuCanary.isClean(cPre) || !CpuCanary.isClean(cPost)
-      (best, reps, dirty)
+      (best, reps, dirty, steal, cPre, cPost)
     }
-    val (isoServing, isoReps, isoDirty) =
+    val (isoServing, isoReps, isoDirty, isoSteal, isoCPre, isoCPost) =
       if (skipServing)
-        (Map.empty[String, Double], Map.empty[String, Seq[Double]], false)
+        (Map.empty[String, Double], Map.empty[String, Seq[Double]], false,
+          0.0, (0.0, 0.0), (0.0, 0.0))
       else {
         val a1 = isoServingRun()
         if (!a1._3) a1
@@ -399,7 +404,7 @@ object Bench {
       else isoReps.toSeq.sortBy(_._1).map { case (k, reps) =>
         f""""$k":[${reps.min}%.0f,${reps.max}%.0f]"""
       }.mkString(""""serving_isolated":{""", ",",
-        s"""},"serving_isolated_dirty":$isoDirty""")
+        f"""},"serving_isolated_dirty":$isoDirty,"serving_isolated_steal":$isoSteal%.0f,"serving_isolated_canary_alu":[${isoCPre._1}%.2f,${isoCPost._1}%.2f],"serving_isolated_canary_gather":[${isoCPre._2}%.2f,${isoCPost._2}%.2f]""")
     // variance-annotated serving block: per-protocol QPS range across the
     // in-process reps ([min, max], best = the published number). Serving
     // QPS has measured ±2x cross-SESSION drift (r7: 4,254; r8 sessions:
