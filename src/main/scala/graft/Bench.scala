@@ -2,15 +2,106 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+/** Deterministic per-row clustered-corpus generator shared by the serving
+  * blocks: vector i = centers(i % nCenters) + unit Gaussian noise seeded by
+  * splitmix64(i). Per-row seeding (not a sequential stream) is what lets the
+  * SAME corpus be materialized executor-side (spark.range → mapPartitions,
+  * nothing row-scale ships from the driver — the r15 toSeq.toDF path shipped
+  * 8.6–17.7 MB tasks) AND driver-side (the in-process Local* serving replicas
+  * under test), bit-identical. Serializable: the generator rides in task
+  * closures. */
+object CorpusGen extends Serializable {
+  /** splitmix64 finalizer (public-domain constants; same mixer as
+    * CpuCanary's table fill). */
+  def mix64(i: Long): Long = {
+    var z = i + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+  /** Clustered vector i: center (i % nCenters) + N(0,1) noise from a
+    * per-row-seeded java.util.Random — deterministic given i alone. */
+  def clusteredVec(centers: Array[Array[Float]], i: Long): Array[Float] = {
+    val c = centers((i % centers.length).toInt)
+    val r = new java.util.Random(mix64(i))
+    Array.tabulate(c.length)(j => c(j) + r.nextGaussian().toFloat)
+  }
+}
+
 /** Benchmark main: times every registered query at SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line {"metric","value","unit","queries","sf"}.
+  * prints the artifact JSON line {"metric","value","unit","queries","sf"}.
   *
   * Materialization uses the noop sink (full plan execution incl. projections
   * that a count() would prune away), after a warm-up action to amortize JVM/
   * codegen startup out of the first-measured query.
+  *
+  * r16 (the r15 verdict item 1 — the graded r15 run was killed at the
+  * driver's wall-clock limit BEFORE printing its single JSON line, leaving
+  * rc 124 / parsed null):
+  *  - WALL-CLOCK BUDGET: elapsed time is checked against
+  *    SPARK_GRAFT_BENCH_BUDGET_MIN (default 45) before every sweep retry,
+  *    every one-shot-block retry and the optional scale blocks; a skipped
+  *    step is recorded in "skipped_budget" instead of running into the kill.
+  *  - INCREMENTAL EMISSION: the full artifact object (metric "total",
+  *    "partial":true) is printed after the sweep+movers section and again
+  *    after every serving block, so a kill at ANY point leaves the driver's
+  *    tail capture a complete parseable line; the final emission carries
+  *    "partial":false. bench_last.json is rewritten at each emission.
+  *  - SEGMENT-LEVEL SWEEP ACCEPTANCE (NOTES_r15 §10): steal on this host is
+  *    bursty (clean 1–5-minute gaps between 100+ CPU-s bursts), so a full
+  *    ~5-minute sweep almost never certifies end-to-end even when most
+  *    queries ran clean — r15 rejected 15/15 sweeps across three close
+  *    attempts. The registry is split into NSeg contiguous segments with
+  *    steal + canary sampled at every boundary; acceptance is PER SEGMENT,
+  *    and each query's statistics come from the sweeps whose segment was
+  *    clean. Most of the board then certifies from clean sub-windows, and
+  *    the all-or-nothing 5-sweep retry waste that blew the r15 budget is
+  *    gone.
   */
 object Bench {
+  // ---- wall-clock budget (r15 verdict item 1a) ----
+  // Default 50 min: the r14 graded run (same protocol, no retries)
+  // completed in 48:38 INCLUDING sbt startup, and the r15 kill came only
+  // after ~75+ min of retries — so 50 covers the normal path with margin
+  // while the per-step gates below degrade the expensive extras
+  // (movers children, 500k/1m, retries) first when a slow epoch eats
+  // the window. Priority under pressure mirrors the r15 verdict:
+  // complete artifact > serving_4m (the open claim) > 500k/1m > movers
+  // child A/Bs.
+  private var benchT0: Long = 0L
+  private var budgetMin: Double = 50.0
+  private def elapsedMin: Double = (System.nanoTime() - benchT0) / 6e10
+  private def budgetLeft: Double = budgetMin - elapsedMin
+  private val skippedBudget =
+    scala.collection.mutable.ArrayBuffer.empty[String]
+  private def budgetOk(step: String, needMin: Double): Boolean = {
+    val ok = budgetLeft > needMin
+    if (!ok) {
+      skippedBudget += step
+      System.err.println(
+        f"[bench-budget] SKIP $step: ${budgetLeft}%.1f min left < $needMin%.1f needed (elapsed ${elapsedMin}%.1f of $budgetMin%.1f)")
+    }
+    ok
+  }
+
+  // The sweep/session gate uses a looser gather bound than CpuCanary's
+  // fresh-child-JVM verdict: a canary read seconds after a 32-thread Spark
+  // stage (or this JVM's own serving scans) finishes sees the JVM's own
+  // residual LLC/TLB traffic (measured: sweep-adjacent gather 1.4-2.4 while
+  // a quiesced fresh JVM reads 1.0-1.2 in the same epoch), so 1.4 would
+  // reject windows for self-inflicted cache state — r15's iso-rep filter
+  // did exactly that (ADVICE r16 medium: spuriously dirty iso reps ⇒
+  // iso_min_clean null ⇒ the child-JVM A/B never fired in the one case it
+  // was built for). ALU and steal keep their tight bounds — they are not
+  // self-confounded. Child-JVM epochs (Serving4m) keep the tight 1.4.
+  private val SessionGatherClean = 2.0
+  private def sessionCanaryOk(c: (Double, Double)): Boolean =
+    c._1 <= CpuCanary.AluClean && c._2 <= SessionGatherClean
+
   def main(args: Array[String]): Unit = {
+    benchT0 = System.nanoTime()
+    budgetMin = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_MIN")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(50.0)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.fromEnv("32", appName = "graft-bench")
 
@@ -105,82 +196,105 @@ object Bench {
     // — empirically clean reps carry <= 0.9, poisoned >= 8).
     val REPS = 3
     val names = SparkEntry.registry
-    // r15 epoch gate (r14 verdict item 3): the r14 graded headline
-    // (+65%) rode a 1,361-CPU-s steal sweep even though min-of-3 had
-    // two cleaner sweeps available — per-query min still mixed epochs.
-    // A sweep is now ACCEPTED only if its steal total fits the budget
-    // AND its bounding/midpoint canary readings are clean (CpuCanary —
-    // the two-sided detector steal alone is not); a rejected sweep is
-    // re-run (up to MaxSweeps attempts total), every attempt is logged
-    // in "sweep_attempts", and per-query statistics come from ACCEPTED
-    // sweeps only. If the host never yields REPS clean sweeps the
-    // artifact says "epoch_dirty":true and falls back to the accepted
-    // subset (or all attempts if none passed) — stated, never silent.
+    // r16 segment-level epoch gate (r15 verdict item 1c / NOTES_r15 §10):
+    // the registry is split into NSeg contiguous segments; steal + canary
+    // are sampled at every segment BOUNDARY, and acceptance is per
+    // (sweep, segment): segment steal within its share of the budget AND
+    // both bounding canaries clean. A query's statistics come from the
+    // sweeps whose segment was accepted (fallback: all sweeps, and that
+    // segment reports dirty). "epoch_dirty" now means: some segment never
+    // collected REPS clean samples.
+    val NSeg = 4
     val MaxSweeps = 5
     val SweepStealBudget = 50.0
-    // The SWEEP gate uses a looser gather bound than CpuCanary's
-    // serving-block verdict: a canary read seconds after a 32-thread
-    // Spark stage finishes sees the JVM's own residual LLC/TLB traffic
-    // (measured: sweep-adjacent gather 1.4-2.4 while the quiesced
-    // serving blocks minutes later read 1.0-1.2 in the same run), so
-    // 1.4 would reject sweeps for self-inflicted cache state. ALU and
-    // steal keep their tight bounds — they are not self-confounded.
-    val SweepGatherClean = 2.0
-    def sweepCanaryOk(c: (Double, Double)): Boolean =
-      c._1 <= CpuCanary.AluClean && c._2 <= SweepGatherClean
+    val SegStealBudget = SweepStealBudget / NSeg
+    def segOf(qi: Int): Int = (qi * NSeg) / names.length
     val (calAlu, calGather) = CpuCanary.calibrate()
     case class SweepRec(times: Map[String, Double],
         steals: Map[String, Double], stealTotal: Double,
-        cPre: (Double, Double), cMid: (Double, Double),
-        cPost: (Double, Double), accepted: Boolean)
-    val sweeps = scala.collection.mutable.ArrayBuffer.empty[SweepRec]
-    while (sweeps.length < MaxSweeps && sweeps.count(_.accepted) < REPS) {
-      val cPre = CpuCanary.reading()
-      val sweepSteal0 = HostSteal.stealSeconds()
-      val times = scala.collection.mutable.Map.empty[String, Double]
-      val steals = scala.collection.mutable.Map.empty[String, Double]
-      var cMid = cPre
-      var qi = 0
-      names.foreach { q =>
-        val st0 = HostSteal.stealSeconds()
-        val t0 = System.nanoTime()
-        try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: $e") }
-        val sec = (System.nanoTime() - t0) / 1e9
-        val steal = if (st0 < 0) -1.0 else HostSteal.stealSeconds() - st0
-        // hygiene between measurements (untimed): drop any cached blocks
-        // a query pinned and collect BEFORE the next measurement, so
-        // every rep starts from a collected heap — for the ~150 sub-
-        // second queries a single young-GC pause landing inside the rep
-        // is 50-100% of the reading, and the first protocol-3 cut (GC
-        // only after >0.3s reps) measurably widened their run-to-run
-        // spread
-        spark.catalog.clearCache()
-        System.gc()
-        times(q.name) = sec
-        steals(q.name) = steal
-        qi += 1
-        if (qi == names.length / 2) cMid = CpuCanary.reading()
-      }
-      val stealTotal =
-        if (sweepSteal0 < 0) -1.0 else HostSteal.stealSeconds() - sweepSteal0
-      val cPost = CpuCanary.reading()
-      val accepted = (stealTotal < 0 || stealTotal <= SweepStealBudget) &&
-        sweepCanaryOk(cPre) && sweepCanaryOk(cMid) && sweepCanaryOk(cPost)
-      sweeps += SweepRec(times.toMap, steals.toMap, stealTotal,
-        cPre, cMid, cPost, accepted)
-      System.err.println(f"[bench] sweep ${sweeps.length}/$MaxSweeps done: " +
-        f"${times.values.sum}%.1f s (steal $stealTotal%.0f cpu-s, canary " +
-        f"alu [${cPre._1}%.2f,${cMid._1}%.2f,${cPost._1}%.2f] gather " +
-        f"[${cPre._2}%.2f,${cMid._2}%.2f,${cPost._2}%.2f], " +
-        f"accepted=$accepted; ${sweeps.count(_.accepted)}/$REPS clean)")
+        cans: Vector[(Double, Double)], segSteal: Vector[Double],
+        segAcc: Vector[Boolean]) {
+      def accepted: Boolean = segAcc.forall(identity)
     }
-    val epochDirty = sweeps.count(_.accepted) < REPS
-    val used =
-      if (sweeps.exists(_.accepted)) sweeps.filter(_.accepted).toVector
-      else sweeps.toVector
-    val timesByQ = names.map(q => q.name -> used.map(_.times(q.name))).toMap
-    val stealByQ = names.map(q => q.name -> used.map(_.steals(q.name))).toMap
+    val sweeps = scala.collection.mutable.ArrayBuffer.empty[SweepRec]
+    def segCleanCount(s: Int): Int = sweeps.count(_.segAcc(s))
+    def allSegsSatisfied: Boolean =
+      (0 until NSeg).forall(s => segCleanCount(s) >= REPS)
+    var continueSweeps = true
+    while (continueSweeps && sweeps.length < MaxSweeps &&
+        (sweeps.length < REPS || !allSegsSatisfied)) {
+      // beyond the mandatory REPS sweeps, a retry must fit the budget
+      // with room for the serving blocks (~30 min of reserve)
+      if (sweeps.length >= REPS) {
+        val lastSweepMin =
+          sweeps.lastOption.map(_.times.values.sum / 60.0).getOrElse(5.0)
+        if (!budgetOk("sweep_retry", lastSweepMin * 1.2 + 28.0))
+          continueSweeps = false
+      }
+      if (continueSweeps) {
+        val cans = new Array[(Double, Double)](NSeg + 1)
+        val segSteal = new Array[Double](NSeg)
+        cans(0) = CpuCanary.reading()
+        val sweepSteal0 = HostSteal.stealSeconds()
+        var segStart = sweepSteal0
+        val times = scala.collection.mutable.Map.empty[String, Double]
+        val steals = scala.collection.mutable.Map.empty[String, Double]
+        var qi = 0
+        names.foreach { q =>
+          val st0 = HostSteal.stealSeconds()
+          val t0 = System.nanoTime()
+          try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: $e") }
+          val sec = (System.nanoTime() - t0) / 1e9
+          val steal = if (st0 < 0) -1.0 else HostSteal.stealSeconds() - st0
+          // hygiene between measurements (untimed): drop any cached blocks
+          // a query pinned and collect BEFORE the next measurement, so
+          // every rep starts from a collected heap — for the ~150 sub-
+          // second queries a single young-GC pause landing inside the rep
+          // is 50-100% of the reading, and the first protocol-3 cut (GC
+          // only after >0.3s reps) measurably widened their run-to-run
+          // spread
+          spark.catalog.clearCache()
+          System.gc()
+          times(q.name) = sec
+          steals(q.name) = steal
+          val seg = segOf(qi)
+          qi += 1
+          if (qi == names.length || segOf(qi) != seg) {
+            val now = HostSteal.stealSeconds()
+            segSteal(seg) =
+              if (segStart < 0 || now < 0) -1.0 else now - segStart
+            segStart = now
+            cans(seg + 1) = CpuCanary.reading()
+          }
+        }
+        val stealTotal =
+          if (sweepSteal0 < 0) -1.0 else HostSteal.stealSeconds() - sweepSteal0
+        val segAcc = (0 until NSeg).map { s =>
+          (segSteal(s) < 0 || segSteal(s) <= SegStealBudget) &&
+            sessionCanaryOk(cans(s)) && sessionCanaryOk(cans(s + 1))
+        }.toVector
+        sweeps += SweepRec(times.toMap, steals.toMap, stealTotal,
+          cans.toVector, segSteal.toVector, segAcc)
+        System.err.println(f"[bench] sweep ${sweeps.length}/$MaxSweeps done: " +
+          f"${times.values.sum}%.1f s (steal $stealTotal%.0f cpu-s, " +
+          f"seg_steal ${segSteal.map(s => f"$s%.0f").mkString("[", ",", "]")}, " +
+          f"seg_accepted ${segAcc.mkString("[", ",", "]")}, gather " +
+          f"${cans.map(c => f"${c._2}%.2f").mkString("[", ",", "]")}; " +
+          f"seg_clean ${(0 until NSeg).map(segCleanCount).mkString("[", ",", "]")}/$REPS)")
+      }
+    }
+    val segClean = (0 until NSeg).map(segCleanCount)
+    val epochDirty = !allSegsSatisfied
+    // per-query rep vectors: sweeps whose SEGMENT was clean; fallback to
+    // all sweeps when a segment never certified (loud via segment_clean)
+    val usedByQ = names.zipWithIndex.map { case (q, qi) =>
+      val s = segOf(qi)
+      val acc = sweeps.filter(_.segAcc(s)).toVector
+      q.name -> (if (acc.nonEmpty) acc else sweeps.toVector)
+    }.toMap
+    val timesByQ = names.map(q => q.name -> usedByQ(q.name).map(_.times(q.name))).toMap
+    val stealByQ = names.map(q => q.name -> usedByQ(q.name).map(_.steals(q.name))).toMap
     val sweepSteal = sweeps.map(_.stealTotal)
     val results = names.map { q =>
       val ts = timesByQ(q.name)
@@ -199,14 +313,18 @@ object Bench {
       val suspects = stealSuspect
         .map { case (k, s) => f""""$k":$s%.1f""" }.mkString("{", ",", "}")
       // every attempt, accepted or not, with its steal + canary evidence
+      // (canary arrays now carry the NSeg+1 segment-boundary readings)
       val attempts = sweeps.map { s =>
         f"""{"total":${s.times.values.sum}%.1f,"steal":${s.stealTotal}%.0f,""" +
-          f""""canary_alu":[${s.cPre._1}%.2f,${s.cMid._1}%.2f,${s.cPost._1}%.2f],""" +
-          f""""canary_gather":[${s.cPre._2}%.2f,${s.cMid._2}%.2f,${s.cPost._2}%.2f],""" +
+          s""""seg_steal":${s.segSteal.map(v => f"$v%.0f").mkString("[", ",", "]")},""" +
+          s""""seg_accepted":${s.segAcc.mkString("[", ",", "]")},""" +
+          s""""canary_alu":${s.cans.map(c => f"${c._1}%.2f").mkString("[", ",", "]")},""" +
+          s""""canary_gather":${s.cans.map(c => f"${c._2}%.2f").mkString("[", ",", "]")},""" +
           s""""accepted":${s.accepted}}"""
       }.mkString("[", ",", "]")
       s""""sweep_steal_sec":$sweepsArr,"steal_suspect":$suspects,""" +
-        s""""sweep_attempts":$attempts,"sweeps_used":${used.length},""" +
+        s""""sweep_attempts":$attempts,"sweeps_used":${sweeps.length},""" +
+        s""""segments":$NSeg,"segment_clean":${segClean.mkString("[", ",", "]")},""" +
         f""""epoch_dirty":$epochDirty,"canary_cal":[$calAlu%.4f,$calGather%.4f]"""
     }
     val qs = results
@@ -291,7 +409,17 @@ object Bench {
     var childBudget = 3
     if (isoTargets.nonEmpty) {
       System.gc()
-      val isoJson = isoTargets.map { case (k, o, n) =>
+      // per-mover budget gate: the serving blocks downstream (isolated +
+      // 4m carry the gate number and the open crossover claim) need ~16
+      // min of reserve — once a mover would eat into it, the REST of the
+      // mover list is skipped (recorded), not just this one (elapsed
+      // only grows)
+      var moversBudgetOk = true
+      val isoJson = isoTargets.flatMap { case (k, o, n) =>
+        if (moversBudgetOk && !budgetOk(s"movers_iso:$k", 18.0))
+          moversBudgetOk = false
+        if (!moversBudgetOk) None
+        else Some {
         val q = names.find(_.name == k).get
         val reps = (1 to 4).map { _ =>
           // canary BEFORE the rep: a rep is clean only if the window
@@ -310,26 +438,96 @@ object Bench {
         }
         // the steal- AND canary-clean minimum is THE attribution number:
         // ~prev means the sweep mover was host epoch, ~sweep means the
-        // plan moved (or this JVM degraded — see child_min below)
-        val clean = reps.filter(r => r._2 <= 2.0 && CpuCanary.isClean(r._3))
+        // plan moved (or this JVM degraded — see child_min below).
+        // The gather bound here is the SESSION bound (2.0), not
+        // CpuCanary's fresh-JVM 1.4: these reps run seconds after 3+
+        // full sweeps and the canary sees this JVM's own residual cache
+        // state (ADVICE r16 medium — the 1.4 bound spuriously dirtied
+        // iso reps and starved the child A/B).
+        val clean = reps.filter(r => r._2 <= 2.0 && sessionCanaryOk(r._3))
           .map(_._1)
+        val stealClean = reps.filter(_._2 <= 2.0).map(_._1)
         val cleanMin = if (clean.nonEmpty) f"${clean.min}%.3f" else "null"
         // when the clean reading STILL sits >1.3x prev, the remaining
         // suspect is this JVM's own JIT/code-cache state after 3+
         // sweeps of 225 codegen'd queries (the mechanism Serving4m
         // documents for the ADC loop) — re-measure once in a fresh
         // child JVM; child_min ~ prev convicts the session JVM,
-        // child_min ~ sweep convicts the plan
+        // child_min ~ sweep convicts the plan. Also fires when NO rep
+        // was canary-clean but the steal-clean ones sit >1.3x prev —
+        // exactly the degraded-session case the child A/B exists for
+        // (ADVICE r16 medium).
+        val childTrigger =
+          (clean.nonEmpty && clean.min > o * 1.3) ||
+            (clean.isEmpty && stealClean.nonEmpty && stealClean.min > o * 1.3)
         val childMin =
-          if (clean.nonEmpty && clean.min > o * 1.3 && childBudget > 0) {
+          if (childTrigger && childBudget > 0 && budgetOk(s"qtime_child:$k", 28.0)) {
             childBudget -= 1
             qtimeChildMin(k, sfDir).map(v => f"$v%.3f").getOrElse("null")
           } else "null"
         System.err.println(f"[bench-iso] $k%-24s prev=$o%.2f sweep=$n%.2f iso_min=${reps.map(_._1).min}%.2f iso_min_clean=$cleanMin child_min=$childMin")
         f""""$k":{"prev":$o%.3f,"sweep":$n%.3f,"iso_min":${reps.map(_._1).min}%.3f,"iso_min_clean":$cleanMin,"child_min":$childMin,"iso_reps":[${reps.map(t => f"${t._1}%.3f").mkString(",")}],"iso_steal":[${reps.map(t => f"${t._2}%.1f").mkString(",")}],"iso_canary_alu":[${reps.map(t => f"${t._3._1}%.2f").mkString(",")}],"iso_canary_gather":[${reps.map(t => f"${t._3._2}%.2f").mkString(",")}]}"""
+        }
       }.mkString("{", ",", "}")
       moverIso = s""""movers_isolated":$isoJson"""
     }
+
+    // ---- incremental artifact emission (r15 verdict item 1b) ----
+    // Serving-block payloads start as nulls and are filled in as blocks
+    // complete; emit(partial=true) prints the CURRENT full object after
+    // every block so a driver kill at any point still leaves a complete
+    // parseable line in the tail. Exactly the final emission carries
+    // "partial":false.
+    var servingIso =
+      """"serving_isolated":null,"serving_isolated_dirty":false"""
+    var s500 = """"serving_500k":null"""
+    var s1m = """"serving_1m":null"""
+    var s4m = """"serving_4m":null"""
+    val servingVar =
+      if (servingReps.isEmpty) """"serving_variance":null"""
+      else servingReps.toSeq.sortBy(_._1).map { case (k, reps) =>
+        f""""$k":[${reps.min}%.0f,${reps.max}%.0f]"""
+      }.mkString(""""serving_variance":{""", ",", "}")
+    def skippedJson: String =
+      skippedBudget.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def fullLine(partial: Boolean): String =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","protocol":3,"reps":$REPS,"stat":"min","interleaved":true,"partial":$partial,"budget_min":$budgetMin%.1f,"elapsed_min":$elapsedMin%.1f,"skipped_budget":$skippedJson,"n_queries":${results.size},"total_median":$totalMedian%.3f,"labels_build_sec":$labelsBuildSec%.3f,"edges_build_sec":$edgesBuildSec%.3f,"queries":$qs,"ref_search_qps_50k":$refQpsLocal%.0f,"ref_batch_qps_50k":$refQpsBatch%.0f,"ref_concurrent_qps_50k":$refQpsConc%.0f,"ref_pq_qps_50k":$refQpsPq%.0f,"ref_bq_qps_50k":$refQpsBq%.0f,"ref_ivf_qps_50k":$refQpsIvf%.0f,"ref_ivfpq_qps_50k":$refQpsIvfPq%.0f,"ref_ivfbq_qps_50k":$refQpsIvfBq%.0f,"baseline_ref_qps_50k":1100,"serving_cold_jvm":true,$servingVar,$servingIso,$s500,$s1m,$s4m,$moversJson,$moverIso,$stealJson,"sf":"$sfDir"}"""
+    // Compact MICRO headline, printed LAST at every emission. The driver
+    // keeps only a ~2,000-char TAIL of stdout and parses a complete JSON
+    // line found inside it: rounds 10-13 parsed because the then-headline
+    // fit; r14 grew it (movers_isolated) past 2,000 chars and parsed went
+    // null even on a CLEAN run. So the last printed line must stay small —
+    // this one carries only scalar summaries (per-block numbers extracted
+    // from the block payloads; the full object with queries/movers/steal
+    // lives in bench_last.json, rewritten at every emission, and in the
+    // preceding stdout line). Metric stays "total_headline"/"headline":
+    // true so a full-object consumer cannot mistake it for the object.
+    def extractNum(json: String, key: String): String =
+      ("\"" + key + "\":(-?[0-9.]+|true|false)").r
+        .findFirstMatchIn(json).map(_.group(1)).getOrElse("null")
+    def blockSum(json: String, label: String): String =
+      if (!json.contains(s""""$label":{""")) s""""${label}_sum":null"""
+      else s""""${label}_sum":{"flat_qps":${extractNum(json, "flat_qps")},"ivf_qps":${extractNum(json, "ivf_qps")},"ivfpq_qps":${extractNum(json, "ivfpq_qps")},"ivfbq_qps":${extractNum(json, "ivfbq_qps")},"ivfpq_vs_ivf":${extractNum(json, "ivfpq_vs_ivf")},"clean_epochs":${extractNum(json, "clean_epochs")},"epoch_dirty":${extractNum(json, "epoch_dirty")}}"""
+    def micro(partial: Boolean): String =
+      f"""{"metric":"total_headline","value":$total%.3f,"unit":"sec","protocol":3,"reps":$REPS,"stat":"min","interleaved":true,"partial":$partial,"headline":true,"budget_min":$budgetMin%.1f,"elapsed_min":$elapsedMin%.1f,"skipped_budget":$skippedJson,"n_queries":${results.size},"epoch_dirty":$epochDirty,"segment_clean":${segClean.mkString("[", ",", "]")},"sweeps_run":${sweeps.length},"labels_build_sec":$labelsBuildSec%.3f,"edges_build_sec":$edgesBuildSec%.3f,"ref_search_qps_50k":$refQpsLocal%.0f,"ref_batch_qps_50k":$refQpsBatch%.0f,"ref_concurrent_qps_50k":$refQpsConc%.0f,"ref_pq_qps_50k":$refQpsPq%.0f,"ref_bq_qps_50k":$refQpsBq%.0f,"ref_ivf_qps_50k":$refQpsIvf%.0f,"ref_ivfpq_qps_50k":$refQpsIvfPq%.0f,"ref_ivfbq_qps_50k":$refQpsIvfBq%.0f,"baseline_ref_qps_50k":1100,"serving_cold_jvm":true,$servingIso,${blockSum(s500, "serving_500k")},${blockSum(s1m, "serving_1m")},${blockSum(s4m, "serving_4m")},"sf":"$sfDir"}"""
+    def emit(partial: Boolean): Unit = {
+      val line = fullLine(partial)
+      println(line)
+      val m = micro(partial)
+      println(m)
+      if (m.length > 1900) System.err.println(
+        s"[bench] WARNING: micro headline ${m.length} chars — may outgrow the driver's 2,000-char tail window")
+      // The stdout line outgrew the driver's capture window in r7 (the
+      // board kept only the tail, losing total/protocol/30 timings) —
+      // also persist the newest object where the round artifacts live.
+      // Written at EVERY emission so a driver kill leaves the newest
+      // partial object instead of nothing (the r15 rc-124 hole).
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_last.json"), line + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: $e") }
+    }
+    emit(partial = true)
+
     // Post-sweep isolated serving re-measure (round-10 verdict item 1):
     // the pre-sweep run is the cold/clean-JVM reading (its first reps sit
     // below baseline before JIT warm-up — BENCH_r10's in-run spread was
@@ -343,7 +541,10 @@ object Bench {
     // builder's 7,285+ was a contended one-shot)
     // (steal, canary pre, canary post) ride beside the verdict: a
     // mid-block burst that dodges the edge canaries still shows as an
-    // in-artifact rep spread, and the evidence says what the edges saw
+    // in-artifact rep spread, and the evidence says what the edges saw.
+    // Canary verdicts use the SESSION gather bound — these readings are
+    // taken inside a JVM that just ran 3+ sweeps (or this block's own
+    // 50k scans) and see its residual cache state.
     def isoServingRun(): (Map[String, Double], Map[String, Seq[Double]],
         Boolean, Double, (Double, Double), (Double, Double)) = {
       val cPre = CpuCanary.reading()
@@ -352,7 +553,7 @@ object Bench {
       val steal = if (st0 < 0) -1.0 else HostSteal.stealSeconds() - st0
       val cPost = CpuCanary.reading()
       val dirty = steal > 10.0 ||
-        !CpuCanary.isClean(cPre) || !CpuCanary.isClean(cPost)
+        !sessionCanaryOk(cPre) || !sessionCanaryOk(cPost)
       (best, reps, dirty, steal, cPre, cPost)
     }
     val (isoServing, isoReps, isoDirty, isoSteal, isoCPre, isoCPost) =
@@ -361,19 +562,30 @@ object Bench {
           0.0, (0.0, 0.0), (0.0, 0.0))
       else {
         val a1 = isoServingRun()
-        if (!a1._3) a1
+        if (!a1._3 || !budgetOk("serving_isolated_retry", 26.0)) a1
         else {
           System.err.println("[bench] serving_isolated epoch dirty — one retry")
           System.gc()
           isoServingRun()
         }
       }
+    // [worst, best] QPS across the isolated reps — the worst WARM reading
+    // is the number the 2x-vs-baseline gate should be judged on.
+    if (isoServing.nonEmpty) {
+      servingIso = isoReps.toSeq.sortBy(_._1).map { case (k, reps) =>
+        f""""$k":[${reps.min}%.0f,${reps.max}%.0f]"""
+      }.mkString(""""serving_isolated":{""", ",",
+        f"""},"serving_isolated_dirty":$isoDirty,"serving_isolated_steal":$isoSteal%.0f,"serving_isolated_canary_alu":[${isoCPre._1}%.2f,${isoCPost._1}%.2f],"serving_isolated_canary_gather":[${isoCPre._2}%.2f,${isoCPost._2}%.2f]""")
+      emit(partial = true)
+    }
     System.gc()
     // the 500k serving point (run once, after the isolated block — its
     // own builds are heavyweight and must not heat the 50k readings)
-    val s500 =
-      if (skipServing) """"serving_500k":null"""
-      else servingClusteredGated(spark, "serving_500k", n = 500000, nCenters = 1000)
+    if (!skipServing && budgetOk("serving_500k", 22.0)) {
+      s500 = servingClusteredGated(spark, "serving_500k", n = 500000,
+        nCenters = 1000, retryBudgetMin = 20.0)
+      emit(partial = true)
+    }
     System.gc()
     // the 1M crossover point (r13 verdict item 2): at 500k the composed
     // tiers sit at or below flat-IVF QPS — the corpus-size-INDEPENDENT
@@ -382,61 +594,32 @@ object Bench {
     // scan work: IVF's scan grows at 128 int8 B/row, IVFPQ's at 8 B/row,
     // IVFBQ's at 16 B/row — the point where compression stacked on
     // pruning must pull ahead, or the artifact honestly shows it doesn't.
-    val s1m =
-      if (skipServing) """"serving_1m":null"""
-      else servingClusteredGated(spark, "serving_1m", n = 1000000, nCenters = 2000)
+    // Budget preference (r15 verdict item 2): serving_4m carries the one
+    // open claim, so 1m requires enough budget for BOTH (its own ~7 min
+    // plus the 4m reserve) — when the window is tight, 1m is skipped and
+    // the remaining budget goes to 4m.
+    if (!skipServing && budgetOk("serving_1m", 18.0)) {
+      s1m = servingClusteredGated(spark, "serving_1m", n = 1000000,
+        nCenters = 2000, retryBudgetMin = 18.0)
+      emit(partial = true)
+    }
     System.gc()
     // the 4M CROSSOVER point, run last (heaviest build; try/catch so an
     // OOM or build failure degrades to null instead of losing the whole
-    // artifact)
-    val s4m =
-      if (skipServing) """"serving_4m":null"""
-      else try serving4m(spark) catch {
+    // artifact). The child's hard timeout is clamped to the remaining
+    // budget so it cannot outlive the driver's window.
+    // entry gate 10: the child's 4M build alone is ~5 min, so a clamped
+    // timeout under ~9 min is guaranteed waste — skip (with the marker)
+    // rather than launch a child that cannot finish
+    if (!skipServing && budgetOk("serving_4m", 10.0)) {
+      s4m = try serving4m(spark) catch {
         case e: Throwable =>
           System.err.println(s"[bench] serving_4m failed: $e")
           """"serving_4m":null"""
       }
+    }
     System.gc()
-    // [worst, best] QPS across the isolated reps — the worst WARM reading
-    // is the number the 2x-vs-baseline gate should be judged on.
-    val servingIso =
-      if (isoServing.isEmpty) """"serving_isolated":null,"serving_isolated_dirty":false"""
-      else isoReps.toSeq.sortBy(_._1).map { case (k, reps) =>
-        f""""$k":[${reps.min}%.0f,${reps.max}%.0f]"""
-      }.mkString(""""serving_isolated":{""", ",",
-        f"""},"serving_isolated_dirty":$isoDirty,"serving_isolated_steal":$isoSteal%.0f,"serving_isolated_canary_alu":[${isoCPre._1}%.2f,${isoCPost._1}%.2f],"serving_isolated_canary_gather":[${isoCPre._2}%.2f,${isoCPost._2}%.2f]""")
-    // variance-annotated serving block: per-protocol QPS range across the
-    // in-process reps ([min, max], best = the published number). Serving
-    // QPS has measured ±2x cross-SESSION drift (r7: 4,254; r8 sessions:
-    // 6,297-10,298) — the artifact carries its own in-run spread so
-    // cross-round comparison doesn't need prose reconciliation.
-    val servingVar =
-      if (servingReps.isEmpty) """"serving_variance":null"""
-      else servingReps.toSeq.sortBy(_._1).map { case (k, reps) =>
-        f""""$k":[${reps.min}%.0f,${reps.max}%.0f]"""
-      }.mkString(""""serving_variance":{""", ",", "}")
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","protocol":3,"reps":$REPS,"stat":"min","interleaved":true,"n_queries":${results.size},"total_median":$totalMedian%.3f,"labels_build_sec":$labelsBuildSec%.3f,"edges_build_sec":$edgesBuildSec%.3f,"queries":$qs,"ref_search_qps_50k":$refQpsLocal%.0f,"ref_batch_qps_50k":$refQpsBatch%.0f,"ref_concurrent_qps_50k":$refQpsConc%.0f,"ref_pq_qps_50k":$refQpsPq%.0f,"ref_bq_qps_50k":$refQpsBq%.0f,"ref_ivf_qps_50k":$refQpsIvf%.0f,"ref_ivfpq_qps_50k":$refQpsIvfPq%.0f,"ref_ivfbq_qps_50k":$refQpsIvfBq%.0f,"baseline_ref_qps_50k":1100,"serving_cold_jvm":true,$servingVar,$servingIso,$s500,$s1m,$s4m,$moversJson,$moverIso,$stealJson,"sf":"$sfDir"}"""
-    // Compact headline (no per-query map): same schema minus "queries",
-    // printed BEFORE and AFTER the full object. The driver's capture
-    // window keeps a bounded TAIL of stdout (r7 and r8 both lost the full
-    // line's head, leaving an unparseable artifact) — the trailing
-    // headline is small enough to always survive whole, so the round
-    // artifact is self-healing; the leading copy covers head-keeping
-    // captures. bench_last.json still holds the complete object.
-    // The headline carries metric "total_headline" (plus "headline":true)
-    // so exactly ONE emitted line has "metric":"total" — a consumer
-    // grepping the metric key can no longer pick up a field-reduced
-    // headline copy in place of the full object.
-    val headline = f"""{"metric":"total_headline","value":$total%.3f,"unit":"sec","protocol":3,"reps":$REPS,"stat":"min","interleaved":true,"n_queries":${results.size},"headline":true,"labels_build_sec":$labelsBuildSec%.3f,"edges_build_sec":$edgesBuildSec%.3f,"ref_search_qps_50k":$refQpsLocal%.0f,"ref_batch_qps_50k":$refQpsBatch%.0f,"ref_concurrent_qps_50k":$refQpsConc%.0f,"ref_pq_qps_50k":$refQpsPq%.0f,"ref_bq_qps_50k":$refQpsBq%.0f,"ref_ivf_qps_50k":$refQpsIvf%.0f,"ref_ivfpq_qps_50k":$refQpsIvfPq%.0f,"ref_ivfbq_qps_50k":$refQpsIvfBq%.0f,"baseline_ref_qps_50k":1100,"serving_cold_jvm":true,$servingVar,$servingIso,$s500,$s1m,$s4m,$moverIso,$stealJson,"sf":"$sfDir"}"""
-    println(headline)
-    println(line)
-    println(headline)
-    // The stdout line outgrew the driver's capture window in r7 (the board
-    // kept only the tail, losing total/protocol/30 timings) — also persist
-    // the full object where the round artifacts live.
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_last.json"), line + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: $e") }
+    emit(partial = false)
     spark.stop()
   }
   /** The eight serving protocols (int8 SIMD sequential search, batch Spark
@@ -647,6 +830,9 @@ object Bench {
     // Spark-dependent input: the PQ codebook, trained on the corpus
     // recipe's first 100k vectors (same seed stream, so the sample is
     // bit-identical to the child's first 100k rows).
+    // NOTE: this corpus keeps the r14/r15 SEQUENTIAL-seed recipe (two
+    // certified-clean crossover runs are pinned to it) — do not switch
+    // it to CorpusGen without re-validating the crossover numbers.
     val dim = 128; val n = 4000000
     val nCenters = n / 500
     val rnd = new scala.util.Random(97)
@@ -668,18 +854,22 @@ object Bench {
       // (no interleaved epoch was steal- AND canary-clean) — the r14
       // verdict's "a claim that flips between clean-LOOKING runs isn't
       // a measurement" demands the artifact carry a certified-clean
-      // reading or say it could not get one
-      def attempt(): Option[String] =
+      // reading or say it could not get one. The child's hard timeout
+      // is clamped to the remaining wall-clock budget (r15 rc-124 fix).
+      def attempt(): Option[String] = {
+        val tmo = math.max(9L, math.min(30L, (budgetLeft - 1.0).toLong))
         runChild("graft.tools.Serving4m",
           Seq(cbPath.toString, graft.ops.PqQueries.M.toString,
             graft.ops.PqQueries.K.toString, n.toString),
-          timeoutMin = 30, heap = "12g")
+          timeoutMin = tmo, heap = "12g")
           .flatMap(_.find(_.startsWith("{\"corpus\"")))
+      }
       attempt() match {
         case None =>
           System.err.println("[bench] serving_4m child produced no JSON")
           """"serving_4m":null"""
-        case Some(json) if json.contains("\"epoch_dirty\":true") =>
+        case Some(json) if json.contains("\"epoch_dirty\":true") &&
+            budgetOk("serving_4m_retry", 10.0) =>
           System.err.println("[bench] serving_4m epoch dirty — one retry")
           System.gc()
           attempt() match {
@@ -767,13 +957,15 @@ object Bench {
 
   /** servingClustered with the r15 one-shot-block epoch gate: if the
     * block's steal or canary readings say the window was dirty, re-run
-    * it ONCE (the builds are minutes — one retry bounds the cost); the
+    * it ONCE (the builds are minutes — one retry bounds the cost, and
+    * the retry itself must fit the remaining wall-clock budget); the
     * emitted JSON always carries its own epoch_dirty verdict either
     * way, so a reading that never got a clean window says so. */
   private def servingClusteredGated(spark: SparkSession, label: String,
-      n: Int, nCenters: Int): String = {
+      n: Int, nCenters: Int, retryBudgetMin: Double): String = {
     val first = servingClustered(spark, label, n, nCenters)
-    if (!first.contains("\"epoch_dirty\":true")) first
+    if (!first.contains("\"epoch_dirty\":true") ||
+      !budgetOk(s"${label}_retry", retryBudgetMin)) first
     else {
       System.err.println(s"[bench] $label epoch dirty — one retry")
       System.gc()
@@ -787,27 +979,38 @@ object Bench {
     // scale points are the bench's most steal-vulnerable sections (the
     // r14 close attempt 1 read ivfpq at 38 QPS during a 485-cpu-s steal
     // burst, vs 2.6k clean) — the artifact must say when that happened.
-    // r15: bounding canary readings beside it (two-sided).
+    // r15: bounding canary readings beside it (two-sided; session gather
+    // bound — this JVM's own build stages precede the post reading).
     val cPre = CpuCanary.reading()
     val stBlock0 = HostSteal.stealSeconds()
     val dim = 128
     val rnd = new scala.util.Random(97)
     val centers = Array.fill(nCenters)(Array.fill(dim)(rnd.nextGaussian().toFloat * 3f))
-    val vecs = Array.tabulate(n) { i =>
-      val c = centers(i % nCenters)
-      Array.tabulate(dim)(j => c(j) + rnd.nextGaussian().toFloat * 1.0f)
-    }
+    // r16 (r15 verdict item 3): the corpus DF is generated EXECUTOR-side
+    // from the per-row-seeded CorpusGen recipe — the r15 driver-built
+    // ids.zip(vecs).toSeq.toDF shipped 8.6-17.7 MB tasks ("task of very
+    // large size" warnings in the graded tail) and minutes of driver
+    // allocation. The driver keeps only the Local* tier replicas (the
+    // in-process indexes under test — bounded, same as toLocal), built
+    // from the SAME per-row recipe so both sides see identical vectors.
+    val vecs = Array.tabulate(n)(i => CorpusGen.clusteredVec(centers, i.toLong))
     val ids = Array.tabulate(n)(_.toLong)
-    // flat exact tier at 500k: the same LocalIndex the 50k point serves
     import spark.implicits._
-    val embDf = ids.zip(vecs).toSeq.toDF("vec_id", "embedding").repartition(32)
+    val bcCenters = spark.sparkContext.broadcast(centers)
+    val embDf = spark.range(n).mapPartitions { it =>
+      val cs = bcCenters.value
+      it.map { jl => val i: Long = jl; (i, CorpusGen.clusteredVec(cs, i)) }
+    }.toDF("vec_id", "embedding")
     val index = graft.store.QuantizedIndex.build(embDf, dim, numBlocks = 32).persist()
     index.count
     val flat = index.toLocal
-    val queries = (0 until 100).map { i =>
-      // queries = corpus points + fresh noise (the serving distribution)
-      val c = centers(rnd.nextInt(nCenters))
-      Array.tabulate(dim)(j => c(j) + rnd.nextGaussian().toFloat * 1.0f)
+    // queries = corpus points + fresh noise (the serving distribution);
+    // seeded independently of the corpus recipe (per-row now, not a
+    // shared sequential stream)
+    val qrnd = new scala.util.Random(7 + n)
+    val queries = (0 until 100).map { _ =>
+      val c = centers(qrnd.nextInt(nCenters))
+      Array.tabulate(dim)(j => c(j) + qrnd.nextGaussian().toFloat * 1.0f)
     }.toArray
     val qBytes = queries.map(graft.functions.VectorKernels.quantize)
     (0 until 10).foreach(i => flat.search(qBytes(i), 10))
@@ -859,6 +1062,7 @@ object Bench {
     }
     val recIvfBq = recall(queries.map(q => ivfbq.search(q, 10, nprobe, candK)))
     index.unpersist()
+    bcCenters.destroy()
     val flatQps = 100.0 / repsFlat.min
     val ivfQps = 100.0 / repsIvf.min
     // -1 sentinel when /proc/stat is unreadable (both reads -1): a raw
@@ -867,7 +1071,7 @@ object Bench {
     val blockSteal = if (stBlock0 < 0) -1.0 else HostSteal.stealSeconds() - stBlock0
     val cPost = CpuCanary.reading()
     val dirty = blockSteal > 10.0 ||
-      !CpuCanary.isClean(cPre) || !CpuCanary.isClean(cPost)
+      !sessionCanaryOk(cPre) || !sessionCanaryOk(cPost)
     f""""$label":{"corpus":$n,"cells":$cells,"nprobe":$nprobe,"cand_k":$candK,"steal_cpu_s":$blockSteal%.0f,"canary_alu":[${cPre._1}%.2f,${cPost._1}%.2f],"canary_gather":[${cPre._2}%.2f,${cPost._2}%.2f],"epoch_dirty":$dirty,"mean_scan_frac":$scanFrac%.4f,"flat_qps":$flatQps%.0f,"ivf_qps":$ivfQps%.0f,"ivf_recall10":$recIvf%.3f,"ivf_speedup":${ivfQps / flatQps}%.2f,"ivfpq_qps":${100.0 / repsIvfPq.min}%.0f,"ivfpq_recall10":$recIvfPq%.3f,"ivfbq_qps":${100.0 / repsIvfBq.min}%.0f,"ivfbq_recall10":$recIvfBq%.3f}"""
   }
 }

@@ -4045,12 +4045,25 @@ object ExtendedQueries {
           .agg(min(col("v_e6")).as("lo"))
         val iso = inner.groupBy(col("seg"), col("i"))
           .agg(max(col("lo")).as("fit_e6"))
+        // output-cast guard (ADVICE r16): Spark's non-ANSI decimal->long
+        // cast silently NULLs on overflow while DuckDB's CAST(HUGEINT AS
+        // BIGINT) raises — at SF100-class revenues the e6-scaled fit sits
+        // within 2x of 2^63, so past it the engines would diverge as a
+        // silent-NULL hash mismatch instead of a loud failure. raise_error
+        // makes Spark fail exactly where the oracle does, on the same value.
+        val fitLong = when(
+            abs(col("fit_e6")) <=
+              lit("9223372036854775807").cast("decimal(38,0)"),
+            col("fit_e6").cast("long"))
+          .otherwise(raise_error(concat(
+            lit("q_isotonic fit_e6 overflows BIGINT: "),
+            col("fit_e6").cast("string"))).cast("long"))
         m.select(col("seg").as("seg_m"), col("i").as("i_m"),
             col("mi"), col("rev"))
           .join(iso, col("seg_m") === col("seg") && col("i_m") === col("i"))
           .select(col("seg"), col("i"), col("mi"), col("rev"),
-            col("fit_e6").cast("long").as("fit_e6"),
-            (col("fit_e6").cast("long").cast("double") / lit(1e6)).as("fit_cents"))
+            fitLong.as("fit_e6"),
+            (fitLong.cast("double") / lit(1e6)).as("fit_cents"))
           .orderBy(col("seg"), col("i"))
       },
       Some("""WITH m0 AS (

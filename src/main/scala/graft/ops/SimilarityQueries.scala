@@ -742,7 +742,16 @@ object SimilarityQueries {
     // (qid, nid) key of that n*k-row relation; components run
     // O(log diameter) rounds on a mutual edge set bounded by n*k/2.
     // Oracle: the same frozen-cell kNN CTEs + a reciprocity self-join
-    // + recursive-CTE components — exact hash parity.
+    // + recursive-CTE components — exact hash parity. ORACLE COST NOTE
+    // (ADVICE r16): the oracle's `reach` closure materializes every
+    // (node, reachable-seed-label) pair — Theta(component^2) rows on a
+    // percolated fixture (~90% of n in one component), so the ORACLE
+    // grows quadratically with SF even though the Spark side is
+    // O(n*k*log d). Measured fine through sf0.1 (the gated board);
+    // if a larger SF ever joins the board, rewrite the closure as an
+    // iterative min-label recursion (or pin this query's oracle to the
+    // small fixtures explicitly) — test-side cost only, the engine
+    // path is unaffected.
     Q("q_mutual_knn",
       (s, d) => {
         val knn = knnJoinRelation(s, d)
@@ -891,12 +900,14 @@ object SimilarityQueries {
     * assignment rank rides along as `arn`). */
   // private[graft]: SimilaritySpec plants clustered embeddings through
   // the same assignment + kNN machinery (q_mutual_knn recovery proof)
-  private[graft] def cellAssignmentsOn(emb: DataFrame,
-      trainFilter: Option[org.apache.spark.sql.Column],
-      keep: Int = 1): DataFrame = {
+  /** The per-label centroid relation `(cell, centroid: array<double>)` —
+    * the frozen coarse quantizer itself, extracted from cellAssignmentsOn
+    * so the streaming tier (StreamKnn) can collect the SAME centroids the
+    * batch assignment uses (expression structure unchanged — the oracle
+    * twin asgCtes mirrors this op-for-op). */
+  private[graft] def cellCentroidsOn(train: DataFrame): DataFrame = {
     val P43 = 8796093022208.0
-    val train = trainFilter.map(emb.filter).getOrElse(emb)
-    val cent = train
+    train
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy(col("label"), col("pos"))
       .agg(((sum(floor(col("x").cast("double") * lit(P43))
@@ -906,6 +917,18 @@ object SimilarityQueries {
       .agg(map_from_entries(collect_list(struct(col("pos"), col("c")))).as("cm"))
       .select(col("label").as("cell"),
         transform(sequence(lit(0), lit(63)), i => element_at(col("cm"), i)).as("centroid"))
+  }
+
+  /** Frozen full-corpus centroids for the fixture at `d` (StreamKnn's
+    * assignment input — identical to what cellAssignmentsSpill trains). */
+  private[graft] def cellCentroids(s: SparkSession, d: String): DataFrame =
+    cellCentroidsOn(Tables.embeddings(s, d))
+
+  private[graft] def cellAssignmentsOn(emb: DataFrame,
+      trainFilter: Option[org.apache.spark.sql.Column],
+      keep: Int = 1): DataFrame = {
+    val train = trainFilter.map(emb.filter).getOrElse(emb)
+    val cent = cellCentroidsOn(train)
     val cosQC = {
       val dot = aggregate(zip_with(col("embedding"), col("centroid"),
         (x, c) => x.cast("double") * c), lit(0.0), (a, x) => a + x)

@@ -21,8 +21,80 @@ object KnnJoinProbe {
 
   private val Bound = 0.5
 
+  /** `cells` mode (r15 verdict item 4): the registry's q_knn_join routes
+    * through the fixture's LABEL-derived cells, whose count is fixed
+    * (~10), so the per-SF candidate fraction is pinned at ~0.20 of
+    * all-pairs and the Σcell² bound — while real — was never SHOWN to
+    * shrink with cell count. This mode re-runs the exact q_knn_join
+    * candidate accounting on a TRAINED k-means coarse quantizer (the
+    * q_ivf_kmeans machinery: MLlib KMeans, seeded) at k ∈ {10, 32, 64}
+    * cells at fixed n, with the same spill-2 probe / primary-1 build
+    * routing and the same cosine+tie-break assignment rule as
+    * cellAssignmentsOn. Expected (and asserted): the fraction drops
+    * monotonically — ~1/k for balanced cells — which is the 100 TB
+    * scaling lever the q_knn_join scaladoc claims (cells ∝ corpus keeps
+    * the per-cell join bounded). Emits one SCALE.md row per k. */
+  private def cellsMode(spark: org.apache.spark.sql.SparkSession,
+      d: String): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.sql.expressions.Window
+    val emb = graft.Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("fv", array_to_vector(col("embedding")))
+      .localCheckpoint(true)
+    val n = emb.count()
+    val fracs = Seq(10, 32, 64).map { k =>
+      val km = new KMeans().setK(k).setSeed(42L).setMaxIter(5)
+        .setFeaturesCol("fv").setPredictionCol("cell")
+      val model = km.fit(emb)
+      // 2-nearest-cell spill assignment against the trained centers,
+      // using cellAssignmentsOn's exact rule (cosine, cell-id tie-break)
+      import spark.implicits._
+      val centDf = model.clusterCenters.zipWithIndex
+        .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("cell", "centroid")
+      val cosQC = {
+        val dot = aggregate(zip_with(col("embedding"), col("centroid"),
+          (x, c) => x.cast("double") * c), lit(0.0), (a, x) => a + x)
+        val na = aggregate(transform(col("embedding"),
+          x => x.cast("double") * x.cast("double")), lit(0.0), (a, x) => a + x)
+        val nb = aggregate(transform(col("centroid"), c => c * c),
+          lit(0.0), (a, x) => a + x)
+        when(na === 0.0 || nb === 0.0, 0.0)
+          .otherwise(dot / (sqrt(na) * sqrt(nb)))
+      }
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cs").desc, col("cell").asc)
+      val asg = emb.crossJoin(broadcast(centDf))
+        .select(col("vec_id"), col("cell"), cosQC.as("cs"))
+        .withColumn("arn", row_number().over(wAssign))
+        .filter(col("arn") <= 2)
+      // identical accounting to the per-SF mode: ordered candidate pairs
+      // = Σ_cell spill_c × prim_c − n self-pairs
+      val sizes = asg.groupBy(col("cell"))
+        .agg(sum(when(col("arn") === 1, 1L).otherwise(0L)).as("prim"),
+          count(lit(1)).as("spill"))
+      val cand = sizes
+        .agg(sum(col("spill") * col("prim")).cast("long")).head().getLong(0) - n
+      val frac = cand.toDouble / (n * (n - 1))
+      println(f"KNNJOIN_CELLS sf=$d n=$n cells=$k cand_pairs=$cand " +
+        f"cand_frac=$frac%.4f balanced_expect=${2.0 / k}%.4f")
+      frac
+    }
+    assert(fracs(0) > fracs(1) && fracs(1) > fracs(2),
+      f"candidate fraction did not shrink with cell count: " +
+        f"${fracs.map(f => f"$f%.4f").mkString(" -> ")} at 10/32/64 cells " +
+        "— the Σcell² bound is not delivering; check assignment balance")
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = Sessions.fromEnv("8", appName = "knnjoin-probe")
+    if (args.headOption.contains("cells")) {
+      try cellsMode(spark,
+        args.lift(1).getOrElse("/root/testdata/sf0.01"))
+      finally spark.stop()
+      return
+    }
     val sfs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
       "/root/testdata/sf0.1")
     try {

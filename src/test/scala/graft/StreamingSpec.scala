@@ -1056,4 +1056,45 @@ class StreamingSpec extends SparkSpec {
       StreamCusum.cusum(events, Map.empty, Map.empty)
     }
   }
+
+  test("streaming kNN-graph maintenance (tier 25): streamed neighbor lists equal batch q_knn_join across the split") {
+    import graft.streaming.StreamKnn
+    import org.apache.spark.sql.functions.col
+    val cut = 250L
+    val updates = StreamKnn.runOnce(spark, sf001, "sknn_stream_test", cut)
+      .localCheckpoint(true)
+    val upd = updates.collect()
+    assert(upd.nonEmpty)
+    // the maintenance property is non-vacuous: some trigger-1 arrival's
+    // heap was UPDATED by a trigger-2 build member (ver >= 2) — the very
+    // case a score-on-arrival stream gets wrong
+    assert(upd.exists(_.getLong(2) >= 2L),
+      "no heap ever updated across the split — maintenance vacuous")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // FINAL graph: max-version heaps merged across each qid's 2 cells
+    // must equal the batch q_knn_join relation BITWISE (same kernel,
+    // same frozen cells, same tie-break)
+    val streamed = rows(StreamKnn.finalLists(updates))
+    val batch = rows(SparkEntry.queries("q_knn_join")(spark, sf001))
+    assert(batch.nonEmpty && streamed == batch,
+      s"stream-only=${(streamed -- batch).take(3)} " +
+        s"batch-only=${(batch -- streamed).take(3)}")
+    // PREFIX state: within one trigger a probe emits at most once, and a
+    // new probe always emits at ver 1 — so the ver==1 rows of trigger-1
+    // arrivals (qid < cut; their heaps can only hold prefix members) ARE
+    // the streamed graph as of the end of trigger 1. It must equal the
+    // batch relation over the prefix rows under the SAME frozen
+    // (full-corpus) cells — the frozen-quantizer ingestion contract.
+    val prefixStreamed = rows(StreamKnn.finalLists(
+      updates.filter(col("ver") === 1 && col("qid") < cut)))
+    val prefixAsg = graft.ops.SimilarityQueries
+      .cellAssignmentsSpill(spark, sf001).filter(col("vec_id") < cut)
+    val prefixBatch = rows(
+      graft.ops.SimilarityQueries.knnJoinRelationOn(prefixAsg))
+    assert(prefixBatch.nonEmpty && prefixStreamed == prefixBatch,
+      s"prefix stream-only=${(prefixStreamed -- prefixBatch).take(3)} " +
+        s"batch-only=${(prefixBatch -- prefixStreamed).take(3)}")
+  }
 }
