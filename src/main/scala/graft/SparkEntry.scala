@@ -16,7 +16,8 @@ object SparkEntry {
     VectorQueries.all ++ RelationalQueries.all ++ TextQueries.all ++
       SimilarityQueries.all ++ MultimodalQueries.all ++ ExtendedQueries.all ++
       MLQueries.all ++ PipelineQueries.all ++ PqQueries.all ++
-      LayoutQueries.all ++ SelectionQueries.all ++ RecoQueries.all
+      LayoutQueries.all ++ SelectionQueries.all ++ RecoQueries.all ++
+      EntityQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * int8-quantized cosine top-10 (the reference's hot path, SURVEY.md §3 E1). */

@@ -73,7 +73,23 @@ object GraphOps {
 
   /** Pointer-jumping labels until fixpoint: propagation + `label(label)`
     * shortcut per round. Same output contract as [[propagationLabels]] in
-    * O(log diameter) rounds. */
+    * O(log n) rounds.
+    *
+    * Each round is STAR HOOKING + FULL path compression (the
+    * Shiloach–Vishkin structure): every star — the set of nodes sharing
+    * a label, always a star after compression — adopts the minimum
+    * neighborhood label seen by ANY of its members (one label-keyed
+    * aggregate + join), then `label := min(label, label(label))` repeats
+    * until the pointer forest is a star again (node-sized self-joins;
+    * pointer depth at least halves per jump). Both halves are necessary,
+    * measured on the r16 fuzzy-name graph whose min ids zigzag: a SINGLE
+    * jump per round degraded to ~diameter/2 reach (components of ≤190
+    * members blew a 16-round cap; 7 rounds for 17-member components),
+    * and per-node hooking even with full compression moves only the
+    * basin's border node per round (still 7 rounds at 17 members). With
+    * star hooking + compression the star graph contracts along every
+    * inter-star edge each round — O(log n) rounds on ANY id layout
+    * (measured: 3 rounds for the same components, 4 at sf0.1). */
   def doublingLabels(edges: DataFrame, maxIter: Int): (DataFrame, Int) = {
     val e = edges.select(col("src"), col("dst"))
     var labels = e.select(col("src").as("doc_id")).distinct()
@@ -85,23 +101,46 @@ object GraphOps {
         .join(labels.select(col("doc_id").as("src"), col("label")), "src")
         .groupBy(col("dst").as("doc_id"))
         .agg(min(col("label")).as("nlabel"))
-      val stepped = labels.join(prop, Seq("doc_id"), "left")
+      // STAR hooking: the whole star (every node sharing a label) adopts
+      // the min neighborhood-label seen by ANY of its members — per-node
+      // hooking would move only the border node and the min would crawl
+      // back to one hop per round inside each basin.
+      val hooked = labels.join(prop, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("label"),
+          coalesce(col("nlabel"), col("label")).as("nlabel"))
+      val starMin = hooked.groupBy(col("label"))
+        .agg(min(col("nlabel")).as("hmin"))
+      var comp = hooked.join(starMin, Seq("label"))
         .select(col("doc_id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-      // shortcut: label := label(label). Every label value is itself a node
-      // id (initial labels are node ids; propagation only moves mins of
-      // node ids around), so the self-join hits for every row; coalesce
-      // guards the invariant rather than relying on it.
-      val parents = stepped.select(col("doc_id").as("label"), col("label").as("plabel"))
-      val next = stepped.join(parents, Seq("label"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
+          least(col("label"), least(col("nlabel"), col("hmin"))).as("label"))
         .localCheckpoint(true)
-      changed = next
+      // compress: label := label(label) to FIXPOINT. Every label value is
+      // itself a node id (initial labels are node ids; propagation only
+      // moves mins of node ids around), so the self-join hits for every
+      // row; coalesce guards the invariant rather than relying on it.
+      var moved = 1L
+      var jumps = 0
+      while (moved > 0 && jumps < maxIter) {
+        val parents = comp.select(col("doc_id").as("label"),
+          col("label").as("plabel"))
+        val jumped = comp.join(parents, Seq("label"), "left")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
+          .localCheckpoint(true)
+        moved = jumped
+          .join(comp.select(col("doc_id"), col("label").as("old")), "doc_id")
+          .filter(col("label") =!= col("old")).count()
+        releaseCheckpoint(comp)
+        comp = jumped
+        jumps += 1
+      }
+      require(moved == 0,
+        s"path compression did not converge in $jumps jumps")
+      changed = comp
         .join(labels.select(col("doc_id"), col("label").as("old")), "doc_id")
         .filter(col("label") =!= col("old")).count()
       releaseCheckpoint(labels)
-      labels = next
+      labels = comp
       iter += 1
     }
     require(changed == 0,

@@ -25,6 +25,15 @@ import org.apache.spark.sql.functions._
   */
 object MLQueries {
 
+  /** q_calibration affine clamp: p = clamp(score + CalShift, 0,
+    * CalRange)/CalRange (margins measured in [-23k, +16k] across SFs, so
+    * the clamp bites only the tails); label = n_chars > CalLabelChars
+    * (the corpus median is ~300 — a balanced ground truth). Declared
+    * BEFORE `all`: the oracle strings interpolate eagerly at object init. */
+  final val CalShift = 20000L
+  final val CalRange = 40000
+  final val CalLabelChars = 300
+
   val all: Seq[Q] = Seq(
 
     // Oracle closure: KMeans cell assignments are engine-specific, so the
@@ -419,7 +428,102 @@ object MLQueries {
     // stay ~5/16 of the corpus instead of all of it).
     annRecallQuery("q_ann_recall_multiprobe", multiProbe = true),
 
-    rpRecallQuery
+    rpRecallQuery,
+
+    // Calibration audit (reliability diagram + ECE) of the
+    // q_quality_classifier margin against a ground-truth label — the
+    // model-eval step AFTER q_eval_metrics's precision/recall: a
+    // classifier whose threshold gates a curation pipeline must also be
+    // CALIBRATED, or its scores cannot be traded off against other
+    // signals (Guo et al., ICML 2017). The margin is mapped to a
+    // probability by the fixed affine clamp p = clamp(score+20000,
+    // 0, 40000)/40000 and binned into 10 equal-width bins ENTIRELY in
+    // integer arithmetic (bin = clamped div 4000); the label is the
+    // long-doc indicator n_chars > 300. Per bin: count, mean predicted p,
+    // positive fraction, |gap|; plus the expected calibration error.
+    //
+    // Everything is exact: ECE = sum_b (n_b/N)*|avg_pred_b - frac_pos_b|
+    // algebraically collapses to sum_b |sum_k_b - 40000*pos_b| /
+    // (40000*N) — ONE BIGINT aggregate numerator, two IEEE divisions at
+    // display, no double ever summed. The reported per-bin doubles are
+    // single divisions of exactly-cast integers (bitwise across engines).
+    // Scale shape: one token-explode scan into a doc-keyed aggregate
+    // (the classifier pass itself), then a 10-row bin aggregate and a
+    // 1-row ECE broadcast back onto it — audit cost is the inference
+    // pass, the calibration table is O(bins) regardless of corpus size.
+    Q("q_calibration",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars"),
+            explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "")
+        val sc = toks
+          .select(col("doc_id"), col("n_chars"),
+            element_at(lit(PipelineQueries.QualityWeights),
+              (graft.functions.TextOps.md5Prefix60(col("tok"))
+                % PipelineQueries.QualityD).cast("int") + 1).as("w"))
+          .groupBy(col("doc_id"), col("n_chars"))
+          .agg(sum(col("w")).cast("long").as("score"))
+        val rows = sc.select(
+          least(greatest(col("score") + lit(CalShift), lit(0L)),
+            lit(CalRange)).as("k"),
+          when(col("n_chars") > CalLabelChars, 1L).otherwise(0L).as("pos"))
+        val bins = rows
+          .groupBy(least(expr(s"k div ${CalRange / 10}"), lit(9L)).as("bin"))
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+            sum(col("pos")).as("n_pos"))
+        val tot = bins.agg(
+          sum(col("n")).as("nn"),
+          sum(abs(col("sum_k") - lit(CalRange.toLong) * col("n_pos")))
+            .as("err_num"))
+          .select((col("err_num").cast("double") / lit(CalRange.toDouble) /
+            col("nn").cast("double")).as("ece"))
+        bins.crossJoin(tot)
+          .select(col("bin"), col("n"),
+            (col("sum_k").cast("double") / lit(CalRange.toDouble) /
+              col("n").cast("double")).as("avg_pred"),
+            (col("n_pos").cast("double") / col("n").cast("double"))
+              .as("frac_pos"),
+            abs(col("sum_k").cast("double") / lit(CalRange.toDouble) /
+              col("n").cast("double") -
+              col("n_pos").cast("double") / col("n").cast("double"))
+              .as("gap"),
+            col("ece"))
+          .orderBy(col("bin"))
+      },
+      Some {
+        val wlist = PipelineQueries.QualityWeights.mkString("[", ",", "]")
+        val binW = CalRange / 10
+        s"""WITH toks AS (
+           |  SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS tok
+           |  FROM documents),
+           |sc AS (
+           |  SELECT doc_id, n_chars,
+           |    CAST(sum($wlist[${graft.OracleSql.hexToLong("md5(tok)", 1, 15)}
+           |      % ${PipelineQueries.QualityD} + 1]) AS BIGINT) AS score
+           |  FROM toks WHERE tok <> '' GROUP BY doc_id, n_chars),
+           |rows_ AS (
+           |  SELECT LEAST(GREATEST(score + $CalShift, 0), $CalRange) AS k,
+           |    CASE WHEN n_chars > $CalLabelChars THEN 1 ELSE 0 END AS pos
+           |  FROM sc),
+           |bins AS (
+           |  SELECT LEAST(k // $binW, 9) AS bin,
+           |    CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(k) AS BIGINT) AS sum_k,
+           |    CAST(sum(pos) AS BIGINT) AS n_pos
+           |  FROM rows_ GROUP BY 1),
+           |tot AS (
+           |  SELECT CAST(sum(abs(sum_k - $CalRange * n_pos)) AS DOUBLE)
+           |    / $CalRange.0 / CAST(sum(n) AS DOUBLE) AS ece
+           |  FROM bins)
+           |SELECT CAST(bin AS BIGINT) AS bin, n,
+           |  CAST(sum_k AS DOUBLE) / $CalRange.0 / CAST(n AS DOUBLE) AS avg_pred,
+           |  CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos,
+           |  abs(CAST(sum_k AS DOUBLE) / $CalRange.0 / CAST(n AS DOUBLE)
+           |    - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)) AS gap,
+           |  ece
+           |FROM bins, tot ORDER BY bin""".stripMargin
+      })
   )
 
   /** q_pca_reduce: components kept (64 -> 8). */

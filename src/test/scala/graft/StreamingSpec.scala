@@ -1097,4 +1097,89 @@ class StreamingSpec extends SparkSpec {
       s"prefix stream-only=${(prefixStreamed -- prefixBatch).take(3)} " +
         s"batch-only=${(prefixBatch -- prefixStreamed).take(3)}")
   }
+
+  test("streaming CDC compaction (tier 26): order-free snapshot maintenance equals batch across a PARITY split") {
+    import graft.streaming.StreamCdc
+    import org.apache.spark.sql.functions.col
+    val emissions = StreamCdc.runOnce(spark, sf001, "cdc_stream_test")
+      .localCheckpoint(true)
+    val all = emissions.collect()
+    assert(all.nonEmpty)
+    // the split is by event_id parity — event time interleaves across
+    // triggers, so a key folded in both triggers (ver 2) whose snapshot
+    // CHANGED proves the monoid absorbed out-of-order arrivals
+    assert(all.exists(_.getLong(1) >= 2L), "no key spanned both triggers")
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("alive"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getDouble(4), r.getLong(5)))
+      .toSet
+    def batchSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    // max-ver emission per key = the maintained snapshot table
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ver").desc)
+    val finalSnaps = emissions
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    // FULL equality, three ways pinned: streamed == batchCompact(full)
+    // == the registry q_cdc_compact itself (guards the helper against
+    // drifting from the registry semantics)
+    val streamed = snap(finalSnaps)
+    val raw = spark.read.parquet(s"$sf001/events.parquet")
+    val helper = batchSet(StreamCdc.batchCompact(raw))
+    val registry = batchSet(
+      SparkEntry.queries("q_cdc_compact")(spark, sf001)
+        .select(col("user_id"), col("last_ts_us"), col("final_value"),
+          col("n_ops")))
+    assert(registry.nonEmpty && helper == registry,
+      "batchCompact helper drifted from the registry query")
+    assert(streamed == registry,
+      s"stream-only=${(streamed -- registry).take(3)} " +
+        s"batch-only=${(registry -- streamed).take(3)}")
+    // MID-STREAM: ver-1 snapshots of keys touched in trigger 1 equal the
+    // batch compaction of the even-parity half alone. Keys whose ONLY
+    // rows are odd-parity emit their ver-1 row in trigger 2 — restrict
+    // to keys with at least one even-parity row.
+    val evenHalf = raw.filter(col("event_id") % 2 === 0)
+    val evenKeys = evenHalf.select("user_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val t1EvenOnly = snap(emissions.filter(col("ver") === 1))
+      .filter(s => evenKeys(s._1))
+    val prefixBatchCdc = batchSet(StreamCdc.batchCompact(evenHalf))
+    assert(prefixBatchCdc.nonEmpty)
+    assert(t1EvenOnly == prefixBatchCdc,
+      s"prefix stream-only=${(t1EvenOnly -- prefixBatchCdc).take(3)} " +
+        s"batch-only=${(prefixBatchCdc -- t1EvenOnly).take(3)}")
+  }
+
+  test("streaming fuzzy entity matching (tier 27): emitted pairs equal batch q_fuzzy_join across a PARITY split") {
+    import graft.streaming.StreamFuzzy
+    import org.apache.spark.sql.functions.{col, max => smax}
+    val emitted = StreamFuzzy.runOnce(spark, sf001, "fuzzy_stream_test")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // single-emit contract: a pair colliding in several variant buckets
+    // appears exactly once in the output stream
+    assert(emitted.length === emitted.distinct.length,
+      "single-emit contract violated — duplicate pair emissions")
+    val batch = SparkEntry.queries("q_fuzzy_join")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(batch.nonEmpty && emitted.toSet === batch,
+      s"stream-only=${(emitted.toSet -- batch).take(3)} " +
+        s"batch-only=${(batch -- emitted.toSet).take(3)}")
+    // the split is by custkey parity, so cross-parity pairs REQUIRE the
+    // trigger-2 member to match against trigger-1 state — non-vacuous
+    assert(batch.exists { case (_, a, b, _) => a % 2 != b % 2 },
+      "no pair spans the parity split — cross-trigger matching untested")
+    // fixture bucket occupancy stays far below the degenerate-bucket cap
+    val maxBucket = graft.ops.EntityQueries
+      .variantRows(spark.read.parquet(s"$sf001/customer.parquet"))
+      .groupBy(col("nationkey"), col("v")).count()
+      .agg(smax(col("count"))).collect()(0).getLong(0)
+    assert(maxBucket < StreamFuzzy.MaxBucket / 4,
+      s"bucket occupancy $maxBucket approaching cap ${StreamFuzzy.MaxBucket}")
+  }
 }
