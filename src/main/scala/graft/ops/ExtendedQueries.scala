@@ -11,6 +11,15 @@ import org.apache.spark.sql.functions._
   */
 object ExtendedQueries {
 
+  /** q_cmsketch grid: d hash rows x w buckets (d*w = 256 counters), and
+    * the probe set — frequent / mid / rare vocabulary plus an absent
+    * token (exact 0; its estimate displays the one-sided overestimate).
+    * Declared BEFORE `all`: oracle strings interpolate at object init. */
+  final val CmD = 4
+  final val CmW = 64
+  final val CmProbes: Seq[String] =
+    Seq("spark", "dup", "the", "value", "vector", "window", "quux_absent")
+
   /** Benford first-digit probabilities log10(1 + 1/d), d = 1..9 —
     * precomputed once so the transcendental never runs at query time and
     * BOTH engines receive the identical double literals (see q_benford;
@@ -379,6 +388,101 @@ object ExtendedQueries {
          |  CAST(1 AS BIGINT) AS direct_within_tol,
          |  CAST(1 AS BIGINT) AS merge_vs_direct_ok
          |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Count-min sketch (Cormode & Muthukrishnan 2005) — the point-lookup
+    // FREQUENCY tier completing the sketch family (HLL: distinct; theta:
+    // set algebra; Bloom: membership; space-saving: top set; HistSketch:
+    // quantiles): a d x w counter grid answering "how often did THIS
+    // token occur" with est >= exact ALWAYS (one-sided error) and
+    // overestimate bounded by the collision mass in the sparsest of d
+    // rows. Fully deterministic here — row hashes are the seeded md5
+    // buckets every membership query in this engine uses — so the oracle
+    // replays the grid bit-for-bit; the probe set spans frequent /
+    // mid / rare vocabulary plus an ABSENT token (whose nonzero estimate,
+    // if any, is the overestimate semantics on display).
+    //
+    // Scale shape: ONE token pass into a d*w-cell aggregate (map-side
+    // combinable — the shuffle is 256 cells regardless of corpus size),
+    // probes are bounded lookups against the broadcast grid. At 100 TB
+    // this is THE mergeable frequency state: per-partition grids add
+    // cellwise, unlike the per-key exact groupBy whose shuffle grows
+    // with the vocabulary.
+    Q("q_cmsketch",
+      (s, d) => {
+        import s.implicits._
+        val toks = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "")
+        def buckets(c: org.apache.spark.sql.Column) = array(
+          (0 until CmD).map(i =>
+            (graft.functions.TextOps.md5Prefix60(
+              concat(lit(s"cm$i:"), c)) % CmW).cast("int")): _*)
+        val grid = toks.select(posexplode(buckets(col("tok")))
+            .as(Seq("row", "bucket")))
+          .groupBy(col("row"), col("bucket"))
+          .agg(count(lit(1)).as("cnt"))
+        val probes = CmProbes.toDF("token")
+        val est = probes
+          .select(col("token"), posexplode(buckets(col("token")))
+            .as(Seq("row", "bucket")))
+          .join(grid, Seq("row", "bucket"), "left")
+          .groupBy(col("token"))
+          .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
+        val exact = probes.join(
+          toks.groupBy(col("tok").as("token"))
+            .agg(count(lit(1)).as("exact_cnt")),
+          Seq("token"), "left")
+          .select(col("token"),
+            coalesce(col("exact_cnt"), lit(0L)).as("exact_cnt"))
+        exact.join(est, "token")
+          .select(col("token"), col("exact_cnt"), col("est_cnt"),
+            (col("est_cnt") - col("exact_cnt")).as("overestimate"),
+            (col("est_cnt") >= col("exact_cnt")).cast("long")
+              .as("one_sided_ok"))
+          .orderBy(col("token"))
+      },
+      Some {
+        val probeList = CmProbes.map(t => s"('$t')").mkString(", ")
+        def bucketSql(i: Int, c: String) =
+          s"${graft.OracleSql.hexToLong(s"md5('cm$i:' || $c)", 1, 15)} % $CmW"
+        val rows = (0 until CmD).map(i =>
+          s"SELECT $i AS row_, ${bucketSql(i, "tok")} AS bucket FROM tnz")
+          .mkString("\n  UNION ALL\n  ")
+        val prows = (0 until CmD).map(i =>
+          s"SELECT token, $i AS row_, ${bucketSql(i, "token")} AS bucket FROM probes")
+          .mkString("\n  UNION ALL\n  ")
+        s"""WITH toks AS (
+           |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+           |tnz AS (SELECT tok FROM toks WHERE tok <> ''),
+           |cells AS (
+           |  $rows
+           |),
+           |grid AS (
+           |  SELECT row_, bucket, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM cells GROUP BY 1, 2),
+           |probes(token) AS (VALUES $probeList),
+           |pcells AS (
+           |  $prows
+           |),
+           |est AS (
+           |  SELECT p.token,
+           |    CAST(min(COALESCE(g.cnt, 0)) AS BIGINT) AS est_cnt
+           |  FROM pcells p LEFT JOIN grid g
+           |    ON g.row_ = p.row_ AND g.bucket = p.bucket
+           |  GROUP BY 1),
+           |ex AS (
+           |  SELECT p.token,
+           |    CAST(COALESCE(e.c, 0) AS BIGINT) AS exact_cnt
+           |  FROM probes p LEFT JOIN (
+           |    SELECT tok AS token, count(*) AS c FROM tnz GROUP BY 1) e
+           |    USING (token))
+           |SELECT ex.token, ex.exact_cnt, est.est_cnt,
+           |  est.est_cnt - ex.exact_cnt AS overestimate,
+           |  CAST(CASE WHEN est.est_cnt >= ex.exact_cnt THEN 1 ELSE 0 END
+           |    AS BIGINT) AS one_sided_ok
+           |FROM ex JOIN est USING (token)
+           |ORDER BY token""".stripMargin
+      }),
 
     // Theta-sketch set algebra — the INTERSECTION tier HLL cannot provide
     // (q_approx_distinct/q_hll_merge answer |A| and |A ∪ B|; "customers
@@ -4287,6 +4391,117 @@ object ExtendedQueries {
          |             * sqrt(CAST(n0 - t2 AS DOUBLE)), 0) * 1e9) / 1e9
          |    AS tau
          |FROM agg""".stripMargin)),
+
+    // Mann–Kendall trend TEST (Mann 1945, Kendall 1975) — the
+    // significance companion to q_theil_sen's slope: per nation, is the
+    // monthly revenue series monotonically trending, and is the trend
+    // statistically significant? S = sum of sign(x_j - x_i) over ordered
+    // month pairs; Var(S) carries the EXACT tie correction
+    // (n(n-1)(2n+5) - sum_g t_g(t_g-1)(2t_g+5)) / 18; z applies the
+    // standard continuity correction (S -/+ 1). Everything up to z is
+    // BIGINT-exact (revenue on the cents grid, integer pair signs, an
+    // integer variance numerator); z itself is one sqrt + one division of
+    // exact integers, snapped to the 1e9 grid (the q_kendall discipline)
+    // before the 1.96 two-sided cut.
+    //
+    // Scale shape: the corpus collapses to the O(nations x months) grid
+    // FIRST (one key-partitioned aggregate); the quadratic pair join,
+    // the tie groups and the variance run on that bounded grid — at
+    // 100 TB the test costs one aggregate no matter how many orders.
+    Q("q_mann_kendall",
+      (s, d) => {
+        val rev = Tables.orders(s, d)
+          .join(Tables.customer(s, d),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey").cast("long").as("nationkey"),
+            date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+          .agg(sum(floor(col("o_totalprice") * lit(100.0)).cast("long"))
+            .as("rev"))
+        val a = rev.select(col("nationkey"), col("month").as("ma"),
+          col("rev").as("ra"))
+        val b = rev.select(col("nationkey"), col("month").as("mb"),
+          col("rev").as("rb"))
+        val sAgg = a.join(b, Seq("nationkey"))
+          .filter(col("ma") < col("mb"))
+          .groupBy(col("nationkey"))
+          .agg(sum(when(col("rb") > col("ra"), 1L)
+            .when(col("rb") < col("ra"), -1L).otherwise(0L)).as("s_stat"))
+        val nM = rev.groupBy(col("nationkey"))
+          .agg(count(lit(1)).as("n_months"))
+        val ties = rev.groupBy(col("nationkey"), col("rev"))
+          .agg(count(lit(1)).as("t"))
+          .groupBy(col("nationkey"))
+          .agg(sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L))
+            .as("tie_sum"))
+        val base = nM.join(sAgg, "nationkey").join(ties, "nationkey")
+          .select(col("nationkey"), col("n_months"), col("s_stat"),
+            (col("n_months") * (col("n_months") - 1L) *
+              (lit(2L) * col("n_months") + 5L) - col("tie_sum"))
+              .as("var_num"))
+        val zRaw = when(col("var_num") > 0L && col("s_stat") > 0L,
+            (col("s_stat") - 1L).cast("double") /
+              sqrt(col("var_num").cast("double") / lit(18.0)))
+          .when(col("var_num") > 0L && col("s_stat") < 0L,
+            (col("s_stat") + 1L).cast("double") /
+              sqrt(col("var_num").cast("double") / lit(18.0)))
+          .otherwise(lit(0.0))
+        base
+          .withColumn("z_e9", floor(zRaw * lit(1e9)).cast("long"))
+          .select(col("nationkey"), col("n_months"), col("s_stat"),
+            col("var_num"), col("z_e9"),
+            (col("z_e9") / lit(1e9)).as("z"),
+            when(col("z_e9") > lit(1960000000L), "increasing")
+              .when(col("z_e9") < lit(-1960000000L), "decreasing")
+              .otherwise("none").as("trend"))
+          .orderBy(col("nationkey"))
+      },
+      Some("""WITH rev AS (
+         |  SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
+         |    strftime(o.o_orderdate, '%Y-%m') AS month,
+         |    CAST(sum(CAST(floor(o.o_totalprice * 100.0) AS BIGINT))
+         |      AS BIGINT) AS rev
+         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         |  GROUP BY 1, 2),
+         |sagg AS (
+         |  SELECT a.nationkey,
+         |    CAST(sum(CASE WHEN b.rev > a.rev THEN 1
+         |                  WHEN b.rev < a.rev THEN -1 ELSE 0 END)
+         |      AS BIGINT) AS s_stat
+         |  FROM rev a JOIN rev b
+         |    ON a.nationkey = b.nationkey AND a.month < b.month
+         |  GROUP BY 1),
+         |nm AS (
+         |  SELECT nationkey, CAST(count(*) AS BIGINT) AS n_months
+         |  FROM rev GROUP BY 1),
+         |ties AS (
+         |  SELECT nationkey,
+         |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_sum
+         |  FROM (SELECT nationkey, rev, CAST(count(*) AS BIGINT) AS t
+         |        FROM rev GROUP BY 1, 2) g
+         |  GROUP BY 1),
+         |base AS (
+         |  SELECT nm.nationkey, nm.n_months, sagg.s_stat,
+         |    nm.n_months * (nm.n_months - 1) * (2 * nm.n_months + 5)
+         |      - ties.tie_sum AS var_num
+         |  FROM nm JOIN sagg USING (nationkey) JOIN ties USING (nationkey)),
+         |z AS (
+         |  SELECT *,
+         |    CAST(floor(
+         |      CASE WHEN var_num > 0 AND s_stat > 0 THEN
+         |        CAST(s_stat - 1 AS DOUBLE)
+         |          / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+         |      WHEN var_num > 0 AND s_stat < 0 THEN
+         |        CAST(s_stat + 1 AS DOUBLE)
+         |          / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+         |      ELSE 0.0 END * 1e9) AS BIGINT) AS z_e9
+         |  FROM base)
+         |SELECT nationkey, n_months, s_stat, CAST(var_num AS BIGINT)
+         |    AS var_num, z_e9,
+         |  z_e9 / 1e9 AS z,
+         |  CASE WHEN z_e9 > 1960000000 THEN 'increasing'
+         |       WHEN z_e9 < -1960000000 THEN 'decreasing'
+         |       ELSE 'none' END AS trend
+         |FROM z ORDER BY nationkey""".stripMargin)),
 
     // Jensen-Shannon divergence between the event-type mixes of the two
     // time halves — completes the drift family's metric set: q_psi_drift

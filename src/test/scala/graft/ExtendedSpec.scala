@@ -100,4 +100,54 @@ class ExtendedSpec extends SparkSpec {
     assert(r.getAs[Long]("parts_within_tol") == 1L)
     assert(r.getAs[Long]("supps_within_tol") == 1L)
   }
+
+  test("q_mann_kendall: S and Var(S) replay driver-side, z matches the definition") {
+    import org.apache.spark.sql.functions.{col, date_format, floor, lit, sum}
+    val rows = SparkEntry.queries("q_mann_kendall")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    // independent replay: per-nation monthly cents series from the raw tables
+    val series = Tables.orders(spark, sf001)
+      .join(Tables.customer(spark, sf001), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").cast("long").as("nk"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("m"))
+      .agg(sum(floor(col("o_totalprice") * lit(100.0)).cast("long")).as("r"))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+      .groupBy(_._1).map { case (nk, g) =>
+        nk -> g.sortBy(_._2).map(_._3).toIndexedSeq
+      }
+    rows.foreach { r =>
+      val (nk, n, s, varNum, zE9) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val xs = series(nk)
+      assert(n === xs.length)
+      val sRef = (for { i <- xs.indices; j <- i + 1 until xs.length }
+        yield math.signum(xs(j).compare(xs(i))).toLong).sum
+      assert(s === sRef, s"nation $nk S")
+      val tie = xs.groupBy(identity).values
+        .map(g => g.size.toLong).map(t => t * (t - 1) * (2 * t + 5)).sum
+      assert(varNum === n * (n - 1) * (2 * n + 5) - tie, s"nation $nk Var")
+      val zRef =
+        if (varNum <= 0 || s == 0) 0.0
+        else (s - math.signum(s.toDouble)) / math.sqrt(varNum / 18.0)
+      assert(zE9 === math.floor(zRef * 1e9).toLong, s"nation $nk z")
+    }
+  }
+
+  test("q_cmsketch: estimates are one-sided and exact in collision-free cells") {
+    val rows = SparkEntry.queries("q_cmsketch")(spark, sf001).collect()
+    assert(rows.length === graft.ops.ExtendedQueries.CmProbes.length)
+    rows.foreach { r =>
+      val (tok, exact, est, over, ok) = (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(ok === 1L, s"$tok estimate below exact — impossible for CM")
+      assert(over === est - exact)
+      assert(est >= exact)
+    }
+    val absent = rows.find(_.getString(0) == "quux_absent").get
+    assert(absent.getLong(1) === 0L, "absent probe must have exact 0")
+    // a 31-token vocabulary in 4x64 cells: at least one probe should
+    // land collision-free in some row and estimate EXACTLY
+    assert(rows.exists(r => r.getLong(3) === 0L),
+      "no probe estimated exactly — hash spread degenerate?")
+  }
 }
