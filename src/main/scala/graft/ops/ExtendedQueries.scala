@@ -4410,43 +4410,7 @@ object ExtendedQueries {
     // 100 TB the test costs one aggregate no matter how many orders.
     Q("q_mann_kendall",
       (s, d) => {
-        val rev = Tables.orders(s, d)
-          .join(Tables.customer(s, d),
-            col("o_custkey") === col("c_custkey"))
-          .groupBy(col("c_nationkey").cast("long").as("nationkey"),
-            date_format(col("o_orderdate"), "yyyy-MM").as("month"))
-          .agg(sum(floor(col("o_totalprice") * lit(100.0)).cast("long"))
-            .as("rev"))
-        val a = rev.select(col("nationkey"), col("month").as("ma"),
-          col("rev").as("ra"))
-        val b = rev.select(col("nationkey"), col("month").as("mb"),
-          col("rev").as("rb"))
-        val sAgg = a.join(b, Seq("nationkey"))
-          .filter(col("ma") < col("mb"))
-          .groupBy(col("nationkey"))
-          .agg(sum(when(col("rb") > col("ra"), 1L)
-            .when(col("rb") < col("ra"), -1L).otherwise(0L)).as("s_stat"))
-        val nM = rev.groupBy(col("nationkey"))
-          .agg(count(lit(1)).as("n_months"))
-        val ties = rev.groupBy(col("nationkey"), col("rev"))
-          .agg(count(lit(1)).as("t"))
-          .groupBy(col("nationkey"))
-          .agg(sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L))
-            .as("tie_sum"))
-        val base = nM.join(sAgg, "nationkey").join(ties, "nationkey")
-          .select(col("nationkey"), col("n_months"), col("s_stat"),
-            (col("n_months") * (col("n_months") - 1L) *
-              (lit(2L) * col("n_months") + 5L) - col("tie_sum"))
-              .as("var_num"))
-        val zRaw = when(col("var_num") > 0L && col("s_stat") > 0L,
-            (col("s_stat") - 1L).cast("double") /
-              sqrt(col("var_num").cast("double") / lit(18.0)))
-          .when(col("var_num") > 0L && col("s_stat") < 0L,
-            (col("s_stat") + 1L).cast("double") /
-              sqrt(col("var_num").cast("double") / lit(18.0)))
-          .otherwise(lit(0.0))
-        base
-          .withColumn("z_e9", floor(zRaw * lit(1e9)).cast("long"))
+        mannKendallZ(s, d)
           .select(col("nationkey"), col("n_months"), col("s_stat"),
             col("var_num"), col("z_e9"),
             (col("z_e9") / lit(1e9)).as("z"),
@@ -4502,6 +4466,417 @@ object ExtendedQueries {
          |       WHEN z_e9 < -1960000000 THEN 'decreasing'
          |       ELSE 'none' END AS trend
          |FROM z ORDER BY nationkey""".stripMargin)),
+
+    // Benjamini-Hochberg FDR control (Benjamini & Hochberg 1995) over
+    // the 25 per-nation Mann-Kendall trend tests — the MULTIPLE-TESTING
+    // step every many-metric experiment pipeline needs: run q_mann_kendall
+    // per nation and 5% of null nations cross 1.96 by chance; BH bounds
+    // the FALSE DISCOVERY RATE of the whole family instead. Two-sided
+    // p from the snapped z via the Abramowitz-Stegun 7.1.26 polynomial
+    // (|err| < 7.5e-8; exp + one Horner chain with PINNED op order on
+    // both engines — the q_jsd/q_psi_drift transcendental discipline —
+    // then floor-snapped to the 1e9 grid BEFORE any comparison). The BH
+    // step function is then EXACT INTEGER arithmetic: at alpha = 0.05,
+    // p_(i) <= i*alpha/m  <=>  p_e9 * m * 20 <= i * 1e9 (all BIGINT),
+    // and the rejection set is ranks <= kmax = max qualifying rank (the
+    // step-up rule — ranks below kmax are rejected EVEN IF their own
+    // inequality fails; a pointwise filter would be a different, wrong
+    // procedure).
+    // Scale shape: the corpus collapses to the nations x months grid in
+    // ONE aggregate (the q_mann_kendall shape); ranking and the step-up
+    // walk run on m = 25 rows.
+    Q("q_bh_fdr",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val az = abs(col("z_e9") / lit(1e9))
+        val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+        val phi = exp(-(az * az) / lit(2.0)) * lit(0.3989422804014327)
+        val poly = t * (lit(0.319381530) + t * (lit(-0.356563782) +
+          t * (lit(1.781477937) + t * (lit(-1.821255978) +
+            t * lit(1.330274429)))))
+        val p2 = least(lit(2.0) * (phi * poly), lit(1.0))
+        val wAll = Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        val ranked = mannKendallZ(s, d)
+          .withColumn("p_e9", floor(p2 * lit(1e9)).cast("long"))
+          .withColumn("p_rank",
+            row_number().over(Window.orderBy(col("p_e9"), col("nationkey")))
+              .cast("long"))
+          .withColumn("m", count(lit(1)).over(wAll))
+        val flagged = ranked.withColumn("kmax",
+          max(when(col("p_e9") * col("m") * lit(20L) <=
+              col("p_rank") * lit(1000000000L), col("p_rank"))
+            .otherwise(0L)).over(wAll))
+        flagged.select(col("nationkey"), (col("z_e9") / lit(1e9)).as("z"),
+          col("p_e9"), (col("p_e9") / lit(1e9)).as("p"),
+          col("p_rank"), col("m"),
+          (col("p_rank") <= col("kmax")).cast("long").as("discovery"))
+          .orderBy(col("nationkey"))
+      },
+      Some("""WITH rev AS (
+         |  SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
+         |    strftime(o.o_orderdate, '%Y-%m') AS month,
+         |    CAST(sum(CAST(floor(o.o_totalprice * 100.0) AS BIGINT))
+         |      AS BIGINT) AS rev
+         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         |  GROUP BY 1, 2),
+         |sagg AS (
+         |  SELECT a.nationkey,
+         |    CAST(sum(CASE WHEN b.rev > a.rev THEN 1
+         |                  WHEN b.rev < a.rev THEN -1 ELSE 0 END)
+         |      AS BIGINT) AS s_stat
+         |  FROM rev a JOIN rev b
+         |    ON a.nationkey = b.nationkey AND a.month < b.month
+         |  GROUP BY 1),
+         |nm AS (
+         |  SELECT nationkey, CAST(count(*) AS BIGINT) AS n_months
+         |  FROM rev GROUP BY 1),
+         |ties AS (
+         |  SELECT nationkey,
+         |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_sum
+         |  FROM (SELECT nationkey, rev, CAST(count(*) AS BIGINT) AS t
+         |        FROM rev GROUP BY 1, 2) g
+         |  GROUP BY 1),
+         |base AS (
+         |  SELECT nm.nationkey, sagg.s_stat,
+         |    nm.n_months * (nm.n_months - 1) * (2 * nm.n_months + 5)
+         |      - ties.tie_sum AS var_num
+         |  FROM nm JOIN sagg USING (nationkey) JOIN ties USING (nationkey)),
+         |z AS (
+         |  SELECT nationkey,
+         |    CAST(floor(
+         |      CASE WHEN var_num > 0 AND s_stat > 0 THEN
+         |        CAST(s_stat - 1 AS DOUBLE)
+         |          / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+         |      WHEN var_num > 0 AND s_stat < 0 THEN
+         |        CAST(s_stat + 1 AS DOUBLE)
+         |          / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+         |      ELSE 0.0 END * 1e9) AS BIGINT) AS z_e9
+         |  FROM base),
+         |pv AS (
+         |  SELECT nationkey, z_e9,
+         |    CAST(floor(least(
+         |      2.0 * ((exp(-(abs(z_e9 / 1e9) * abs(z_e9 / 1e9)) / 2.0)
+         |              * 0.3989422804014327)
+         |        * ((1.0 / (1.0 + 0.2316419 * abs(z_e9 / 1e9)))
+         |           * (0.319381530 + (1.0 / (1.0 + 0.2316419 * abs(z_e9 / 1e9)))
+         |             * (-0.356563782 + (1.0 / (1.0 + 0.2316419 * abs(z_e9 / 1e9)))
+         |               * (1.781477937 + (1.0 / (1.0 + 0.2316419 * abs(z_e9 / 1e9)))
+         |                 * (-1.821255978 + (1.0 / (1.0 + 0.2316419 * abs(z_e9 / 1e9)))
+         |                   * 1.330274429)))))),
+         |      1.0) * 1e9) AS BIGINT) AS p_e9
+         |  FROM z),
+         |rk AS (
+         |  SELECT nationkey, z_e9, p_e9,
+         |    CAST(row_number() OVER (ORDER BY p_e9, nationkey) AS BIGINT)
+         |      AS p_rank,
+         |    CAST(count(*) OVER () AS BIGINT) AS m
+         |  FROM pv),
+         |km AS (
+         |  SELECT *,
+         |    max(CASE WHEN p_e9 * m * 20 <= p_rank * 1000000000
+         |             THEN p_rank ELSE 0 END) OVER () AS kmax
+         |  FROM rk)
+         |SELECT nationkey, z_e9 / 1e9 AS z, p_e9, p_e9 / 1e9 AS p,
+         |  p_rank, m, CAST(p_rank <= kmax AS BIGINT) AS discovery
+         |FROM km ORDER BY nationkey""".stripMargin)),
+
+    // Kruskal-Wallis H (Kruskal & Wallis 1952) — the K-SAMPLE rank test
+    // the family lacked: q_mann_whitney compares TWO arms; this asks
+    // whether ANY of the five event types' spend distributions differ,
+    // the omnibus check an experiment analysis runs before pairwise
+    // drill-down. Same no-per-row-ranks formulation as q_mann_whitney:
+    // aggregate to the distinct cents-value grid first (n_gv per
+    // (value, type), t_v per value), then DOUBLED average ranks are
+    // integers — 2*r(v) = 2*c_below(v) + t_v + 1 — so the doubled rank
+    // sums 2R_g are exact BIGINTs. The squared term routes through
+    // DECIMAL(38,0)/HUGEINT ((2R_g)^2 wraps BIGINT already at sf0.1) and
+    // the per-group division is INTEGRAL (floor, identical on both
+    // engines; <=1 absolute per group, invisible after the 1e9 snap):
+    //   q_g = (2R_g)^2 div (4 n_g),   H = 12*sum(q_g)/(N(N+1)) - 3(N+1)
+    // Tie correction exact: H' = H / (1 - T/(N^3-N)) with
+    // T = sum(t^3 - t) — both in DECIMAL(38,0) (t^3 wraps BIGINT at
+    // SF100 corpus sizes). One double assembly with pinned op order,
+    // floor-snapped to the 1e9 grid, cut at the df=4 chi-square table
+    // value 9.488 (the 1.96 convention of the z-tests).
+    // Scale shape: one map-side-combinable (value, type) aggregate; the
+    // rank walk is ONE window over the distinct-value grid (price-grid
+    // bounded, not corpus-sized); everything after is k-sized.
+    Q("q_kruskal_wallis",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val ev = Tables.events(s, d)
+          .filter(col("event_type").isin(types: _*))
+          .select(col("event_type"),
+            floor(col("value") * lit(100.0)).cast("long").as("x"))
+        val byValG = ev.groupBy(col("x"), col("event_type"))
+          .agg(count(lit(1)).as("n_gv"))
+        val byVal = byValG.groupBy(col("x")).agg(sum(col("n_gv")).as("t_v"))
+        val wCum = Window.orderBy(col("x"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val ranked = byVal
+          .withColumn("cb", coalesce(sum(col("t_v")).over(wCum), lit(0L)))
+          .select(col("x"),
+            (lit(2L) * col("cb") + col("t_v") + lit(1L)).as("r2"))
+        val perG = byValG.join(ranked, "x")
+          .groupBy(col("event_type"))
+          .agg(sum(col("n_gv") * col("r2")).as("r2sum"),
+            sum(col("n_gv")).as("n_g"))
+        // (2R_g)^2 div (4 n_g) WITHOUT IntegralDivide (whose LongType
+        // result would silently wrap at SF100 magnitudes — the q_isotonic
+        // class): subtract the exact remainder, then the decimal division
+        // is exact (zero fractional part) at any SF. DuckDB's HUGEINT //
+        // is the same floor since both operands are non-negative.
+        val qSum = perG.agg(
+          sum(expr("""CAST((CAST(r2sum AS DECIMAL(38,0)) * r2sum
+                - CAST(r2sum AS DECIMAL(38,0)) * r2sum
+                    % CAST(4 * n_g AS DECIMAL(38,0)))
+              / CAST(4 * n_g AS DECIMAL(38,0)) AS DECIMAL(38,0))"""))
+            .cast(dec).as("qsum"),
+          sum(col("n_g")).as("n"), count(lit(1)).as("k"))
+        val ties = byVal.agg(
+          sum(col("t_v").cast(dec) * col("t_v") * col("t_v") - col("t_v"))
+            .cast(dec).as("tsum"))
+        val base = qSum.crossJoin(broadcast(ties))
+        val nD = col("n").cast("double")
+        val hRaw = lit(12.0) * col("qsum").cast("double") /
+          (nD * (nD + lit(1.0))) - lit(3.0) * (nD + lit(1.0))
+        val corr = lit(1.0) - col("tsum").cast("double") /
+          (nD * nD * nD - nD)
+        val h = hRaw / nullif(corr, lit(0.0))
+        base
+          .withColumn("h_e9", floor(h * lit(1e9)).cast("long"))
+          .select(col("n"), col("k"), col("h_e9"),
+            (col("h_e9") / lit(1e9)).as("h"),
+            (col("h_e9") > lit(9488000000L)).cast("long").as("reject_05"))
+      },
+      Some("""WITH ev AS (
+         |  SELECT event_type, CAST(floor(value * 100.0) AS BIGINT) AS x
+         |  FROM events
+         |  WHERE event_type IN ('click','error','purchase','signup','view')),
+         |bvg AS (
+         |  SELECT x, event_type, CAST(count(*) AS BIGINT) AS n_gv
+         |  FROM ev GROUP BY 1, 2),
+         |bv AS (
+         |  SELECT x, CAST(sum(n_gv) AS BIGINT) AS t_v FROM bvg GROUP BY 1),
+         |rk AS (
+         |  SELECT x, 2 * coalesce(sum(t_v) OVER (ORDER BY x
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    + t_v + 1 AS r2
+         |  FROM bv),
+         |pg AS (
+         |  SELECT bvg.event_type,
+         |    CAST(sum(n_gv * r2) AS BIGINT) AS r2sum,
+         |    CAST(sum(n_gv) AS BIGINT) AS n_g
+         |  FROM bvg JOIN rk USING (x) GROUP BY 1),
+         |qs AS (
+         |  SELECT sum(CAST(r2sum AS HUGEINT) * r2sum // (4 * n_g)) AS qsum,
+         |    CAST(sum(n_g) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k
+         |  FROM pg),
+         |tsum AS (
+         |  SELECT sum(CAST(t_v AS HUGEINT) * t_v * t_v - t_v) AS tsum
+         |  FROM bv),
+         |h AS (
+         |  SELECT n, k,
+         |    CAST(floor(
+         |      (12.0 * CAST(qsum AS DOUBLE)
+         |         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+         |       - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+         |      / nullif(1.0 - CAST(tsum AS DOUBLE)
+         |          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+         |             - CAST(n AS DOUBLE)), 0.0)
+         |      * 1e9) AS BIGINT) AS h_e9
+         |  FROM qs, tsum)
+         |SELECT n, k, h_e9, h_e9 / 1e9 AS h,
+         |  CAST(h_e9 > 9488000000 AS BIGINT) AS reject_05
+         |FROM h""".stripMargin)),
+
+    // One-way ANOVA F — the PARAMETRIC companion to q_kruskal_wallis:
+    // does mean account balance differ across the five market segments?
+    // The classical sum-of-squares identity on the cents grid, kept
+    // exact until two final divisions: per group n_g and S_g = sum(x)
+    // (BIGINT), global Q2 = sum(x^2) in DECIMAL(38,0) (x^2 ~ 1e12 per
+    // row wraps a BIGINT sum at SF100 corpus sizes). Squared sums route
+    // through DECIMAL/HUGEINT with INTEGRAL division (floor; squares are
+    // non-negative so floor is identical on both engines, <=1 absolute
+    // per group):
+    //   A  = sum_g(S_g^2 div n_g),  CF = S^2 div N
+    //   SSB = A - CF,  SSW = Q2 - A,  F = (SSB/(k-1)) / (SSW/(N-k))
+    // F and the eta^2 effect size are one double assembly each with
+    // pinned op order, floor-snapped to the 1e9 grid. The 0.05 cut uses
+    // the df2->infinity table value F(4,inf)=2.372 — an ASYMPTOTIC
+    // convention like q_mann_whitney's 1.96 (df2 >= 145 already at
+    // sf0.001, where the exact critical value is 2.434).
+    // Scale shape: ONE map-side-combinable segment aggregate (5 rows
+    // out); everything after is k-sized arithmetic on the driver plan.
+    Q("q_anova",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val c = Tables.customer(s, d)
+          .select(col("c_mktsegment").as("seg"),
+            floor(col("c_acctbal") * lit(100.0)).cast("long").as("x"))
+        val perG = c.groupBy(col("seg"))
+          .agg(count(lit(1)).as("n_g"), sum(col("x")).as("s_g"),
+            sum(col("x").cast(dec) * col("x")).cast(dec).as("q_g"))
+        // S_g^2 div n_g and S^2 div N via the remainder-subtraction trick
+        // (exact decimal division, no LongType IntegralDivide — the
+        // q_isotonic SF100 discipline). Squares are non-negative so the
+        // floor matches DuckDB's HUGEINT // exactly.
+        val agg = perG.agg(
+          sum(expr("""CAST((CAST(s_g AS DECIMAL(38,0)) * s_g
+                - CAST(s_g AS DECIMAL(38,0)) * s_g
+                    % CAST(n_g AS DECIMAL(38,0)))
+              / CAST(n_g AS DECIMAL(38,0)) AS DECIMAL(38,0))""")).cast(dec)
+            .as("a"),
+          sum(col("s_g")).as("s"), sum(col("n_g")).as("n"),
+          sum(col("q_g")).cast(dec).as("q2"), count(lit(1)).as("k"))
+        val base = agg.select(col("n"), col("k"),
+          (col("a") - expr("""CAST((CAST(s AS DECIMAL(38,0)) * s
+                - CAST(s AS DECIMAL(38,0)) * s % CAST(n AS DECIMAL(38,0)))
+              / CAST(n AS DECIMAL(38,0)) AS DECIMAL(38,0))""")).cast(dec)
+            .as("ssb_d"),
+          (col("q2") - col("a")).cast(dec).as("ssw_d"))
+        val ssb = col("ssb_d").cast("double")
+        val ssw = col("ssw_d").cast("double")
+        val kD = col("k").cast("double")
+        val nD = col("n").cast("double")
+        val f = (ssb / (kD - lit(1.0))) /
+          nullif(ssw / (nD - kD), lit(0.0))
+        val eta2 = ssb / nullif(ssb + ssw, lit(0.0))
+        base
+          .withColumn("f_e9", floor(f * lit(1e9)).cast("long"))
+          .withColumn("eta2_e9", floor(eta2 * lit(1e9)).cast("long"))
+          .select(col("n"), col("k"), ssb.as("ssb"), ssw.as("ssw"),
+            col("f_e9"), (col("f_e9") / lit(1e9)).as("f"),
+            (col("eta2_e9") / lit(1e9)).as("eta2"),
+            (col("f_e9") > lit(2372000000L)).cast("long")
+              .as("reject_asym_05"))
+      },
+      Some("""WITH c AS (
+         |  SELECT c_mktsegment AS seg,
+         |    CAST(floor(c_acctbal * 100.0) AS BIGINT) AS x
+         |  FROM customer),
+         |pg AS (
+         |  SELECT seg, CAST(count(*) AS BIGINT) AS n_g,
+         |    CAST(sum(x) AS BIGINT) AS s_g,
+         |    sum(CAST(x AS HUGEINT) * x) AS q_g
+         |  FROM c GROUP BY 1),
+         |agg AS (
+         |  SELECT sum(CAST(s_g AS HUGEINT) * s_g // n_g) AS a,
+         |    CAST(sum(s_g) AS BIGINT) AS s, CAST(sum(n_g) AS BIGINT) AS n,
+         |    sum(q_g) AS q2, CAST(count(*) AS BIGINT) AS k
+         |  FROM pg),
+         |base AS (
+         |  SELECT n, k,
+         |    CAST(a - CAST(s AS HUGEINT) * s // n AS DOUBLE) AS ssb,
+         |    CAST(q2 - a AS DOUBLE) AS ssw
+         |  FROM agg),
+         |fx AS (
+         |  SELECT n, k, ssb, ssw,
+         |    CAST(floor((ssb / (CAST(k AS DOUBLE) - 1.0))
+         |      / nullif(ssw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)), 0.0)
+         |      * 1e9) AS BIGINT) AS f_e9,
+         |    CAST(floor(ssb / nullif(ssb + ssw, 0.0) * 1e9) AS BIGINT)
+         |      AS eta2_e9
+         |  FROM base)
+         |SELECT n, k, ssb, ssw, f_e9, f_e9 / 1e9 AS f,
+         |  eta2_e9 / 1e9 AS eta2,
+         |  CAST(f_e9 > 2372000000 AS BIGINT) AS reject_asym_05
+         |FROM fx""".stripMargin)),
+
+    // Lagged cross-correlation (CCF) between the daily purchase and view
+    // spend series — the TWO-SERIES companion to q_acf's
+    // autocorrelation: does view activity LEAD purchases (negative lags)
+    // or LAG them? Standard CCF normalization by the full-series
+    // variances: r(l) = sum(dev_a(i) * dev_b(i+l)) / sqrt(da * db).
+    // The q_acf discipline end to end: the corpus collapses to the
+    // O(days) grid FIRST (one map-side-combinable aggregate with both
+    // series as conditional sums, so the day join key exists once);
+    // means are integral divisions (exact, identical); the lag relation
+    // is a grid-sized self-join against a broadcast 15-row lag axis;
+    // deviation products are DECIMAL(38,0)/HUGEINT. The final double is
+    // exact-integer / sqrt(product of exact integers) with pinned op
+    // order (the q_ks_test pattern), floor-snapped to the 1e9 grid.
+    // Scale shape: day-grid everything after one corpus aggregate —
+    // at 100 TB the CCF costs one scan no matter how many events.
+    Q("q_ccf",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val cents = floor(col("value") * lit(100.0)).cast("long")
+        val daily = Tables.events(s, d)
+          .filter(col("event_type").isin("purchase", "view"))
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(
+            sum(when(col("event_type") === "purchase", cents)
+              .otherwise(0L)).as("a"),
+            sum(when(col("event_type") === "view", cents)
+              .otherwise(0L)).as("b"))
+        val tot = daily.agg(sum(col("a")).as("sa"), sum(col("b")).as("sb"),
+          count(lit(1)).as("nd"))
+        val idx = daily.crossJoin(broadcast(tot))
+          .select(
+            row_number().over(Window.orderBy(col("day"))).cast("long")
+              .as("i"),
+            (col("a") - expr("sa div nd")).as("dev_a"),
+            (col("b") - expr("sb div nd")).as("dev_b"))
+        val den = idx.agg(
+          sum(col("dev_a").cast(dec) * col("dev_a")).cast(dec).as("da"),
+          sum(col("dev_b").cast(dec) * col("dev_b")).cast(dec).as("db"))
+        val lags = idx.sparkSession.range(-7, 8).select(col("id").as("lag"))
+        idx.select(col("i"), col("dev_a")).crossJoin(broadcast(lags))
+          .join(idx.select(col("i").as("i2"), col("dev_b").as("dev_b2")),
+            col("i2") === col("i") + col("lag"))
+          .groupBy(col("lag"))
+          .agg(sum(col("dev_a").cast(dec) * col("dev_b2")).cast(dec)
+            .as("num"), count(lit(1)).as("n_pairs"))
+          .crossJoin(broadcast(den))
+          .withColumn("ccf_e9",
+            floor(col("num").cast("double") /
+              nullif(sqrt(col("da").cast("double") * col("db").cast("double")),
+                lit(0.0)) * lit(1e9)).cast("long"))
+          .select(col("lag"), col("n_pairs"), col("ccf_e9"),
+            (col("ccf_e9") / lit(1e9)).as("ccf"))
+          .orderBy(col("lag"))
+      },
+      Some("""WITH daily AS (
+         |  SELECT CAST(ts AS DATE) AS day,
+         |    CAST(sum(CASE WHEN event_type = 'purchase'
+         |      THEN CAST(floor(value * 100.0) AS BIGINT) ELSE 0 END)
+         |      AS BIGINT) AS a,
+         |    CAST(sum(CASE WHEN event_type = 'view'
+         |      THEN CAST(floor(value * 100.0) AS BIGINT) ELSE 0 END)
+         |      AS BIGINT) AS b
+         |  FROM events WHERE event_type IN ('purchase', 'view')
+         |  GROUP BY 1),
+         |tot AS (SELECT CAST(sum(a) AS BIGINT) AS sa,
+         |  CAST(sum(b) AS BIGINT) AS sb, CAST(count(*) AS BIGINT) AS nd
+         |  FROM daily),
+         |idx AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+         |    a - sa // nd AS dev_a, b - sb // nd AS dev_b
+         |  FROM daily, tot),
+         |den AS (
+         |  SELECT sum(CAST(dev_a AS HUGEINT) * dev_a) AS da,
+         |    sum(CAST(dev_b AS HUGEINT) * dev_b) AS db
+         |  FROM idx),
+         |cc AS (
+         |  SELECT t.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+         |    sum(CAST(x.dev_a AS HUGEINT) * y.dev_b) AS num
+         |  FROM generate_series(-7, 7) t(lag)
+         |  JOIN idx x ON true
+         |  JOIN idx y ON y.i = x.i + t.lag
+         |  GROUP BY t.lag)
+         |SELECT lag, n_pairs,
+         |  CAST(floor(CAST(num AS DOUBLE)
+         |    / nullif(sqrt(CAST(da AS DOUBLE) * CAST(db AS DOUBLE)), 0.0)
+         |    * 1e9) AS BIGINT) AS ccf_e9,
+         |  CAST(floor(CAST(num AS DOUBLE)
+         |    / nullif(sqrt(CAST(da AS DOUBLE) * CAST(db AS DOUBLE)), 0.0)
+         |    * 1e9) AS BIGINT) / 1e9 AS ccf
+         |FROM cc, den ORDER BY lag""".stripMargin)),
 
     // Jensen-Shannon divergence between the event-type mixes of the two
     // time halves — completes the drift family's metric set: q_psi_drift
@@ -4714,6 +5089,52 @@ object ExtendedQueries {
          |GROUP BY 1, 2, 3, 4
          |ORDER BY dg.grp""".stripMargin)),
   )
+
+  /** Per-nation Mann–Kendall trend z-scores over the monthly cents-grid
+    * revenue series — the shared pipeline of q_mann_kendall (which adds
+    * the per-nation trend verdict) and q_bh_fdr (which corrects the 25
+    * tests jointly). Columns: nationkey, n_months, s_stat, var_num, z_e9
+    * (the continuity-corrected z floor-snapped to the 1e9 grid —
+    * BIGINT-exact inputs, one sqrt, see q_mann_kendall's scaladoc). */
+  private def mannKendallZ(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val rev = Tables.orders(s, d)
+      .join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").cast("long").as("nationkey"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(sum(floor(col("o_totalprice") * lit(100.0)).cast("long"))
+        .as("rev"))
+    val a = rev.select(col("nationkey"), col("month").as("ma"),
+      col("rev").as("ra"))
+    val b = rev.select(col("nationkey"), col("month").as("mb"),
+      col("rev").as("rb"))
+    val sAgg = a.join(b, Seq("nationkey"))
+      .filter(col("ma") < col("mb"))
+      .groupBy(col("nationkey"))
+      .agg(sum(when(col("rb") > col("ra"), 1L)
+        .when(col("rb") < col("ra"), -1L).otherwise(0L)).as("s_stat"))
+    val nM = rev.groupBy(col("nationkey"))
+      .agg(count(lit(1)).as("n_months"))
+    val ties = rev.groupBy(col("nationkey"), col("rev"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("nationkey"))
+      .agg(sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L))
+        .as("tie_sum"))
+    val base = nM.join(sAgg, "nationkey").join(ties, "nationkey")
+      .select(col("nationkey"), col("n_months"), col("s_stat"),
+        (col("n_months") * (col("n_months") - 1L) *
+          (lit(2L) * col("n_months") + 5L) - col("tie_sum"))
+          .as("var_num"))
+    val zRaw = when(col("var_num") > 0L && col("s_stat") > 0L,
+        (col("s_stat") - 1L).cast("double") /
+          sqrt(col("var_num").cast("double") / lit(18.0)))
+      .when(col("var_num") > 0L && col("s_stat") < 0L,
+        (col("s_stat") + 1L).cast("double") /
+          sqrt(col("var_num").cast("double") / lit(18.0)))
+      .otherwise(lit(0.0))
+    base.withColumn("z_e9", floor(zRaw * lit(1e9)).cast("long"))
+  }
 
   /** The market-basket edge set (distinct canonical part pairs within an
     * order) — the shared graph input of q_triangles, q_triangles_sampled

@@ -133,6 +133,151 @@ class ExtendedSpec extends SparkSpec {
     }
   }
 
+  test("q_kruskal_wallis: H replays driver-side from real-valued average ranks") {
+    import org.apache.spark.sql.functions.{col, floor, lit}
+    val r = SparkEntry.queries("q_kruskal_wallis")(spark, sf001).collect().head
+    val ev = Tables.events(spark, sf001)
+      .filter(col("event_type")
+        .isin("click", "error", "purchase", "signup", "view"))
+      .select(col("event_type"),
+        floor(col("value") * lit(100.0)).cast("long").as("x"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    val n = ev.length.toLong
+    assert(r.getAs[Long]("n") === n)
+    assert(r.getAs[Long]("k") === 5L)
+    // independent replay with REAL-VALUED average ranks (no doubling, no
+    // integral-division floors): the engine's per-group floor loses < 1
+    // per group, i.e. < 12*k/(N(N+1)) ~ 6e-7 on H at this SF
+    val sorted = ev.map(_._2).sorted
+    val rankOf: Map[Long, Double] = sorted.zipWithIndex.toSeq.groupBy(_._1)
+      .map { case (v, g) => v -> (g.map(_._2 + 1L).sum.toDouble / g.size) }
+    val sumRsqOverN = ev.groupBy(_._1).values.map { g =>
+      val rs = g.map(p => rankOf(p._2)).sum
+      rs * rs / g.size
+    }.sum
+    val hRaw = 12.0 * sumRsqOverN / (n.toDouble * (n + 1)) - 3.0 * (n + 1)
+    val tie = sorted.groupBy(identity).values
+      .map { g => val t = g.size.toLong; t * t * t - t }.sum
+    val hRef = hRaw / (1.0 - tie.toDouble / (n * n * n - n))
+    assert(math.abs(r.getAs[Double]("h") - hRef) < 1e-4,
+      s"engine h=${r.getAs[Double]("h")} replay h=$hRef")
+    // doubled rank sums must cover the full rank total: sum_g 2R_g = N(N+1)
+    // is implied by bins partitioning — cross-check via the raw identity
+    val totalRankSum = ev.map(p => rankOf(p._2)).sum
+    assert(math.abs(totalRankSum - n.toDouble * (n + 1) / 2.0) < 1e-6)
+  }
+
+  test("q_bh_fdr: step-up rule replays driver-side from the MK z-scores") {
+    val mk = SparkEntry.queries("q_mann_kendall")(spark, sf001).collect()
+      .map(r => r.getAs[Long]("nationkey") -> r.getAs[Long]("z_e9")).toMap
+    val rows = SparkEntry.queries("q_bh_fdr")(spark, sf001).collect()
+    assert(rows.length === mk.size)
+    val m = rows.head.getAs[Long]("m")
+    assert(m === mk.size.toLong)
+    // p replay: same A&S 7.1.26 polynomial on the same snapped z — the
+    // JVM Math.exp is the same libm Spark's codegen calls, so p_e9 is
+    // reproduced exactly
+    def pE9(zE9: Long): Long = {
+      val az = math.abs(zE9 / 1e9)
+      val t = 1.0 / (1.0 + 0.2316419 * az)
+      val phi = math.exp(-(az * az) / 2.0) * 0.3989422804014327
+      val poly = t * (0.319381530 + t * (-0.356563782 +
+        t * (1.781477937 + t * (-1.821255978 + t * 1.330274429))))
+      math.floor(math.min(2.0 * (phi * poly), 1.0) * 1e9).toLong
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("p_e9") === pE9(mk(r.getAs[Long]("nationkey"))),
+        s"nation ${r.getAs[Long]("nationkey")} p")
+    }
+    // BH step-up replay: kmax = max rank with p_(i) <= i*0.05/m, reject
+    // ALL ranks <= kmax
+    val byRank = rows.sortBy(_.getAs[Long]("p_rank"))
+    val kmax = byRank.filter(r =>
+      r.getAs[Long]("p_e9") * m * 20 <= r.getAs[Long]("p_rank") *
+        1000000000L).map(_.getAs[Long]("p_rank")).lastOption.getOrElse(0L)
+    byRank.foreach { r =>
+      assert(r.getAs[Long]("discovery") ===
+        (if (r.getAs[Long]("p_rank") <= kmax) 1L else 0L))
+    }
+    // monotone property of step-up rejection: discoveries are a prefix
+    // of the rank order
+    val flags = byRank.map(_.getAs[Long]("discovery"))
+    assert(flags === flags.sorted.reverse)
+    // ranks are a permutation of 1..m ordered by p
+    assert(byRank.map(_.getAs[Long]("p_rank")).toSeq === (1L to m))
+    assert(byRank.map(_.getAs[Long]("p_e9")).toSeq ===
+      byRank.map(_.getAs[Long]("p_e9")).sorted.toSeq)
+  }
+
+  test("q_anova: exact BigInt sum-of-squares replay matches f_e9 bitwise") {
+    import org.apache.spark.sql.functions.{col, floor, lit}
+    val r = SparkEntry.queries("q_anova")(spark, sf001).collect().head
+    val xs = Tables.customer(spark, sf001)
+      .select(col("c_mktsegment"),
+        floor(col("c_acctbal") * lit(100.0)).cast("long").as("x"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    val n = xs.length.toLong
+    val k = xs.map(_._1).distinct.length.toLong
+    assert(r.getAs[Long]("n") === n)
+    assert(r.getAs[Long]("k") === k)
+    // replicate the engine's EXACT arithmetic: BigInt squares, integral
+    // (floor) division per group — then the identical double op order,
+    // so f_e9 must match bit for bit
+    val groups = xs.groupBy(_._1)
+    val a = groups.values.map { g =>
+      val s = g.map(p => BigInt(p._2)).sum
+      (s * s) / g.size
+    }.sum
+    val s = xs.map(p => BigInt(p._2)).sum
+    val q2 = xs.map(p => BigInt(p._2) * BigInt(p._2)).sum
+    val cf = (s * s) / BigInt(n)
+    val ssb = (a - cf).toDouble
+    val ssw = (q2 - a).toDouble
+    assert(r.getAs[Double]("ssb") === ssb)
+    assert(r.getAs[Double]("ssw") === ssw)
+    val f = (ssb / (k.toDouble - 1.0)) / (ssw / (n.toDouble - k.toDouble))
+    assert(r.getAs[Long]("f_e9") === math.floor(f * 1e9).toLong)
+    val eta2 = ssb / (ssb + ssw)
+    assert(math.abs(r.getAs[Double]("eta2") - eta2) < 2e-9)
+  }
+
+  test("q_ccf: lag-0 equals Pearson numerator replay; symmetry of the lag axis") {
+    import org.apache.spark.sql.functions.{col, floor, lit, sum, to_date, when}
+    val rows = SparkEntry.queries("q_ccf")(spark, sf001).collect()
+    assert(rows.map(_.getAs[Long]("lag")).toSeq ===
+      (-7L to 7L), "one row per lag, ordered")
+    val cents = floor(col("value") * lit(100.0)).cast("long")
+    val daily = Tables.events(spark, sf001)
+      .filter(col("event_type").isin("purchase", "view"))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === "purchase", cents)
+          .otherwise(0L)).as("a"),
+        sum(when(col("event_type") === "view", cents).otherwise(0L)).as("b"))
+      .orderBy(col("day"))
+      .collect().map(x => (x.getLong(1), x.getLong(2)))
+    val nd = daily.length
+    val abar = daily.map(p => BigInt(p._1)).sum / nd
+    val bbar = daily.map(p => BigInt(p._2)).sum / nd
+    val devA = daily.map(p => BigInt(p._1) - abar)
+    val devB = daily.map(p => BigInt(p._2) - bbar)
+    val da = devA.map(v => v * v).sum
+    val db = devB.map(v => v * v).sum
+    val den = math.sqrt(da.toDouble * db.toDouble)
+    for (lag <- Seq(-3L, 0L, 3L)) {
+      val num = (0 until nd).flatMap { i =>
+        val j = i + lag.toInt
+        if (j >= 0 && j < nd) Some(devA(i) * devB(j)) else None
+      }.sum
+      val expected = math.floor(num.toDouble / den * 1e9).toLong
+      val got = rows.find(_.getAs[Long]("lag") == lag).get
+      assert(got.getAs[Long]("ccf_e9") === expected, s"lag $lag")
+      assert(got.getAs[Long]("n_pairs") === (nd - math.abs(lag)))
+    }
+    // every ccf is a correlation: |r| <= 1 (snapped)
+    rows.foreach(r0 =>
+      assert(math.abs(r0.getAs[Double]("ccf")) <= 1.0 + 1e-9))
+  }
+
   test("q_cmsketch: estimates are one-sided and exact in collision-free cells") {
     val rows = SparkEntry.queries("q_cmsketch")(spark, sf001).collect()
     assert(rows.length === graft.ops.ExtendedQueries.CmProbes.length)

@@ -1182,4 +1182,79 @@ class StreamingSpec extends SparkSpec {
     assert(maxBucket < StreamFuzzy.MaxBucket / 4,
       s"bucket occupancy $maxBucket approaching cap ${StreamFuzzy.MaxBucket}")
   }
+
+  test("streaming calibration monitor (tier 28): maintained reliability grid equals batch q_calibration across a PARITY split") {
+    import graft.streaming.StreamCalib
+    import org.apache.spark.sql.functions.{col, explode, element_at, least,
+      greatest, lit, split, sum => ssum, when}
+    val emissions = StreamCalib.runOnce(spark, sf001, "calib_stream_test")
+      .localCheckpoint(true)
+    val all = emissions.collect()
+    assert(all.nonEmpty)
+    val byBin = all.groupBy(_.getLong(0))
+    // maintenance witness: a bin touched in both triggers emits twice,
+    // and n is strictly monotone per bin (the data-carried version)
+    assert(byBin.exists(_._2.length >= 2), "no bin spanned both triggers")
+    byBin.values.foreach { rows =>
+      val ns = rows.map(_.getLong(1))
+      assert(ns.distinct.length == ns.length, "n not strictly monotone")
+    }
+    // maintained snapshot = max-n emission per bin; equals the batch grid
+    val snap = byBin.values.map(_.maxBy(_.getLong(1)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    def gridSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val batchGrid = gridSet(StreamCalib.grid(docs))
+    assert(batchGrid.nonEmpty && snap == batchGrid,
+      s"stream-only=${(snap -- batchGrid).take(3)} " +
+        s"batch-only=${(batchGrid -- snap).take(3)}")
+    // the ROW-LEVEL scorer (aggregate HOF) is bitwise the batch
+    // explode+groupBy score — the commutativity claim, asserted
+    val rowScores = StreamCalib.scored(docs)
+      .select(col("doc_id"), col("k"), col("pos")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val explodeScores = docs
+      .select(col("doc_id"), col("n_chars"),
+        explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("doc_id"), col("n_chars"),
+        element_at(lit(graft.ops.PipelineQueries.QualityWeights),
+          (graft.functions.TextOps.md5Prefix60(col("tok")) %
+            graft.ops.PipelineQueries.QualityD).cast("int") + 1).as("w"))
+      .groupBy(col("doc_id"), col("n_chars"))
+      .agg(ssum(col("w")).cast("long").as("score"))
+      .select(col("doc_id"),
+        least(greatest(col("score") + lit(graft.ops.MLQueries.CalShift),
+          lit(0L)), lit(graft.ops.MLQueries.CalRange.toLong)).as("k"),
+        when(col("n_chars") > graft.ops.MLQueries.CalLabelChars, 1L)
+          .otherwise(0L).as("pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rowScores == explodeScores,
+      "row-level HOF scorer diverged from the batch explode scorer")
+    // display projection over the streamed snapshot equals the REGISTRY
+    // q_calibration output bitwise (same integer grid, same op order)
+    import spark.implicits._
+    val snapDf = snap.toSeq.sorted.toDF("bin", "n", "sum_k", "n_pos")
+    val streamedTable = StreamCalib.withEce(snapDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    val registry = SparkEntry.queries("q_calibration")(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(registry.nonEmpty && streamedTable.toSeq === registry.toSeq,
+      "streamed reliability table != registry q_calibration")
+    // PREFIX: every trigger-1 emission states the even-half fold exactly,
+    // so the even-half batch grid is a subset of the emission set
+    val evenGrid = gridSet(
+      StreamCalib.grid(docs.filter(col("doc_id") % 2 === 0)))
+    val allRows = all
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(evenGrid.nonEmpty && evenGrid.subsetOf(allRows),
+      s"prefix rows missing: ${(evenGrid -- allRows).take(3)}")
+  }
 }
