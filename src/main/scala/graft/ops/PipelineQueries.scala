@@ -951,6 +951,80 @@ object PipelineQueries {
          |SELECT r.lang, r.n AS n_docs, r.rate, k.n_kept
          |FROM r JOIN kept k ON r.lang = k.lang ORDER BY r.lang""".stripMargin)),
 
+    // Mixture diversity indices — the MEASUREMENT companion to
+    // q_mixture_rebalance's resampling: per language, how concentrated
+    // is the SOURCE mix feeding the corpus? Shannon entropy (nats) of
+    // the within-lang source distribution plus the Simpson collision
+    // index (the probability two random docs share a source — the
+    // quantity a dedup/contamination budget actually cares about).
+    // Simpson is EXACT end to end: num = sum c_s(c_s-1) and
+    // den = n(n-1) in DECIMAL(38,0)/HUGEINT (SF100-safe), one
+    // remainder-subtraction integral division to the e9 grid, nullif
+    // guard on single-doc groups (where the engines' div-by-zero
+    // semantics diverge). Shannon follows the q_jsd transcendental
+    // discipline: per-term p*ln(p) with pinned op order, floor-snapped
+    // to the 2^43 grid, order-independent DECIMAL sum (single-source
+    // langs land on H = 0 exactly via ln 1 = 0).
+    // Scale shape: ONE map-side-combinable (lang, source) aggregate;
+    // everything after is grid-sized. At 100 TB the diversity audit
+    // costs one scan.
+    Q("q_diversity",
+      (s, d) => {
+        val P43 = 8796093022208.0
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val bySrc = Tables.documents(s, d)
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("c"))
+        val byLang = bySrc.groupBy(col("lang"))
+          .agg(sum(col("c")).as("n"), count(lit(1)).as("n_sources"))
+        val p = col("c").cast("double") / col("n").cast("double")
+        val terms = bySrc.join(byLang, "lang")
+          .withColumn("t43", floor((p * log(p)) * lit(P43)).cast(dec))
+          .withColumn("coll", col("c").cast(dec) * (col("c") - lit(1L)))
+        val agg = terms.groupBy(col("lang"), col("n"), col("n_sources"))
+          .agg(sum(col("t43")).cast(dec).as("st43"),
+            sum(col("coll")).cast(dec).as("num"))
+        val den = nullif(col("n").cast(dec) * (col("n") - lit(1L)),
+          lit(0).cast(dec))
+        val sn = (col("num") * lit(1000000000L)).cast(dec)
+        agg
+          .withColumn("shannon_nats",
+            -(col("st43").cast("double")) / lit(P43))
+          .withColumn("simpson_e9",
+            ((sn - sn % den) / den).cast(dec).cast("long"))
+          .select(col("lang"), col("n").as("n_docs"), col("n_sources"),
+            col("shannon_nats"), col("simpson_e9"),
+            (col("simpson_e9") / lit(1e9)).as("simpson"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH bs AS (
+         |  SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+         |  FROM documents GROUP BY 1, 2),
+         |bl AS (
+         |  SELECT lang, CAST(sum(c) AS BIGINT) AS n,
+         |    CAST(count(*) AS BIGINT) AS n_sources
+         |  FROM bs GROUP BY 1),
+         |t AS (
+         |  SELECT bs.lang, bl.n, bl.n_sources,
+         |    CAST(floor(((CAST(bs.c AS DOUBLE) / CAST(bl.n AS DOUBLE))
+         |      * ln(CAST(bs.c AS DOUBLE) / CAST(bl.n AS DOUBLE)))
+         |      * 8796093022208.0) AS HUGEINT) AS t43,
+         |    CAST(bs.c AS HUGEINT) * (bs.c - 1) AS coll
+         |  FROM bs JOIN bl USING (lang)),
+         |a AS (
+         |  SELECT lang, n, n_sources,
+         |    CAST(-sum(t43) AS DOUBLE) / 8796093022208.0 AS shannon_nats,
+         |    sum(coll) AS num
+         |  FROM t GROUP BY 1, 2, 3)
+         |SELECT lang, n AS n_docs, n_sources, shannon_nats,
+         |  CAST((num * 1000000000)
+         |    // nullif(CAST(n AS HUGEINT) * (n - 1), 0) AS BIGINT)
+         |    AS simpson_e9,
+         |  CAST((num * 1000000000)
+         |    // nullif(CAST(n AS HUGEINT) * (n - 1), 0) AS BIGINT) / 1e9
+         |    AS simpson
+         |FROM a ORDER BY lang""".stripMargin)),
+
     // Overlapping chunk windows — the retrieval/embedding prep step: a
     // doc becomes ceil-spaced windows of W=32 tokens at stride S=16
     // (50% overlap), the chunk table every RAG/embedding pipeline

@@ -265,6 +265,85 @@ object RecoQueries {
            |$frontiers
            |SELECT * FROM (
            |$sel) ORDER BY dist""".stripMargin
+      }),
+
+    // Landmark closeness centrality — the CENTRALITY companion to
+    // q_bfs's reachability profile: how near is each top-5-degree hub
+    // to the rest of the graph? Per landmark, a 4-round multi-source
+    // BFS tracks (landmark, node) visitation (the q_bfs rounds with the
+    // landmark riding the frontier key); bounded-horizon closeness is
+    // then EXACT integers end to end: n_reached * 1e9 div sum_dist —
+    // no doubles anywhere (the display column is one cast of the
+    // snapped BIGINT). Exact BFS distances, not estimates: a node's
+    // first visitation round IS its distance.
+    // Scale shape: per-round exchanges are frontier-sized and keyed by
+    // node (5 landmarks ride as payload); rounds are bounded (4);
+    // per-landmark output is a 5-row aggregate. The quadratic
+    // all-pairs closeness is exactly what this operator exists to
+    // avoid — landmarks are the standard scale form (Brandes-style
+    // sampling specializes the same plan).
+    Q("q_closeness",
+      (s, d) => {
+        val und = supportEdges(s, d).localCheckpoint(true)
+        val edges = und.select(col("a").as("src"), col("b").as("dst"))
+          .union(und.select(col("b").as("src"), col("a").as("dst")))
+          .localCheckpoint(true)
+        val deg = edges.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("deg"))
+        val lms = deg.orderBy(col("deg").desc, col("node")).limit(5)
+          .select(col("node").as("lm"))
+        var frontier = lms.select(col("lm"), col("lm").as("node"))
+          .localCheckpoint(true)
+        var visited = frontier
+        val reached = Seq.newBuilder[DataFrame]
+        for (dist <- 1 to 4) {
+          frontier = frontier.select(col("lm"), col("node").as("src"))
+            .join(edges, "src")
+            .select(col("lm"), col("dst").as("node")).distinct()
+            .join(visited, Seq("lm", "node"), "left_anti")
+            .localCheckpoint(true)
+          visited = visited.union(frontier).localCheckpoint(true)
+          reached += frontier.withColumn("dist", lit(dist.toLong))
+        }
+        reached.result().reduce(_ union _)
+          .groupBy(col("lm"))
+          .agg(count(lit(1)).as("n_reached"), sum(col("dist")).as("sum_dist"))
+          .join(deg.select(col("node").as("lm"), col("deg")), "lm")
+          .select(col("lm"), col("deg"), col("n_reached"), col("sum_dist"),
+            expr("n_reached * 1000000000 div sum_dist").as("closeness_e9"))
+          .withColumn("closeness", col("closeness_e9") / lit(1e9))
+          .orderBy(col("lm"))
+      },
+      Some {
+        val priorNot = (r: Int) => (0 until r).map(p =>
+          s"NOT EXISTS (SELECT 1 FROM d$p p WHERE p.lm = f.lm AND p.node = f.node)")
+          .mkString(" AND ")
+        val frontiers = (1 to 4).map { r =>
+          s"""d$r AS (
+             |  SELECT lm, node FROM (
+             |    SELECT DISTINCT x.lm, e.dst AS node
+             |    FROM d${r - 1} x JOIN edges e ON e.src = x.node) f
+             |  WHERE ${priorNot(r)})"""
+        }.mkString(",\n")
+        val reachSel = (1 to 4).map(r =>
+          s"SELECT lm, node, CAST($r AS BIGINT) AS dist FROM d$r")
+          .mkString("\nUNION ALL ")
+        s"""WITH $graphCte,
+           |lmt AS (SELECT node AS lm FROM deg ORDER BY deg DESC, node LIMIT 5),
+           |d0 AS (SELECT lm, lm AS node FROM lmt),
+           |$frontiers,
+           |reach AS (
+           |$reachSel),
+           |agg AS (
+           |  SELECT lm, CAST(count(*) AS BIGINT) AS n_reached,
+           |    CAST(sum(dist) AS BIGINT) AS sum_dist
+           |  FROM reach GROUP BY lm)
+           |SELECT a.lm, dg.deg, a.n_reached, a.sum_dist,
+           |  a.n_reached * 1000000000 // a.sum_dist AS closeness_e9,
+           |  CAST(a.n_reached * 1000000000 // a.sum_dist AS DOUBLE) / 1e9
+           |    AS closeness
+           |FROM agg a JOIN deg dg ON dg.node = a.lm
+           |ORDER BY a.lm""".stripMargin
       })
   )
 }

@@ -672,4 +672,81 @@ class AnalyticsSpec extends SparkSpec {
       assert(Option(r.getAs[Any]("max_z_e6")).map(_.asInstanceOf[Long]) == mz6)
     }
   }
+
+  test("q_closeness equals a hand-rolled driver-side BFS from the same landmarks") {
+    import org.apache.spark.sql.functions.{col, count => scount, lit}
+    val rows = SparkEntry.queries("q_closeness")(spark, sf001).collect()
+    assert(rows.length === 5)
+    // rebuild the support-2 basket graph exactly as the query family does
+    val li = Tables.lineitem(spark, sf001)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val und = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .agg(scount(lit(1)).as("cnt")).filter(col("cnt") >= 2)
+      .select(col("a"), col("b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (und.map(e => e._1 -> e._2) ++ und.map(e => e._2 -> e._1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val deg = adj.map { case (k, v) => k -> v.size.toLong }
+    val landmarks = deg.toSeq.sortBy { case (n, dg) => (-dg, n) }
+      .take(5).map(_._1)
+    assert(rows.map(_.getAs[Long]("lm")).sorted.toSeq ===
+      landmarks.sorted)
+    rows.foreach { r =>
+      val lm = r.getAs[Long]("lm")
+      // BFS to depth 4
+      var frontier = Set(lm); var visited = Set(lm)
+      var nReached = 0L; var sumDist = 0L
+      for (dist <- 1 to 4) {
+        frontier = frontier.flatMap(n => adj.getOrElse(n, Set.empty)) -- visited
+        visited ++= frontier
+        nReached += frontier.size
+        sumDist += dist.toLong * frontier.size
+      }
+      assert(r.getAs[Long]("deg") === deg(lm))
+      assert(r.getAs[Long]("n_reached") === nReached, s"lm $lm reach")
+      assert(r.getAs[Long]("sum_dist") === sumDist, s"lm $lm dist")
+      assert(r.getAs[Long]("closeness_e9") ===
+        (BigInt(nReached) * 1000000000L / BigInt(sumDist)).toLong)
+      // bounded-horizon closeness is at most 1 (every reached node is
+      // at distance >= 1)
+      assert(r.getAs[Double]("closeness") <= 1.0)
+    }
+  }
+
+  test("q_diversity equals hand-rolled Shannon/Simpson over the source mix") {
+    val rows = SparkEntry.queries("q_diversity")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf001)
+      .select("lang", "source").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val byLang = docs.groupBy(_._1)
+    assert(rows.length === byLang.size)
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val counts = byLang(lang).groupBy(_._2).map(_._2.length.toLong).toSeq
+      val n = counts.sum
+      assert(r.getAs[Long]("n_docs") === n)
+      assert(r.getAs[Long]("n_sources") === counts.length.toLong)
+      // real-valued entropy replay; the engine's 2^43 per-term snap
+      // loses < n_sources * 2^-43
+      val h = -counts.map { c =>
+        val p = c.toDouble / n.toDouble; p * math.log(p)
+      }.sum
+      assert(math.abs(r.getAs[Double]("shannon_nats") - h) < 1e-9,
+        s"$lang entropy")
+      // Simpson exact rational replay
+      val num = counts.map(c => BigInt(c) * (c - 1)).sum
+      val expected =
+        if (n <= 1) null
+        else (num * 1000000000L / (BigInt(n) * (n - 1))).toLong
+      assert(r.getAs[Long]("simpson_e9") === expected, s"$lang simpson")
+      // collision probability of a mix with k sources is at least 1/k
+      // of ... the uniform lower bound: simpson >= (n/k - 1)/(n - 1)
+      assert(r.getAs[Double]("simpson") <= 1.0 &&
+        r.getAs[Double]("simpson") >= 0.0)
+    }
+  }
 }
