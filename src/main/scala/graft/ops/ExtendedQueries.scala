@@ -25,6 +25,35 @@ object ExtendedQueries {
     * BOTH engines receive the identical double literals (see q_benford;
     * the q_ndcg precedent). Scala's Double.toString round-trips, so the
     * interpolated oracle literal parses back to the same bits. */
+  /** Shared LPA oracle CTEs (basket graph `edges`/`nodes` + 3 synchronous
+    * label-propagation rounds ending in `l3(node, label)`) — interpolated
+    * by BOTH q_communities and q_modularity, so the two oracles cannot
+    * drift. Declared before `all` (oracle strings interpolate eagerly). */
+  private val LpaOracleCte: String = {
+    val rounds = (1 to 3).map { r =>
+      val prev = if (r == 1) "l0" else s"l${r - 1}"
+      s"""f$r AS (
+         |  SELECT e.dst, l.label, count(*) AS cnt
+         |  FROM edges e JOIN $prev l ON l.node = e.src
+         |  GROUP BY e.dst, l.label),
+         |l$r AS (
+         |  SELECT dst AS node, label FROM (
+         |    SELECT dst, label,
+         |      row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, label) AS rn
+         |    FROM f$r) t WHERE rn = 1)"""
+    }.mkString(",\n")
+    s"""li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+       |und AS (
+       |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+       |  FROM li a JOIN li b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |edges AS (SELECT a AS src, b AS dst FROM und
+       |  UNION ALL SELECT b, a FROM und),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |l0 AS (SELECT node, node AS label FROM nodes),
+       |$rounds""".stripMargin
+  }
+
   private val BenfordP: Seq[Double] = Seq(
     0.3010299956639812, 0.17609125905568124, 0.12493873660829992,
     0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
@@ -1833,53 +1862,100 @@ object ExtendedQueries {
     // instead of a min; edge set is the shared memoized basketEdges.
     Q("q_communities",
       (s, d) => {
-        val und = basketEdges(s, d)
-        val edges = und.select(col("a").as("src"), col("b").as("dst"))
-          .union(und.select(col("b").as("src"), col("a").as("dst")))
-          .localCheckpoint(true)
-        var labels = edges.select(col("src").as("node")).distinct()
-          .withColumn("label", col("node"))
-        for (_ <- 1 to 3) {
-          val freq = edges
-            .join(labels.select(col("node").as("src"), col("label")), "src")
-            .groupBy(col("dst"), col("label"))
-            .agg(count(lit(1)).as("cnt"))
-          val w = Window.partitionBy(col("dst"))
-            .orderBy(col("cnt").desc, col("label").asc)
-          labels = freq.withColumn("rn", row_number().over(w))
-            .filter(col("rn") === 1)
-            .select(col("dst").as("node"), col("label"))
-        }
-        labels.groupBy(col("label").as("community"))
+        lpaLabels(s, d)
+          .groupBy(col("label").as("community"))
           .agg(count(lit(1)).as("size"))
           .orderBy(col("community"))
       },
       Some {
-        val rounds = (1 to 3).map { r =>
-          val prev = if (r == 1) "l0" else s"l${r - 1}"
-          s"""f$r AS (
-             |  SELECT e.dst, l.label, count(*) AS cnt
-             |  FROM edges e JOIN $prev l ON l.node = e.src
-             |  GROUP BY e.dst, l.label),
-             |l$r AS (
-             |  SELECT dst AS node, label FROM (
-             |    SELECT dst, label,
-             |      row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, label) AS rn
-             |    FROM f$r) t WHERE rn = 1)"""
-        }.mkString(",\n")
-        s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
-           |und AS (
-           |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
-           |  FROM li a JOIN li b
-           |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-           |edges AS (SELECT a AS src, b AS dst FROM und
-           |  UNION ALL SELECT b, a FROM und),
-           |nodes AS (SELECT DISTINCT src AS node FROM edges),
-           |l0 AS (SELECT node, node AS label FROM nodes),
-           |$rounds
+        s"""WITH $LpaOracleCte
            |SELECT CAST(label AS BIGINT) AS community,
            |  CAST(count(*) AS BIGINT) AS size
            |FROM l3 GROUP BY label ORDER BY community""".stripMargin
+      }),
+
+    // Newman modularity of the LPA partition (Newman & Girvan 2004) —
+    // the QUALITY measure the clustering family lacked (q_calibration
+    // plays the same role for the classifier): did q_communities find
+    // real structure, or a relabeling of noise? Q = sum_c [ e_c/m -
+    // (d_c/2m)^2 ] restated over one common denominator:
+    //   Q = (4m * sum_c e_c - sum_c d_c^2) / (4 m^2)
+    // — every input an exact BIGINT (intra-community edge count per c,
+    // degree sums per c, the undirected edge count m), products routed
+    // through DECIMAL(38,0)/HUGEINT (d_c^2 and 4m^2 wrap BIGINT at
+    // SF100 edge counts), ONE remainder-subtraction integral division
+    // to the 1e9 grid. The numerator can be NEGATIVE (a worse-than-
+    // random partition): `num - num % den` truncates toward zero on
+    // BOTH engines (Spark and DuckDB % both follow the dividend), so
+    // the snapped value is engine-identical there too.
+    // Scale shape: two node-keyed label joins onto the edge list + two
+    // label-keyed aggregates — the same exchanges one LPA round costs;
+    // everything after is community-sized.
+    Q("q_modularity",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val labels = lpaLabels(s, d).localCheckpoint(true)
+        val und = basketEdges(s, d)
+        val lab = und
+          .join(labels.select(col("node").as("a"), col("label").as("la")),
+            "a")
+          .join(labels.select(col("node").as("b"), col("label").as("lb")),
+            "b")
+        val intra = lab
+          .agg(count(lit(1)).as("m"),
+            sum(when(col("la") === col("lb"), 1L).otherwise(0L))
+              .as("e_intra"))
+        val degs = und.select(col("a").as("node"))
+          .union(und.select(col("b").as("node")))
+          .join(labels, "node")
+          .groupBy(col("label")).agg(count(lit(1)).as("d_c"))
+        val sumD2 = degs.agg(
+          sum(col("d_c").cast(dec) * col("d_c")).cast(dec).as("sum_d2"),
+          count(lit(1)).as("n_communities"))
+        val base = intra.crossJoin(broadcast(sumD2))
+          .select(col("m"), col("e_intra"), col("n_communities"),
+            ((col("m").cast(dec) * col("e_intra") * lit(4L) -
+              col("sum_d2")) * lit(1000000000L)).cast(dec).as("num"),
+            (col("m").cast(dec) * col("m") * lit(4L)).cast(dec).as("den"))
+        base
+          .withColumn("modularity_e9",
+            ((col("num") - col("num") % col("den")) / col("den"))
+              .cast(dec).cast("long"))
+          .select(col("m").as("m_edges"), col("e_intra"),
+            col("n_communities"), col("modularity_e9"),
+            (col("modularity_e9") / lit(1e9)).as("modularity"))
+      },
+      Some {
+        s"""WITH $LpaOracleCte,
+           |lab AS (
+           |  SELECT u.a, u.b, la.label AS la, lb.label AS lb
+           |  FROM und u JOIN l3 la ON la.node = u.a
+           |    JOIN l3 lb ON lb.node = u.b),
+           |intra AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS m,
+           |    CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS e_intra
+           |  FROM lab),
+           |degs AS (
+           |  SELECT l.label, CAST(count(*) AS BIGINT) AS d_c
+           |  FROM (SELECT a AS node FROM und
+           |        UNION ALL SELECT b FROM und) x
+           |  JOIN l3 l ON l.node = x.node
+           |  GROUP BY l.label),
+           |sd AS (
+           |  SELECT sum(CAST(d_c AS HUGEINT) * d_c) AS sum_d2,
+           |    CAST(count(*) AS BIGINT) AS n_communities
+           |  FROM degs),
+           |base AS (
+           |  SELECT m, e_intra, n_communities,
+           |    (CAST(m AS HUGEINT) * e_intra * 4 - sum_d2) * 1000000000
+           |      AS num,
+           |    CAST(m AS HUGEINT) * m * 4 AS den
+           |  FROM intra, sd)
+           |SELECT m AS m_edges, e_intra, n_communities,
+           |  CAST((num - num % den) // den AS BIGINT) AS modularity_e9,
+           |  CAST((num - num % den) // den AS BIGINT) / 1e9 AS modularity
+           |FROM base""".stripMargin
       }),
 
     // CDC changelog -> snapshot compaction — what a merge-on-read lake
@@ -4581,6 +4657,107 @@ object ExtendedQueries {
          |  p_rank, m, CAST(p_rank <= kmax AS BIGINT) AS discovery
          |FROM km ORDER BY nationkey""".stripMargin)),
 
+    // Cochran-Armitage trend test (Cochran 1954, Armitage 1955) — the
+    // ORDERED-GROUPS proportion test the family lacked: q_chi2_assoc
+    // asks "is conversion independent of group?"; this asks the sharper
+    // monotone question "does the ordering rate RISE with account-
+    // balance quintile?" — one df spent on the trend instead of k-1 on
+    // any difference. Quintiles use q_rfm's scale-honest percentile
+    // breakpoints (Spark `percentile` hash-matches DuckDB
+    // `quantile_cont`, the q_ntile precedent); scores w_i = bucket
+    // index 1..5. All moments are exact integers:
+    //   A = N*sum(w_i r_i) - R*sum(w_i n_i)      (trend numerator * N)
+    //   V = R(N-R)(N*sum(n_i w_i^2) - (sum(n_i w_i))^2)   (variance*N^3)
+    //   z = A / sqrt(V / N)
+    // — V routes through DECIMAL(38,0)/HUGEINT (the triple product
+    // wraps BIGINT at SF100 corpus sizes); one sqrt + one division with
+    // pinned op order, 1e9-snapped, nullif on the degenerate
+    // all-converted/none-converted corpus.
+    // Scale shape: one customer-keyed outcome join (left_semi-shaped),
+    // a 1-row breakpoint broadcast, one 5-row bucket aggregate.
+    Q("q_cochran_armitage",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val cust = Tables.customer(s, d)
+          .select(col("c_custkey"),
+            floor(col("c_acctbal") * lit(100.0)).cast("long").as("x"))
+        val buyers = Tables.orders(s, d).select(col("o_custkey")).distinct()
+        val outcome = cust.join(
+          buyers.withColumn("pos", lit(1L)),
+          col("c_custkey") === col("o_custkey"), "left")
+          .select(col("x"), coalesce(col("pos"), lit(0L)).as("pos"))
+        val qs = array(lit(0.2), lit(0.4), lit(0.6), lit(0.8))
+        val bounds = outcome.agg(percentile(col("x"), qs).as("bx"))
+        val bucket = (0 to 3).map(i =>
+          (col("x").cast("double") > col("bx")(i)).cast("long"))
+          .reduce(_ + _) + lit(1L)
+        val byB = outcome.crossJoin(broadcast(bounds))
+          .select(bucket.as("w"), col("pos"))
+          .groupBy(col("w"))
+          .agg(count(lit(1)).as("n_i"), sum(col("pos")).as("r_i"))
+        val agg = byB.agg(
+          sum(col("n_i")).as("n"), sum(col("r_i")).as("r"),
+          sum(col("w") * col("r_i")).as("swr"),
+          sum(col("w") * col("n_i")).as("swn"),
+          sum(col("w") * col("w") * col("n_i")).as("sw2n"))
+        val a = (col("n").cast(dec) * col("swr") -
+          col("r").cast(dec) * col("swn")).cast(dec)
+        val v = (col("r").cast(dec) * (col("n") - col("r")) *
+          (col("n").cast(dec) * col("sw2n") -
+            col("swn").cast(dec) * col("swn"))).cast(dec)
+        val z = a.cast("double") /
+          nullif(sqrt(v.cast("double") / col("n").cast("double")), lit(0.0))
+        agg
+          .withColumn("z_e9", floor(z * lit(1e9)).cast("long"))
+          .select(col("n"), col("r").as("r_total"), col("z_e9"),
+            (col("z_e9") / lit(1e9)).as("z"),
+            when(col("z_e9") > lit(1960000000L), "increasing")
+              .when(col("z_e9") < lit(-1960000000L), "decreasing")
+              .otherwise("none").as("trend"))
+      },
+      Some("""WITH cust AS (
+         |  SELECT c_custkey, CAST(floor(c_acctbal * 100.0) AS BIGINT) AS x
+         |  FROM customer),
+         |outcome AS (
+         |  SELECT cust.x,
+         |    CASE WHEN b.o_custkey IS NULL THEN 0 ELSE 1 END AS pos
+         |  FROM cust LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) b
+         |    ON cust.c_custkey = b.o_custkey),
+         |bounds AS (
+         |  SELECT quantile_cont(x, [0.2, 0.4, 0.6, 0.8]) AS bx
+         |  FROM outcome),
+         |byb AS (
+         |  SELECT (1 + CASE WHEN CAST(x AS DOUBLE) > bx[1] THEN 1 ELSE 0 END
+         |            + CASE WHEN CAST(x AS DOUBLE) > bx[2] THEN 1 ELSE 0 END
+         |            + CASE WHEN CAST(x AS DOUBLE) > bx[3] THEN 1 ELSE 0 END
+         |            + CASE WHEN CAST(x AS DOUBLE) > bx[4] THEN 1 ELSE 0 END)
+         |      AS w,
+         |    CAST(count(*) AS BIGINT) AS n_i, CAST(sum(pos) AS BIGINT) AS r_i
+         |  FROM outcome, bounds GROUP BY 1),
+         |agg AS (
+         |  SELECT CAST(sum(n_i) AS BIGINT) AS n, CAST(sum(r_i) AS BIGINT) AS r,
+         |    CAST(sum(w * r_i) AS BIGINT) AS swr,
+         |    CAST(sum(w * n_i) AS BIGINT) AS swn,
+         |    CAST(sum(w * w * n_i) AS BIGINT) AS sw2n
+         |  FROM byb),
+         |z AS (
+         |  SELECT n, r,
+         |    CAST(floor(
+         |      CAST(CAST(n AS HUGEINT) * swr - CAST(r AS HUGEINT) * swn
+         |        AS DOUBLE)
+         |      / nullif(sqrt(
+         |          CAST(CAST(r AS HUGEINT) * (n - r)
+         |            * (CAST(n AS HUGEINT) * sw2n
+         |               - CAST(swn AS HUGEINT) * swn) AS DOUBLE)
+         |          / CAST(n AS DOUBLE)), 0.0)
+         |      * 1e9) AS BIGINT) AS z_e9
+         |  FROM agg)
+         |SELECT n, r AS r_total, z_e9, z_e9 / 1e9 AS z,
+         |  CASE WHEN z_e9 > 1960000000 THEN 'increasing'
+         |       WHEN z_e9 < -1960000000 THEN 'decreasing'
+         |       ELSE 'none' END AS trend
+         |FROM z""".stripMargin)),
+
     // Kruskal-Wallis H (Kruskal & Wallis 1952) — the K-SAMPLE rank test
     // the family lacked: q_mann_whitney compares TWO arms; this asks
     // whether ANY of the five event types' spend distributions differ,
@@ -5089,6 +5266,33 @@ object ExtendedQueries {
          |GROUP BY 1, 2, 3, 4
          |ORDER BY dg.grp""".stripMargin)),
   )
+
+  /** Synchronous 3-round LPA labels over the basket graph — the shared
+    * pipeline of q_communities (which reports community sizes) and
+    * q_modularity (which scores the partition). Bit-deterministic
+    * plurality adoption with the (count DESC, label ASC) tie-break; see
+    * q_communities' scaladoc. Returns (node, label). */
+  private[graft] def lpaLabels(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val und = basketEdges(s, d)
+    val edges = und.select(col("a").as("src"), col("b").as("dst"))
+      .union(und.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to 3) {
+      val freq = edges
+        .join(labels.select(col("node").as("src"), col("label")), "src")
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("dst"))
+        .orderBy(col("cnt").desc, col("label").asc)
+      labels = freq.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("dst").as("node"), col("label"))
+    }
+    labels
+  }
 
   /** Per-nation Mann–Kendall trend z-scores over the monthly cents-grid
     * revenue series — the shared pipeline of q_mann_kendall (which adds

@@ -716,6 +716,33 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_modularity equals the Newman definition replayed over the LPA labels") {
+    import org.apache.spark.sql.functions.col
+    val r = SparkEntry.queries("q_modularity")(spark, sf001).collect().head
+    val labels = graft.ops.ExtendedQueries.lpaLabels(spark, sf001)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val und = graft.ops.ExtendedQueries.basketEdges(spark, sf001)
+      .select(col("a"), col("b")).collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val m = und.length.toLong
+    assert(r.getAs[Long]("m_edges") === m)
+    val eIntra = und.count { case (a, b) => labels(a) == labels(b) }.toLong
+    assert(r.getAs[Long]("e_intra") === eIntra)
+    val degByC = und.flatMap { case (a, b) => Seq(labels(a), labels(b)) }
+      .groupBy(identity).map { case (c, g) => c -> g.length.toLong }
+    assert(r.getAs[Long]("n_communities") === degByC.size.toLong)
+    // exact-rational Newman modularity, truncated to the e9 grid the
+    // same way the engine truncates (toward zero on both engines)
+    val sumD2 = degByC.values.map(d => BigInt(d) * d).sum
+    val num = (BigInt(4) * m * eIntra - sumD2) * 1000000000L
+    val den = BigInt(4) * m * m
+    assert(r.getAs[Long]("modularity_e9") === ((num - num % den) / den).toLong)
+    // sanity: the partition's score beats the all-singletons partition
+    // (whose intra-edge term is zero)
+    val singleton = (-sumD2 * 1000000000L) / den
+    assert(BigInt(r.getAs[Long]("modularity_e9")) >= singleton)
+  }
+
   test("q_diversity equals hand-rolled Shannon/Simpson over the source mix") {
     val rows = SparkEntry.queries("q_diversity")(spark, sf001).collect()
     assert(rows.nonEmpty)

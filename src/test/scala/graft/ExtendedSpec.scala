@@ -167,6 +167,63 @@ class ExtendedSpec extends SparkSpec {
     assert(math.abs(totalRankSum - n.toDouble * (n + 1) / 2.0) < 1e-6)
   }
 
+  test("q_cochran_armitage: trend z replays from the bucket table in exact arithmetic") {
+    // sf0.001 exercises the degenerate all-converted branch (every
+    // customer has an order there); sf0.01 exercises the live z path
+    for (d <- Seq(sf001, "/root/testdata/sf0.01"))
+      cochranReplay(d)
+  }
+
+  private def cochranReplay(d: String): Unit = {
+    import org.apache.spark.sql.functions.{array, broadcast, coalesce, col,
+      count => scount, floor, lit, percentile, sum => ssum}
+    val r = SparkEntry.queries("q_cochran_armitage")(spark, d)
+      .collect().head
+    // rebuild the bucket table with the SAME DataFrame expressions (the
+    // breakpoints are oracle-verified; the replay targets the scalar
+    // trend algebra), then replay A, V, z exactly
+    val cust = Tables.customer(spark, d)
+      .select(col("c_custkey"),
+        floor(col("c_acctbal") * lit(100.0)).cast("long").as("x"))
+    val buyers = Tables.orders(spark, d).select(col("o_custkey")).distinct()
+    val outcome = cust.join(buyers.withColumn("pos", lit(1L)),
+        col("c_custkey") === col("o_custkey"), "left")
+      .select(col("x"), coalesce(col("pos"), lit(0L)).as("pos"))
+    val bounds = outcome.agg(
+      percentile(col("x"), array(lit(0.2), lit(0.4), lit(0.6), lit(0.8)))
+        .as("bx"))
+    val bucket = (0 to 3).map(i =>
+      (col("x").cast("double") > col("bx")(i)).cast("long"))
+      .reduce(_ + _) + lit(1L)
+    val byB = outcome.crossJoin(broadcast(bounds))
+      .select(bucket.as("w"), col("pos"))
+      .groupBy(col("w"))
+      .agg(scount(lit(1)).as("n_i"), ssum(col("pos")).as("r_i"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(byB.map(_._1).sorted.toSeq === (1L to 5L), "five quintile buckets")
+    val n = byB.map(_._2).sum
+    val rTot = byB.map(_._3).sum
+    assert(r.getAs[Long]("n") === n)
+    assert(r.getAs[Long]("r_total") === rTot)
+    val swr = byB.map(b => b._1 * b._3).sum
+    val swn = byB.map(b => b._1 * b._2).sum
+    val sw2n = byB.map(b => b._1 * b._1 * b._2).sum
+    val a = BigInt(n) * swr - BigInt(rTot) * swn
+    val v = BigInt(rTot) * (n - rTot) *
+      (BigInt(n) * sw2n - BigInt(swn) * swn)
+    if (v == 0) {
+      // degenerate corpus (all or none converted — true at sf0.001,
+      // where every customer has an order): both engines state NULL
+      assert(r.isNullAt(r.fieldIndex("z_e9")), "expected NULL z on V=0")
+    } else {
+      val z = a.toDouble / math.sqrt(v.toDouble / n.toDouble)
+      assert(r.getAs[Long]("z_e9") === math.floor(z * 1e9).toLong)
+    }
+    // quintiles of a near-uniform balance should have near-equal sizes
+    val sizes = byB.map(_._2)
+    assert(sizes.max - sizes.min <= n / 5, s"degenerate buckets: $sizes")
+  }
+
   test("q_bh_fdr: step-up rule replays driver-side from the MK z-scores") {
     val mk = SparkEntry.queries("q_mann_kendall")(spark, sf001).collect()
       .map(r => r.getAs[Long]("nationkey") -> r.getAs[Long]("z_e9")).toMap
